@@ -56,19 +56,30 @@ def sha256_hex_array(values) -> np.ndarray:
 
 
 def stable_doc_id(repo, path, commit) -> np.ndarray:
-    """uint64 id = first 8 bytes (big-endian) of sha256(repo\\x00path\\x00commit).
+    """int64 id = first 8 bytes of sha256(repo\\x00path\\x00commit), top bit
+    cleared (63-bit, non-negative).
 
-    Deterministic across processes/runs; collision probability over 1e12 docs
-    ~ 1e12^2 / 2^65 ~ 2.7% for the full corpus — acceptable for blocking ids;
-    the 32-byte sha256(content) column remains the exact-identity key.
+    Kept in the int64 domain because Ray Data groupby/aggregate key columns
+    round-trip through Python ints -> Arrow int64; uint64 values above 2^63
+    degrade to pickled-object columns.  Collision probability over 1e12 docs
+    ~ (1e12)^2 / 2^64 — acceptable for blocking/cluster ids; the 32-byte
+    sha256(content) column remains the exact-identity key.
     """
-    out = np.empty(len(repo), dtype=np.uint64)
+    out = np.empty(len(repo), dtype=np.int64)
     for i, (r, p, c) in enumerate(zip(repo, path, commit)):
         d = hashlib.sha256(
             f"{r}\x00{p}\x00{c}".encode("utf-8")
         ).digest()
-        out[i] = int.from_bytes(d[:8], "big")
+        out[i] = int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
     return out
+
+
+def as_key_i64(arr: np.ndarray) -> np.ndarray:
+    """Fold a uint64 hash array into the non-negative int64 key domain
+    (shuffle keys must stay int64-safe — see stable_doc_id)."""
+    return (np.asarray(arr, dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
+        np.int64
+    )
 
 
 def rolling_shingle_hashes(data: bytes, k: int) -> np.ndarray:

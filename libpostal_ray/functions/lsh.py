@@ -14,20 +14,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from libpostal_ray.functions.hashing import mix_fold_u64
+from libpostal_ray.functions.hashing import as_key_i64, mix_fold_u64
 
 
 def band_keys(signatures: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
-    """(n, num_perm) signatures -> (n, bands) uint64 band keys."""
+    """(n, num_perm) signatures -> (n, bands) int64 band keys (63-bit,
+    non-negative: shuffle keys stay int64-safe, see hashing.as_key_i64)."""
     n, K = signatures.shape
     assert K == bands * rows_per_band
-    keys = np.empty((n, bands), dtype=np.uint64)
+    keys = np.empty((n, bands), dtype=np.int64)
     sig3 = signatures.reshape(n, bands, rows_per_band)
     for band in range(bands):
         cols = [sig3[:, band, j] for j in range(rows_per_band)]
         # salt includes band index so identical row-slices in different bands
         # do not collide into one bucket
-        keys[:, band] = mix_fold_u64(cols, salt=0xBA4D0000 + band)
+        keys[:, band] = as_key_i64(mix_fold_u64(cols, salt=0xBA4D0000 + band))
     return keys
 
 

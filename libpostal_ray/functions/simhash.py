@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from libpostal_ray.functions.hashing import mix_fold_u64, rolling_shingle_hashes
+from libpostal_ray.functions.hashing import as_key_i64, mix_fold_u64, rolling_shingle_hashes
 
 _SHIFTS = np.arange(64, dtype=np.uint64)
 
@@ -63,16 +63,16 @@ def simhash_texts(texts, k: int) -> np.ndarray:
 
 
 def simhash_chunk_keys(simhashes: np.ndarray, n_chunks: int) -> np.ndarray:
-    """(n, n_chunks) uint64 blocking keys: chunk index folded with chunk value.
+    """(n, n_chunks) int64 blocking keys: chunk index folded with chunk value.
 
     n_chunks = d+1 guarantees recall for hamming distance <= d.
     """
     width = 64 // n_chunks
     mask = np.uint64((1 << width) - 1)
-    keys = np.empty((simhashes.shape[0], n_chunks), dtype=np.uint64)
+    keys = np.empty((simhashes.shape[0], n_chunks), dtype=np.int64)
     for c in range(n_chunks):
         chunk = (simhashes >> np.uint64(c * width)) & mask
-        keys[:, c] = mix_fold_u64([chunk], salt=0x51A0 + c)
+        keys[:, c] = as_key_i64(mix_fold_u64([chunk], salt=0x51A0 + c))
     return keys
 
 

@@ -1,0 +1,80 @@
+"""Sources: parquet readers with column pruning + schema adapters.
+
+The reference's only real source is a line reader (main.c:95-100); ours is
+Parquet at 100TB scale, so the reader rules are: always pass ``columns=``
+(prune at the read — row groups for unused columns never leave storage) and
+adapt any (id, content)-shaped table into the canonical corpus schema:
+
+    doc_id: uint64, repo: string, path: string, lang: string,
+    content: large_string
+
+``doc_id`` is the stable uint64 node id (functions/hashing.stable_doc_id for
+code tables; the given int64 id for the documents table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from libpostal_ray.functions.hashing import stable_doc_id
+
+CODE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _code_ids(batch: pa.Table) -> pa.Table:
+    ids = stable_doc_id(
+        batch["repo"].to_pylist(),
+        batch["path"].to_pylist(),
+        batch["commit"].to_pylist(),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "lang": batch["lang"],
+            "content": batch["content"].cast(pa.large_string()),
+        }
+    )
+
+
+def read_code_corpus(path: str, *, extra_columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a (repo, path, commit, lang, content) parquet tree into the
+    canonical corpus schema. ``doc_id`` is derived — deterministic, so
+    re-reads and task retries produce identical ids."""
+    cols = CODE_COLUMNS + (extra_columns or [])
+    ds = ray.data.read_parquet(path, columns=cols)
+    return ds.map_batches(_code_ids, batch_format="pyarrow")
+
+
+def _docs_adapt(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "repo": batch["source"],
+            "path": pa.array(
+                [f"doc/{i}" for i in batch["doc_id"].to_pylist()], type=pa.string()
+            ),
+            "lang": batch["lang"],
+            "content": batch["text"].cast(pa.large_string()),
+        }
+    )
+
+
+def read_documents_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Adapt the driver's ``documents`` table (doc_id, text, lang, source)
+    into the corpus schema."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ds.map_batches(_docs_adapt, batch_format="pyarrow")
+
+
+def from_arrow_corpus(table: pa.Table) -> ray.data.Dataset:
+    """Wrap an in-memory code-shaped table (tests / synth corpus)."""
+    cols = [c for c in CODE_COLUMNS if c in table.column_names]
+    ds = ray.data.from_arrow(table.select(cols))
+    return ds.map_batches(_code_ids, batch_format="pyarrow")

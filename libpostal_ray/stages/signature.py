@@ -1,0 +1,84 @@
+"""SignatureStage — MinHash + SimHash sketches per row.
+
+The analog of the reference's "heavy model in a process-global singleton"
+pattern (address parser singleton, address_parser.c:1843-1855): the MinHash
+permutation matrix is built once per actor in ``__init__`` and reused across
+batches.  Content is DROPPED after this stage — downstream shuffles carry only
+(doc_id, sha256, sketches), the dataset-scale version of libpostal's
+zero-copy token spans (libpostal.h:280-284): never ship the big payload when
+a fixed-width reference suffices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from libpostal_ray.config import PipelineConfig
+from libpostal_ray.functions.lsh import band_keys
+from libpostal_ray.functions.minhash import shingle_and_minhash
+from libpostal_ray.functions.simhash import simhash_chunk_keys, simhash_texts
+
+SIGNATURE_COLUMNS = [
+    "doc_id",
+    "sha256",
+    "n_chars",
+    "n_shingles",
+    "is_short",
+    "minhash",
+    "simhash",
+    "band_keys",
+]
+
+
+class SignatureStage:
+    """batch (doc_id, sha256, canonical, n_chars) ->
+    (doc_id, sha256, n_chars, n_shingles, is_short, minhash, simhash,
+     band_keys).
+
+    - long rows (canonical length >= short_file_cutoff): MinHash signature,
+      LSH band keys.
+    - short rows: SimHash + chunk blocking keys (pigeonhole guarantee for
+      hamming <= simhash_max_hamming).
+    Both key families live in one ``band_keys`` list column with disjoint
+    salts, so ONE downstream groupby serves both paths.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.a, self.b = self.cfg.minhash_perms()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        canon = batch["canonical"].to_pylist()
+        n = len(canon)
+
+        sigs, counts = shingle_and_minhash(canon, cfg.shingle_k, self.a, self.b)
+        sims = simhash_texts(canon, cfg.shingle_k)
+        is_short = np.array(
+            [len(c or "") < cfg.short_file_cutoff for c in canon], dtype=bool
+        )
+
+        bkeys = band_keys(sigs, cfg.bands, cfg.rows_per_band)  # (n, bands)
+        skeys = simhash_chunk_keys(sims, cfg.simhash_chunks)  # (n, chunks)
+
+        keys_list = [
+            (skeys[i] if is_short[i] else bkeys[i]) for i in range(n)
+        ]
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sha256": batch["sha256"],
+                "n_chars": batch["n_chars"],
+                "n_shingles": pa.array(counts, type=pa.int64()),
+                "is_short": pa.array(is_short),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), type=pa.uint64()), cfg.num_perm
+                ),
+                "simhash": pa.array(sims, type=pa.uint64()),
+                "band_keys": pa.array(
+                    [k.tolist() for k in keys_list], type=pa.list_(pa.int64())
+                ),
+            }
+        )

@@ -1,0 +1,139 @@
+"""Verify stage — per-bucket candidate generation + pair verification.
+
+Runs inside ``groupby("band_key").map_groups``: every group is one LSH
+bucket; all members agree on one band of the signature, so every unordered
+pair in the bucket is a candidate.  Verification mirrors the reference's
+duplicate-status lattice (libpostal.h:218-224, dedupe.c:78-156):
+
+  EXACT        (9): sha256(content) equal — `expansions_intersect`-style
+                    exact identity short-circuit.
+  LIKELY       (6): estimated Jaccard >= jaccard_likely (long rows), or
+                    SimHash hamming <= simhash_max_hamming (short rows).
+  NEEDS_REVIEW (3): estimated Jaccard >= jaccard_review (long rows only).
+
+Skew handling (the reference caps permutations, expand.c:29; we cap buckets):
+  * bucket size <= small_bucket_cap  -> all-pairs verification.
+  * larger                           -> anchor pairing: every member vs the
+    min-id member.  Linear work; transitive closure via union-find recovers
+    the clusters.  Pairs missed here still collide in other bands whp.
+  * > max_bucket_size                -> deterministic truncation to the
+    max_bucket_size smallest ids, logged via the ``truncated`` counter column
+    (no silent truncation — SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from libpostal_ray.config import PipelineConfig
+
+STATUS_EXACT = 9
+STATUS_LIKELY = 6
+STATUS_NEEDS_REVIEW = 3
+
+EDGE_SCHEMA = pa.schema(
+    [
+        ("src", pa.int64()),
+        ("dst", pa.int64()),
+        ("status", pa.int8()),
+        ("est_jaccard", pa.float64()),
+        ("truncated", pa.bool_()),
+    ]
+)
+
+
+def _empty_edges() -> pa.Table:
+    return EDGE_SCHEMA.empty_table()
+
+
+def _edges_from_pairs(
+    ids: np.ndarray,
+    sha: list[bytes],
+    sigs: np.ndarray,
+    sims: np.ndarray,
+    short: np.ndarray,
+    li: np.ndarray,
+    ri: np.ndarray,
+    cfg: PipelineConfig,
+    truncated: bool,
+) -> pa.Table:
+    """Verify candidate index pairs (li, ri) and emit edge rows."""
+    if li.shape[0] == 0:
+        return _empty_edges()
+    # estimated Jaccard from signature agreement (vectorized over pairs)
+    est = (sigs[li] == sigs[ri]).mean(axis=1)
+    exact = np.array([sha[a] == sha[b] for a, b in zip(li, ri)], dtype=bool)
+
+    both_short = short[li] & short[ri]
+    # SimHash path for short rows
+    ham = np.zeros(li.shape[0], dtype=np.int64)
+    if both_short.any():
+        x = (sims[li] ^ sims[ri]).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+
+    status = np.zeros(li.shape[0], dtype=np.int8)
+    status[np.where(both_short & (ham <= cfg.simhash_max_hamming))[0]] = STATUS_LIKELY
+    long_pair = ~both_short
+    status[np.where(long_pair & (est >= cfg.jaccard_review))[0]] = STATUS_NEEDS_REVIEW
+    status[np.where(long_pair & (est >= cfg.jaccard_likely))[0]] = STATUS_LIKELY
+    status[exact] = STATUS_EXACT
+    est[exact] = 1.0
+
+    keep = status > 0
+    li, ri, status, est = li[keep], ri[keep], status[keep], est[keep]
+    if li.shape[0] == 0:
+        return _empty_edges()
+    src = np.minimum(ids[li], ids[ri])
+    dst = np.maximum(ids[li], ids[ri])
+    return pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "status": pa.array(status, type=pa.int8()),
+            "est_jaccard": pa.array(est, type=pa.float64()),
+            "truncated": pa.array(np.full(li.shape[0], truncated)),
+        },
+        schema=EDGE_SCHEMA,
+    )
+
+
+class VerifyBucket:
+    """map_groups callable: one LSH bucket -> verified edge rows."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = group.num_rows
+        if n < 2:
+            return _empty_edges()
+
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        truncated = False
+        if n > cfg.max_bucket_size:
+            order = order[: cfg.max_bucket_size]
+            truncated = True
+            n = cfg.max_bucket_size
+
+        ids = ids[order]
+        take = pa.array(order)
+        sha = group["sha256"].take(take).to_pylist()
+        mh = group["minhash"].take(take)
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        sigs = mh.flatten().to_numpy(zero_copy_only=False).reshape(n, -1).astype(np.uint64)
+        sims = (
+            group["simhash"].take(take).to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        short = group["is_short"].take(take).to_numpy(zero_copy_only=False).astype(bool)
+
+        if n <= cfg.small_bucket_cap:
+            li, ri = np.triu_indices(n, k=1)
+        else:
+            # anchor pairing: everyone vs min-id member (index 0 after sort)
+            ri = np.arange(1, n, dtype=np.int64)
+            li = np.zeros(n - 1, dtype=np.int64)
+        return _edges_from_pairs(ids, sha, sigs, sims, short, li, ri, cfg, truncated)
