@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The library under test: ``libpostal_ray`` — a Ray-Data-native near-duplicate
+detection + clustering engine (the reference's normalize->block->verify
+philosophy re-expressed for document/source-code content; SURVEY.md).
 """
 
 from __future__ import annotations
@@ -20,25 +15,124 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: near-dup clustering of the sf0.001 documents
+    table; returns the cluster-assignment Dataset."""
+    from libpostal_ray.pipelines.queries import near_dupe_clusters
+
+    return near_dupe_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from libpostal_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # oracle-checked (SQL-expressible)
+        "exact_dedup": q.exact_dedup,
+        "canonicalize_basic": q.canonicalize_basic,
+        "token_count": q.token_count,
+        "quality_stats": q.quality_stats,
+        "lang_count": q.lang_count,
+        "ngram_shingles": q.ngram_shingles,
+        "word_jaccard_pairs": q.word_jaccard_pairs,
+        "lineitem_agg": q.lineitem_agg,
+        "events_hourly": q.events_hourly,
+        "ann_topk": q.ann_topk,
+        # rows-only (not SQL-expressible: sketches / LSH / clustering)
+        "near_dupe_clusters": q.near_dupe_clusters,
+        "minhash_lsh_edges": q.minhash_lsh_edges,
+        "near_dupe_hash_keys": q.near_dupe_hash_keys,
+        "simhash64": q.simhash64,
+        "langid": q.langid,
+        "fingerprint_counts": q.fingerprint_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT md5(text) AS content_md5, count(*) AS n_copies,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "canonicalize_basic": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS canon_md5,
+                   length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS canon_len
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_stats": """
+            SELECT d.doc_id,
+                   length(d.text) AS n_chars,
+                   w.n_words, w.n_distinct_words, w.max_word_len,
+                   length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                   length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS digit_chars,
+                   length(d.text) - length(replace(d.text, ' ', '')) AS space_chars
+            FROM documents d
+            JOIN (
+                SELECT doc_id, count(w) AS n_words,
+                       count(DISTINCT w) AS n_distinct_words,
+                       max(length(w)) AS max_word_len
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                      FROM documents)
+                GROUP BY doc_id
+            ) w USING (doc_id)
+        """,
+        "lang_count": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "ngram_shingles": """
+            SELECT doc_id, count(DISTINCT substr(text, i, 5)) AS n_shingles
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS i
+                  FROM documents)
+            WHERE length(text) >= 5
+            GROUP BY doc_id
+        """,
+        "word_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, list(DISTINCT w) AS ws
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                      FROM documents)
+                GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(length(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                         CAST(length(a.ws) + length(b.ws)
+                              - length(list_intersect(a.ws, b.ws)) AS DOUBLE),
+                         6) AS jaccard
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events GROUP BY 1, 2
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings, q
+            ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) DESC,
+                     vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,370 @@
+"""Named queries over the driver's test tables — the `queries()` registry.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame.
+Where a DuckDB oracle exists (__ray_entry__.oracle_sql), column NAMES and
+VALUE SEMANTICS are matched exactly:
+
+  * aggregates over floats are integerized per-row first
+    (floor(x*100) as int64) so both engines sum exact integers — float
+    accumulation order never shows up in the comparison;
+  * float outputs (cosine, jaccard) are a single deterministic per-row
+    division, rounded to a fixed number of decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from libpostal_ray.config import PipelineConfig
+from libpostal_ray.functions.canonicalize import basic_canonicalize_array
+from libpostal_ray.functions.textstats import langid_heuristic, quality_features
+from libpostal_ray.sources.readers import read_documents_corpus
+from libpostal_ray.stages.textstats import fingerprint_batch
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup by content hash: (content_md5, n_copies, keep_id).
+    Pattern: vectorized hash in map_batches -> ONE small groupby over hashes
+    (the content itself never shuffles)."""
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"content_md5": pa.array(h, type=pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(add_md5, batch_format="pyarrow")
+        .groupby("content_md5")
+        .aggregate(Count(alias_name="n_copies"), Min("doc_id", alias_name="keep_id"))
+    )
+
+
+# ------------------------------------------------------------- canonicalize
+def canonicalize_basic(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, canon_md5, canon_len) for the SQL-expressible canonicalizer
+    lower(trim(ws-collapse)) — parity query for the full NFKC canonicalizer."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        canon = basic_canonicalize_array(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canon_md5": pa.array(
+                    [hashlib.md5(c.encode()).hexdigest() for c in canon],
+                    type=pa.string(),
+                ),
+                "canon_len": pa.array(
+                    np.array([len(c) for c in canon], dtype=np.int64)
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- text stats
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        n = np.array(
+            [len((t or "").split()) for t in batch["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n)})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def quality_stats(sf_dir: str) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        feats = quality_features(batch["text"].to_pylist())
+        cols = {"doc_id": batch["doc_id"]}
+        for k, v in feats.items():
+            cols[k] = pa.array(v)
+        return pa.table(cols)
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def lang_count(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _docs(sf_dir)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def ngram_shingles(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_shingles): count of DISTINCT 5-char shingles, docs with
+    len >= 5 (ngrams.c:4-71 analog, char-exact for SQL parity)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, counts = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = t or ""
+            if len(t) >= 5:
+                ids.append(i)
+                counts.append(len({t[j : j + 5] for j in range(len(t) - 4)}))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_shingles": pa.array(np.array(counts, dtype=np.int64)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def word_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Word-set Jaccard of consecutive doc-id pairs: (doc_a, doc_b, jaccard).
+    Exercises Dataset.join (self-join on doc_id+1) + a per-row set kernel."""
+
+    def toks(batch: pa.Table) -> pa.Table:
+        # word set packed as one \x1f-joined string: Arrow's hash join cannot
+        # carry list<> payload columns, scalars it can
+        words = [
+            "\x1f".join(sorted(set((t or "").split())))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ws": pa.array(words, type=pa.string()),
+            }
+        )
+
+    t = _docs(sf_dir).map_batches(toks, batch_format="pyarrow")
+    left = t.map_batches(
+        lambda b: b.append_column(
+            "next_id", pc.add(b["doc_id"], pa.scalar(1, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    from libpostal_ray.pipelines.cluster import effective_join_partitions
+
+    joined = left.join(
+        t,
+        join_type="inner",
+        num_partitions=effective_join_partitions(16),
+        on=("next_id",),
+        right_on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def jac(batch: pa.Table) -> pa.Table:
+        # join output: doc_id (left), next_id (the right row's doc_id — the
+        # right key column is dropped), ws_a, ws_b
+        a_ws = batch["ws_a"].to_pylist()
+        b_ws = batch["ws_b"].to_pylist()
+        doc_a = batch["doc_id"]
+        out = np.empty(len(a_ws), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a_ws, b_ws)):
+            sx = set(x.split("\x1f")) if x else set()
+            sy = set(y.split("\x1f")) if y else set()
+            inter = len(sx & sy)
+            out[i] = round(inter / (len(sx) + len(sy) - inter), 6) if (sx or sy) else 1.0
+        return pa.table(
+            {
+                "doc_a": doc_a,
+                "doc_b": batch["next_id"],
+                "jaccard": pa.array(out),
+            }
+        )
+
+    return joined.map_batches(jac, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ relational
+def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped aggregate with PARTIAL pre-aggregation: per-batch
+    pandas groupby emits one row per key per batch; the global groupby then
+    shuffles only partials (SURVEY.md section 4 / ray_guide 'Aggregation at
+    scale').  Money is integerized per row (floor(x*100) cents) so both
+    engines sum exact integers."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sum_qty"] = np.floor(df["l_quantity"]).astype(np.int64)
+        df["sum_price_cents"] = np.floor(df["l_extendedprice"] * 100.0).astype(np.int64)
+        df["revenue_cents"] = np.floor(
+            df["l_extendedprice"] * (1.0 - df["l_discount"]) * 100.0
+        ).astype(np.int64)
+        df["n"] = 1
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty", "sum_price_cents", "revenue_cents", "n"]
+            ]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate: (event_type, hour_bucket, n, sum_value_milli)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // (3600 * 1_000_000)
+        milli = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_bucket": pa.array(hour.astype(np.int64)),
+                "n_part": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_value_milli": pa.array(milli),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("sum_value_milli", alias_name="sum_value_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- ANN
+def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k of the vec_id=0 embedding over the corpus:
+    (vec_id, cos_sim).  Broadcast query matrix; float64; rounded to 4dp."""
+    import pyarrow.parquet as pq
+
+    from libpostal_ray.pipelines.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.equal(qt["vec_id"], pa.scalar(0))
+    qrow = qt.filter(mask)
+    qm = np.array(qrow["embedding"].to_pylist(), dtype=np.float64)
+    res = brute_force_topk(emb, qm, np.array([0]), k=k).to_pandas()
+    res["cos_sim"] = res["cos_sim"].round(4)
+    return res[["vec_id", "cos_sim"]].sort_values("vec_id").reset_index(drop=True)
+
+
+# --------------------------------------------------- near-dupe (rows-only)
+def near_dupe_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Flagship near-dup pipeline over the documents table -> cluster
+    assignment (doc_id, cluster_id, n_chars)."""
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+
+    out = near_dupe_pipeline(read_documents_corpus(sf_dir), PipelineConfig())
+    return out["clusters"].select_columns(["doc_id", "cluster_id", "n_chars"])
+
+
+def minhash_lsh_edges(sf_dir: str) -> ray.data.Dataset:
+    """Verified candidate edges over documents: (src, dst, status, est_jaccard)."""
+    from libpostal_ray.pipelines.near_dupe import candidate_edges, signatures
+
+    cfg = PipelineConfig()
+    sigs = signatures(read_documents_corpus(sf_dir), cfg)
+    return candidate_edges(sigs, cfg).select_columns(
+        ["src", "dst", "status", "est_jaccard"]
+    )
+
+
+def near_dupe_hash_keys(sf_dir: str) -> ray.data.Dataset:
+    """The near_dupe_hashes analog (near_dupe.c:643-1216): (doc_id, band_key)."""
+    from libpostal_ray.pipelines.near_dupe import near_dupe_hashes, signatures
+
+    cfg = PipelineConfig()
+    sigs = signatures(read_documents_corpus(sf_dir), cfg)
+    return near_dupe_hashes(sigs, cfg)
+
+
+def simhash64(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, simhash_hex): 64-bit SimHash of each document's canonical
+    text (hex string: the uint64 domain is not int64-safe)."""
+    from libpostal_ray.pipelines.near_dupe import signatures
+
+    cfg = PipelineConfig()
+    sigs = signatures(read_documents_corpus(sf_dir), cfg)
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        h = (
+            batch["simhash"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash_hex": pa.array([f"{int(x):016x}" for x in h]),
+            }
+        )
+
+    return sigs.map_batches(to_hex, batch_format="pyarrow")
+
+
+def langid(sf_dir: str) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(
+                    langid_heuristic(batch["text"].to_pylist()), type=pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def fingerprint_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_fingerprints): winnowed rolling-hash fingerprint counts."""
+    return (
+        _docs(sf_dir)
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_fingerprints"])
+    )

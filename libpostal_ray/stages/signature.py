@@ -73,10 +73,16 @@ class SignatureStage:
                 "n_chars": batch["n_chars"],
                 "n_shingles": pa.array(counts, type=pa.int64()),
                 "is_short": pa.array(is_short),
+                # sketches are bit-cast to int64: Ray's shuffle boundary code
+                # converts blocks through Python ints, and uint64 values over
+                # 2^63 degrade to pickled-object columns.  Equality (MinHash
+                # agreement) and XOR/popcount (SimHash hamming) are identical
+                # on the signed view.
                 "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.reshape(-1), type=pa.uint64()), cfg.num_perm
+                    pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()),
+                    cfg.num_perm,
                 ),
-                "simhash": pa.array(sims, type=pa.uint64()),
+                "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
                 "band_keys": pa.array(
                     [k.tolist() for k in keys_list], type=pa.list_(pa.int64())
                 ),

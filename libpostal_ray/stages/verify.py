@@ -124,9 +124,19 @@ class VerifyBucket:
         mh = group["minhash"].take(take)
         if isinstance(mh, pa.ChunkedArray):
             mh = mh.combine_chunks()
-        sigs = mh.flatten().to_numpy(zero_copy_only=False).reshape(n, -1).astype(np.uint64)
+        sigs = (
+            mh.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, -1)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
         sims = (
-            group["simhash"].take(take).to_numpy(zero_copy_only=False).astype(np.uint64)
+            group["simhash"]
+            .take(take)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
         )
         short = group["is_short"].take(take).to_numpy(zero_copy_only=False).astype(bool)
 

@@ -1,0 +1,112 @@
+"""Driver-style parity: every oracle-checked query must match DuckDB on the
+same parquet tables — row count, column names, and order-insensitive values
+(the driver's correctness gate, run here at sf0.001 for speed; the driver
+runs sf0.01)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # int-like floats -> int64 for cross-engine dtype stability
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df
+
+
+ORACLE_QUERIES = [
+    "exact_dedup",
+    "canonicalize_basic",
+    "token_count",
+    "quality_stats",
+    "lang_count",
+    "ngram_shingles",
+    "word_jaccard_pairs",
+    "lineitem_agg",
+    "events_hourly",
+    "ann_topk",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    import __ray_entry__ as entrymod
+
+    ray_df = _normalize(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    sql_df = _normalize(oracle_con.sql(entrymod.oracle_sql()[name]).df())
+
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    for c in ray_df.columns:
+        a, b = ray_df[c].to_numpy(), sql_df[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            import numpy as np
+
+            assert np.allclose(a.astype(float), b.astype(float), atol=1e-9), (
+                f"{name}.{c} float mismatch"
+            )
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), f"{name}.{c} mismatch"
+
+
+ROWS_ONLY = [
+    "near_dupe_clusters",
+    "minhash_lsh_edges",
+    "near_dupe_hash_keys",
+    "simhash64",
+    "langid",
+    "fingerprint_counts",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    df = _to_pandas(entrymod.queries()[name](SF_DIR))
+    assert len(df) >= 0
+    assert len(df.columns) >= 2
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    df = _to_pandas(entrymod.entry())
+    assert len(df) > 0
+    assert "cluster_id" in df.columns
