@@ -66,6 +66,9 @@ class PipelineConfig:
 
     # --- physical execution ---
     num_partitions: int = 64        # checkpoint/layout partitions (hash(repo) % P)
+    verify_partitions: int = 256    # LSH-bucket partitions (band_key % P);
+                                    # a partition's signatures must fit one
+                                    # worker's heap — raise P with corpus size
     sig_batch_size: int = 256       # rows per signature batch (content is wide)
     verify_batch_size: int = 4096
     sig_concurrency: int | tuple[int, int] | None = None  # None => stateless tasks sized by Ray

@@ -84,6 +84,58 @@ def shingle_and_minhash(
     return minhash_batch(concat, offsets, a, b), counts
 
 
+def oph_minhash_batch(
+    concat_hashes: np.ndarray,
+    offsets: np.ndarray,
+    num_perm: int,
+) -> np.ndarray:
+    """One-permutation MinHash with rotation densification (Li/Owen/Zhang
+    NIPS'12; Shrivastava ICML'17 densification): O(S) per doc instead of
+    O(S*K) — the top log2(K) bits of each shingle hash pick a slot, the slot
+    keeps the min hash, and empty slots borrow cyclically from the right.
+
+    ~100x less arithmetic than K independent permutations at comparable
+    estimator quality; this is what makes the signature stage byte-bound
+    rather than K-bound at 100TB scale.
+
+    Returns (n_docs, num_perm) uint64; all-sentinel rows for empty docs.
+    """
+    n_docs = offsets.shape[0] - 1
+    K = num_perm
+    assert K & (K - 1) == 0, "num_perm must be a power of two for OPH"
+    kbits = K.bit_length() - 1
+    sig = np.full((n_docs, K), _U64_MAX, dtype=np.uint64)
+    total = concat_hashes.shape[0]
+    if total == 0:
+        return sig
+
+    doc_idx = np.repeat(
+        np.arange(n_docs, dtype=np.int64), np.diff(offsets).astype(np.int64)
+    )
+    slot = (concat_hashes >> np.uint64(64 - kbits)).astype(np.int64)
+    flat = doc_idx * K + slot
+    order = np.argsort(flat, kind="stable")
+    flat_s = flat[order]
+    vals_s = concat_hashes[order]
+    starts = np.flatnonzero(np.concatenate(([True], flat_s[1:] != flat_s[:-1])))
+    mins = np.minimum.reduceat(vals_s, starts)
+    sig.reshape(-1)[flat_s[starts]] = mins
+
+    # rotation densification: empty slots copy their left neighbor (cyclic),
+    # iterated until the longest empty run is filled.  Rows that are entirely
+    # empty (zero shingles) keep the sentinel.
+    nonempty_rows = np.diff(offsets) > 0
+    sub = sig[nonempty_rows]
+    while True:
+        empty = sub == _U64_MAX
+        if not empty.any():
+            break
+        donor = np.roll(sub, 1, axis=1)
+        np.copyto(sub, donor, where=empty)
+    sig[nonempty_rows] = sub
+    return sig
+
+
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """Estimated Jaccard from two signatures (fraction of agreeing perms)."""
     return float(np.mean(sig_a == sig_b))

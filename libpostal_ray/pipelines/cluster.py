@@ -1,12 +1,17 @@
 """Distributed connected components over an edge Dataset.
 
 The reference keeps its pair graph in an in-memory CSR (`graph.h:1-46`) —
-fine for one process, impossible at 10^12 files.  Here: the alternating
+fine for one process, impossible at 10^12 files.  Here: alternating
 large-star / small-star min-label propagation (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14 — the published pattern cited in
-PAPERS.md), expressed as ``groupby().map_groups`` rounds over an edge
-Dataset.  Converges in O(log n) rounds; every round is one shuffle keyed by
-node id.
+PAPERS.md), expressed as partitioned ``groupby().map_groups`` rounds over an
+edge Dataset.  Converges in O(log n) rounds; every round is one shuffle keyed
+by node id.
+
+Physical layout: grouping by raw node id costs one Python call per node;
+instead each round groups by ``u % P`` (P partitions) and recovers the
+per-node segments with a vectorized sort + reduceat inside the partition —
+all rows of a node land in one partition, so per-node minima are exact.
 
 Determinism: min-label everywhere; the final cluster id of a component is the
 minimum doc_id in it — stable across runs/retries, which the golden fixtures
@@ -29,32 +34,53 @@ def _pairs_table(u: np.ndarray, v: np.ndarray) -> pa.Table:
     )
 
 
-def _large_star_group(group: pa.Table) -> pa.Table:
-    """Group = all neighbors of node u (both directions).  Connect every
-    strictly-larger neighbor to m = min(u, neighbors)."""
-    u = group["u"][0].as_py()
-    nbrs = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = min(int(nbrs.min()), u)
-    big = nbrs[nbrs > u]
-    big = np.unique(big)
-    if big.shape[0] == 0:
-        return _EDGE_SCHEMA.empty_table()
-    return _pairs_table(big, np.full(big.shape[0], m, dtype=np.int64))
+def _dedup_pairs(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if u.shape[0] == 0:
+        return u, v
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+    return u[keep], v[keep]
 
 
-def _small_star_group(group: pa.Table) -> pa.Table:
-    """Group = smaller-or-equal neighbors of node u (edges directed high->low).
-    Connect u and all neighbors to m = min(neighbors)."""
-    u = np.int64(group["u"][0].as_py())
-    nbrs = np.unique(group["v"].to_numpy(zero_copy_only=False).astype(np.int64))
-    m = nbrs.min()
-    out = np.concatenate([nbrs[nbrs != m], np.array([u], dtype=np.int64)])
-    out = out[out != m]
-    out = np.unique(out)
-    if out.shape[0] == 0:
-        # u IS m's only partner already
-        return _pairs_table(np.array([u], dtype=np.int64), np.array([m], dtype=np.int64)) if u != m else _EDGE_SCHEMA.empty_table()
-    return _pairs_table(out, np.full(out.shape[0], m, dtype=np.int64))
+def _segments(us: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(seg_starts, seg_id_per_row) of a sorted key array."""
+    starts = np.flatnonzero(np.concatenate(([True], us[1:] != us[:-1])))
+    seg_id = np.cumsum(np.concatenate(([0], (us[1:] != us[:-1]).astype(np.int64))))
+    return starts, seg_id
+
+
+def _large_star_part(group: pa.Table) -> pa.Table:
+    """Partition of symmetric edges. Per node u: m = min(u, neighbors);
+    connect every neighbor > u to m."""
+    u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    starts, seg_id = _segments(us)
+    minv = np.minimum.reduceat(vs, starts)
+    m = np.minimum(minv, us[starts])
+    m_row = m[seg_id]
+    mask = vs > us
+    out_u, out_v = _dedup_pairs(vs[mask], m_row[mask])
+    return _pairs_table(out_u, out_v)
+
+
+def _small_star_part(group: pa.Table) -> pa.Table:
+    """Partition of high->low directed edges (u > v). Per node u:
+    m = min(neighbors); connect u and every neighbor != m to m."""
+    u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    starts, seg_id = _segments(us)
+    m = np.minimum.reduceat(vs, starts)
+    m_row = m[seg_id]
+    mask = vs != m_row
+    out_u = np.concatenate([vs[mask], us[starts]])
+    out_v = np.concatenate([m_row[mask], m])
+    out_u, out_v = _dedup_pairs(out_u, out_v)
+    return _pairs_table(out_u, out_v)
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
@@ -66,37 +92,64 @@ def _symmetrize(batch: pa.Table) -> pa.Table:
 def _direct_high_low(batch: pa.Table) -> pa.Table:
     u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
     return _pairs_table(np.maximum(u, v), np.minimum(u, v))
 
 
-def _checksum(ds: ray.data.Dataset) -> tuple[int, int]:
-    """(row_count, order-independent checksum) of an edge dataset."""
+def _with_part(P: int):
+    def add(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array((u % P).astype("int64")))
+
+    return add
+
+
+def _drop_part(batch: pa.Table) -> pa.Table:
+    return batch.drop_columns(["part"]) if "part" in batch.column_names else batch
+
+
+def _checksum(ds: ray.data.Dataset) -> tuple[int, int, int]:
+    """(row_count, order-independent checksum lo, hi) of an edge dataset.
+
+    Each row hash is split into two 30-bit halves before the Sum aggregate:
+    int64 sums of 30-bit values stay exact up to 2^33 rows (a single CC edge
+    set never exceeds that per partitioned sum at any plausible scale; and a
+    checksum collision only delays convergence detection by one round)."""
     from ray.data.aggregate import Sum, Count
+
+    MASK30 = np.int64((1 << 30) - 1)
 
     def add_mix(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
             h = (u * np.uint64(0x9E3779B97F4A7C15) ^ v) * np.uint64(0x100000001B3)
-        # fold to int64-safe domain for the Sum aggregate
-        return pa.table({"h": pa.array((h >> np.uint64(2)).astype(np.int64))})
+        h = (h >> np.uint64(2)).astype(np.int64)
+        return pa.table(
+            {
+                "lo": pa.array(h & MASK30),
+                "hi": pa.array((h >> np.int64(31)) & MASK30),
+            }
+        )
 
     res = ds.map_batches(add_mix, batch_format="pyarrow").aggregate(
-        Count(alias_name="n"), Sum("h", alias_name="s")
+        Count(alias_name="n"),
+        Sum("lo", alias_name="lo"),
+        Sum("hi", alias_name="hi"),
     )
-    return int(res["n"]), int(res["s"] or 0)
+    return int(res["n"]), int(res["lo"] or 0), int(res["hi"] or 0)
 
 
 def connected_components(
-    edges: ray.data.Dataset, max_rounds: int = 30
+    edges: ray.data.Dataset, max_rounds: int = 30, partitions: int = 64
 ) -> ray.data.Dataset:
-    """edges (src: uint64, dst: uint64, ...) -> labels (doc_id: uint64,
-    cluster_id: uint64) for every node that appears in an edge.
+    """edges (src: int64, dst: int64, ...) -> labels (doc_id: int64,
+    cluster_id: int64) for every node that appears in an edge.
 
     cluster_id = min doc_id of the component.  Nodes not present in any edge
     are absent (callers assign label=self via a left join — see
-    ``assign_clusters``).
-    """
+    ``assign_clusters``)."""
     cur = edges.map_batches(
         lambda b: _pairs_table(
             b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -104,33 +157,41 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+    add_part = _with_part(partitions)
     prev_sig = None
     for _ in range(max_rounds):
-        # large-star
         cur = (
             cur.map_batches(_symmetrize, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_large_star_group, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_large_star_part, batch_format="pyarrow")
         )
-        # small-star
         cur = (
             cur.map_batches(_direct_high_low, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_small_star_group, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_small_star_part, batch_format="pyarrow")
         )
         cur = cur.materialize()
-        sig = _checksum(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+        # convergence: count() on a materialized dataset is free metadata —
+        # only pay for the checksum job once the count stops moving
+        n = cur.count()
+        if prev_sig is not None and n == prev_sig[0]:
+            sig = _checksum(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            prev_sig = (n, None)
 
-    # converged: star edges (node -> root). label(node)=min partner; root
+    # converged: star edges (node -> root). label(node) = its root; the root
     # labels itself.
     def to_labels(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         node = np.concatenate([u, v])
         lab = np.concatenate([v, v])
+        node, lab = _dedup_pairs(node, lab)
         return pa.table(
             {
                 "doc_id": pa.array(node, type=pa.int64()),
@@ -150,12 +211,13 @@ def connected_components(
 
 def effective_join_partitions(requested: int) -> int:
     """Ray's hash-shuffle join runs one aggregator actor per partition; more
-    partitions than CPUs stalls a small cluster. Clamp to the CPU count
-    (on a real multi-node cluster `requested` wins)."""
+    partitions than CPUs stalls a small cluster, and actor startup cost grows
+    with the count.  Clamp to cpus/4 (on a real multi-node cluster
+    `requested` wins)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, min(requested, cpus))
+    return max(2, min(requested, cpus // 4))
 
 
 def assign_clusters(

@@ -29,7 +29,7 @@ from libpostal_ray.pipelines.cluster import assign_clusters, connected_component
 from libpostal_ray.stages.canonicalize import CanonicalizeStage
 from libpostal_ray.stages.lsh import explode_band_keys
 from libpostal_ray.stages.signature import SignatureStage, SIGNATURE_COLUMNS
-from libpostal_ray.stages.verify import STATUS_LIKELY, VerifyBucket
+from libpostal_ray.stages.verify import STATUS_LIKELY, VerifyPartition
 
 
 def _pool(cfg: PipelineConfig):
@@ -78,13 +78,26 @@ def candidate_edges(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dat
     exploded = sigs.map_batches(
         explode_band_keys, batch_format="pyarrow", zero_copy_batch=True
     )
-    verify = VerifyBucket(cfg)
 
-    def verify_bucket(group: pa.Table) -> pa.Table:
+    # ONE Python call per partition of buckets, not per bucket: group by
+    # band_key % P and recover buckets vectorized inside (stages/verify.py).
+    P = cfg.verify_partitions
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = batch["band_key"].to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", pa.array((k % P).astype("int64")))
+
+    verify = VerifyPartition(cfg)
+
+    def verify_partition(group: pa.Table) -> pa.Table:
         return verify(group)
 
-    edges = exploded.groupby("band_key").map_groups(
-        verify_bucket, batch_format="pyarrow"
+    edges = (
+        exploded.map_batches(add_vpart, batch_format="pyarrow")
+        .groupby("vpart")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
     # the same pair is found once per shared band — keep the strongest verdict
     deduped = edges.groupby(["src", "dst"]).aggregate(

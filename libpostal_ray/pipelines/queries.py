@@ -325,18 +325,24 @@ def near_dupe_hash_keys(sf_dir: str) -> ray.data.Dataset:
 def simhash64(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, simhash_hex): 64-bit SimHash of each document's canonical
     text (hex string: the uint64 domain is not int64-safe)."""
-    from libpostal_ray.pipelines.near_dupe import signatures
+    from libpostal_ray.functions.canonicalize import canonicalize_one
+    from libpostal_ray.functions.hashing import rolling_shingle_hashes
+    from libpostal_ray.functions.simhash import simhash_batch
 
     cfg = PipelineConfig()
-    sigs = signatures(read_documents_corpus(sf_dir), cfg)
 
-    def to_hex(batch: pa.Table) -> pa.Table:
-        h = (
-            batch["simhash"]
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
+    def f(batch: pa.Table) -> pa.Table:
+        canon = [canonicalize_one(t) for t in batch["text"].to_pylist()]
+        per_doc = [
+            rolling_shingle_hashes(c.encode("utf-8"), cfg.shingle_k) for c in canon
+        ]
+        counts = np.array([h.shape[0] for h in per_doc], dtype=np.int64)
+        concat = (
+            np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
         )
+        offsets = np.zeros(len(canon) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        h = simhash_batch(concat, offsets)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -344,7 +350,7 @@ def simhash64(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return sigs.map_batches(to_hex, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
 def langid(sf_dir: str) -> ray.data.Dataset:

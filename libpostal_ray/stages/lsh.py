@@ -3,13 +3,13 @@
 The analog of emitting `near_dupe_hashes` keys for grouping by the host
 MapReduce (reference README.md:609-626): each signature row fans out into
 ``len(band_keys)`` rows carrying the columns the verify stage needs
-(signature + sha256) so verification happens INSIDE the band groupby —
+(b-bit signature + sha256) so verification happens INSIDE the band groupby —
 no second join back to the signature table.
 
-Shuffle-width tradeoff (documented, SURVEY.md section 4): carrying the full
-(num_perm x 8B) signature multiplies shuffle bytes by ~bands; in exchange the
-candidate path is a single all-to-all instead of two (pairs + signature
-join).  ``content`` never enters this shuffle.
+Shuffle-width tradeoff (documented, SURVEY.md section 4): the payload is the
+8-bit b-bit signature (num_perm bytes), NOT the full 64-bit signature —
+8x fewer shuffle bytes at a 1/256 collision rate the verifier corrects for.
+``content`` never enters this shuffle.
 """
 
 from __future__ import annotations
@@ -38,7 +38,8 @@ def explode_band_keys(batch: pa.Table) -> pa.Table:
             "sha256": batch["sha256"].take(idx_arr),
             "is_short": batch["is_short"].take(idx_arr),
             "n_chars": batch["n_chars"].take(idx_arr),
-            "minhash": batch["minhash"].take(idx_arr),
+            # b-bit signature only: the full 64-bit signature never shuffles
+            "minhash8": batch["minhash8"].take(idx_arr),
             "simhash": batch["simhash"].take(idx_arr),
         }
     )

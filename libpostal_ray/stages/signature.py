@@ -16,8 +16,7 @@ import pyarrow as pa
 
 from libpostal_ray.config import PipelineConfig
 from libpostal_ray.functions.lsh import band_keys
-from libpostal_ray.functions.minhash import shingle_and_minhash
-from libpostal_ray.functions.simhash import simhash_chunk_keys, simhash_texts
+from libpostal_ray.functions.simhash import simhash_chunk_keys
 
 SIGNATURE_COLUMNS = [
     "doc_id",
@@ -26,6 +25,7 @@ SIGNATURE_COLUMNS = [
     "n_shingles",
     "is_short",
     "minhash",
+    "minhash8",
     "simhash",
     "band_keys",
 ]
@@ -46,18 +46,41 @@ class SignatureStage:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        self.a, self.b = self.cfg.minhash_perms()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         canon = batch["canonical"].to_pylist()
         n = len(canon)
 
-        sigs, counts = shingle_and_minhash(canon, cfg.shingle_k, self.a, self.b)
-        sims = simhash_texts(canon, cfg.shingle_k)
+        # hash shingles ONCE; the MinHash sketch is one-permutation hashing
+        # (O(S) per doc); SimHash is computed ONLY for short rows — the long
+        # path never reads it (stages/verify.py uses it for short pairs only)
+        from libpostal_ray.functions.hashing import rolling_shingle_hashes
+        from libpostal_ray.functions.minhash import oph_minhash_batch
+        from libpostal_ray.functions.simhash import simhash_of_hashes
+
+        per_doc = [
+            rolling_shingle_hashes((c or "").encode("utf-8"), cfg.shingle_k)
+            for c in canon
+        ]
+        counts = np.array([h.shape[0] for h in per_doc], dtype=np.int64)
+        concat = (
+            np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
+        )
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        sigs = oph_minhash_batch(concat, offsets, cfg.num_perm)
+
         is_short = np.array(
             [len(c or "") < cfg.short_file_cutoff for c in canon], dtype=bool
         )
+        sims = np.zeros(n, dtype=np.uint64)
+        for i in np.nonzero(is_short)[0]:
+            data = (canon[i] or "").encode("utf-8")
+            if data:
+                sims[i] = simhash_of_hashes(
+                    rolling_shingle_hashes(data, min(cfg.shingle_k, len(data)))
+                )
 
         bkeys = band_keys(sigs, cfg.bands, cfg.rows_per_band)  # (n, bands)
         skeys = simhash_chunk_keys(sims, cfg.simhash_chunks)  # (n, chunks)
@@ -80,6 +103,17 @@ class SignatureStage:
                 # on the signed view.
                 "minhash": pa.FixedSizeListArray.from_arrays(
                     pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()),
+                    cfg.num_perm,
+                ),
+                # b-bit MinHash (Li & Koenig, WWW'10): the low 8 bits of each
+                # slot are all the verify stage ships through the LSH shuffle
+                # (8x fewer payload bytes); the estimator corrects for the
+                # 1/256 accidental-collision rate (stages/verify.py)
+                "minhash8": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        (sigs.reshape(-1) & np.uint64(0xFF)).astype(np.uint8),
+                        type=pa.uint8(),
+                    ),
                     cfg.num_perm,
                 ),
                 "simhash": pa.array(sims.view(np.int64), type=pa.int64()),

@@ -58,11 +58,17 @@ def _edges_from_pairs(
     cfg: PipelineConfig,
     truncated: bool,
 ) -> pa.Table:
-    """Verify candidate index pairs (li, ri) and emit edge rows."""
+    """Verify candidate index pairs (li, ri) and emit edge rows.
+
+    ``sigs`` is the (n, K) uint8 b-bit signature matrix; the raw agreement
+    rate E overstates Jaccard by the accidental byte-collision rate C=1/256,
+    so the unbiased estimate is (E - C) / (1 - C) (Li & Koenig b-bit minhash).
+    """
     if li.shape[0] == 0:
         return _empty_edges()
-    # estimated Jaccard from signature agreement (vectorized over pairs)
-    est = (sigs[li] == sigs[ri]).mean(axis=1)
+    C = 1.0 / 256.0
+    raw = (sigs[li] == sigs[ri]).mean(axis=1)
+    est = np.clip((raw - C) / (1.0 - C), 0.0, 1.0)
     exact = np.array([sha[a] == sha[b] for a, b in zip(li, ri)], dtype=bool)
 
     both_short = short[li] & short[ri]
@@ -98,8 +104,19 @@ def _edges_from_pairs(
     )
 
 
-class VerifyBucket:
-    """map_groups callable: one LSH bucket -> verified edge rows."""
+class VerifyPartition:
+    """map_groups callable over a PARTITION of buckets (band_key % P).
+
+    Grouping by raw band_key costs one Python call per bucket — at 16 keys
+    per doc that is ~16n mostly-singleton groups, and per-group overhead
+    dwarfs the work.  Grouping by band_key % P gives exactly P Python calls;
+    inside a partition the buckets are recovered with one vectorized sort +
+    segment scan, singleton buckets cost nothing, and ALL candidate pairs of
+    the partition are verified in one vectorized _edges_from_pairs call.
+
+    Partition sizing at scale: partition bytes ~ total signature bytes / P;
+    choose P so a partition fits a worker's heap (config.verify_partitions).
+    """
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
@@ -110,27 +127,49 @@ class VerifyBucket:
         if n < 2:
             return _empty_edges()
 
+        keys = group["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        truncated = False
-        if n > cfg.max_bucket_size:
-            order = order[: cfg.max_bucket_size]
-            truncated = True
-            n = cfg.max_bucket_size
+        order = np.lexsort((ids, keys))
+        keys_s = keys[order]
+        ids_s = ids[order]
 
-        ids = ids[order]
+        # bucket boundaries within the sorted partition
+        seg_starts = np.flatnonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))
+        seg_ends = np.concatenate((seg_starts[1:], [n]))
+        sizes = seg_ends - seg_starts
+        multi = np.flatnonzero(sizes >= 2)
+        if multi.shape[0] == 0:
+            return _empty_edges()
+
+        li_parts: list[np.ndarray] = []
+        ri_parts: list[np.ndarray] = []
+        truncated_any = False
+        for b in multi:
+            s, e = int(seg_starts[b]), int(seg_ends[b])
+            m = e - s
+            if m > cfg.max_bucket_size:
+                e = s + cfg.max_bucket_size
+                m = cfg.max_bucket_size
+                truncated_any = True
+            if m <= cfg.small_bucket_cap:
+                li, ri = np.triu_indices(m, k=1)
+                li_parts.append(li + s)
+                ri_parts.append(ri + s)
+            else:
+                # anchor pairing vs min-id member (index s: ids sorted per key)
+                ri_parts.append(np.arange(s + 1, e, dtype=np.int64))
+                li_parts.append(np.full(m - 1, s, dtype=np.int64))
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
+
         take = pa.array(order)
         sha = group["sha256"].take(take).to_pylist()
-        mh = group["minhash"].take(take)
+        mh = group["minhash8"].take(take)
         if isinstance(mh, pa.ChunkedArray):
             mh = mh.combine_chunks()
         sigs = (
-            mh.flatten()
-            .to_numpy(zero_copy_only=False)
-            .reshape(n, -1)
-            .astype(np.int64)
-            .view(np.uint64)
-        )
+            mh.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        )  # (n, K) uint8 b-bit signature
         sims = (
             group["simhash"]
             .take(take)
@@ -139,11 +178,22 @@ class VerifyBucket:
             .view(np.uint64)
         )
         short = group["is_short"].take(take).to_numpy(zero_copy_only=False).astype(bool)
+        edges = _edges_from_pairs(
+            ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any
+        )
+        if edges.num_rows == 0:
+            return edges
+        # the same pair can occur in several buckets of one partition; local
+        # dedup here shrinks the global (src,dst) dedup shuffle
+        import pyarrow.compute as pc
 
-        if n <= cfg.small_bucket_cap:
-            li, ri = np.triu_indices(n, k=1)
-        else:
-            # anchor pairing: everyone vs min-id member (index 0 after sort)
-            ri = np.arange(1, n, dtype=np.int64)
-            li = np.zeros(n - 1, dtype=np.int64)
-        return _edges_from_pairs(ids, sha, sigs, sims, short, li, ri, cfg, truncated)
+        idx = pc.sort_indices(
+            edges, sort_keys=[("src", "ascending"), ("dst", "ascending"), ("status", "descending")]
+        )
+        edges = edges.take(idx)
+        src = edges["src"].to_numpy(zero_copy_only=False)
+        dst = edges["dst"].to_numpy(zero_copy_only=False)
+        keep = np.concatenate(
+            ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]))
+        )
+        return edges.filter(pa.array(keep))

@@ -205,3 +205,53 @@ class TestSynth:
 
         c = collections.Counter(t1["dup_group"].to_pylist())
         assert any(v > 1 for v in c.values())
+
+
+class TestOPHMinHash:
+    def test_estimator_and_determinism(self):
+        from libpostal_ray.functions.hashing import rolling_shingle_hashes
+        from libpostal_ray.functions.minhash import oph_minhash_batch
+        from libpostal_ray.functions.similarity import exact_jaccard_texts
+
+        base = " ".join(f"tok{i}" for i in range(300))
+        words = base.split()
+        mutated_words = list(words)
+        for i in range(0, 300, 10):
+            mutated_words[i] = f"zz{i}"
+        mutated = " ".join(mutated_words)
+        texts = [base, mutated, ""]
+        per_doc = [rolling_shingle_hashes(t.encode(), 5) for t in texts]
+        counts = np.array([h.shape[0] for h in per_doc])
+        concat = np.concatenate(per_doc)
+        offsets = np.zeros(4, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        s1 = oph_minhash_batch(concat, offsets, 128)
+        s2 = oph_minhash_batch(concat, offsets, 128)
+        assert np.array_equal(s1, s2)
+        # empty doc stays sentinel
+        assert (s1[2] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+        j_exact = exact_jaccard_texts(base, mutated, 5)
+        j_est = float(np.mean(s1[0] == s1[1]))
+        stderr = np.sqrt(j_exact * (1 - j_exact) / 128)
+        assert abs(j_est - j_exact) <= 5 * stderr + 0.02
+
+    def test_identical_docs_identical_sigs(self):
+        from libpostal_ray.functions.hashing import rolling_shingle_hashes
+        from libpostal_ray.functions.minhash import oph_minhash_batch
+
+        t = "some identical content here padded to be long enough for shingles"
+        h = rolling_shingle_hashes(t.encode(), 5)
+        concat = np.concatenate([h, h])
+        offsets = np.array([0, len(h), 2 * len(h)], dtype=np.int64)
+        s = oph_minhash_batch(concat, offsets, 128)
+        assert np.array_equal(s[0], s[1])
+        assert float(np.mean(s[0] == s[1])) == 1.0
+
+    def test_sparse_doc_densifies(self):
+        from libpostal_ray.functions.minhash import oph_minhash_batch
+
+        concat = np.array([12345], dtype=np.uint64)  # one shingle
+        offsets = np.array([0, 1], dtype=np.int64)
+        s = oph_minhash_batch(concat, offsets, 128)
+        # every slot filled (no sentinel left) after densification
+        assert not (s[0] == np.uint64(0xFFFFFFFFFFFFFFFF)).any()
