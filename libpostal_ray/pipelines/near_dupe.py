@@ -119,9 +119,116 @@ def cluster_edges(edges: ray.data.Dataset, min_status: int = STATUS_LIKELY) -> r
     )
 
 
+def checkpointed_signatures(
+    corpus: ray.data.Dataset,
+    cfg: PipelineConfig,
+    ckpt_dir: str,
+    only_pids: set[int] | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Signature stage with per-partition parquet checkpoints + manifest.
+
+    pid = stable hash(repo) % num_partitions (repo colocation — the substring
+    pass relies on it too).  A resumed run recomputes only the partitions
+    missing from the manifest (state/checkpoint.py)."""
+    from libpostal_ray.state.checkpoint import checkpointed_map_stage, repo_pid
+
+    P = cfg.num_partitions
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pid", pa.array(repo_pid(batch["repo"].to_pylist(), P), type=pa.int64())
+        )
+
+    with_pid = corpus.map_batches(add_pid, batch_format="pyarrow")
+
+    def apply(sub: ray.data.Dataset) -> ray.data.Dataset:
+        ds = sub.map_batches(
+            CanonicalizeStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.sig_batch_size,
+            concurrency=_pool(cfg),
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.sig_batch_size,
+            concurrency=_pool(cfg),
+            zero_copy_batch=True,
+        )
+        return ds.select_columns(SIGNATURE_COLUMNS + ["pid"])
+
+    return checkpointed_map_stage(
+        with_pid,
+        stage="signatures",
+        ckpt_dir=ckpt_dir,
+        cfg=cfg,
+        apply=apply,
+        pid_column="pid",
+        fp_column="doc_id",
+        only_pids=only_pids,
+    )
+
+
+def checkpointed_edges(
+    sigs: ray.data.Dataset,
+    cfg: PipelineConfig,
+    ckpt_dir: str,
+    only_pids: set[int] | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Edge stage with per-partition checkpoints keyed by the verify
+    partition (band_key % verify_partitions).  Requires checkpointed (or
+    materialized) signatures upstream — the explode is cheap to replay."""
+    from libpostal_ray.state.checkpoint import checkpointed_map_stage
+
+    P = cfg.verify_partitions
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = batch["band_key"].to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", pa.array((k % P).astype("int64")))
+
+    exploded = sigs.map_batches(
+        explode_band_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(add_vpart, batch_format="pyarrow")
+
+    verify = VerifyPartition(cfg)
+
+    def apply(sub: ray.data.Dataset) -> ray.data.Dataset:
+        # per-vpart edges only (VerifyPartition dedups within its partition);
+        # the GLOBAL (src,dst) dedup runs after read_all — a pair found in two
+        # different vparts must be deduped across checkpoint partitions
+        def verify_partition(group: pa.Table) -> pa.Table:
+            vp = int(group["vpart"][0].as_py()) if group.num_rows else 0
+            out = verify(group)
+            return out.append_column(
+                "vpart", pa.array([vp] * out.num_rows, type=pa.int64())
+            )
+
+        return sub.groupby("vpart").map_groups(
+            verify_partition, batch_format="pyarrow"
+        )
+
+    return checkpointed_map_stage(
+        exploded,
+        stage="edges",
+        ckpt_dir=ckpt_dir,
+        cfg=cfg,
+        apply=apply,
+        pid_column="vpart",
+        fp_column="src",
+        only_pids=only_pids,
+        num_partitions=P,
+    )
+
+
 def near_dupe_pipeline(
     corpus: ray.data.Dataset,
     cfg: PipelineConfig | None = None,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, ray.data.Dataset]:
     """Full flow. Returns {'signatures', 'edges', 'clusters'} datasets.
 
@@ -132,9 +239,31 @@ def near_dupe_pipeline(
     cfg = cfg or PipelineConfig()
     # The signature table is consumed twice (edge generation + final cluster
     # assignment) and is ~2 orders of magnitude narrower than content;
-    # materialize once instead of recomputing the canonicalize+minhash chain.
-    # (With a checkpoint_dir this becomes a parquet checkpoint instead —
-    # see state/checkpoint.py.)
+    # materialize once instead of recomputing the canonicalize+minhash chain
+    # — or, with a checkpoint_dir, persist per-partition parquet + manifest
+    # so a killed run resumes without recomputation.
+    if checkpoint_dir is not None:
+        from ray.data.aggregate import Max as _Max
+
+        sigs, sig_metrics = checkpointed_signatures(corpus, cfg, checkpoint_dir)
+        if sigs.count() == 0:
+            return near_dupe_pipeline(corpus, cfg, checkpoint_dir=None)
+        edges_parts, edge_metrics = checkpointed_edges(sigs, cfg, checkpoint_dir)
+        edges = edges_parts.groupby(["src", "dst"]).aggregate(
+            _Max("status", alias_name="status"),
+            _Max("est_jaccard", alias_name="est_jaccard"),
+            _Max("truncated", alias_name="truncated"),
+        ).materialize()
+        strong = cluster_edges(edges)
+        labels = connected_components(strong)
+        docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
+        clusters = assign_clusters(docs, labels, num_partitions=cfg.num_partitions)
+        return {
+            "signatures": sigs,
+            "edges": edges,
+            "clusters": clusters,
+            "metrics": {"signatures": sig_metrics, "edges": edge_metrics},
+        }
     sigs = signatures(corpus, cfg).materialize()
     if sigs.count() == 0:
         # empty corpus: Ray's hash join can't recover a schema from zero

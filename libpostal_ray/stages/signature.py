@@ -89,8 +89,7 @@ class SignatureStage:
             (skeys[i] if is_short[i] else bkeys[i]) for i in range(n)
         ]
 
-        return pa.table(
-            {
+        out_cols = {
                 "doc_id": batch["doc_id"],
                 "sha256": batch["sha256"],
                 "n_chars": batch["n_chars"],
@@ -120,5 +119,8 @@ class SignatureStage:
                 "band_keys": pa.array(
                     [k.tolist() for k in keys_list], type=pa.list_(pa.int64())
                 ),
-            }
-        )
+        }
+        # checkpoint partition id (and any other passthrough key) survives
+        if "pid" in batch.column_names:
+            out_cols["pid"] = batch["pid"]
+        return pa.table(out_cols)
