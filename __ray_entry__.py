@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": q.simhash64,
         "langid": q.langid,
         "fingerprint_counts": q.fingerprint_counts,
+        "substring_spans": q.substring_spans,
+        "ann_topk_lsh": q.ann_topk_lsh,
     }
 
 

@@ -62,7 +62,10 @@ class PipelineConfig:
 
     # --- substring (suffix-array) pass ---
     min_span_len: int = 50          # minimum exact duplicated span (chars)
-    max_partition_bytes: int = 64 * 1024 * 1024  # suffix-array partition budget
+    substring_max_bytes: int = 16 * 1024 * 1024  # suffix-array partition
+                                    # budget (Kasai LCP is a Python O(n) loop;
+                                    # beyond this the partition is truncated
+                                    # deterministically and flagged)
 
     # --- physical execution ---
     num_partitions: int = 64        # checkpoint/layout partitions (hash(repo) % P)

@@ -367,6 +367,37 @@ def langid(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def substring_spans(sf_dir: str) -> ray.data.Dataset:
+    """Suffix-array exact-span pass over the documents table:
+    (src, dst, span_len) for docs sharing an exact span >= 30 chars."""
+    from libpostal_ray.pipelines.substring import substring_pass
+
+    cfg = PipelineConfig(min_span_len=30, num_partitions=8)
+    return substring_pass(read_documents_corpus(sf_dir), cfg).select_columns(
+        ["src", "dst", "span_len"]
+    )
+
+
+def ann_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucketed cosine top-k (approximate;
+    queries probe only their own bucket)."""
+    import pyarrow.parquet as pq
+
+    from libpostal_ray.pipelines.ann import bucketed_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qrow = qt.filter(pc.equal(qt["vec_id"], pa.scalar(0)))
+    qm = np.array(qrow["embedding"].to_pylist(), dtype=np.float64)
+    res = bucketed_topk(emb, qm, np.array([0]), k=k, bits=4).to_pandas()
+    res["cos_sim"] = res["cos_sim"].round(4)
+    return res[["vec_id", "cos_sim", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
 def fingerprint_counts(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_fingerprints): winnowed rolling-hash fingerprint counts."""
     return (

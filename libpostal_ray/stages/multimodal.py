@@ -1,0 +1,115 @@
+"""Multimodal column stages — image/audio/video as opaque binary columns.
+
+The decode kernels themselves are STUBBED (no image/audio libraries in this
+environment): ``decode_fn=None`` raises NotImplementedError at the decode
+call site, and tests exercise the Ray-side plumbing with the deterministic
+fake decoder.  Everything around the decode — schema, actor signature,
+byte-budgeted batches, output layout — is real:
+
+  * binary payload column (``payload: large_binary``) + typed metadata
+    columns (``media_type``, ``width``/``height``/``duration_ms``)
+  * actor-pool map_batches with SMALL batch_size (payload rows are wide —
+    batch bytes, not rows, is the budget; ray_guide 'Memory-aware')
+  * feature output as fixed-size float list (embedding-shaped)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.large_binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def fake_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic fake decoder: sha256-seeded pseudo-pixels.  Stands in
+    for PIL/librosa/ffmpeg so the pipeline plumbing is testable here."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(64).astype(np.float32)
+
+
+class MediaFeatureStage:
+    """Actor: decode + feature-extract binary media rows.
+
+    ``decode_fn(payload, media_type) -> np.ndarray[float32]`` is loaded once
+    per actor (the model-in-__init__ pattern).  Pass ``decode_fn=None`` for
+    the production stub (raises NotImplementedError: decoder libs are not in
+    this environment); tests pass ``fake_decode``.
+    """
+
+    FEATURE_DIM = 64
+
+    def __init__(self, decode_fn=None):
+        self.decode_fn = decode_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode_fn is None:
+            raise NotImplementedError(
+                "media decode requires an image/audio library not present in "
+                "this environment; pass decode_fn (e.g. fake_decode) explicitly"
+            )
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        feats = np.stack(
+            [self.decode_fn(p or b"", t) for p, t in zip(payloads, types)]
+        )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float32()),
+                    self.FEATURE_DIM,
+                ),
+                "payload_bytes": pa.array(
+                    np.array([len(p or b"") for p in payloads], dtype=np.int64)
+                ),
+            }
+        )
+
+
+def media_features(
+    media, decode_fn=None, *, batch_size: int = 32, concurrency=(1, 8)
+):
+    """media Dataset (MEDIA_SCHEMA) -> feature Dataset.  batch_size is
+    deliberately small: payload rows are megabytes wide."""
+    return media.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={"decode_fn": decode_fn},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def synth_media_table(n: int = 32, seed: int = 7) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    types = ["image", "audio", "video"]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array([types[i % 3] for i in range(n)]),
+            "payload": pa.array(
+                [rng.bytes(256 + int(rng.integers(0, 512))) for _ in range(n)],
+                type=pa.large_binary(),
+            ),
+            "width": pa.array(np.full(n, 64, dtype=np.int32)),
+            "height": pa.array(np.full(n, 64, dtype=np.int32)),
+            "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )

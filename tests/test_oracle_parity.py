@@ -92,6 +92,8 @@ ROWS_ONLY = [
     "simhash64",
     "langid",
     "fingerprint_counts",
+    "substring_spans",
+    "ann_topk_lsh",
 ]
 
 
