@@ -27,6 +27,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_FILES = int(os.environ.get("GRAFT_SYNTH_FILES", "20000"))
+# the scaling runs use a bigger corpus so compute dominates fixed job latency
+SCALING_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "100000"))
 SYNTH_SEED = 42
 
 
@@ -38,15 +40,23 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def _synth_corpus_path() -> str:
-    path = f"/tmp/libpostal_ray_bench/corpus_{SYNTH_FILES}_{SYNTH_SEED}.parquet"
+def _synth_corpus_path(n_files: int | None = None) -> str:
+    n = n_files or SYNTH_FILES
+    path = f"/tmp/libpostal_ray_bench/corpus_{n}_{SYNTH_SEED}.parquet"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        from libpostal_ray.synth import write_synth_corpus
+        if n > 30000:
+            # big corpora: Ray-parallel generation (pure function of
+            # (seed, idx) — identical bytes at any parallelism)
+            from libpostal_ray.synth import write_synth_corpus_parallel
 
-        write_synth_corpus(
-            path, n_files=SYNTH_FILES, seed=SYNTH_SEED, n_repos=max(8, SYNTH_FILES // 100)
-        )
+            write_synth_corpus_parallel(path, n_files=n, seed=SYNTH_SEED)
+        else:
+            from libpostal_ray.synth import write_synth_corpus
+
+            write_synth_corpus(
+                path, n_files=n, seed=SYNTH_SEED, n_repos=max(8, n // 100)
+            )
     return path
 
 
@@ -70,16 +80,36 @@ def run_bench() -> dict:
     from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
     from libpostal_ray.sources.readers import read_code_corpus
 
-    corpus_path = _synth_corpus_path()
+    scaling_mode = os.environ.get("GRAFT_BENCH_SCALING") == "1"
+    corpus_path = _synth_corpus_path(SCALING_FILES if scaling_mode else None)
+    n_corpus = SCALING_FILES if scaling_mode else SYNTH_FILES
 
-    # warm the page cache (untimed): one full read of the inputs
+    # warm-up (untimed): page cache for the inputs + Ray worker processes
+    # (so the timed runs measure compute + shuffle, not process spawn)
+    import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
-    pq.read_table(corpus_path)
+    pds.dataset(corpus_path, format="parquet").to_table()
     for t in ("documents", "lineitem", "events", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
+    ray.data.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
 
     times: dict[str, float] = {}
+
+    # ---- dataplane: the byte-bound stages (canonicalize -> signatures ->
+    # LSH shuffle -> verify -> pair dedup); timed separately because this is
+    # the part whose throughput must scale with CPUs at 100TB ----
+    from libpostal_ray.pipelines.near_dupe import candidate_edges, signatures
+
+    cfgp = PipelineConfig()
+    t0 = time.perf_counter()
+    sigs = signatures(read_code_corpus(corpus_path), cfgp).materialize()
+    edges = candidate_edges(sigs, cfgp).materialize()
+    edges.count()
+    times["dataplane"] = time.perf_counter() - t0
+    del sigs, edges
 
     # ---- headline: flagship near-dup clustering of the code corpus ----
     t0 = time.perf_counter()
@@ -87,7 +117,7 @@ def run_bench() -> dict:
     n_clustered = out["clusters"].count()
     headline = time.perf_counter() - t0
     times["near_dupe_code_corpus"] = headline
-    assert n_clustered == SYNTH_FILES, (n_clustered, SYNTH_FILES)
+    assert n_clustered == n_corpus, (n_clustered, n_corpus)
 
     # ---- per-operator queries over the driver tables ----
     def timed(name, fn):
@@ -116,14 +146,15 @@ def run_bench() -> dict:
         "queries": {k: round(v, 3) for k, v in times.items()},
         "sf": _sf_from_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
-        "synth_files": SYNTH_FILES,
-        "files_per_sec": round(SYNTH_FILES / headline, 1),
+        "synth_files": n_corpus,
+        "files_per_sec": round(n_corpus / headline, 1),
+        "dataplane_sec": round(times["dataplane"], 3),
     }
 
 
 def run_scaling() -> dict:
     def fresh(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -134,16 +165,22 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
+    # generate the scaling corpus once (cached) so neither timed process pays
+    _synth_corpus_path_warm(32)
     lo = fresh(lo_cpus)
     hi = fresh(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    dp_eff = (lo["dataplane_sec"] / hi["dataplane_sec"]) / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "dataplane_efficiency": round(dp_eff, 3),
         "sec_lo": t_lo,
         "sec_hi": t_hi,
+        "dataplane_sec_lo": lo["dataplane_sec"],
+        "dataplane_sec_hi": hi["dataplane_sec"],
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
         "files_per_sec_lo": lo["files_per_sec"],
@@ -151,6 +188,18 @@ def run_scaling() -> dict:
         "sf": lo["sf"],
         "synth_files": lo["synth_files"],
     }
+
+
+def _synth_corpus_path_warm(ncpu: int) -> None:
+    """Pre-generate the scaling corpus in a throwaway process (cached)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    code = (
+        "import os, ray, bench; "
+        "ray.init(address='local', num_cpus=%d, include_dashboard=False, logging_level='ERROR'); "
+        "bench._synth_corpus_path(bench.SCALING_FILES); ray.shutdown()" % ncpu
+    )
+    subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
 
 
 if __name__ == "__main__":

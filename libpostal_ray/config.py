@@ -70,9 +70,20 @@ class PipelineConfig:
     # --- physical execution ---
     num_partitions: int = 64        # checkpoint/layout partitions (hash(repo) % P)
     verify_partitions: int = 256    # LSH-bucket partitions (band_key % P);
-                                    # a partition's signatures must fit one
+                                    # a partition's rows must fit one
                                     # worker's heap — raise P with corpus size
-    sig_batch_size: int = 256       # rows per signature batch (content is wide)
+    verify_mode: str = "pairs"      # "pairs": shuffle skinny (band_key,
+                                    # doc_id) rows, then verify candidate
+                                    # pairs against broadcast/joined
+                                    # signatures (13x fewer shuffle bytes);
+                                    # "inline": carry b-bit signatures through
+                                    # the shuffle and verify inside the bucket
+                                    # groupby (fewer stages; denser payload)
+    sig_broadcast_max: int = 3_000_000  # docs; signature table under this is
+                                    # ray.put-broadcast for pair verification
+                                    # (~200 B/doc); above it, two hash joins
+    sig_batch_size: int = 1024      # rows per signature batch (content is
+                                    # wide; ~1-2 MB of content per batch)
     verify_batch_size: int = 4096
     sig_concurrency: int | tuple[int, int] | None = None  # None => stateless tasks sized by Ray
     seed: int = DEFAULT_SEED

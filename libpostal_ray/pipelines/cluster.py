@@ -141,6 +141,50 @@ def _checksum(ds: ray.data.Dataset) -> tuple[int, int, int]:
     return int(res["n"]), int(res["lo"] or 0), int(res["hi"] or 0)
 
 
+def _cc_vectorized(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory connected components: min-label hooking + pointer jumping
+    (Shiloach-Vishkin style), fully vectorized.  Returns (nodes, labels) with
+    label = min node id of the component."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: u.shape[0]], inv[u.shape[0] :]
+    parent = np.arange(nodes.shape[0], dtype=np.int64)
+    while True:
+        pu, pv = parent[ui], parent[vi]
+        if (pu == pv).all():
+            break
+        lo = np.minimum(pu, pv)
+        hi = np.maximum(pu, pv)
+        np.minimum.at(parent, hi, lo)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    # nodes are sorted, so the min parent INDEX is the min node id
+    return nodes, nodes[parent]
+
+
+@ray.remote
+def _cc_task(*blocks) -> pa.Table:
+    t = pa.concat_tables(list(blocks))
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, labels = _cc_vectorized(u, v)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array(labels, type=pa.int64()),
+        }
+    )
+
+
+# crossover between the single-task vectorized CC and the distributed
+# large/small-star rounds: below this many edges the whole graph fits one
+# worker comfortably (~16 B/edge => 5e7 edges ~ 800 MB) and a single task
+# beats O(log n) shuffle rounds by an order of magnitude in wall time
+CC_LOCAL_MAX_EDGES = 50_000_000
+
+
 def connected_components(
     edges: ray.data.Dataset, max_rounds: int = 30, partitions: int = 64
 ) -> ray.data.Dataset:
@@ -149,14 +193,31 @@ def connected_components(
 
     cluster_id = min doc_id of the component.  Nodes not present in any edge
     are absent (callers assign label=self via a left join — see
-    ``assign_clusters``)."""
+    ``assign_clusters``).
+
+    Hybrid execution: edge sets under CC_LOCAL_MAX_EDGES run as ONE Ray task
+    (vectorized hooking + pointer jumping); larger sets run the distributed
+    large-star/small-star rounds.  Both are deterministic min-label."""
     cur = edges.map_batches(
         lambda b: _pairs_table(
             b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
             b["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
+
+    n_edges = cur.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+            ).empty_table()
+        )
+    if n_edges <= CC_LOCAL_MAX_EDGES:
+        refs = cur.to_arrow_refs()
+        tbl = ray.get(_cc_task.remote(*refs))
+        return ray.data.from_arrow(tbl)
+
     add_part = _with_part(partitions)
     prev_sig = None
     for _ in range(max_rounds):
@@ -220,13 +281,54 @@ def effective_join_partitions(requested: int) -> int:
     return max(2, min(requested, cpus // 4))
 
 
+# label sets under this row count are broadcast (ray.put once, searchsorted
+# lookup per batch — no shuffle); 2 x 8 B x 2e7 = ~320 MB object
+ASSIGN_BROADCAST_MAX = 20_000_000
+
+
 def assign_clusters(
     docs: ray.data.Dataset,
     labels: ray.data.Dataset,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """Left join docs with labels; unlabeled docs are singletons
-    (cluster_id = doc_id)."""
+    """Attach cluster ids to docs; unlabeled docs are singletons
+    (cluster_id = doc_id).
+
+    Hybrid: small label sets (the common case — only docs that appear in a
+    verified edge are labeled) are broadcast via ray.put and looked up with a
+    vectorized searchsorted inside map_batches; label sets too big to
+    broadcast fall back to the hash-partitioned left join."""
+    labels = labels.materialize()
+    if labels.count() <= ASSIGN_BROADCAST_MAX:
+        import pyarrow.compute as _pc
+
+        tbl = pa.concat_tables(
+            [b for b in labels.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        ) if labels.count() else pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "cluster_id": pa.array([], type=pa.int64())}
+        )
+        node = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = tbl["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        ref = ray.put({"node": node[order], "lab": lab[order]})
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            state = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(state["node"], ids)
+            pos_c = np.clip(pos, 0, max(0, state["node"].shape[0] - 1))
+            hit = (
+                (state["node"].shape[0] > 0)
+                & (pos < state["node"].shape[0])
+                & (state["node"][pos_c] == ids)
+            )
+            cid = np.where(hit, state["lab"][pos_c], ids)
+            return batch.append_column(
+                "cluster_id", pa.array(cid, type=pa.int64())
+            )
+
+        return docs.map_batches(lookup, batch_format="pyarrow")
+
     joined = docs.join(
         labels,
         join_type="left_outer",

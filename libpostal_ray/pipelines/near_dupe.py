@@ -5,8 +5,8 @@ near_dupe_hashes -> host-system key groupby -> pairwise dedupe -> caller
 clustering — re-expressed as one streaming Dataset pipeline):
 
     read_parquet (pruned columns)
-      -> map_batches(CanonicalizeStage)        [actor pool, zero-copy Arrow]
-      -> map_batches(SignatureStage)           [actor pool, MinHash+SimHash]
+      -> map_batches(canonicalize)             [stateless tasks, zero-copy Arrow]
+      -> map_batches(signature)                [stateless tasks, OPH MinHash+SimHash]
       -> drop content                          [shuffles stay narrow]
       -> map_batches(explode_band_keys)        [flat explode, stateless]
       -> groupby(band_key).map_groups(verify)  [THE shuffle; skew-capped]
@@ -33,7 +33,7 @@ from libpostal_ray.stages.verify import STATUS_LIKELY, VerifyPartition
 
 
 def _pool(cfg: PipelineConfig):
-    """Actor-pool sizing for the stateful stages: autoscale up to the
+    """Actor-pool sizing for genuinely stateful stages: autoscale up to the
     cluster's CPUs so the pool never starves the read/write stages."""
     if cfg.sig_concurrency is not None:
         return cfg.sig_concurrency
@@ -43,22 +43,40 @@ def _pool(cfg: PipelineConfig):
     return (1, max(2, cpus))
 
 
+def _sig_transforms(cfg: PipelineConfig):
+    """The canonicalize+signature transforms as STATELESS task functions.
+
+    The reference's actor-pool pattern exists for heavyweight per-worker
+    state (a 750 MB parser model, libpostal.c:289-334); our state here is a
+    dataclass + module-level compiled regexes — serialization is free, so
+    stateless tasks win: no actor-pool startup latency, and the scheduler
+    can elastically use every CPU.  MediaFeatureStage (stages/multimodal.py)
+    keeps the actor-pool pattern for genuinely heavy decode state."""
+    canon = CanonicalizeStage(cfg)
+    sig = SignatureStage(cfg)
+
+    def canonicalize_batch(batch: pa.Table) -> pa.Table:
+        return canon(batch)
+
+    def signature_batch(batch: pa.Table) -> pa.Table:
+        return sig(batch)
+
+    return canonicalize_batch, signature_batch
+
+
 def signatures(corpus: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
     """corpus (doc_id, ..., content) -> signature table (content dropped)."""
+    canonicalize_batch, signature_batch = _sig_transforms(cfg)
     ds = corpus.map_batches(
-        CanonicalizeStage,
-        fn_constructor_kwargs={"cfg": cfg},
+        canonicalize_batch,
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=_pool(cfg),
         zero_copy_batch=True,
     )
     ds = ds.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"cfg": cfg},
+        signature_batch,
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=_pool(cfg),
         zero_copy_batch=True,
     )
     return ds.select_columns(SIGNATURE_COLUMNS)
@@ -74,7 +92,18 @@ def near_dupe_hashes(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Da
 
 def candidate_edges(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
     """signature table -> verified, deduplicated edge table
-    (src, dst, status, est_jaccard, truncated)."""
+    (src, dst, status, est_jaccard, truncated).
+
+    Two physical plans (cfg.verify_mode):
+      * "pairs" (default, the 100TB plan): shuffle only (band_key, doc_id)
+        [16 B/row], emit candidate pairs per bucket, then verify the pairs
+        against the signature table — broadcast lookup when it fits
+        (sig_broadcast_max), hash joins otherwise.
+      * "inline": carry the b-bit signature through the shuffle and verify
+        inside the bucket groupby (one all-to-all, ~13x more bytes).
+    """
+    if cfg.verify_mode == "pairs":
+        return _candidate_edges_pairs(sigs, cfg)
     exploded = sigs.map_batches(
         explode_band_keys, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -100,12 +129,62 @@ def candidate_edges(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dat
         .map_groups(verify_partition, batch_format="pyarrow")
     )
     # the same pair is found once per shared band — keep the strongest verdict
-    deduped = edges.groupby(["src", "dst"]).aggregate(
+    return dedup_pair_edges(edges)
+
+
+# crossover for the (src,dst) pair dedup: below this many edge rows a single
+# vectorized task beats a distributed aggregate by ~10x in wall time
+# (~40 B/row => 5e7 rows ~ 2 GB task heap, lexsort ~10 s)
+PAIR_DEDUP_LOCAL_MAX = 50_000_000
+
+
+@ray.remote
+def _dedup_pairs_task(*blocks) -> pa.Table:
+    import numpy as np
+
+    cols = ["src", "dst", "status", "est_jaccard", "truncated"]
+    # skip empty placeholder blocks (zero-row blocks can carry no schema)
+    t = pa.concat_tables(
+        [b.select(cols) for b in blocks if b.num_rows > 0 and "src" in b.column_names]
+    )
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    status = t["status"].to_numpy(zero_copy_only=False)
+    est = t["est_jaccard"].to_numpy(zero_copy_only=False)
+    trunc = t["truncated"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-status, dst, src))
+    src, dst = src[order], dst[order]
+    keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    idx = order[keep]
+    return pa.table(
+        {
+            "src": pa.array(src[keep], type=pa.int64()),
+            "dst": pa.array(dst[keep], type=pa.int64()),
+            "status": pa.array(status[idx], type=pa.int8()),
+            "est_jaccard": pa.array(est[idx], type=pa.float64()),
+            "truncated": pa.array(trunc[idx]),
+        }
+    )
+
+
+def dedup_pair_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Global (src,dst) dedup keeping the strongest verdict.  Hybrid: small
+    edge sets run as one vectorized task; large ones use the distributed
+    aggregate (same determinism: max status wins, ties identical)."""
+    import ray as _ray
+
+    edges = edges.materialize()
+    n = edges.count()
+    if n == 0:
+        return edges
+    if n <= PAIR_DEDUP_LOCAL_MAX:
+        refs = edges.to_arrow_refs()
+        return ray.data.from_arrow(_ray.get(_dedup_pairs_task.remote(*refs)))
+    return edges.groupby(["src", "dst"]).aggregate(
         Max("status", alias_name="status"),
         Max("est_jaccard", alias_name="est_jaccard"),
         Max("truncated", alias_name="truncated"),
     )
-    return deduped
 
 
 def cluster_edges(edges: ray.data.Dataset, min_status: int = STATUS_LIKELY) -> ray.data.Dataset:
@@ -142,20 +221,17 @@ def checkpointed_signatures(
     with_pid = corpus.map_batches(add_pid, batch_format="pyarrow")
 
     def apply(sub: ray.data.Dataset) -> ray.data.Dataset:
+        canonicalize_batch, signature_batch = _sig_transforms(cfg)
         ds = sub.map_batches(
-            CanonicalizeStage,
-            fn_constructor_kwargs={"cfg": cfg},
+            canonicalize_batch,
             batch_format="pyarrow",
             batch_size=cfg.sig_batch_size,
-            concurrency=_pool(cfg),
             zero_copy_batch=True,
         )
         ds = ds.map_batches(
-            SignatureStage,
-            fn_constructor_kwargs={"cfg": cfg},
+            signature_batch,
             batch_format="pyarrow",
             batch_size=cfg.sig_batch_size,
-            concurrency=_pool(cfg),
             zero_copy_batch=True,
         )
         return ds.select_columns(SIGNATURE_COLUMNS + ["pid"])
@@ -243,17 +319,11 @@ def near_dupe_pipeline(
     # — or, with a checkpoint_dir, persist per-partition parquet + manifest
     # so a killed run resumes without recomputation.
     if checkpoint_dir is not None:
-        from ray.data.aggregate import Max as _Max
-
         sigs, sig_metrics = checkpointed_signatures(corpus, cfg, checkpoint_dir)
         if sigs.count() == 0:
             return near_dupe_pipeline(corpus, cfg, checkpoint_dir=None)
         edges_parts, edge_metrics = checkpointed_edges(sigs, cfg, checkpoint_dir)
-        edges = edges_parts.groupby(["src", "dst"]).aggregate(
-            _Max("status", alias_name="status"),
-            _Max("est_jaccard", alias_name="est_jaccard"),
-            _Max("truncated", alias_name="truncated"),
-        ).materialize()
+        edges = dedup_pair_edges(edges_parts).materialize()
         strong = cluster_edges(edges)
         labels = connected_components(strong)
         docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
@@ -288,3 +358,230 @@ def near_dupe_pipeline(
     docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
     clusters = assign_clusters(docs, labels, num_partitions=cfg.num_partitions)
     return {"signatures": sigs, "edges": edges, "clusters": clusters}
+
+
+# ---------------------------------------------------------------------------
+# pairs-mode candidate generation + verification
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _dedup_raw_pairs_task(*blocks) -> pa.Table:
+    import numpy as np
+
+    tables = [
+        b.select(["src", "dst", "truncated"])
+        for b in blocks
+        if b.num_rows > 0 and "src" in b.column_names
+    ]
+    if not tables:
+        from libpostal_ray.stages.verify import PAIR_SCHEMA
+
+        return PAIR_SCHEMA.empty_table()
+    t = pa.concat_tables(tables)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    trunc = t["truncated"].to_numpy(zero_copy_only=False)
+    # truncated first within a pair group so the kept row preserves the flag
+    order = np.lexsort((~trunc, dst, src))
+    src, dst, trunc = src[order], dst[order], trunc[order]
+    keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    return pa.table(
+        {
+            "src": pa.array(src[keep], type=pa.int64()),
+            "dst": pa.array(dst[keep], type=pa.int64()),
+            "truncated": pa.array(trunc[keep]),
+        }
+    )
+
+
+def _sig_state_ref(sigs: ray.data.Dataset):
+    """Collect the verification columns into numpy arrays sorted by doc_id
+    and ray.put them once (the broadcast small side)."""
+    import numpy as np
+
+    slim = sigs.select_columns(
+        ["doc_id", "sha256", "minhash8", "simhash", "is_short"]
+    )
+    tbls = [
+        b for b in slim.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tbls)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sha = np.array(t["sha256"].to_pylist(), dtype="S32")[order]
+    mh = t["minhash8"]
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    K = len(mh[0])
+    mh = mh.flatten().to_numpy(zero_copy_only=False).reshape(-1, K)[order]
+    sim = (
+        t["simhash"].to_numpy(zero_copy_only=False).astype("int64").view("uint64")[order]
+    )
+    short = t["is_short"].to_numpy(zero_copy_only=False).astype(bool)[order]
+    return ray.put({"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short})
+
+
+def _verify_pairs_broadcast(
+    pairs: ray.data.Dataset, sigs: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
+
+    ref = _sig_state_ref(sigs)
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        state = ray.get(ref)
+        src = batch["src"].to_numpy(zero_copy_only=False).astype("int64")
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype("int64")
+        trunc = batch["truncated"].to_numpy(zero_copy_only=False)
+        li = np.searchsorted(state["ids"], src)
+        ri = np.searchsorted(state["ids"], dst)
+        # every pair endpoint comes from the signature table by construction
+        raw = (state["mh"][li] == state["mh"][ri]).mean(axis=1)
+        exact = state["sha"][li] == state["sha"][ri]
+        both_short = state["short"][li] & state["short"][ri]
+        ham = np.zeros(src.shape[0], dtype=np.int64)
+        if both_short.any():
+            x = (state["sim"][li] ^ state["sim"][ri]).view(np.uint8).reshape(-1, 8)
+            ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        status, est = verify_pair_statuses(exact, raw, both_short, ham, cfg)
+        keep = status > 0
+        return pa.table(
+            {
+                "src": pa.array(src[keep], type=pa.int64()),
+                "dst": pa.array(dst[keep], type=pa.int64()),
+                "status": pa.array(status[keep], type=pa.int8()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+                "truncated": pa.array(trunc[keep]),
+            },
+            schema=EDGE_SCHEMA,
+        )
+
+    return pairs.map_batches(
+        verify_batch, batch_format="pyarrow", batch_size=cfg.verify_batch_size
+    )
+
+
+def _verify_pairs_join(
+    pairs: ray.data.Dataset, sigs: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """Join path for corpora too big to broadcast: two hash joins attach each
+    side's verification columns (minhash8 packed to fixed binary — Arrow's
+    join cannot carry list payloads), then a vectorized verify map."""
+    import numpy as np
+
+    from libpostal_ray.pipelines.cluster import effective_join_partitions
+    from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
+
+    K = cfg.num_perm
+
+    def pack(batch: pa.Table, suffix: str) -> pa.Table:
+        mh = batch["minhash8"]
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        packed = mh.flatten().to_numpy(zero_copy_only=False).reshape(-1, K).tobytes()
+        return pa.table(
+            {
+                f"jkey{suffix}": batch["doc_id"],
+                f"sha{suffix}": batch["sha256"],
+                f"mh{suffix}": pa.array(
+                    [packed[i * K : (i + 1) * K] for i in range(batch.num_rows)],
+                    type=pa.binary(K),
+                ),
+                f"sim{suffix}": batch["simhash"],
+                f"short{suffix}": batch["is_short"],
+            }
+        )
+
+    slim = sigs.select_columns(["doc_id", "sha256", "minhash8", "simhash", "is_short"])
+    side_a = slim.map_batches(lambda b: pack(b, "_a"), batch_format="pyarrow")
+    side_b = slim.map_batches(lambda b: pack(b, "_b"), batch_format="pyarrow")
+    npart = effective_join_partitions(cfg.verify_partitions)
+    j = pairs.join(side_a, join_type="inner", num_partitions=npart, on=("src",), right_on=("jkey_a",))
+    j = j.join(side_b, join_type="inner", num_partitions=npart, on=("dst",), right_on=("jkey_b",))
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype("int64")
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype("int64")
+        trunc = batch["truncated"].to_numpy(zero_copy_only=False)
+        mh_a = np.frombuffer(b"".join(batch["mh_a"].to_pylist()), dtype=np.uint8).reshape(-1, K)
+        mh_b = np.frombuffer(b"".join(batch["mh_b"].to_pylist()), dtype=np.uint8).reshape(-1, K)
+        raw = (mh_a == mh_b).mean(axis=1)
+        sha_a = np.array(batch["sha_a"].to_pylist(), dtype="S32")
+        sha_b = np.array(batch["sha_b"].to_pylist(), dtype="S32")
+        exact = sha_a == sha_b
+        short_a = batch["short_a"].to_numpy(zero_copy_only=False).astype(bool)
+        short_b = batch["short_b"].to_numpy(zero_copy_only=False).astype(bool)
+        both_short = short_a & short_b
+        sim_a = batch["sim_a"].to_numpy(zero_copy_only=False).astype("int64").view("uint64")
+        sim_b = batch["sim_b"].to_numpy(zero_copy_only=False).astype("int64").view("uint64")
+        ham = np.zeros(src.shape[0], dtype=np.int64)
+        if both_short.any():
+            x = (sim_a ^ sim_b).view(np.uint8).reshape(-1, 8)
+            ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        status, est = verify_pair_statuses(exact, raw, both_short, ham, cfg)
+        keep = status > 0
+        return pa.table(
+            {
+                "src": pa.array(src[keep], type=pa.int64()),
+                "dst": pa.array(dst[keep], type=pa.int64()),
+                "status": pa.array(status[keep], type=pa.int8()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+                "truncated": pa.array(trunc[keep]),
+            },
+            schema=EDGE_SCHEMA,
+        )
+
+    return j.map_batches(verify_batch, batch_format="pyarrow", batch_size=cfg.verify_batch_size)
+
+
+def _candidate_edges_pairs(
+    sigs: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    import numpy as np
+
+    from libpostal_ray.stages.lsh import explode_band_keys_skinny
+    from libpostal_ray.stages.verify import PairGenPartition
+
+    P = cfg.verify_partitions
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        k = batch["band_key"].to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", pa.array((k % P).astype("int64")))
+
+    gen = PairGenPartition(cfg)
+
+    def pairgen_partition(group: pa.Table) -> pa.Table:
+        return gen(group)
+
+    skinny = sigs.map_batches(
+        explode_band_keys_skinny, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(add_vpart, batch_format="pyarrow")
+    raw_pairs = (
+        skinny.groupby("vpart")
+        .map_groups(pairgen_partition, batch_format="pyarrow")
+        .materialize()
+    )
+    n = raw_pairs.count()
+    if n == 0:
+        from libpostal_ray.stages.verify import EDGE_SCHEMA
+
+        return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+    if n <= PAIR_DEDUP_LOCAL_MAX:
+        pairs = ray.data.from_arrow(
+            ray.get(_dedup_raw_pairs_task.remote(*raw_pairs.to_arrow_refs()))
+        )
+    else:
+        from ray.data.aggregate import Max as _Max
+
+        pairs = raw_pairs.groupby(["src", "dst"]).aggregate(
+            _Max("truncated", alias_name="truncated")
+        )
+
+    n_docs = sigs.count()
+    if n_docs <= cfg.sig_broadcast_max:
+        return _verify_pairs_broadcast(pairs, sigs, cfg)
+    return _verify_pairs_join(pairs, sigs, cfg)

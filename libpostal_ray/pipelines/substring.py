@@ -14,8 +14,7 @@ import pyarrow as pa
 import ray.data
 
 from libpostal_ray.config import PipelineConfig
-from libpostal_ray.pipelines.near_dupe import _pool
-from libpostal_ray.stages.canonicalize import CanonicalizeStage
+from libpostal_ray.pipelines.near_dupe import _sig_transforms
 from libpostal_ray.stages.substring import SubstringPartition
 
 
@@ -36,12 +35,11 @@ def substring_pass(
             ),
         )
 
+    canonicalize_batch, _ = _sig_transforms(cfg)
     canon = corpus.map_batches(
-        CanonicalizeStage,
-        fn_constructor_kwargs={"cfg": cfg},
+        canonicalize_batch,
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=_pool(cfg),
         zero_copy_batch=True,
     )
     slim = canon.map_batches(add_pid, batch_format="pyarrow").select_columns(

@@ -49,3 +49,19 @@ def pc_list_len(arr: pa.Array) -> np.ndarray:
     import pyarrow.compute as pc
 
     return pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+
+
+def explode_band_keys_skinny(batch: pa.Table) -> pa.Table:
+    """Skinny explode for the pairs-mode shuffle: ONLY (band_key, doc_id) —
+    16 B/row through the all-to-all instead of ~200 B/row."""
+    keys = batch["band_keys"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    lens = np.asarray(pc_list_len(keys), dtype=np.int64)
+    idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    return pa.table(
+        {
+            "band_key": keys.flatten(),
+            "doc_id": batch["doc_id"].take(pa.array(idx)),
+        }
+    )

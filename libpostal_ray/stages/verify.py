@@ -66,10 +66,11 @@ def _edges_from_pairs(
     """
     if li.shape[0] == 0:
         return _empty_edges()
-    C = 1.0 / 256.0
     raw = (sigs[li] == sigs[ri]).mean(axis=1)
-    est = np.clip((raw - C) / (1.0 - C), 0.0, 1.0)
-    exact = np.array([sha[a] == sha[b] for a, b in zip(li, ri)], dtype=bool)
+    if isinstance(sha, np.ndarray):  # fixed-width 'S32' array: vectorized
+        exact = sha[li] == sha[ri]
+    else:
+        exact = np.array([sha[a] == sha[b] for a, b in zip(li, ri)], dtype=bool)
 
     both_short = short[li] & short[ri]
     # SimHash path for short rows
@@ -78,13 +79,7 @@ def _edges_from_pairs(
         x = (sims[li] ^ sims[ri]).view(np.uint8).reshape(-1, 8)
         ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
 
-    status = np.zeros(li.shape[0], dtype=np.int8)
-    status[np.where(both_short & (ham <= cfg.simhash_max_hamming))[0]] = STATUS_LIKELY
-    long_pair = ~both_short
-    status[np.where(long_pair & (est >= cfg.jaccard_review))[0]] = STATUS_NEEDS_REVIEW
-    status[np.where(long_pair & (est >= cfg.jaccard_likely))[0]] = STATUS_LIKELY
-    status[exact] = STATUS_EXACT
-    est[exact] = 1.0
+    status, est = verify_pair_statuses(exact, raw, both_short, ham, cfg)
 
     keep = status > 0
     li, ri, status, est = li[keep], ri[keep], status[keep], est[keep]
@@ -197,3 +192,98 @@ class VerifyPartition:
             ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]))
         )
         return edges.filter(pa.array(keep))
+
+
+PAIR_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("truncated", pa.bool_())]
+)
+
+
+class PairGenPartition:
+    """map_groups callable over a partition of buckets that emits CANDIDATE
+    PAIRS ONLY (no verification) from skinny (band_key, doc_id) rows.
+
+    This is the scale path: the LSH shuffle moves 16 B/row instead of the
+    ~200 B/row of the signature-carrying layout; signatures are consulted
+    later (broadcast lookup or join) only for rows that are actually in a
+    candidate pair.  Bucket semantics (all-pairs under small_bucket_cap,
+    anchor pairing above, deterministic truncation at max_bucket_size)
+    match VerifyPartition exactly.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = group.num_rows
+        if n < 2:
+            return PAIR_SCHEMA.empty_table()
+        keys = group["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, keys))
+        keys_s = keys[order]
+        ids_s = ids[order]
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
+        )
+        seg_ends = np.concatenate((seg_starts[1:], [n]))
+        sizes = seg_ends - seg_starts
+        multi = np.flatnonzero(sizes >= 2)
+        if multi.shape[0] == 0:
+            return PAIR_SCHEMA.empty_table()
+        src_parts, dst_parts = [], []
+        truncated_any = False
+        for b in multi:
+            s, e = int(seg_starts[b]), int(seg_ends[b])
+            m = e - s
+            if m > cfg.max_bucket_size:
+                e = s + cfg.max_bucket_size
+                m = cfg.max_bucket_size
+                truncated_any = True
+            if m <= cfg.small_bucket_cap:
+                li, ri = np.triu_indices(m, k=1)
+                src_parts.append(ids_s[li + s])
+                dst_parts.append(ids_s[ri + s])
+            else:
+                src_parts.append(np.full(m - 1, ids_s[s], dtype=np.int64))
+                dst_parts.append(ids_s[s + 1 : e])
+        src = np.concatenate(src_parts)
+        dst = np.concatenate(dst_parts)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        order2 = np.lexsort((hi, lo))
+        lo, hi = lo[order2], hi[order2]
+        keep = np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))
+        )
+        lo, hi = lo[keep], hi[keep]
+        return pa.table(
+            {
+                "src": pa.array(lo, type=pa.int64()),
+                "dst": pa.array(hi, type=pa.int64()),
+                "truncated": pa.array(np.full(lo.shape[0], truncated_any)),
+            },
+            schema=PAIR_SCHEMA,
+        )
+
+
+def verify_pair_statuses(
+    exact: np.ndarray,
+    raw_agree: np.ndarray,
+    both_short: np.ndarray,
+    ham: np.ndarray,
+    cfg: PipelineConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared status lattice: inputs per pair -> (status int8, est float64).
+    raw_agree is the UNCORRECTED b-bit agreement rate."""
+    C = 1.0 / 256.0
+    est = np.clip((raw_agree - C) / (1.0 - C), 0.0, 1.0)
+    status = np.zeros(exact.shape[0], dtype=np.int8)
+    status[np.where(both_short & (ham <= cfg.simhash_max_hamming))[0]] = STATUS_LIKELY
+    long_pair = ~both_short
+    status[np.where(long_pair & (est >= cfg.jaccard_review))[0]] = STATUS_NEEDS_REVIEW
+    status[np.where(long_pair & (est >= cfg.jaccard_likely))[0]] = STATUS_LIKELY
+    status[exact] = STATUS_EXACT
+    est[exact] = 1.0
+    return status, est

@@ -179,3 +179,100 @@ def write_synth_corpus(path: str, n_files: int = 1000, seed: int = 42, **kw) -> 
     t = synth_code_corpus(n_files=n_files, seed=seed, **kw)
     pq.write_table(t.drop_columns(["dup_group"]), path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Parallel generator: every file is a PURE FUNCTION of (seed, index), so the
+# corpus is bit-identical regardless of how generation is parallelized —
+# the property that makes Ray-parallel generation of multi-100MB bench
+# corpora both fast and reproducible.
+# ---------------------------------------------------------------------------
+
+
+def synth_file(seed: int, idx: int, n_files: int, avg_lines: int = 40) -> dict:
+    """Deterministic row for file `idx` of an n_files corpus.
+
+    Layout: 60% originals, 30% mutated/exact copies of an original,
+    10% vendored copies (40 families spread across repos — the hot-bucket
+    skew case)."""
+    n_base = int(n_files * 0.6)
+    n_dup = int(n_files * 0.3)
+    n_repos = max(8, n_files // 100)
+
+    if idx < n_base:
+        rng = np.random.default_rng([seed, 0, idx])
+        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+        n_lines = max(5, int(rng.normal(avg_lines, avg_lines / 3)))
+        text = _make_file(rng, lang, n_lines)
+        return {
+            "repo": f"repo{int(rng.integers(0, n_repos))}",
+            "path": f"src/f{idx}.{lang}",
+            "commit": f"c{int(rng.integers(0, 1 << 30)):08x}",
+            "lang": lang,
+            "content": text,
+        }
+    if idx < n_base + n_dup:
+        j = idx - n_base
+        rng = np.random.default_rng([seed, 1, j])
+        src = int(rng.integers(0, n_base))
+        base = synth_file(seed, src, n_files, avg_lines)
+        m = int(rng.integers(0, 3))
+        text = base["content"]
+        if m == 1:
+            text = _mutate_whitespace(rng, text)
+        elif m == 2:
+            text = _mutate_rename(rng, text)
+        return {
+            "repo": f"repo{int(rng.integers(0, n_repos))}",
+            "path": f"src/dup{j}_of_f{src}.{base['lang']}",
+            "commit": f"c{int(rng.integers(0, 1 << 30)):08x}",
+            "lang": base["lang"],
+            "content": text,
+        }
+    j = idx - n_base - n_dup
+    fam = j % 40
+    rng = np.random.default_rng([seed, 2, fam])
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+    text = _make_file(rng, lang, avg_lines * 2)
+    return {
+        "repo": f"repo{j % n_repos}",
+        "path": f"vendor/lib{fam}/mod.{lang}",
+        "commit": f"c{fam:08x}",
+        "lang": lang,
+        "content": text,
+    }
+
+
+def write_synth_corpus_parallel(
+    path: str, n_files: int, seed: int = 42, avg_lines: int = 40
+) -> str:
+    """Generate the corpus with Ray (one task per index chunk) and write one
+    parquet file.  Requires an initialized Ray session."""
+    import ray
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = [
+            synth_file(seed, int(i), n_files, avg_lines)
+            for i in batch["id"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "repo": pa.array([r["repo"] for r in rows]),
+                "path": pa.array([r["path"] for r in rows]),
+                "commit": pa.array([r["commit"] for r in rows]),
+                "lang": pa.array([r["lang"] for r in rows]),
+                "content": pa.array(
+                    [r["content"] for r in rows], type=pa.large_string()
+                ),
+            }
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    ds = ray.data.range(n_files, override_num_blocks=cpus * 4).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    # a DIRECTORY of parquet files: parallel write now, parallel read later
+    # (a single big file serializes the first read's decompress)
+    ds.write_parquet(path)
+    return path

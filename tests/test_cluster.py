@@ -23,6 +23,7 @@ def _ref_components(edges):
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.parametrize("local_path", [True, False])
 @pytest.mark.parametrize(
     "edges",
     [
@@ -33,10 +34,17 @@ def _ref_components(edges):
         [(7, 3), (3, 7), (7, 3)],  # duplicates both directions
     ],
 )
-def test_connected_components_matches_union_find(ray_session, edges):
+def test_connected_components_matches_union_find(
+    ray_session, edges, local_path, monkeypatch
+):
     import ray.data
 
+    import libpostal_ray.pipelines.cluster as cl
     from libpostal_ray.pipelines.cluster import connected_components
+
+    if not local_path:
+        # force the distributed large/small-star rounds
+        monkeypatch.setattr(cl, "CC_LOCAL_MAX_EDGES", 0)
 
     t = pa.table(
         {
