@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q.lineitem_agg,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk,
+        "top_events_by_value": q.top_events_by_value,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_counts": q.fingerprint_counts,
         "substring_spans": q.substring_spans,
         "ann_topk_lsh": q.ann_topk_lsh,
+        "cluster_size_topk": q.cluster_size_topk,
     }
 
 
@@ -127,6 +129,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY 1, 2
+        """,
+        "top_events_by_value": """
+            SELECT event_id,
+                   CAST(floor(value * 1000.0) AS BIGINT) AS value_milli
+            FROM events
+            ORDER BY value_milli DESC, event_id
+            LIMIT 20
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

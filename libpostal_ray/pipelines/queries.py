@@ -405,3 +405,43 @@ def fingerprint_counts(sf_dir: str) -> ray.data.Dataset:
         .map_batches(fingerprint_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "n_fingerprints"])
     )
+
+
+def top_events_by_value(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k events by value: the sort/limit operator (SURVEY 2.6 top-k).
+    value integerized (floor milli) so both engines rank identically;
+    deterministic tie-break on event_id."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        milli = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {"event_id": batch["event_id"], "value_milli": pa.array(milli)}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["value_milli", "event_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+def cluster_size_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k duplicate clusters by size over the documents near-dup pipeline
+    (the reference's 'report top duplicated groups' pattern)."""
+    cl = near_dupe_clusters(sf_dir)
+    from ray.data.aggregate import Count
+
+    sizes = cl.groupby("cluster_id").aggregate(Count(alias_name="n_members"))
+    return (
+        sizes.sort(["n_members", "cluster_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .reset_index(drop=True)
+    )

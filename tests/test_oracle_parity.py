@@ -59,6 +59,7 @@ ORACLE_QUERIES = [
     "lineitem_agg",
     "events_hourly",
     "ann_topk",
+    "top_events_by_value",
 ]
 
 
@@ -94,6 +95,7 @@ ROWS_ONLY = [
     "fingerprint_counts",
     "substring_spans",
     "ann_topk_lsh",
+    "cluster_size_topk",
 ]
 
 
