@@ -190,10 +190,15 @@ def run_scaling() -> dict:
 
     lo_cpus = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "8"))
     hi_cpus = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "32"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     # generate the scaling corpus once (cached) so neither timed process pays
     _synth_corpus_path_warm(32)
-    lo = fresh(lo_cpus)
-    hi = fresh(hi_cpus)
+    # best-of-N per level: min wall time = least interference from the
+    # shared host (single-box benchmarking; documented in BENCH/BASELINE.md)
+    lo_runs = [fresh(lo_cpus) for _ in range(reps)]
+    hi_runs = [fresh(hi_cpus) for _ in range(reps)]
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     return {
@@ -204,6 +209,9 @@ def run_scaling() -> dict:
         "sec_hi": t_hi,
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
+        "reps": reps,
+        "sec_lo_all": [r["value"] for r in lo_runs],
+        "sec_hi_all": [r["value"] for r in hi_runs],
         "files_per_sec_lo": lo["files_per_sec"],
         "files_per_sec_hi": hi["files_per_sec"],
         "sf": lo["sf"],
