@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk,
         "top_events_by_value": q.top_events_by_value,
+        "embedding_dups": q.embedding_dups,
+        "distinct_users": q.distinct_users,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -48,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_spans": q.substring_spans,
         "ann_topk_lsh": q.ann_topk_lsh,
         "cluster_size_topk": q.cluster_size_topk,
+        "simhash_dup_pairs": q.simhash_dup_pairs,
     }
 
 
@@ -136,6 +139,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY value_milli DESC, event_id
             LIMIT 20
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

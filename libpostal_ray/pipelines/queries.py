@@ -445,3 +445,175 @@ def cluster_size_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .to_pandas()
         .reset_index(drop=True)
     )
+
+
+def embedding_dups(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim) for
+    all pairs with cosine >= threshold (vec_a < vec_b).
+
+    The corpus matrix is broadcast once (ray.put); each batch computes one
+    float64 matmul block against it — the brute-force baseline of
+    embedding near-dup dedup (the IVF/LSH scale path is pipelines/ann.py)."""
+    import pyarrow.parquet as pq
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    import ray as _ray
+
+    ref = _ray.put({"ids": ids_all, "m": m})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        state = _ray.get(ref)
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        scores = bm @ state["m"].T  # (b, N)
+        bi, ni = np.nonzero(scores >= threshold)
+        a = bids[bi]
+        b = state["ids"][ni]
+        keep = a < b  # each unordered pair once, no self-pairs
+        a, b = a[keep], b[keep]
+        s = np.round(scores[bi, ni][keep], 4)
+        return pa.table(
+            {
+                "vec_a": pa.array(a, type=pa.int64()),
+                "vec_b": pa.array(b, type=pa.int64()),
+                "cos_sim": pa.array(s, type=pa.float64()),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=256)
+
+
+def distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Count-distinct per event_type: (event_type, n_users).  Partial
+    pattern: per-batch unique pairs -> groupby -> exact distinct count."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(uniq, batch_format="pyarrow").groupby(
+        ["event_type", "user_id"]
+    ).aggregate(Count(alias_name="_c"))
+    return (
+        pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    )
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """SimHash near-dup pairs over documents: (src, dst, hamming) with
+    hamming <= max_hamming, found via chunk-key blocking (pigeonhole) —
+    the standalone SimHash dedup operator."""
+    from libpostal_ray.functions.canonicalize import canonicalize_one
+    from libpostal_ray.functions.hashing import rolling_shingle_hashes
+    from libpostal_ray.functions.simhash import simhash_batch, simhash_chunk_keys
+
+    cfg = PipelineConfig()
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        canon = [canonicalize_one(t) for t in batch["text"].to_pylist()]
+        per_doc = [
+            rolling_shingle_hashes(c.encode("utf-8"), min(cfg.shingle_k, max(1, len(c.encode("utf-8")))))
+            for c in canon
+        ]
+        counts = np.array([h.shape[0] for h in per_doc], dtype=np.int64)
+        concat = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
+        offsets = np.zeros(len(canon) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        sims = simhash_batch(concat, offsets)
+        keys = simhash_chunk_keys(sims, max_hamming + 1)  # d+1 chunks
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
+                "chunk_keys": pa.array(
+                    [k.tolist() for k in keys], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    sk = _docs(sf_dir).map_batches(sketch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ck = batch["chunk_keys"]
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        lens = pc.list_value_length(ck).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        return pa.table(
+            {
+                "block_key": ck.flatten(),
+                "doc_id": batch["doc_id"].take(pa.array(idx)),
+                "simhash": batch["simhash"].take(pa.array(idx)),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+        if n < 2:
+            return empty
+        keys = group["block_key"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sims = (
+            group["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+        order = np.lexsort((ids, keys))
+        keys, ids, sims = keys[order], ids[order], sims[order]
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        li_l, ri_l = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m >= 2:
+                li, ri = np.triu_indices(m, k=1)
+                li_l.append(li + s)
+                ri_l.append(ri + s)
+        if not li_l:
+            return empty
+        li = np.concatenate(li_l)
+        ri = np.concatenate(ri_l)
+        x = (sims[li] ^ sims[ri]).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        li, ri, ham = li[keep], ri[keep], ham[keep]
+        if li.shape[0] == 0:
+            return empty
+        src = np.minimum(ids[li], ids[ri])
+        dst = np.maximum(ids[li], ids[ri])
+        order2 = np.lexsort((dst, src))
+        src, dst, ham = src[order2], dst[order2], ham[order2]
+        kp = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+        return pa.table(
+            {
+                "src": pa.array(src[kp], type=pa.int64()),
+                "dst": pa.array(dst[kp], type=pa.int64()),
+                "hamming": pa.array(ham[kp], type=pa.int64()),
+            }
+        )
+
+    P = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch["block_key"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array((k % P).astype("int64")))
+
+    exploded = sk.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    raw = exploded.groupby("part").map_groups(verify, batch_format="pyarrow")
+    # global pair dedup (a pair can collide in several chunk blocks)
+    from ray.data.aggregate import Min as _Min
+
+    return raw.groupby(["src", "dst"]).aggregate(_Min("hamming", alias_name="hamming"))

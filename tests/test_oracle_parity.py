@@ -60,6 +60,8 @@ ORACLE_QUERIES = [
     "events_hourly",
     "ann_topk",
     "top_events_by_value",
+    "embedding_dups",
+    "distinct_users",
 ]
 
 
@@ -96,6 +98,7 @@ ROWS_ONLY = [
     "substring_spans",
     "ann_topk_lsh",
     "cluster_size_topk",
+    "simhash_dup_pairs",
 ]
 
 
