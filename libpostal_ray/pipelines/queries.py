@@ -617,3 +617,31 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     from ray.data.aggregate import Min as _Min
 
     return raw.groupby(["src", "dst"]).aggregate(_Min("hamming", alias_name="hamming"))
+
+
+def hot_buckets(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Bucket-frequency stats: top-k LSH band keys by member count — the
+    vendored/boilerplate skew detector (SURVEY.md section 4: bucket-frequency
+    aggregate feeding the salting/cap policy).  Pre-aggregated per batch."""
+    from libpostal_ray.pipelines.near_dupe import near_dupe_hashes, signatures
+
+    cfg = PipelineConfig()
+    sigs = signatures(read_documents_corpus(sf_dir), cfg)
+    keys = near_dupe_hashes(sigs, cfg)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("band_key", as_index=False).size()
+        df.columns = ["band_key", "n_part"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        keys.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_key")
+        .aggregate(Sum("n_part", alias_name="n_members"))
+    )
+    return (
+        counts.sort(["n_members", "band_key"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .reset_index(drop=True)
+    )

@@ -99,6 +99,7 @@ ROWS_ONLY = [
     "ann_topk_lsh",
     "cluster_size_topk",
     "simhash_dup_pairs",
+    "hot_buckets",
 ]
 
 
