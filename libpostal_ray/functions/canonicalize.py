@@ -41,6 +41,17 @@ def canonicalize_one(
 ) -> str:
     if text is None:
         return ""
+    # ASCII fast path for the default rule set (the reference has the same
+    # trick, normalize.c:200-349): NFKC is identity on ASCII, casefold ==
+    # lower, and split/join == ws-collapse+strip — ~3x faster, identical
+    # output (covered by an equivalence unit test).
+    if (
+        not strip_comments
+        and fold_case
+        and collapse_whitespace
+        and text.isascii()
+    ):
+        return " ".join(text.split()).lower()
     s = unicodedata.normalize("NFKC", text)
     if fold_case:
         s = s.casefold()

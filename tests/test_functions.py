@@ -255,3 +255,23 @@ class TestOPHMinHash:
         s = oph_minhash_batch(concat, offsets, 128)
         # every slot filled (no sentinel left) after densification
         assert not (s[0] == np.uint64(0xFFFFFFFFFFFFFFFF)).any()
+
+
+class TestCanonicalizeFastPath:
+    def test_ascii_fast_path_equivalence(self):
+        import re, unicodedata
+
+        ws = re.compile(r"\s+")
+        cases = [
+            "def f(a, b):\n    return a + b\n",
+            "  leading and trailing  ",
+            "tabs\there\nnewlines",
+            "MIXED Case TEXT",
+            "",
+            "a",
+            "ﬁle Straße ＡＢＣ",  # non-ascii: general path
+            "x   y",  # nbsp: non-ascii whitespace
+        ]
+        for s in cases:
+            general = ws.sub(" ", unicodedata.normalize("NFKC", s).casefold()).strip()
+            assert canonicalize_one(s) == general, repr(s)
