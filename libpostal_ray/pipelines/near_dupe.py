@@ -674,3 +674,97 @@ def _manual_exchange_pairs(
         for p in range(P)
     ]
     return ray.data.from_arrow_refs(pair_refs)
+
+
+# ---------------------------------------------------------------------------
+# two-tier verification: exact Jaccard for the NEEDS_REVIEW band
+# ---------------------------------------------------------------------------
+
+
+def refine_review_edges(
+    edges: ray.data.Dataset,
+    corpus: ray.data.Dataset,
+    cfg: PipelineConfig,
+) -> ray.data.Dataset:
+    """Re-verify NEEDS_REVIEW edges with EXACT shingle-set Jaccard.
+
+    The reference's lattice is two-tier: cheap checks put a pair at
+    needs_review, and the expensive fuzzy scorers (soft_tfidf.c) decide —
+    our analog recomputes the exact Jaccard over canonical shingle sets for
+    JUST the review pairs (a tiny fraction of the corpus: content is fetched
+    once for the affected doc ids via broadcast, never shuffled).
+
+    Returns the edge dataset with review edges upgraded to LIKELY
+    (exact J >= jaccard_likely) or kept at NEEDS_REVIEW, with an added
+    ``exact_jaccard`` column (-1.0 for non-review edges)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    from libpostal_ray.functions.canonicalize import canonicalize_one
+    from libpostal_ray.functions.similarity import exact_jaccard, shingle_set
+    from libpostal_ray.stages.verify import STATUS_LIKELY, STATUS_NEEDS_REVIEW
+
+    edges = edges.materialize()
+    review = edges.filter(
+        lambda r: r["status"] == STATUS_NEEDS_REVIEW
+    )  # tiny control set; row filter is fine here
+    review_tbl = pa.concat_tables(
+        [b for b in review.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        or [pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())})]
+    )
+    if review_tbl.num_rows == 0:
+        def add_col(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "exact_jaccard",
+                pa.array(np.full(batch.num_rows, -1.0), type=pa.float64()),
+            )
+
+        return edges.map_batches(add_col, batch_format="pyarrow")
+
+    needed = set(review_tbl["src"].to_pylist()) | set(review_tbl["dst"].to_pylist())
+    needed_arr = pa.array(sorted(needed), type=pa.int64())
+
+    def fetch_content(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"], value_set=needed_arr)
+        sub = batch.filter(mask)
+        return pa.table({"doc_id": sub["doc_id"], "content": sub["content"]})
+
+    picked = pa.concat_tables(
+        [
+            b
+            for b in corpus.map_batches(fetch_content, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    sets = {
+        int(i): shingle_set(canonicalize_one(c), cfg.shingle_k)
+        for i, c in zip(picked["doc_id"].to_pylist(), picked["content"].to_pylist())
+    }
+    import ray as _ray
+
+    ref = _ray.put(sets)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        state = _ray.get(ref)
+        status = batch["status"].to_numpy(zero_copy_only=False).copy()
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        ej = np.full(batch.num_rows, -1.0)
+        for i in np.nonzero(status == STATUS_NEEDS_REVIEW)[0]:
+            a, b = state.get(int(src[i])), state.get(int(dst[i]))
+            if a is None or b is None:
+                continue
+            j = exact_jaccard(a, b)
+            ej[i] = j
+            if j >= cfg.jaccard_likely:
+                status[i] = STATUS_LIKELY
+        out = batch.set_column(
+            batch.column_names.index("status"),
+            "status",
+            pa.array(status, type=pa.int8()),
+        )
+        return out.append_column("exact_jaccard", pa.array(ej, type=pa.float64()))
+
+    return edges.map_batches(refine, batch_format="pyarrow")

@@ -153,3 +153,53 @@ def test_edges_schema_and_statuses(pipeline_result):
     assert ((edges["est_jaccard"] >= 0) & (edges["est_jaccard"] <= 1)).all()
     # no duplicate pairs after dedup
     assert not edges.duplicated(subset=["src", "dst"]).any()
+
+
+def test_refine_review_edges(ray_session):
+    """Two-tier verification: a pair whose b-bit estimate lands in the review
+    band but whose EXACT Jaccard clears the bar gets upgraded to LIKELY."""
+    import pyarrow as pa
+
+    from libpostal_ray.pipelines.near_dupe import (
+        candidate_edges,
+        refine_review_edges,
+        signatures,
+    )
+    from libpostal_ray.stages.verify import STATUS_NEEDS_REVIEW
+
+    # borderline pair: ~60-69% of shingles shared -> review band typically
+    base = " ".join(f"tok{i:03d}" for i in range(120))
+    words = base.split()
+    mutated = list(words)
+    for i in range(0, 120, 4):
+        mutated[i] = f"zz{i:03d}"
+    t = pa.table(
+        {
+            "repo": ["r"] * 2,
+            "path": ["a", "b"],
+            "commit": ["c"] * 2,
+            "lang": ["txt"] * 2,
+            "content": pa.array([base, " ".join(mutated)], type=pa.string()),
+        }
+    )
+    cfg = PipelineConfig()
+    corpus = from_arrow_corpus(t)
+    sigs = signatures(corpus, cfg).materialize()
+    edges = candidate_edges(sigs, cfg)
+    refined = refine_review_edges(edges, corpus, cfg).to_pandas()
+    # whatever the statuses, the refined table must carry exact_jaccard and
+    # every review edge must have a real exact value computed
+    assert "exact_jaccard" in refined.columns
+    review_rows = refined[refined["status"] == STATUS_NEEDS_REVIEW]
+    assert (review_rows["exact_jaccard"] >= 0).all()
+    # exact values (where computed) must be consistent with a direct compute
+    from libpostal_ray.functions.canonicalize import canonicalize_one
+    from libpostal_ray.functions.similarity import exact_jaccard_texts
+
+    if len(refined):
+        direct = exact_jaccard_texts(
+            canonicalize_one(base), canonicalize_one(" ".join(mutated)), cfg.shingle_k
+        )
+        computed = refined[refined["exact_jaccard"] >= 0]
+        for v in computed["exact_jaccard"]:
+            assert abs(v - direct) < 1e-9
