@@ -31,6 +31,13 @@ class PipelineConfig:
     collapse_whitespace: bool = True
     strip_comments: bool = False    # code-aware comment folding (off by default:
                                     # keeps canonical form cheap + language-neutral)
+    # token-rewrite rule table — the analog of the reference's data-driven
+    # dictionaries (resources/dictionaries/<lang>/*.txt, "st|street";
+    # expand.c:724-1366 applies them as phrase rewrites).  Each entry is a
+    # (regex pattern, replacement) pair applied IN ORDER after case folding
+    # and before whitespace collapse; compiled once per worker.  Part of the
+    # config fingerprint, so changing rules invalidates checkpoints.
+    rewrite_rules: tuple[tuple[str, str], ...] = ()
 
     # --- shingling (ngrams.c:4-71 analog) ---
     shingle_k: int = 5              # chars per shingle of the canonical text
@@ -47,6 +54,12 @@ class PipelineConfig:
     # --- SimHash fallback for short content ---
     short_file_cutoff: int = 24     # content with < cutoff canonical chars is
                                     # blocked by SimHash chunks instead of MinHash
+    boundary_band: int = 8          # docs within +-band of the cutoff emit BOTH
+                                    # key families, so a near-dup pair straddling
+                                    # the cutoff (e.g. 23 vs 25 chars) still
+                                    # collides (the geohash+neighbors trick,
+                                    # near_dupe.c:220-248, applied to the
+                                    # length-routing boundary)
     simhash_max_hamming: int = 3
     simhash_chunks: int = 4         # 4 x 16-bit chunks => catches hamming <= 3
 
@@ -54,18 +67,42 @@ class PipelineConfig:
     #     libpostal.h:218-224 EXACT=9/LIKELY=6/NEEDS_REVIEW=3) ---
     jaccard_likely: float = 0.7
     jaccard_review: float = 0.5
+    # fuzzy second-opinion tier for NEEDS_REVIEW pairs (string_similarity.c:
+    # 356-432 damerau-levenshtein, 529-590 jaro-winkler; soft_tfidf.c defaults
+    # jw>=0.9): applied only to review pairs small enough to score exactly
+    fuzzy_sim_likely: float = 0.9   # JW or DL similarity >= this upgrades to LIKELY
+    fuzzy_max_chars: int = 4096     # skip fuzzy scoring for docs longer than this
+    # size-ratio guard (dedupe.c:231-293 symmetric-difference demotion analog):
+    # |A|/|B| bounds Jaccard from above, so pairs whose shingle-count ratio is
+    # below a threshold cannot reach it — demote before believing the estimate
+    size_ratio_guard: bool = True
 
     # --- skew handling (the reference caps permutations at 100,
     #     expand.c:29; we cap/salt LSH buckets) ---
     small_bucket_cap: int = 64      # buckets up to this size: all-pairs verify
-    max_bucket_size: int = 100_000  # larger buckets: truncated + logged
+    hot_bucket_cap: int = 1024      # buckets above this are SALTED: members are
+                                    # split (by a fixed hash of doc_id) into
+                                    # sub-buckets of ~hot_sub_size with all-pairs
+                                    # inside each, plus a delegate clique (min id
+                                    # per sub-bucket) for cross-salt closure —
+                                    # connectivity-preserving, work O(n*S) not O(n^2)
+    hot_sub_size: int = 64          # target salted sub-bucket size
+    salt_pair_budget: int = 20_000_000  # max candidate pairs one hot bucket may
+                                    # emit; beyond this the sub size shrinks and
+                                    # finally degrades to anchor pairing (flagged
+                                    # via the truncated column — never silent)
+    max_bucket_size: int = 100_000  # absolute guard for the non-salted (anchor)
+                                    # path: larger buckets truncated + logged
 
     # --- substring (suffix-array) pass ---
     min_span_len: int = 50          # minimum exact duplicated span (chars)
-    substring_max_bytes: int = 16 * 1024 * 1024  # suffix-array partition
-                                    # budget (Kasai LCP is a Python O(n) loop;
-                                    # beyond this the partition is truncated
-                                    # deterministically and flagged)
+    substring_max_bytes: int = 64 * 1024 * 1024  # suffix-array partition byte
+                                    # budget (LCP is vectorized chunked
+                                    # comparison; beyond this the partition is
+                                    # truncated deterministically and flagged)
+    span_edges: bool = False        # feed SPAN edges (exact shared substrings,
+                                    # stages/substring.py) into clustering
+                                    # alongside LIKELY/EXACT edges
 
     # --- physical execution ---
     num_partitions: int = 64        # checkpoint/layout partitions (hash(repo) % P)

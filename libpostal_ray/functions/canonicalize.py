@@ -23,6 +23,7 @@ import re
 import unicodedata
 
 import numpy as np
+import pyarrow as pa
 
 _WS_RE = re.compile(r"\s+")
 # Comment folding: line comments (// #) and block comments (/* */) — a
@@ -32,12 +33,19 @@ _LINE_COMMENT_RE = re.compile(r"(//|#)[^\n]*")
 _BLOCK_COMMENT_RE = re.compile(r"/\*.*?\*/", re.S)
 
 
+def compile_rules(rules) -> list[tuple["re.Pattern[str]", str]]:
+    """Compile a (pattern, replacement) rewrite-rule table (the
+    resources/dictionaries analog, expand.c:724-1366) — done once per worker."""
+    return [(re.compile(p), r) for p, r in (rules or ())]
+
+
 def canonicalize_one(
     text: str,
     *,
     fold_case: bool = True,
     collapse_whitespace: bool = True,
     strip_comments: bool = False,
+    compiled_rules: list | None = None,
 ) -> str:
     if text is None:
         return ""
@@ -49,6 +57,7 @@ def canonicalize_one(
         not strip_comments
         and fold_case
         and collapse_whitespace
+        and not compiled_rules
         and text.isascii()
     ):
         return " ".join(text.split()).lower()
@@ -58,6 +67,9 @@ def canonicalize_one(
     if strip_comments:
         s = _BLOCK_COMMENT_RE.sub(" ", s)
         s = _LINE_COMMENT_RE.sub(" ", s)
+    if compiled_rules:
+        for pat, repl in compiled_rules:
+            s = pat.sub(repl, s)
     if collapse_whitespace:
         s = _WS_RE.sub(" ", s).strip()
     return s
@@ -84,6 +96,78 @@ def canonicalize_array(
         ],
         dtype=object,
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-buffer-level canonicalization — the scale path.
+#
+# The default rule set (NFKC + casefold + ws-collapse) is, on ASCII bytes,
+# exactly: lowercase + collapse whitespace runs to one space + strip ends.
+# Those are pure byte operations, so the whole batch is canonicalized as ONE
+# numpy pass over the column's UTF-8 value buffer — no per-row Python str is
+# ever created.  Non-ASCII rows (rare in code) fall back to canonicalize_one
+# and are spliced into the output array.  Equivalence with the per-row path
+# is covered by a property test (tests/test_functions.py).
+# ---------------------------------------------------------------------------
+
+# Python str.split() (the per-row fast path) splits on these ASCII bytes:
+# \t \n \v \f \r \x1c \x1d \x1e \x1f and space.
+_ASCII_WS = np.zeros(256, dtype=bool)
+for _b in (9, 10, 11, 12, 13, 28, 29, 30, 31, 32):
+    _ASCII_WS[_b] = True
+_ASCII_LOWER = np.arange(256, dtype=np.uint8)
+_ASCII_LOWER[65:91] += 32
+
+
+def large_string_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data uint8, offsets int64) view of a large_string Array.
+    Offsets are rebased to 0; data is the exact byte range of the values."""
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    if bufs[2] is None:
+        return np.empty(0, dtype=np.uint8), off - off[0] if len(off) else off
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(off[-1] - off[0]), offset=int(off[0]))
+    return data, (off - off[0]).astype(np.int64)
+
+
+def ascii_canonicalize_buffer(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """lower + ws-collapse + strip over a concatenated ASCII byte buffer.
+
+    data: (N,) uint8; offsets: (n+1,) int64 row bounds.  Returns
+    (out_data uint8, out_offsets int64) where row i's canonical bytes are
+    out_data[out_offsets[i]:out_offsets[i+1]] — and rows tile the output
+    buffer contiguously, so it IS a valid Arrow string layout.
+    """
+    n = offsets.shape[0] - 1
+    N = data.shape[0]
+    if N == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(n + 1, dtype=np.int64)
+    ws = _ASCII_WS[data]
+    nonws = ~ws
+    # word starts: non-ws byte preceded by ws or by a row boundary
+    prev_ws = np.empty(N, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    prev_ws[offsets[:-1][offsets[:-1] < N]] = True
+    word_start = nonws & prev_ws
+    # a separator space is emitted before every word EXCEPT a row's first:
+    # wcum[i] = number of word starts in [0, i)
+    wcum = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(word_start, out=wcum[1:])
+    lens = np.diff(offsets)
+    row_base = np.repeat(wcum[offsets[:-1]], lens)  # per byte: wcum at row start
+    sep = word_start & (wcum[:-1] != row_base)
+    # emitted bytes: every non-ws byte, plus one space per separator
+    emit = nonws.astype(np.int64)
+    emit += sep
+    c = np.cumsum(emit)
+    out = np.full(int(c[-1]), 32, dtype=np.uint8)  # spaces pre-filled
+    nz = np.flatnonzero(nonws)
+    out[c[nz] - 1] = _ASCII_LOWER[data[nz]]
+    cc = np.concatenate((np.zeros(1, dtype=np.int64), c))
+    return out, cc[offsets]
 
 
 def basic_canonicalize_array(texts) -> np.ndarray:

@@ -20,39 +20,12 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pyarrow as pa
 
 # FNV-ish mixing constants (public domain constants, 64-bit).
 _MIX_PRIME = np.uint64(0x100000001B3)
 _MIX_OFFSET = np.uint64(0xCBF29CE484222325)
 # polynomial rolling-hash base (odd, large; fixed)
 _POLY_BASE = np.uint64(0x9E3779B97F4A7C15)
-
-
-def sha256_bytes(values: pa.Array | pa.ChunkedArray) -> list[bytes]:
-    """sha256 digest per string value. Returns python bytes list (32B each)."""
-    out = []
-    if isinstance(values, pa.ChunkedArray):
-        chunks = values.chunks
-    else:
-        chunks = [values]
-    for chunk in chunks:
-        for v in chunk:
-            s = v.as_py()
-            out.append(hashlib.sha256((s or "").encode("utf-8")).digest())
-    return out
-
-
-def sha256_hex_array(values) -> np.ndarray:
-    """sha256 hexdigest per string; accepts pa array/chunked array or ndarray."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        it = (v.as_py() for v in values)
-    else:
-        it = values
-    return np.array(
-        [hashlib.sha256((s or "").encode("utf-8")).hexdigest() for s in it],
-        dtype=object,
-    )
 
 
 def stable_doc_id(repo, path, commit) -> np.ndarray:
@@ -82,14 +55,21 @@ def as_key_i64(arr: np.ndarray) -> np.ndarray:
     )
 
 
-def rolling_shingle_hashes(data: bytes, k: int) -> np.ndarray:
+def rolling_shingle_hashes(data, k: int) -> np.ndarray:
     """All k-byte shingle hashes of `data` as uint64 (len = max(0, n-k+1)).
+
+    `data` may be bytes or a uint8 ndarray (a zero-copy Arrow buffer view —
+    the scale path hashes a whole batch's concatenated value buffer in ONE
+    call and masks out shingles that cross row boundaries).
 
     h[i] = sum_j data[i+j] * BASE^(k-1-j)  (mod 2^64) — k vectorized
     multiply-adds over the byte array; no Python-level shingle strings.
     MinHash over a multiset equals MinHash over the set, so no dedup needed.
     """
-    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if isinstance(data, np.ndarray):
+        b = data.astype(np.uint64)
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     n = b.shape[0]
     if n < k:
         return np.empty(0, dtype=np.uint64)

@@ -315,13 +315,15 @@ def assign_clusters(
         def lookup(batch: pa.Table) -> pa.Table:
             state = ray.get(ref)
             ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if state["node"].shape[0] == 0:
+                # no labeled docs at all: every doc is a singleton
+                cid = ids
+                return batch.append_column(
+                    "cluster_id", pa.array(cid, type=pa.int64())
+                )
             pos = np.searchsorted(state["node"], ids)
-            pos_c = np.clip(pos, 0, max(0, state["node"].shape[0] - 1))
-            hit = (
-                (state["node"].shape[0] > 0)
-                & (pos < state["node"].shape[0])
-                & (state["node"][pos_c] == ids)
-            )
+            pos_c = np.clip(pos, 0, state["node"].shape[0] - 1)
+            hit = (pos < state["node"].shape[0]) & (state["node"][pos_c] == ids)
             cid = np.where(hit, state["lab"][pos_c], ids)
             return batch.append_column(
                 "cluster_id", pa.array(cid, type=pa.int64())

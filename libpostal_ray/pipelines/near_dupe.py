@@ -152,17 +152,24 @@ def _dedup_pairs_task(*blocks) -> pa.Table:
     status = t["status"].to_numpy(zero_copy_only=False)
     est = t["est_jaccard"].to_numpy(zero_copy_only=False)
     trunc = t["truncated"].to_numpy(zero_copy_only=False)
+    # status/est_jaccard are PER-PAIR INVARIANTS (computed from the two docs'
+    # signatures, independent of which bucket found the pair), so Max over
+    # duplicates equals any row's value; only `truncated` varies per bucket
+    # and takes OR semantics — identical to the distributed aggregate path.
     order = np.lexsort((-status, dst, src))
     src, dst = src[order], dst[order]
     keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
     idx = order[keep]
+    seg = np.cumsum(keep) - 1
+    trunc_or = np.zeros(int(keep.sum()), dtype=bool)
+    np.logical_or.at(trunc_or, seg, trunc[order])
     return pa.table(
         {
             "src": pa.array(src[keep], type=pa.int64()),
             "dst": pa.array(dst[keep], type=pa.int64()),
             "status": pa.array(status[idx], type=pa.int8()),
             "est_jaccard": pa.array(est[idx], type=pa.float64()),
-            "truncated": pa.array(trunc[idx]),
+            "truncated": pa.array(trunc_or),
         }
     )
 
@@ -236,6 +243,19 @@ def checkpointed_signatures(
         )
         return ds.select_columns(SIGNATURE_COLUMNS + ["pid"])
 
+    sig_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("sha256", pa.binary(32)),
+            ("n_chars", pa.int64()),
+            ("n_shingles", pa.int64()),
+            ("is_short", pa.bool_()),
+            ("minhash", pa.list_(pa.int64())),
+            ("minhash8", pa.list_(pa.uint8())),
+            ("simhash", pa.int64()),
+            ("band_keys", pa.list_(pa.int64())),
+        ]
+    )
     return checkpointed_map_stage(
         with_pid,
         stage="signatures",
@@ -245,6 +265,7 @@ def checkpointed_signatures(
         pid_column="pid",
         fp_column="doc_id",
         only_pids=only_pids,
+        empty_schema=sig_schema,
     )
 
 
@@ -288,6 +309,8 @@ def checkpointed_edges(
             verify_partition, batch_format="pyarrow"
         )
 
+    from libpostal_ray.stages.verify import EDGE_SCHEMA
+
     return checkpointed_map_stage(
         exploded,
         stage="edges",
@@ -298,6 +321,7 @@ def checkpointed_edges(
         fp_column="src",
         only_pids=only_pids,
         num_partitions=P,
+        empty_schema=EDGE_SCHEMA,
     )
 
 
@@ -738,8 +762,18 @@ def refine_review_edges(
             if b.num_rows
         ]
     )
+    # canonicalize with the SAME flags the signature stage used — the exact
+    # Jaccard must be computed on the form the signatures were built from
     sets = {
-        int(i): shingle_set(canonicalize_one(c), cfg.shingle_k)
+        int(i): shingle_set(
+            canonicalize_one(
+                c,
+                fold_case=cfg.fold_case,
+                collapse_whitespace=cfg.collapse_whitespace,
+                strip_comments=cfg.strip_comments,
+            ),
+            cfg.shingle_k,
+        )
         for i, c in zip(picked["doc_id"].to_pylist(), picked["content"].to_pylist())
     }
     import ray as _ray

@@ -5,9 +5,16 @@ tokenize -> per-token rewrites -> emit normal forms.  Here: one deterministic
 canonical form per row + the per-row invariants (sha256 of the ORIGINAL
 content, byte/char sizes).
 
-A callable class => Ray actor pool; the rule table / compiled regexes load
-once per actor in ``__init__`` (the analog of libpostal's process-global
-setup singletons, libpostal.c:289-334).
+Scale path: for the default rule set the whole batch is canonicalized at the
+Arrow-BUFFER level — one numpy pass over the column's UTF-8 value buffer
+(functions/canonicalize.ascii_canonicalize_buffer); no per-row Python string
+is created.  Non-ASCII rows (detected vectorized) fall back to the per-row
+Unicode path and are spliced in.  sha256 runs over zero-copy buffer slices.
+
+A callable class => works in an actor pool or as a serialized stateless task;
+the rule table / compiled regexes are built once per worker in ``__init__``
+(the analog of libpostal's process-global setup singletons,
+libpostal.c:289-334).
 """
 
 from __future__ import annotations
@@ -16,9 +23,30 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from libpostal_ray.config import PipelineConfig
-from libpostal_ray.functions.canonicalize import canonicalize_one
+from libpostal_ray.functions.canonicalize import (
+    ascii_canonicalize_buffer,
+    canonicalize_one,
+    compile_rules,
+    large_string_view,
+)
+
+
+def _scatter_replace(arr: pa.Array, idxs: np.ndarray, values: list[str]) -> pa.Array:
+    """Replace rows `idxs` of a large_string array with `values` (zero-copy
+    slices for the untouched runs)."""
+    parts = []
+    prev = 0
+    for i, v in zip(idxs.tolist(), values):
+        if i > prev:
+            parts.append(arr.slice(prev, i - prev))
+        parts.append(pa.array([v], type=arr.type))
+        prev = i + 1
+    if prev < len(arr):
+        parts.append(arr.slice(prev, len(arr) - prev))
+    return pa.concat_arrays(parts)
 
 
 class CanonicalizeStage:
@@ -27,22 +55,79 @@ class CanonicalizeStage:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
+        self.compiled_rules = compile_rules(self.cfg.rewrite_rules)
+        # buffer fast path applies only to the default ASCII-equivalent rules
+        self.buffer_path = (
+            self.cfg.fold_case
+            and self.cfg.collapse_whitespace
+            and not self.cfg.strip_comments
+            and not self.compiled_rules
+        )
+
+    def _canonicalize_py(self, text: str) -> str:
+        cfg = self.cfg
+        return canonicalize_one(
+            text,
+            fold_case=cfg.fold_case,
+            collapse_whitespace=cfg.collapse_whitespace,
+            strip_comments=cfg.strip_comments,
+            compiled_rules=self.compiled_rules,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        contents = batch["content"].to_pylist()
-        sha = [hashlib.sha256((t or "").encode("utf-8")).digest() for t in contents]
-        canon = [
-            canonicalize_one(
-                t,
-                fold_case=cfg.fold_case,
-                collapse_whitespace=cfg.collapse_whitespace,
-                strip_comments=cfg.strip_comments,
-            )
-            for t in contents
+        n = batch.num_rows
+        col = batch["content"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        if not pa.types.is_large_string(col.type):
+            col = col.cast(pa.large_string())
+        data, offsets = large_string_view(col)
+        lens = np.diff(offsets)
+
+        # sha256 of the ORIGINAL content bytes — zero-copy buffer slices
+        sha = [
+            hashlib.sha256(data[offsets[i] : offsets[i + 1]]).digest()
+            for i in range(n)
         ]
-        n_chars = np.array([len(t or "") for t in contents], dtype=np.int64)
+
+        # n_chars (codepoints) = bytes - UTF-8 continuation bytes, vectorized
+        hi = data >= 0x80
+        if hi.any():
+            cont = (data & 0xC0) == 0x80
+            ccum = np.zeros(data.shape[0] + 1, dtype=np.int64)
+            np.cumsum(cont, out=ccum[1:])
+            n_chars = lens - (ccum[offsets[1:]] - ccum[offsets[:-1]])
+            hcum = np.zeros(data.shape[0] + 1, dtype=np.int64)
+            np.cumsum(hi, out=hcum[1:])
+            non_ascii_rows = np.flatnonzero(
+                (hcum[offsets[1:]] - hcum[offsets[:-1]]) > 0
+            )
+        else:
+            n_chars = lens.copy()
+            non_ascii_rows = np.empty(0, dtype=np.int64)
+
+        if self.buffer_path:
+            out_buf, out_off = ascii_canonicalize_buffer(data, offsets)
+            canon = pa.Array.from_buffers(
+                pa.large_string(),
+                n,
+                [None, pa.py_buffer(np.ascontiguousarray(out_off)), pa.py_buffer(out_buf)],
+            )
+            if non_ascii_rows.size:
+                fixed = [
+                    self._canonicalize_py(col[int(i)].as_py())
+                    for i in non_ascii_rows
+                ]
+                canon = _scatter_replace(canon, non_ascii_rows, fixed)
+        else:
+            canon = pa.array(
+                [self._canonicalize_py(t) for t in col.to_pylist()],
+                type=pa.large_string(),
+            )
+
         out = batch.append_column("sha256", pa.array(sha, type=pa.binary(32)))
-        out = out.append_column("canonical", pa.array(canon, type=pa.large_string()))
+        out = out.append_column("canonical", canon)
         out = out.append_column("n_chars", pa.array(n_chars, type=pa.int64()))
         return out

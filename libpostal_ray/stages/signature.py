@@ -1,12 +1,17 @@
 """SignatureStage — MinHash + SimHash sketches per row.
 
 The analog of the reference's "heavy model in a process-global singleton"
-pattern (address parser singleton, address_parser.c:1843-1855): the MinHash
-permutation matrix is built once per actor in ``__init__`` and reused across
-batches.  Content is DROPPED after this stage — downstream shuffles carry only
-(doc_id, sha256, sketches), the dataset-scale version of libpostal's
-zero-copy token spans (libpostal.h:280-284): never ship the big payload when
-a fixed-width reference suffices.
+pattern (address parser singleton, address_parser.c:1843-1855): configuration
+is built once per worker and reused across batches.  Content is DROPPED after
+this stage — downstream shuffles carry only (doc_id, sha256, sketches), the
+dataset-scale version of libpostal's zero-copy token spans
+(libpostal.h:280-284): never ship the big payload when a fixed-width
+reference suffices.
+
+Scale path: shingle hashes are computed in ONE vectorized pass over the
+batch's concatenated canonical value buffer (zero-copy Arrow view); shingles
+that cross row boundaries are masked out with index arithmetic.  No per-row
+Python string or bytes object is created anywhere in this stage.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from libpostal_ray.config import PipelineConfig
+from libpostal_ray.functions.canonicalize import large_string_view
 from libpostal_ray.functions.lsh import band_keys
 from libpostal_ray.functions.simhash import simhash_chunk_keys
 
@@ -31,17 +37,36 @@ SIGNATURE_COLUMNS = [
 ]
 
 
+def _segment_gather(
+    concat: np.ndarray, seg_starts: np.ndarray, seg_counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather variable-length segments [start, start+count) from `concat`
+    into one contiguous array + offsets — fully vectorized."""
+    total = int(seg_counts.sum())
+    offs = np.zeros(seg_counts.shape[0] + 1, dtype=np.int64)
+    np.cumsum(seg_counts, out=offs[1:])
+    if total == 0:
+        return np.empty(0, dtype=concat.dtype), offs
+    intra = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], seg_counts)
+    pos = np.repeat(seg_starts, seg_counts) + intra
+    return concat[pos], offs
+
+
 class SignatureStage:
     """batch (doc_id, sha256, canonical, n_chars) ->
     (doc_id, sha256, n_chars, n_shingles, is_short, minhash, simhash,
      band_keys).
 
-    - long rows (canonical length >= short_file_cutoff): MinHash signature,
-      LSH band keys.
-    - short rows: SimHash + chunk blocking keys (pigeonhole guarantee for
-      hamming <= simhash_max_hamming).
-    Both key families live in one ``band_keys`` list column with disjoint
-    salts, so ONE downstream groupby serves both paths.
+    Length routing with a BOUNDARY BAND (the geohash+neighbors trick,
+    near_dupe.c:220-248, applied to the cutoff):
+    - canonical length >= cutoff - boundary_band: MinHash LSH band keys.
+    - canonical length <  cutoff + boundary_band: SimHash chunk keys
+      (pigeonhole guarantee for hamming <= simhash_max_hamming).
+    Rows inside the band emit BOTH families, so a near-dup pair straddling
+    the cutoff still becomes a candidate.  ``is_short`` (length < cutoff)
+    routes pair VERIFICATION (stages/verify.py).
+    Both families live in one ``band_keys`` list column with disjoint salts,
+    so ONE downstream groupby serves both.
     """
 
     def __init__(self, cfg: PipelineConfig | None = None):
@@ -49,76 +74,116 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        canon = batch["canonical"].to_pylist()
-        n = len(canon)
+        n = batch.num_rows
+        k = cfg.shingle_k
 
-        # hash shingles ONCE; the MinHash sketch is one-permutation hashing
-        # (O(S) per doc); SimHash is computed ONLY for short rows — the long
-        # path never reads it (stages/verify.py uses it for short pairs only)
         from libpostal_ray.functions.hashing import rolling_shingle_hashes
         from libpostal_ray.functions.minhash import oph_minhash_batch
-        from libpostal_ray.functions.simhash import simhash_of_hashes
+        from libpostal_ray.functions.simhash import simhash_batch, simhash_of_hashes
 
-        per_doc = [
-            rolling_shingle_hashes((c or "").encode("utf-8"), cfg.shingle_k)
-            for c in canon
-        ]
-        counts = np.array([h.shape[0] for h in per_doc], dtype=np.int64)
-        concat = (
-            np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
-        )
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        sigs = oph_minhash_batch(concat, offsets, cfg.num_perm)
+        col = batch["canonical"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        data, off = large_string_view(col)
+        lens = np.diff(off)
 
-        is_short = np.array(
-            [len(c or "") < cfg.short_file_cutoff for c in canon], dtype=bool
-        )
+        # canonical char length (codepoints) for the cutoff decisions
+        hi = data >= 0x80
+        if hi.any():
+            cont = (data & 0xC0) == 0x80
+            ccum = np.zeros(data.shape[0] + 1, dtype=np.int64)
+            np.cumsum(cont, out=ccum[1:])
+            char_len = lens - (ccum[off[1:]] - ccum[off[:-1]])
+        else:
+            char_len = lens
+
+        # ONE rolling-hash pass over the whole buffer; per-row shingles are
+        # the positions that don't cross a row boundary
+        h_all = rolling_shingle_hashes(data, k)
+        counts = np.maximum(0, lens - (k - 1))
+        concat, voff = _segment_gather(h_all, off[:-1], counts)
+        sigs = oph_minhash_batch(concat, voff, cfg.num_perm)
+
+        cutoff = cfg.short_file_cutoff
+        band = cfg.boundary_band
+        is_short = char_len < cutoff
+        emit_mh = (char_len >= cutoff - band) & (counts > 0)
+        emit_sh = char_len < cutoff + band
+
+        # SimHash only for rows that emit chunk keys (gated, vectorized)
         sims = np.zeros(n, dtype=np.uint64)
-        for i in np.nonzero(is_short)[0]:
-            data = (canon[i] or "").encode("utf-8")
-            if data:
-                sims[i] = simhash_of_hashes(
-                    rolling_shingle_hashes(data, min(cfg.shingle_k, len(data)))
+        rows_sh = np.flatnonzero(emit_sh)
+        if rows_sh.size:
+            have = rows_sh[counts[rows_sh] > 0]
+            if have.size:
+                sub, soff = _segment_gather(concat, voff[have], counts[have])
+                sims[have] = simhash_batch(sub, soff)
+            # rows shorter than k: hash the whole content as one shingle
+            tiny = rows_sh[(counts[rows_sh] == 0) & (lens[rows_sh] > 0)]
+            for r in tiny:
+                seg = data[off[r] : off[r + 1]]
+                sims[r] = simhash_of_hashes(
+                    rolling_shingle_hashes(seg, int(seg.shape[0]))
                 )
 
-        bkeys = band_keys(sigs, cfg.bands, cfg.rows_per_band)  # (n, bands)
-        skeys = simhash_chunk_keys(sims, cfg.simhash_chunks)  # (n, chunks)
+        rows_mh = np.flatnonzero(emit_mh)
+        bk_sub = (
+            band_keys(sigs[rows_mh], cfg.bands, cfg.rows_per_band)
+            if rows_mh.size
+            else np.empty((0, cfg.bands), dtype=np.int64)
+        )
+        sk_sub = (
+            simhash_chunk_keys(sims[rows_sh], cfg.simhash_chunks)
+            if rows_sh.size
+            else np.empty((0, cfg.simhash_chunks), dtype=np.int64)
+        )
 
-        keys_list = [
-            (skeys[i] if is_short[i] else bkeys[i]) for i in range(n)
-        ]
+        # assemble the band_keys list column without per-row Python lists
+        nkeys = emit_mh.astype(np.int64) * cfg.bands + emit_sh.astype(
+            np.int64
+        ) * cfg.simhash_chunks
+        koff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nkeys, out=koff[1:])
+        vals = np.empty(int(koff[-1]), dtype=np.int64)
+        if rows_mh.size:
+            idx = (koff[rows_mh][:, None] + np.arange(cfg.bands)).ravel()
+            vals[idx] = bk_sub.ravel()
+        if rows_sh.size:
+            base = koff[rows_sh] + emit_mh[rows_sh] * cfg.bands
+            idx = (base[:, None] + np.arange(cfg.simhash_chunks)).ravel()
+            vals[idx] = sk_sub.ravel()
+        band_keys_arr = pa.ListArray.from_arrays(
+            pa.array(koff.astype(np.int32)), pa.array(vals, type=pa.int64())
+        )
 
         out_cols = {
-                "doc_id": batch["doc_id"],
-                "sha256": batch["sha256"],
-                "n_chars": batch["n_chars"],
-                "n_shingles": pa.array(counts, type=pa.int64()),
-                "is_short": pa.array(is_short),
-                # sketches are bit-cast to int64: Ray's shuffle boundary code
-                # converts blocks through Python ints, and uint64 values over
-                # 2^63 degrade to pickled-object columns.  Equality (MinHash
-                # agreement) and XOR/popcount (SimHash hamming) are identical
-                # on the signed view.
-                "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()),
-                    cfg.num_perm,
+            "doc_id": batch["doc_id"],
+            "sha256": batch["sha256"],
+            "n_chars": batch["n_chars"],
+            "n_shingles": pa.array(counts, type=pa.int64()),
+            "is_short": pa.array(is_short),
+            # sketches are bit-cast to int64: Ray's shuffle boundary code
+            # converts blocks through Python ints, and uint64 values over
+            # 2^63 degrade to pickled-object columns.  Equality (MinHash
+            # agreement) and XOR/popcount (SimHash hamming) are identical
+            # on the signed view.
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()),
+                cfg.num_perm,
+            ),
+            # b-bit MinHash (Li & Koenig, WWW'10): the low 8 bits of each
+            # slot are all the verify stage ships through the LSH shuffle
+            # (8x fewer payload bytes); the estimator corrects for the
+            # 1/256 accidental-collision rate (stages/verify.py)
+            "minhash8": pa.FixedSizeListArray.from_arrays(
+                pa.array(
+                    (sigs.reshape(-1) & np.uint64(0xFF)).astype(np.uint8),
+                    type=pa.uint8(),
                 ),
-                # b-bit MinHash (Li & Koenig, WWW'10): the low 8 bits of each
-                # slot are all the verify stage ships through the LSH shuffle
-                # (8x fewer payload bytes); the estimator corrects for the
-                # 1/256 accidental-collision rate (stages/verify.py)
-                "minhash8": pa.FixedSizeListArray.from_arrays(
-                    pa.array(
-                        (sigs.reshape(-1) & np.uint64(0xFF)).astype(np.uint8),
-                        type=pa.uint8(),
-                    ),
-                    cfg.num_perm,
-                ),
-                "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
-                "band_keys": pa.array(
-                    [k.tolist() for k in keys_list], type=pa.list_(pa.int64())
-                ),
+                cfg.num_perm,
+            ),
+            "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
+            "band_keys": band_keys_arr,
         }
         # checkpoint partition id (and any other passthrough key) survives
         if "pid" in batch.column_names:

@@ -191,7 +191,16 @@ class VerifyPartition:
         keep = np.concatenate(
             ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]))
         )
-        return edges.filter(pa.array(keep))
+        # truncated takes OR semantics across the pair's buckets (status/est
+        # are per-pair invariants — same docs, same signatures, any bucket)
+        trunc = edges["truncated"].to_numpy(zero_copy_only=False)
+        seg = np.cumsum(keep) - 1
+        trunc_or = np.zeros(int(keep.sum()), dtype=bool)
+        np.logical_or.at(trunc_or, seg, trunc)
+        out = edges.filter(pa.array(keep))
+        return out.set_column(
+            out.column_names.index("truncated"), "truncated", pa.array(trunc_or)
+        )
 
 
 PAIR_SCHEMA = pa.schema(

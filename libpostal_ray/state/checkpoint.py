@@ -102,7 +102,7 @@ class StageCheckpoint:
             json.dump(self.manifest, f, indent=1)
         os.replace(tmp, self.manifest_path)  # atomic commit point
 
-    def read_all(self) -> ray.data.Dataset:
+    def read_all(self, empty_schema: pa.Schema | None = None) -> ray.data.Dataset:
         import glob
 
         files: list[str] = []
@@ -110,6 +110,12 @@ class StageCheckpoint:
             d = self.part_dir(pid)
             if os.path.isdir(d):
                 files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        if not files:
+            # all committed partitions are empty (e.g. a corpus with zero
+            # duplicate pairs): read_parquet([]) raises, so return a
+            # correctly-schemed empty Dataset instead
+            schema = empty_schema or pa.schema([])
+            return ray.data.from_arrow(schema.empty_table())
         return ray.data.read_parquet(files)
 
 
@@ -130,6 +136,7 @@ def checkpointed_map_stage(
     fp_column: str = "doc_id",
     only_pids: set[int] | None = None,
     num_partitions: int | None = None,
+    empty_schema: pa.Schema | None = None,
 ) -> tuple[ray.data.Dataset, dict]:
     """Run `apply` over the partitions of `ds` that are not yet checkpointed;
     write each new partition to parquet; return (full dataset, metrics).
@@ -203,4 +210,4 @@ def checkpointed_map_stage(
         "computed_pids": sorted(computed),
         "manifest": ck.manifest_path,
     }
-    return ck.read_all(), metrics
+    return ck.read_all(empty_schema=empty_schema), metrics

@@ -234,10 +234,13 @@ def synth_file(seed: int, idx: int, n_files: int, avg_lines: int = 40) -> dict:
     rng = np.random.default_rng([seed, 2, fam])
     lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
     text = _make_file(rng, lang, avg_lines * 2)
+    # commit derives from the copy index j (not just the family) so every
+    # vendored row has a distinct (repo, path, commit) identity -> unique
+    # doc_id even when lcm(40, n_repos) < n_vendored
     return {
         "repo": f"repo{j % n_repos}",
         "path": f"vendor/lib{fam}/mod.{lang}",
-        "commit": f"c{fam:08x}",
+        "commit": f"c{fam:04x}{j:08x}",
         "lang": lang,
         "content": text,
     }
