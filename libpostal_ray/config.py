@@ -123,8 +123,19 @@ class PipelineConfig:
                                     # pairgen shuffle (split by band_key % P,
                                     # num_returns=P; no global sort);
                                     # "sort": Ray Data groupby (sample sort)
-    sig_batch_size: int = 1024      # rows per signature batch (content is
-                                    # wide; ~1-2 MB of content per batch)
+    sig_batch_size: int = 1024      # rows per signature batch (Ray-level;
+                                    # coarse blocks keep scheduler overhead low)
+    kernel_chunk_bytes: int = 128 * 1024  # CACHE BLOCKING: the canonicalize /
+                                    # signature kernels process the content
+                                    # buffer in chunks of ~this many bytes so
+                                    # the numpy temporaries (u64 expansions,
+                                    # rolling-hash arrays) stay inside a
+                                    # core's cache slice.  Measured on this
+                                    # class of host: whole-batch temporaries
+                                    # saturate DRAM bandwidth at ~32-way
+                                    # concurrency (15-25x per-task slowdown);
+                                    # 128 KB chunks restore near-linear
+                                    # scaling (BENCH/BASELINE.md round 2)
     verify_batch_size: int = 4096
     sig_concurrency: int | tuple[int, int] | None = None  # None => stateless tasks sized by Ray
     seed: int = DEFAULT_SEED

@@ -152,22 +152,27 @@ def ascii_canonicalize_buffer(
     prev_ws[1:] = ws[:-1]
     prev_ws[offsets[:-1][offsets[:-1] < N]] = True
     word_start = nonws & prev_ws
-    # a separator space is emitted before every word EXCEPT a row's first:
-    # wcum[i] = number of word starts in [0, i)
-    wcum = np.zeros(N + 1, dtype=np.int64)
-    np.cumsum(word_start, out=wcum[1:])
-    lens = np.diff(offsets)
-    row_base = np.repeat(wcum[offsets[:-1]], lens)  # per byte: wcum at row start
-    sep = word_start & (wcum[:-1] != row_base)
-    # emitted bytes: every non-ws byte, plus one space per separator
-    emit = nonws.astype(np.int64)
-    emit += sep
-    c = np.cumsum(emit)
+    # a separator space is emitted before every word EXCEPT a row's first;
+    # row-firsts are cleared via searchsorted over the word-start positions
+    # (n row probes — no full-buffer int64 intermediate)
+    sep = word_start  # mutated in place below
+    wpos = np.flatnonzero(word_start)
+    if wpos.size:
+        idx = np.searchsorted(wpos, offsets[:-1])
+        cand = np.minimum(idx, wpos.shape[0] - 1)
+        in_row = (idx < wpos.shape[0]) & (wpos[cand] < offsets[1:])
+        sep[wpos[cand[in_row]]] = False
+    # emitted bytes: every non-ws byte, plus one space per separator;
+    # positions fit int32 (a batch buffer is far below 2 GB)
+    emit8 = nonws.astype(np.int8)
+    emit8 += sep
+    c = np.cumsum(emit8, dtype=np.int32)
     out = np.full(int(c[-1]), 32, dtype=np.uint8)  # spaces pre-filled
     nz = np.flatnonzero(nonws)
     out[c[nz] - 1] = _ASCII_LOWER[data[nz]]
-    cc = np.concatenate((np.zeros(1, dtype=np.int64), c))
-    return out, cc[offsets]
+    off_idx = np.maximum(offsets - 1, 0)
+    out_offsets = np.where(offsets == 0, 0, c[off_idx]).astype(np.int64)
+    return out, out_offsets
 
 
 def basic_canonicalize_array(texts) -> np.ndarray:

@@ -247,10 +247,10 @@ def checkpointed_signatures(
         [
             ("doc_id", pa.int64()),
             ("sha256", pa.binary(32)),
+            ("sha_key", pa.int64()),
             ("n_chars", pa.int64()),
             ("n_shingles", pa.int64()),
             ("is_short", pa.bool_()),
-            ("minhash", pa.list_(pa.int64())),
             ("minhash8", pa.list_(pa.uint8())),
             ("simhash", pa.int64()),
             ("band_keys", pa.list_(pa.int64())),

@@ -34,6 +34,35 @@ from libpostal_ray.functions.canonicalize import (
 )
 
 
+def byte_chunk_bounds(cum_bytes: np.ndarray, target: int) -> list[tuple[int, int]]:
+    """Split n rows into (row_start, row_end) ranges of ~target content
+    bytes each — CACHE BLOCKING for the vectorized kernels: the numpy
+    temporaries are proportional to chunk content, and keeping them inside a
+    core's cache slice is what makes 32-way concurrency scale on
+    bandwidth-limited hosts (measured 15-25x per-task slowdown without it).
+
+    ``cum_bytes``: (n+1,) cumulative content bytes."""
+    n = cum_bytes.shape[0] - 1
+    if n == 0 or cum_bytes[-1] - cum_bytes[0] <= target:
+        return [(0, n)]
+    bounds = []
+    s = 0
+    while s < n:
+        e = int(np.searchsorted(cum_bytes, cum_bytes[s] + target, side="left"))
+        e = min(max(e, s + 1), n)
+        bounds.append((s, e))
+        s = e
+    return bounds
+
+
+def content_cum_bytes(col) -> np.ndarray:
+    """(n+1,) cumulative byte lengths of a string column (nulls = 0)."""
+    lens = pc.fill_null(pc.binary_length(col), 0).to_numpy(zero_copy_only=False)
+    out = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=out[1:])
+    return out
+
+
 def _scatter_replace(arr: pa.Array, idxs: np.ndarray, values: list[str]) -> pa.Array:
     """Replace rows `idxs` of a large_string array with `values` (zero-copy
     slices for the untouched runs)."""
@@ -75,6 +104,16 @@ class CanonicalizeStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._process(batch)
+        cum = content_cum_bytes(batch["content"])
+        bounds = byte_chunk_bounds(cum, self.cfg.kernel_chunk_bytes)
+        if len(bounds) == 1:
+            return self._process(batch)
+        parts = [self._process(batch.slice(s, e - s)) for s, e in bounds]
+        return pa.concat_tables(parts)
+
+    def _process(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         col = batch["content"]
         if isinstance(col, pa.ChunkedArray):

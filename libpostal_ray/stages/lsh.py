@@ -36,8 +36,10 @@ def explode_band_keys(batch: pa.Table) -> pa.Table:
             "band_key": flat_keys,
             "doc_id": batch["doc_id"].take(idx_arr),
             "sha256": batch["sha256"].take(idx_arr),
+            "sha_key": batch["sha_key"].take(idx_arr),
             "is_short": batch["is_short"].take(idx_arr),
             "n_chars": batch["n_chars"].take(idx_arr),
+            "n_shingles": batch["n_shingles"].take(idx_arr),
             # b-bit signature only: the full 64-bit signature never shuffles
             "minhash8": batch["minhash8"].take(idx_arr),
             "simhash": batch["simhash"].take(idx_arr),
@@ -52,16 +54,20 @@ def pc_list_len(arr: pa.Array) -> np.ndarray:
 
 
 def explode_band_keys_skinny(batch: pa.Table) -> pa.Table:
-    """Skinny explode for the pairs-mode shuffle: ONLY (band_key, doc_id) —
-    16 B/row through the all-to-all instead of ~200 B/row."""
+    """Skinny explode for the pairs-mode shuffle: (band_key, doc_id,
+    sha_key) — 24 B/row through the all-to-all instead of ~200 B/row.
+    ``sha_key`` (63-bit content-hash prefix) lets bucket workers collapse
+    content-identical members to one representative before pairing."""
     keys = batch["band_keys"]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     lens = np.asarray(pc_list_len(keys), dtype=np.int64)
     idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    idx_arr = pa.array(idx)
     return pa.table(
         {
             "band_key": keys.flatten(),
-            "doc_id": batch["doc_id"].take(pa.array(idx)),
+            "doc_id": batch["doc_id"].take(idx_arr),
+            "sha_key": batch["sha_key"].take(idx_arr),
         }
     )

@@ -27,10 +27,10 @@ from libpostal_ray.functions.simhash import simhash_chunk_keys
 SIGNATURE_COLUMNS = [
     "doc_id",
     "sha256",
+    "sha_key",
     "n_chars",
     "n_shingles",
     "is_short",
-    "minhash",
     "minhash8",
     "simhash",
     "band_keys",
@@ -73,6 +73,21 @@ class SignatureStage:
         self.cfg = cfg or PipelineConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._process(batch)
+        from libpostal_ray.stages.canonicalize import (
+            byte_chunk_bounds,
+            content_cum_bytes,
+        )
+
+        cum = content_cum_bytes(batch["canonical"])
+        bounds = byte_chunk_bounds(cum, self.cfg.kernel_chunk_bytes)
+        if len(bounds) == 1:
+            return self._process(batch)
+        parts = [self._process(batch.slice(s, e - s)) for s, e in bounds]
+        return pa.concat_tables(parts)
+
+    def _process(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = batch.num_rows
         k = cfg.shingle_k
@@ -156,25 +171,36 @@ class SignatureStage:
             pa.array(koff.astype(np.int32)), pa.array(vals, type=pa.int64())
         )
 
+        # 63-bit prefix of sha256 as an int64 grouping key: lets bucket
+        # workers collapse content-identical members to one representative
+        # (star pairing) without shipping the full 32-byte digest through
+        # the LSH exchange.  A prefix collision between DIFFERENT contents
+        # only costs a wasted candidate pair (verify compares full sha).
+        sha_col = batch["sha256"]
+        if isinstance(sha_col, pa.ChunkedArray):
+            sha_col = sha_col.combine_chunks()
+        sha_buf = sha_col.buffers()[1]
+        sha_words = np.frombuffer(
+            sha_buf, dtype=">u8", count=4 * n, offset=sha_col.offset * 32
+        )[::4]
+        sha_key = (sha_words & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
         out_cols = {
             "doc_id": batch["doc_id"],
             "sha256": batch["sha256"],
+            "sha_key": pa.array(sha_key, type=pa.int64()),
             "n_chars": batch["n_chars"],
             "n_shingles": pa.array(counts, type=pa.int64()),
             "is_short": pa.array(is_short),
-            # sketches are bit-cast to int64: Ray's shuffle boundary code
-            # converts blocks through Python ints, and uint64 values over
-            # 2^63 degrade to pickled-object columns.  Equality (MinHash
-            # agreement) and XOR/popcount (SimHash hamming) are identical
-            # on the signed view.
-            "minhash": pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.reshape(-1).view(np.int64), type=pa.int64()),
-                cfg.num_perm,
-            ),
-            # b-bit MinHash (Li & Koenig, WWW'10): the low 8 bits of each
-            # slot are all the verify stage ships through the LSH shuffle
-            # (8x fewer payload bytes); the estimator corrects for the
-            # 1/256 accidental-collision rate (stages/verify.py)
+            # ONLY the b-bit signature leaves this stage: the full 64-bit
+            # signature exists transiently for band-key derivation and is
+            # dropped — at 1 KB/row it would dominate every downstream
+            # materialization.  b-bit MinHash (Li & Koenig, WWW'10): the low
+            # 8 bits of each slot are all verification needs; the estimator
+            # corrects for the 1/256 accidental-collision rate
+            # (stages/verify.py).  SimHash is bit-cast to int64: uint64
+            # values over 2^63 degrade to pickled-object columns in Ray
+            # shuffles; XOR/popcount are identical on the signed view.
             "minhash8": pa.FixedSizeListArray.from_arrays(
                 pa.array(
                     (sigs.reshape(-1) & np.uint64(0xFF)).astype(np.uint8),

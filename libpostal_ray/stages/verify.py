@@ -11,14 +11,17 @@ duplicate-status lattice (libpostal.h:218-224, dedupe.c:78-156):
                     SimHash hamming <= simhash_max_hamming (short rows).
   NEEDS_REVIEW (3): estimated Jaccard >= jaccard_review (long rows only).
 
-Skew handling (the reference caps permutations, expand.c:29; we cap buckets):
-  * bucket size <= small_bucket_cap  -> all-pairs verification.
-  * larger                           -> anchor pairing: every member vs the
-    min-id member.  Linear work; transitive closure via union-find recovers
-    the clusters.  Pairs missed here still collide in other bands whp.
-  * > max_bucket_size                -> deterministic truncation to the
-    max_bucket_size smallest ids, logged via the ``truncated`` counter column
-    (no silent truncation — SURVEY.md section 4).
+Skew handling (the reference caps permutations, expand.c:29; we collapse,
+salt and cap buckets — see ``bucket_candidate_indices``):
+  * content-identical members (same sha_key) collapse to ONE representative
+    via star pairs — a vendored mega-family costs linear work.
+  * representative count <= small_bucket_cap -> all-pairs verification.
+  * <= hot_bucket_cap                -> anchor pairing vs the min-id member
+    (transitive closure via union-find recovers the cluster).
+  * larger                           -> salted sub-buckets of ~hot_sub_size
+    (all-pairs inside) + a delegate clique for cross-salt closure, bounded
+    by salt_pair_budget; budget exhaustion degrades to anchor pairing and
+    sets the ``truncated`` column (no silent capping — SURVEY.md section 4).
 """
 
 from __future__ import annotations
@@ -27,10 +30,143 @@ import numpy as np
 import pyarrow as pa
 
 from libpostal_ray.config import PipelineConfig
+from libpostal_ray.functions.hashing import mix_fold_u64
 
 STATUS_EXACT = 9
 STATUS_LIKELY = 6
 STATUS_NEEDS_REVIEW = 3
+
+
+def bucket_candidate_indices(
+    keys: np.ndarray, sha_keys: np.ndarray, ids: np.ndarray, cfg: PipelineConfig
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Candidate index pairs for a PARTITION of buckets.
+
+    Inputs are parallel arrays SORTED by (key, sha_key, id); returns
+    (li, ri, truncated_any) — index pairs into those arrays.
+
+    Per bucket (segment of equal key):
+
+    1. **sha-collapse**: members sharing ``sha_key`` are content-identical
+       (whp); each group emits STAR pairs (min-id member vs the rest —
+       verified EXACT downstream via the full digest) and exactly ONE
+       representative enters bucket pairing.  This is the reference's
+       exact-intersection short-circuit (dedupe.c:13-31) applied BEFORE the
+       pair explosion: a vendored family of 100k identical files costs
+       99,999 star pairs + one representative, not an all-pairs blowup —
+       and a 63-bit prefix collision between different contents only costs
+       one wasted candidate pair.
+    2. **representatives**: all-pairs up to ``small_bucket_cap``; anchor
+       pairing up to ``hot_bucket_cap``; above that SALTED sub-buckets —
+       members ordered by a fixed hash of (doc_id, bucket key) and chunked
+       into groups of ~``hot_sub_size`` with all-pairs inside, plus a
+       delegate CLIQUE (min-id member per sub-bucket) for cross-salt
+       closure.  Connectivity of a true duplicate family is preserved while
+       per-bucket work drops from O(m^2) to O(m * sub_size).  The hash mixes
+       the bucket key, so each of the b bands splits a hot family
+       differently — independent closure chances per band.
+    3. ``salt_pair_budget`` bounds one bucket's emission: the sub size
+       shrinks first, and only then does the bucket degrade to anchor
+       pairing with truncated=True (never silent; SURVEY.md section 4).
+    """
+    n = keys.shape[0]
+    if n < 2:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            False,
+        )
+    # bucket segments
+    b_change = keys[1:] != keys[:-1]
+    b_starts = np.flatnonzero(np.concatenate(([True], b_change)))
+    # sha-group segments within buckets
+    g_change = b_change | (sha_keys[1:] != sha_keys[:-1])
+    g_starts = np.flatnonzero(np.concatenate(([True], g_change)))
+    g_seg = np.cumsum(np.concatenate(([0], g_change.astype(np.int64))))
+
+    li_parts: list[np.ndarray] = []
+    ri_parts: list[np.ndarray] = []
+
+    # star pairs: every non-first row of a sha-group vs the group's first
+    anchor_of_row = g_starts[g_seg]
+    non_first = np.flatnonzero(anchor_of_row != np.arange(n, dtype=np.int64))
+    if non_first.size:
+        li_parts.append(anchor_of_row[non_first])
+        ri_parts.append(non_first)
+
+    # bucket pairing over the representatives (sha-group firsts)
+    rep_rows = g_starts
+    rep_bucket = np.searchsorted(b_starts, rep_rows, side="right") - 1
+    rb_starts = np.flatnonzero(
+        np.concatenate(([True], rep_bucket[1:] != rep_bucket[:-1]))
+    )
+    rb_ends = np.concatenate((rb_starts[1:], [rep_rows.shape[0]]))
+    sizes = rb_ends - rb_starts
+    multi = np.flatnonzero(sizes >= 2)
+
+    truncated_any = False
+    for bi in multi:
+        s, e = int(rb_starts[bi]), int(rb_ends[bi])
+        rows = rep_rows[s:e]
+        m = e - s
+        if m <= cfg.small_bucket_cap:
+            li, ri = np.triu_indices(m, k=1)
+            li_parts.append(rows[li])
+            ri_parts.append(rows[ri])
+        elif m <= cfg.hot_bucket_cap:
+            # anchor pairing vs the min-id representative (rows sorted by id
+            # within the bucket only per sha-group; recover min explicitly)
+            a = int(np.argmin(ids[rows]))
+            others = np.delete(np.arange(m), a)
+            li_parts.append(np.full(m - 1, rows[a], dtype=np.int64))
+            ri_parts.append(rows[others])
+        else:
+            S = cfg.hot_sub_size
+            if m * (S - 1) // 2 > cfg.salt_pair_budget:
+                S = max(2, 2 * cfg.salt_pair_budget // m)
+            if S < 2 or m * (S - 1) // 2 > cfg.salt_pair_budget:
+                # even pair-per-member exceeds the budget: degrade, flag
+                truncated_any = True
+                a = int(np.argmin(ids[rows]))
+                others = np.delete(np.arange(m), a)
+                li_parts.append(np.full(m - 1, rows[a], dtype=np.int64))
+                ri_parts.append(rows[others])
+                continue
+            # deterministic per-bucket shuffle: order by hash(doc_id, key)
+            h = mix_fold_u64(
+                [ids[rows].astype(np.uint64)], salt=int(keys[rows[0]])
+            )
+            order = np.lexsort((ids[rows], h))
+            shuffled = rows[order]
+            delegates: list[int] = []
+            for cs in range(0, m, S):
+                chunk = shuffled[cs : cs + S]
+                cm = chunk.shape[0]
+                if cm >= 2:
+                    li, ri = np.triu_indices(cm, k=1)
+                    li_parts.append(chunk[li])
+                    ri_parts.append(chunk[ri])
+                delegates.append(int(chunk[np.argmin(ids[chunk])]))
+            dl = np.array(delegates, dtype=np.int64)
+            g = dl.shape[0]
+            if g >= 2:
+                if g <= cfg.small_bucket_cap:
+                    li, ri = np.triu_indices(g, k=1)
+                    li_parts.append(dl[li])
+                    ri_parts.append(dl[ri])
+                else:
+                    a = int(np.argmin(ids[dl]))
+                    others = np.delete(np.arange(g), a)
+                    li_parts.append(np.full(g - 1, dl[a], dtype=np.int64))
+                    ri_parts.append(dl[others])
+
+    if not li_parts:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            truncated_any,
+        )
+    return np.concatenate(li_parts), np.concatenate(ri_parts), truncated_any
 
 EDGE_SCHEMA = pa.schema(
     [
@@ -124,38 +260,15 @@ class VerifyPartition:
 
         keys = group["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, keys))
+        shak = group["sha_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, shak, keys))
         keys_s = keys[order]
         ids_s = ids[order]
+        shak_s = shak[order]
 
-        # bucket boundaries within the sorted partition
-        seg_starts = np.flatnonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))
-        seg_ends = np.concatenate((seg_starts[1:], [n]))
-        sizes = seg_ends - seg_starts
-        multi = np.flatnonzero(sizes >= 2)
-        if multi.shape[0] == 0:
+        li, ri, truncated_any = bucket_candidate_indices(keys_s, shak_s, ids_s, cfg)
+        if li.shape[0] == 0:
             return _empty_edges()
-
-        li_parts: list[np.ndarray] = []
-        ri_parts: list[np.ndarray] = []
-        truncated_any = False
-        for b in multi:
-            s, e = int(seg_starts[b]), int(seg_ends[b])
-            m = e - s
-            if m > cfg.max_bucket_size:
-                e = s + cfg.max_bucket_size
-                m = cfg.max_bucket_size
-                truncated_any = True
-            if m <= cfg.small_bucket_cap:
-                li, ri = np.triu_indices(m, k=1)
-                li_parts.append(li + s)
-                ri_parts.append(ri + s)
-            else:
-                # anchor pairing vs min-id member (index s: ids sorted per key)
-                ri_parts.append(np.arange(s + 1, e, dtype=np.int64))
-                li_parts.append(np.full(m - 1, s, dtype=np.int64))
-        li = np.concatenate(li_parts)
-        ri = np.concatenate(ri_parts)
 
         take = pa.array(order)
         sha = group["sha256"].take(take).to_pylist()
@@ -230,35 +343,16 @@ class PairGenPartition:
             return PAIR_SCHEMA.empty_table()
         keys = group["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, keys))
+        shak = group["sha_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, shak, keys))
         keys_s = keys[order]
         ids_s = ids[order]
-        seg_starts = np.flatnonzero(
-            np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
-        )
-        seg_ends = np.concatenate((seg_starts[1:], [n]))
-        sizes = seg_ends - seg_starts
-        multi = np.flatnonzero(sizes >= 2)
-        if multi.shape[0] == 0:
+        shak_s = shak[order]
+        li, ri, truncated_any = bucket_candidate_indices(keys_s, shak_s, ids_s, cfg)
+        if li.shape[0] == 0:
             return PAIR_SCHEMA.empty_table()
-        src_parts, dst_parts = [], []
-        truncated_any = False
-        for b in multi:
-            s, e = int(seg_starts[b]), int(seg_ends[b])
-            m = e - s
-            if m > cfg.max_bucket_size:
-                e = s + cfg.max_bucket_size
-                m = cfg.max_bucket_size
-                truncated_any = True
-            if m <= cfg.small_bucket_cap:
-                li, ri = np.triu_indices(m, k=1)
-                src_parts.append(ids_s[li + s])
-                dst_parts.append(ids_s[ri + s])
-            else:
-                src_parts.append(np.full(m - 1, ids_s[s], dtype=np.int64))
-                dst_parts.append(ids_s[s + 1 : e])
-        src = np.concatenate(src_parts)
-        dst = np.concatenate(dst_parts)
+        src = ids_s[li]
+        dst = ids_s[ri]
         lo = np.minimum(src, dst)
         hi = np.maximum(src, dst)
         order2 = np.lexsort((hi, lo))

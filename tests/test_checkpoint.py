@@ -67,7 +67,7 @@ def test_signatures_kill_and_resume(ray_session, corpus):
     )
     import numpy as np
 
-    for a, b in zip(direct["minhash"], loaded["minhash"]):
+    for a, b in zip(direct["minhash8"], loaded["minhash8"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
