@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_topk": q.cluster_size_topk,
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "hot_buckets": q.hot_buckets,
+        "dedup_report": q.dedup_report,
+        "near_dupe_clusters_with_spans": q.near_dupe_clusters_with_spans,
     }
 
 

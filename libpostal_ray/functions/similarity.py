@@ -45,6 +45,82 @@ def word_jaccard(t1: str, t2: str) -> float:
     return len(s1 & s2) / len(s1 | s2)
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein distance
+    (string_similarity.c:356-432 analog): edits = insert/delete/substitute/
+    adjacent-transpose.  Row-wise numpy DP — O(len_a) vector ops per row,
+    no per-cell Python.  Run only on candidate pairs (small data)."""
+    if a == b:
+        return 0
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return n + m
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev2 = None
+    prev = np.arange(m + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        sub_cost = (cb != ca[i - 1]).astype(np.int64)
+        # substitution / deletion are vectorizable; insertion needs a scan:
+        # cur[j] = min(prev[j]+1, prev[j-1]+cost, cur[j-1]+1)
+        base = np.minimum(prev[1:] + 1, prev[:-1] + sub_cost)
+        if prev2 is not None and i >= 2:
+            tr = (ca[i - 1] == cb[:-1]) & (ca[i - 2] == cb[1:])
+            base[1:] = np.minimum(base[1:], np.where(tr, prev2[:-2] + 1, base[1:]))
+        # prefix-scan for the insertion dependency: cur[j] =
+        # min(base[j], cur[j-1]+1) == min over k<=j of base[k] + (j-k)
+        shifted = base - np.arange(1, m + 1)
+        np.minimum.accumulate(shifted, out=shifted)
+        cur[1:] = np.minimum(base, shifted + np.arange(1, m + 1))
+        cur[1:] = np.minimum(cur[1:], cur[0] + np.arange(1, m + 1))
+        prev2, prev = prev, cur
+    return int(prev[m])
+
+
+def dl_similarity(a: str, b: str) -> float:
+    """1 - DL/max(len) in [0,1]."""
+    mx = max(len(a), len(b))
+    if mx == 0:
+        return 1.0
+    return 1.0 - damerau_levenshtein(a, b) / mx
+
+
+def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
+    """Jaro-Winkler similarity (string_similarity.c:529-590 analog),
+    numpy match-window implementation."""
+    if a == b:
+        return 1.0
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return 0.0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    window = max(n, m) // 2 - 1
+    b_taken = np.zeros(m, dtype=bool)
+    a_match = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        lo = max(0, i - window)
+        hi = min(m, i + window + 1)
+        cand = np.flatnonzero((cb[lo:hi] == ca[i]) & ~b_taken[lo:hi])
+        if cand.size:
+            j = lo + int(cand[0])
+            b_taken[j] = True
+            a_match[i] = j
+    matches = a_match[a_match >= 0]
+    mc = matches.shape[0]
+    if mc == 0:
+        return 0.0
+    transpositions = int(np.sum(matches[1:] < matches[:-1]))
+    jaro = (mc / n + mc / m + (mc - transpositions) / mc) / 3.0
+    # Winkler prefix boost (common prefix up to 4)
+    pmax = min(4, n, m)
+    eq = ca[:pmax] == cb[:pmax]
+    prefix = int(np.argmin(eq)) if not eq.all() else pmax
+    return jaro + prefix * prefix_scale * (1.0 - jaro)
+
+
 def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Brute-force cosine top-k: queries (q, d) x corpus (n, d) -> (idx, score)
     each (q, k).  float64 matmul per batch; the corpus side is a broadcast

@@ -84,6 +84,8 @@ def _small_star_part(group: pa.Table) -> pa.Table:
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
+    if "u" not in batch.column_names:
+        return _EDGE_SCHEMA.empty_table()
     u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
     return _pairs_table(np.concatenate([u, v]), np.concatenate([v, u]))
@@ -166,7 +168,12 @@ def _cc_vectorized(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray
 
 @ray.remote
 def _cc_task(*blocks) -> pa.Table:
-    t = pa.concat_tables(list(blocks))
+    # zero-row blocks can be schema-less (Ray skips empty blocks in
+    # map_batches, so the (u,v) conversion never saw them) — drop them
+    t = pa.concat_tables(
+        [b for b in blocks if b.num_rows > 0 and "u" in b.column_names]
+        or [_EDGE_SCHEMA.empty_table()]
+    )
     u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
     nodes, labels = _cc_vectorized(u, v)

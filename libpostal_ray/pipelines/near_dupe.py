@@ -378,10 +378,114 @@ def near_dupe_pipeline(
         return {"signatures": sigs, "edges": empty_edges, "clusters": empty_clusters}
     edges = candidate_edges(sigs, cfg).materialize()
     strong = cluster_edges(edges)
+    if cfg.span_edges:
+        strong = strong.union(_span_edges_as_cluster_edges(corpus, cfg))
     labels = connected_components(strong)
     docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
     clusters = assign_clusters(docs, labels, num_partitions=cfg.num_partitions)
     return {"signatures": sigs, "edges": edges, "clusters": clusters}
+
+
+def _span_edges_as_cluster_edges(
+    corpus: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """SPAN edges (exact shared substrings >= min_span_len, suffix-array
+    pass) converted to the edge schema so clustering can consume them —
+    cfg.span_edges wires the substring pass into the flagship pipeline
+    (the reference's exact-span evidence feeding the dedupe decision,
+    dedupe.c:78-156)."""
+    from libpostal_ray.pipelines.substring import substring_pass
+    from libpostal_ray.stages.substring import STATUS_SPAN
+    from libpostal_ray.stages.verify import EDGE_SCHEMA
+
+    spans = substring_pass(corpus, cfg)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        return pa.table(
+            {
+                "src": batch["src"].cast(pa.int64()),
+                "dst": batch["dst"].cast(pa.int64()),
+                "status": pa.array(
+                    np.full(n, STATUS_SPAN, dtype=np.int8), type=pa.int8()
+                ),
+                "est_jaccard": pa.array(np.full(n, -1.0), type=pa.float64()),
+                "truncated": batch["truncated"],
+            },
+            schema=EDGE_SCHEMA,
+        )
+
+    return spans.map_batches(to_edges, batch_format="pyarrow")
+
+
+def dedup_report(
+    corpus: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+) -> ray.data.Dataset:
+    """The reference's actual deliverable — a keep/drop decision per record
+    (dedupe.c:78-156 status decisions) — at dataset scale:
+
+        (doc_id, cluster_id, n_copies, keep, reason)
+
+    keep = the doc is its cluster's representative (min doc_id).  reason in
+    {'unique', 'kept', 'exact_dup', 'near_dup'}: dropped docs whose sha256
+    equals the representative's are exact_dup, others near_dup.
+
+    Physical plan: cluster rows co-locate via ONE groupby on
+    cluster_id % P; per-partition the segments are recovered vectorized
+    (sort + searchsorted) — no per-cluster Python calls, no broadcast of
+    the full cluster table."""
+    import numpy as np
+
+    cfg = cfg or PipelineConfig()
+    out = near_dupe_pipeline(corpus, cfg)
+    clusters = out["clusters"]
+    P = cfg.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        c = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array((c % P).astype("int64")))
+
+    def report_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        cid = group["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, cid))
+        cid_s, did_s = cid[order], did[order]
+        sha = group["sha256"].take(pa.array(order))
+        starts = np.flatnonzero(np.concatenate(([True], cid_s[1:] != cid_s[:-1])))
+        seg = np.cumsum(np.concatenate(([0], (cid_s[1:] != cid_s[:-1]).astype(np.int64))))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        n_copies = sizes[seg]
+        rep_row = starts[seg]  # first row of the segment = min doc_id = rep
+        keep = did_s == did_s[rep_row]
+        # sha equality vs the representative, vectorized over fixed binary
+        sha_np = np.frombuffer(
+            sha.combine_chunks().buffers()[1], dtype="S32", count=n
+        )
+        exact = sha_np == sha_np[rep_row]
+        reason = np.where(
+            keep,
+            np.where(n_copies == 1, "unique", "kept"),
+            np.where(exact, "exact_dup", "near_dup"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did_s, type=pa.int64()),
+                "cluster_id": pa.array(cid_s, type=pa.int64()),
+                "n_copies": pa.array(n_copies, type=pa.int64()),
+                "keep": pa.array(keep),
+                "reason": pa.array(reason.astype(object), type=pa.string()),
+            }
+        )
+
+    return (
+        clusters.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(report_partition, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -445,7 +549,9 @@ def _build_sig_state(*blocks) -> dict:
 
     t = pa.concat_tables(
         [
-            b.select(["doc_id", "sha256", "minhash8", "simhash", "is_short"])
+            b.select(
+                ["doc_id", "sha256", "minhash8", "simhash", "is_short", "n_shingles"]
+            )
             for b in blocks
             if b.num_rows > 0
         ]
@@ -463,7 +569,8 @@ def _build_sig_state(*blocks) -> dict:
         t["simhash"].to_numpy(zero_copy_only=False).astype("int64").view("uint64")[order]
     )
     short = t["is_short"].to_numpy(zero_copy_only=False).astype(bool)[order]
-    return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short}
+    nsh = t["n_shingles"].to_numpy(zero_copy_only=False).astype("int64")[order]
+    return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short, "nsh": nsh}
 
 
 def _sig_state_ref(sigs: ray.data.Dataset):
@@ -497,7 +604,10 @@ def _verify_pairs_broadcast(
         if both_short.any():
             x = (state["sim"][li] ^ state["sim"][ri]).view(np.uint8).reshape(-1, 8)
             ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
-        status, est = verify_pair_statuses(exact, raw, both_short, ham, cfg)
+        status, est = verify_pair_statuses(
+            exact, raw, both_short, ham, cfg,
+            nsh_a=state["nsh"][li], nsh_b=state["nsh"][ri],
+        )
         keep = status > 0
         return pa.table(
             {
@@ -543,10 +653,13 @@ def _verify_pairs_join(
                 ),
                 f"sim{suffix}": batch["simhash"],
                 f"short{suffix}": batch["is_short"],
+                f"nsh{suffix}": batch["n_shingles"],
             }
         )
 
-    slim = sigs.select_columns(["doc_id", "sha256", "minhash8", "simhash", "is_short"])
+    slim = sigs.select_columns(
+        ["doc_id", "sha256", "minhash8", "simhash", "is_short", "n_shingles"]
+    )
     side_a = slim.map_batches(lambda b: pack(b, "_a"), batch_format="pyarrow")
     side_b = slim.map_batches(lambda b: pack(b, "_b"), batch_format="pyarrow")
     npart = effective_join_partitions(cfg.verify_partitions)
@@ -572,7 +685,11 @@ def _verify_pairs_join(
         if both_short.any():
             x = (sim_a ^ sim_b).view(np.uint8).reshape(-1, 8)
             ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
-        status, est = verify_pair_statuses(exact, raw, both_short, ham, cfg)
+        nsh_a = batch["nsh_a"].to_numpy(zero_copy_only=False).astype("int64")
+        nsh_b = batch["nsh_b"].to_numpy(zero_copy_only=False).astype("int64")
+        status, est = verify_pair_statuses(
+            exact, raw, both_short, ham, cfg, nsh_a=nsh_a, nsh_b=nsh_b
+        )
         keep = status > 0
         return pa.table(
             {
@@ -718,15 +835,28 @@ def refine_review_edges(
     JUST the review pairs (a tiny fraction of the corpus: content is fetched
     once for the affected doc ids via broadcast, never shuffled).
 
+    Pairs the exact Jaccard does NOT clear get a second opinion from the
+    fuzzy scorers — Jaro-Winkler and Damerau-Levenshtein similarity on the
+    canonical text (string_similarity.c:529-590, 356-432 analogs; soft_tfidf
+    default jw >= 0.9 carried as cfg.fuzzy_sim_likely) — which rescues
+    REORDERED/lightly-edited docs whose shingle sets diverge.  Fuzzy scoring
+    is skipped for docs longer than cfg.fuzzy_max_chars (O(n*m) DP).
+
     Returns the edge dataset with review edges upgraded to LIKELY
-    (exact J >= jaccard_likely) or kept at NEEDS_REVIEW, with an added
-    ``exact_jaccard`` column (-1.0 for non-review edges)."""
+    (exact J >= jaccard_likely, or fuzzy sim >= fuzzy_sim_likely) or kept
+    at NEEDS_REVIEW, with added ``exact_jaccard`` / ``fuzzy_sim`` columns
+    (-1.0 for edges the tier did not touch)."""
     import numpy as np
 
     import pyarrow.compute as pc
 
-    from libpostal_ray.functions.canonicalize import canonicalize_one
-    from libpostal_ray.functions.similarity import exact_jaccard, shingle_set
+    from libpostal_ray.functions.canonicalize import canonicalize_one, compile_rules
+    from libpostal_ray.functions.similarity import (
+        dl_similarity,
+        exact_jaccard,
+        jaro_winkler,
+        shingle_set,
+    )
     from libpostal_ray.stages.verify import STATUS_LIKELY, STATUS_NEEDS_REVIEW
 
     edges = edges.materialize()
@@ -739,8 +869,12 @@ def refine_review_edges(
     )
     if review_tbl.num_rows == 0:
         def add_col(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
+            out = batch.append_column(
                 "exact_jaccard",
+                pa.array(np.full(batch.num_rows, -1.0), type=pa.float64()),
+            )
+            return out.append_column(
+                "fuzzy_sim",
                 pa.array(np.full(batch.num_rows, -1.0), type=pa.float64()),
             )
 
@@ -764,41 +898,57 @@ def refine_review_edges(
     )
     # canonicalize with the SAME flags the signature stage used — the exact
     # Jaccard must be computed on the form the signatures were built from
-    sets = {
-        int(i): shingle_set(
-            canonicalize_one(
-                c,
-                fold_case=cfg.fold_case,
-                collapse_whitespace=cfg.collapse_whitespace,
-                strip_comments=cfg.strip_comments,
-            ),
-            cfg.shingle_k,
+    rules = compile_rules(cfg.rewrite_rules)
+    canon_texts = {
+        int(i): canonicalize_one(
+            c,
+            fold_case=cfg.fold_case,
+            collapse_whitespace=cfg.collapse_whitespace,
+            strip_comments=cfg.strip_comments,
+            compiled_rules=rules,
         )
         for i, c in zip(picked["doc_id"].to_pylist(), picked["content"].to_pylist())
     }
+    sets = {i: shingle_set(c, cfg.shingle_k) for i, c in canon_texts.items()}
     import ray as _ray
 
-    ref = _ray.put(sets)
+    ref = _ray.put({"sets": sets, "texts": canon_texts})
 
     def refine(batch: pa.Table) -> pa.Table:
         state = _ray.get(ref)
+        sets_s, texts_s = state["sets"], state["texts"]
         status = batch["status"].to_numpy(zero_copy_only=False).copy()
         src = batch["src"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
         ej = np.full(batch.num_rows, -1.0)
+        fz = np.full(batch.num_rows, -1.0)
         for i in np.nonzero(status == STATUS_NEEDS_REVIEW)[0]:
-            a, b = state.get(int(src[i])), state.get(int(dst[i]))
+            a, b = sets_s.get(int(src[i])), sets_s.get(int(dst[i]))
             if a is None or b is None:
                 continue
             j = exact_jaccard(a, b)
             ej[i] = j
             if j >= cfg.jaccard_likely:
                 status[i] = STATUS_LIKELY
+                continue
+            # fuzzy second opinion for pairs exact Jaccard leaves in review
+            ta, tb = texts_s.get(int(src[i])), texts_s.get(int(dst[i]))
+            if ta is None or tb is None:
+                continue
+            if max(len(ta), len(tb)) > cfg.fuzzy_max_chars:
+                continue
+            sim = jaro_winkler(ta, tb)
+            if sim < cfg.fuzzy_sim_likely and len(ta) * len(tb) <= 1 << 22:
+                sim = max(sim, dl_similarity(ta, tb))
+            fz[i] = sim
+            if sim >= cfg.fuzzy_sim_likely:
+                status[i] = STATUS_LIKELY
         out = batch.set_column(
             batch.column_names.index("status"),
             "status",
             pa.array(status, type=pa.int8()),
         )
-        return out.append_column("exact_jaccard", pa.array(ej, type=pa.float64()))
+        out = out.append_column("exact_jaccard", pa.array(ej, type=pa.float64()))
+        return out.append_column("fuzzy_sim", pa.array(fz, type=pa.float64()))
 
     return edges.map_batches(refine, batch_format="pyarrow")

@@ -302,6 +302,24 @@ def near_dupe_clusters(sf_dir: str) -> ray.data.Dataset:
     return out["clusters"].select_columns(["doc_id", "cluster_id", "n_chars"])
 
 
+def dedup_report(sf_dir: str) -> ray.data.Dataset:
+    """The keep/drop decision per document (dedupe.c:78-156 analog):
+    (doc_id, cluster_id, n_copies, keep, reason)."""
+    from libpostal_ray.pipelines.near_dupe import dedup_report as _report
+
+    return _report(read_documents_corpus(sf_dir), PipelineConfig())
+
+
+def near_dupe_clusters_with_spans(sf_dir: str) -> ray.data.Dataset:
+    """Flagship clustering with the suffix-array SPAN edges wired in
+    (cfg.span_edges): exact shared substrings merge clusters too."""
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+
+    cfg = PipelineConfig(span_edges=True, min_span_len=60, num_partitions=8)
+    out = near_dupe_pipeline(read_documents_corpus(sf_dir), cfg)
+    return out["clusters"].select_columns(["doc_id", "cluster_id", "n_chars"])
+
+
 def minhash_lsh_edges(sf_dir: str) -> ray.data.Dataset:
     """Verified candidate edges over documents: (src, dst, status, est_jaccard)."""
     from libpostal_ray.pipelines.near_dupe import candidate_edges, signatures

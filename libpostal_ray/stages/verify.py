@@ -193,6 +193,7 @@ def _edges_from_pairs(
     ri: np.ndarray,
     cfg: PipelineConfig,
     truncated: bool,
+    nsh: np.ndarray | None = None,
 ) -> pa.Table:
     """Verify candidate index pairs (li, ri) and emit edge rows.
 
@@ -215,7 +216,15 @@ def _edges_from_pairs(
         x = (sims[li] ^ sims[ri]).view(np.uint8).reshape(-1, 8)
         ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
 
-    status, est = verify_pair_statuses(exact, raw, both_short, ham, cfg)
+    status, est = verify_pair_statuses(
+        exact,
+        raw,
+        both_short,
+        ham,
+        cfg,
+        nsh_a=nsh[li] if nsh is not None else None,
+        nsh_b=nsh[ri] if nsh is not None else None,
+    )
 
     keep = status > 0
     li, ri, status, est = li[keep], ri[keep], status[keep], est[keep]
@@ -286,8 +295,13 @@ class VerifyPartition:
             .view(np.uint64)
         )
         short = group["is_short"].take(take).to_numpy(zero_copy_only=False).astype(bool)
+        nsh = (
+            group["n_shingles"].take(take).to_numpy(zero_copy_only=False).astype(np.int64)
+            if "n_shingles" in group.column_names
+            else None
+        )
         edges = _edges_from_pairs(
-            ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any
+            ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any, nsh=nsh
         )
         if edges.num_rows == 0:
             return edges
@@ -377,9 +391,18 @@ def verify_pair_statuses(
     both_short: np.ndarray,
     ham: np.ndarray,
     cfg: PipelineConfig,
+    nsh_a: np.ndarray | None = None,
+    nsh_b: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared status lattice: inputs per pair -> (status int8, est float64).
-    raw_agree is the UNCORRECTED b-bit agreement rate."""
+    raw_agree is the UNCORRECTED b-bit agreement rate.
+
+    Size-ratio guard (dedupe.c:231-293 symmetric-difference demotion
+    analog): Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so when the
+    shingle-count ratio is below a threshold the true Jaccard cannot reach
+    it — a noisy b-bit estimate above the threshold is demoted (to
+    NEEDS_REVIEW) or dropped rather than believed.  Exact pairs are
+    unaffected (identical content has ratio 1)."""
     C = 1.0 / 256.0
     est = np.clip((raw_agree - C) / (1.0 - C), 0.0, 1.0)
     status = np.zeros(exact.shape[0], dtype=np.int8)
@@ -387,6 +410,15 @@ def verify_pair_statuses(
     long_pair = ~both_short
     status[np.where(long_pair & (est >= cfg.jaccard_review))[0]] = STATUS_NEEDS_REVIEW
     status[np.where(long_pair & (est >= cfg.jaccard_likely))[0]] = STATUS_LIKELY
+    if cfg.size_ratio_guard and nsh_a is not None and nsh_b is not None:
+        mx = np.maximum(nsh_a, nsh_b).astype(np.float64)
+        ratio = np.where(
+            mx > 0, np.minimum(nsh_a, nsh_b) / np.maximum(mx, 1.0), 1.0
+        )
+        cannot_likely = long_pair & (ratio < cfg.jaccard_likely)
+        status[cannot_likely & (status == STATUS_LIKELY)] = STATUS_NEEDS_REVIEW
+        cannot_review = long_pair & (ratio < cfg.jaccard_review)
+        status[cannot_review] = 0
     status[exact] = STATUS_EXACT
     est[exact] = 1.0
     return status, est

@@ -279,6 +279,157 @@ def test_planted_mega_family_end_to_end(ray_session):
     assert not edges["truncated"].any()
 
 
+class TestSizeRatioGuard:
+    def test_ratio_demotes_and_drops(self):
+        from libpostal_ray.stages.verify import (
+            STATUS_LIKELY,
+            STATUS_NEEDS_REVIEW,
+            verify_pair_statuses,
+        )
+
+        cfg = PipelineConfig()  # likely=0.7, review=0.5
+        exact = np.array([False, False, False, True])
+        raw = np.array([0.95, 0.95, 0.95, 1.0])  # est ~0.95: would be LIKELY
+        both_short = np.zeros(4, dtype=bool)
+        ham = np.zeros(4, dtype=np.int64)
+        nsh_a = np.array([100, 100, 100, 100])
+        #              ok ratio, ratio .6 (cap), ratio .3 (drop), exact wins
+        nsh_b = np.array([95, 60, 30, 30])
+        status, est = verify_pair_statuses(
+            exact, raw, both_short, ham, cfg, nsh_a=nsh_a, nsh_b=nsh_b
+        )
+        assert status[0] == STATUS_LIKELY
+        assert status[1] == STATUS_NEEDS_REVIEW, "ratio < likely: demoted"
+        assert status[2] == 0, "ratio < review: dropped"
+        assert status[3] == 9, "exact pairs unaffected by the guard"
+
+    def test_guard_off(self):
+        from libpostal_ray.stages.verify import STATUS_LIKELY, verify_pair_statuses
+
+        cfg = PipelineConfig(size_ratio_guard=False)
+        status, _ = verify_pair_statuses(
+            np.array([False]),
+            np.array([0.95]),
+            np.zeros(1, dtype=bool),
+            np.zeros(1, dtype=np.int64),
+            cfg,
+            nsh_a=np.array([100]),
+            nsh_b=np.array([10]),
+        )
+        assert status[0] == STATUS_LIKELY
+
+
+class TestFuzzyKernels:
+    def test_dl_known(self):
+        from libpostal_ray.functions.similarity import damerau_levenshtein
+
+        assert damerau_levenshtein("kitten", "sitting") == 3
+        assert damerau_levenshtein("ab", "ba") == 1  # transposition
+        assert damerau_levenshtein("", "abc") == 3
+
+    def test_jw_known(self):
+        from libpostal_ray.functions.similarity import jaro_winkler
+
+        assert abs(jaro_winkler("MARTHA", "MARHTA") - 0.9611) < 0.001
+        assert jaro_winkler("same", "same") == 1.0
+        assert jaro_winkler("", "x") == 0.0
+
+    def test_reordered_doc_upgrades_via_fuzzy(self, ray_session):
+        """Two docs whose shingle sets diverge (word reorder + small edits)
+        but whose edit-distance similarity is high: the review band upgrades
+        via the fuzzy tier."""
+        from libpostal_ray.pipelines.near_dupe import refine_review_edges
+        from libpostal_ray.stages.verify import (
+            EDGE_SCHEMA,
+            STATUS_LIKELY,
+            STATUS_NEEDS_REVIEW,
+        )
+        import ray.data
+
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+        b = a.replace("beta", "betaX").replace("eta ", "etaY ")
+        corpus = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "content": pa.array([a, b], type=pa.large_string()),
+                }
+            )
+        )
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([1], type=pa.int64()),
+                    "dst": pa.array([2], type=pa.int64()),
+                    "status": pa.array([STATUS_NEEDS_REVIEW], type=pa.int8()),
+                    "est_jaccard": pa.array([0.55], type=pa.float64()),
+                    "truncated": pa.array([False]),
+                },
+                schema=EDGE_SCHEMA,
+            )
+        )
+        cfg = PipelineConfig()
+        out = refine_review_edges(edges, corpus, cfg).to_pandas()
+        row = out.iloc[0]
+        # exact jaccard of the edited doc is below likely, fuzzy is high
+        assert row["fuzzy_sim"] >= cfg.fuzzy_sim_likely or row["exact_jaccard"] >= cfg.jaccard_likely
+        assert row["status"] == STATUS_LIKELY
+
+
+def test_dedup_report(ray_session):
+    """Keep/drop report: exact copies drop as exact_dup, near copies as
+    near_dup, representatives kept, singletons unique."""
+    from libpostal_ray.pipelines.near_dupe import dedup_report
+    from libpostal_ray.synth import synth_code_corpus
+
+    t = synth_code_corpus(n_files=300, seed=9).drop_columns(["dup_group"])
+    rep = dedup_report(from_arrow_corpus(t), PipelineConfig(num_partitions=8)).to_pandas()
+    assert len(rep) == 300
+    assert set(rep["reason"]) <= {"unique", "kept", "exact_dup", "near_dup"}
+    # exactly one keeper per cluster, and it is the min doc_id
+    g = rep.groupby("cluster_id")
+    assert (g["keep"].sum() == 1).all()
+    keepers = rep[rep["keep"]]
+    assert (keepers["doc_id"] == keepers["cluster_id"]).all()
+    # singletons are 'unique', multi keepers 'kept'
+    assert (rep[(rep["n_copies"] == 1)]["reason"] == "unique").all()
+    assert (rep[(rep["keep"]) & (rep["n_copies"] > 1)]["reason"] == "kept").all()
+    # the synth corpus plants exact copies: some must be flagged exact_dup
+    assert (rep["reason"] == "exact_dup").any()
+    assert (~rep["keep"] == (rep["reason"].isin(["exact_dup", "near_dup"]))).all()
+
+
+def test_span_edges_merge_clusters(ray_session):
+    """Two docs sharing ONLY a long exact span (low whole-file Jaccard)
+    merge when cfg.span_edges=True and stay apart otherwise."""
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+
+    shared = "this is one very long exactly repeated vendored block of text " * 4
+    rng = np.random.default_rng(4)
+    pad_a = " ".join(f"aw{int(x)}" for x in rng.integers(0, 1000, 300))
+    pad_b = " ".join(f"bw{int(x)}" for x in rng.integers(0, 1000, 300))
+    rows = [
+        ("r0", "a.py", "c1", "py", pad_a + " " + shared),
+        ("r0", "b.py", "c2", "py", pad_b + " " + shared),
+    ]
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array([r[2] for r in rows]),
+            "lang": pa.array([r[3] for r in rows]),
+            "content": pa.array([r[4] for r in rows], type=pa.large_string()),
+        }
+    )
+    corpus = from_arrow_corpus(t)
+    base = near_dupe_pipeline(corpus, PipelineConfig(num_partitions=4))
+    assert base["clusters"].to_pandas()["cluster_id"].nunique() == 2
+    spans = near_dupe_pipeline(
+        corpus, PipelineConfig(span_edges=True, num_partitions=4, min_span_len=60)
+    )
+    assert spans["clusters"].to_pandas()["cluster_id"].nunique() == 1
+
+
 def test_rewrite_rules_in_config_fingerprint():
     from libpostal_ray.state.checkpoint import config_fingerprint
 
