@@ -193,10 +193,15 @@ def run_scaling() -> dict:
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     # generate the scaling corpus once (cached) so neither timed process pays
     _synth_corpus_path_warm(32)
-    # best-of-N per level: min wall time = least interference from the
-    # shared host (single-box benchmarking; documented in BENCH/BASELINE.md)
-    lo_runs = [fresh(lo_cpus) for _ in range(reps)]
-    hi_runs = [fresh(hi_cpus) for _ in range(reps)]
+    # INTERLEAVED best-of-N: this host's shared memory bandwidth swings 2x
+    # with invisible neighbor load on a multi-minute timescale, so lo/hi
+    # reps alternate (lo,hi,lo,hi,...) — ambient noise hits both levels
+    # equally instead of biasing whichever level ran in the quiet window.
+    # best-of per level = least-interference observation.
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(fresh(lo_cpus))
+        hi_runs.append(fresh(hi_cpus))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]

@@ -96,10 +96,15 @@ class PipelineConfig:
 
     # --- substring (suffix-array) pass ---
     min_span_len: int = 50          # minimum exact duplicated span (chars)
-    substring_max_bytes: int = 64 * 1024 * 1024  # suffix-array partition byte
-                                    # budget (LCP is vectorized chunked
-                                    # comparison; beyond this the partition is
-                                    # truncated deterministically and flagged)
+    substring_max_bytes: int = 16 * 1024 * 1024  # suffix-array partition byte
+                                    # budget: the prefix-doubling SA holds
+                                    # ~7 int64 arrays of partition size
+                                    # (~56 B per content byte), so 16 MiB
+                                    # keeps one partition's working set
+                                    # ~1 GB.  The LCP is a vectorized
+                                    # chunked comparison (no Python scan);
+                                    # beyond the budget the partition is
+                                    # truncated deterministically + flagged
     span_edges: bool = False        # feed SPAN edges (exact shared substrings,
                                     # stages/substring.py) into clustering
                                     # alongside LIKELY/EXACT edges

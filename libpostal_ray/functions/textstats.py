@@ -68,16 +68,34 @@ def quality_features(texts) -> dict[str, np.ndarray]:
         "digit_chars": np.empty(n, dtype=np.int64),
         "space_chars": np.empty(n, dtype=np.int64),
     }
+    # char-class counts are vectorized over the concatenated UTF-8 bytes:
+    # ASCII classes ([A-Za-z], [0-9], ' ') only match ASCII BYTES, and in
+    # UTF-8 every byte of a multi-byte char is >= 0x80 — so byte counting is
+    # exact for any input.  n_chars = bytes - continuation bytes.
+    enc = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+
+    def seg_count(mask: np.ndarray) -> np.ndarray:
+        c = np.zeros(buf.shape[0] + 1, dtype=np.int64)
+        np.cumsum(mask, out=c[1:])
+        return c[offs[1:]] - c[offs[:-1]]
+
+    alpha = ((buf >= 65) & (buf <= 90)) | ((buf >= 97) & (buf <= 122))
+    out["alpha_chars"][:] = seg_count(alpha)
+    out["digit_chars"][:] = seg_count((buf >= 48) & (buf <= 57))
+    out["space_chars"][:] = seg_count(buf == 32)
+    cont = (buf & 0xC0) == 0x80
+    out["n_chars"][:] = lens - (seg_count(cont) if cont.any() else 0)
+    # word-level stats need Python's Unicode split semantics (set hashing
+    # for distinct) — per-row but word-granular, not char-granular
     for i, t in enumerate(texts):
-        t = t or ""
-        words = t.split()
-        out["n_chars"][i] = len(t)
+        words = (t or "").split()
         out["n_words"][i] = len(words)
         out["n_distinct_words"][i] = len(set(words))
         out["max_word_len"][i] = max((len(w) for w in words), default=0)
-        out["alpha_chars"][i] = sum(1 for c in t if ("a" <= c <= "z") or ("A" <= c <= "Z"))
-        out["digit_chars"][i] = sum(1 for c in t if "0" <= c <= "9")
-        out["space_chars"][i] = sum(1 for c in t if c == " ")
     return out
 
 
@@ -86,9 +104,14 @@ def langid_heuristic(texts) -> list[str]:
     'und' (undetermined) when nothing matches.  The shape of
     language_classifier.c inference: per-row features -> argmax."""
     out = []
+    lo, hi = ord("一"), ord("鿿")
     for t in texts:
         t = t or ""
-        cjk = sum(1 for c in t if "一" <= c <= "鿿")
+        if t and not t.isascii():
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            cjk = int(((cp >= lo) & (cp <= hi)).sum())
+        else:
+            cjk = 0
         if len(t) > 0 and cjk / max(1, len(t)) > 0.2:
             out.append("zh")
             continue

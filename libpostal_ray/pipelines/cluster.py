@@ -193,7 +193,11 @@ CC_LOCAL_MAX_EDGES = 50_000_000
 
 
 def connected_components(
-    edges: ray.data.Dataset, max_rounds: int = 30, partitions: int = 64
+    edges: ray.data.Dataset,
+    max_rounds: int = 30,
+    partitions: int = 64,
+    checkpoint_dir: str | None = None,
+    local_max_edges: int | None = None,
 ) -> ray.data.Dataset:
     """edges (src: int64, dst: int64, ...) -> labels (doc_id: int64,
     cluster_id: int64) for every node that appears in an edge.
@@ -204,7 +208,17 @@ def connected_components(
 
     Hybrid execution: edge sets under CC_LOCAL_MAX_EDGES run as ONE Ray task
     (vectorized hooking + pointer jumping); larger sets run the distributed
-    large-star/small-star rounds.  Both are deterministic min-label."""
+    large-star/small-star rounds.  Both are deterministic min-label.
+
+    With ``checkpoint_dir``, every completed distributed ROUND persists its
+    edge state (parquet + manifest committed atomically after the data); a
+    killed run resumes from the last committed round instead of replaying
+    the O(log n) shuffle chain.  Rounds are deterministic, so a resumed run
+    produces bit-identical labels."""
+    import json
+    import os
+    import shutil
+
     cur = edges.map_batches(
         lambda b: _pairs_table(
             b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -220,14 +234,38 @@ def connected_components(
                 [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
             ).empty_table()
         )
-    if n_edges <= CC_LOCAL_MAX_EDGES:
+    local_max = CC_LOCAL_MAX_EDGES if local_max_edges is None else local_max_edges
+    if n_edges <= local_max:
         refs = cur.to_arrow_refs()
         tbl = ray.get(_cc_task.remote(*refs))
         return ray.data.from_arrow(tbl)
 
-    add_part = _with_part(partitions)
+    ck_dir = manifest_path = None
+    manifest: dict = {"rounds": {}}
+    start_round = 0
     prev_sig = None
-    for _ in range(max_rounds):
+    if checkpoint_dir is not None:
+        ck_dir = os.path.join(checkpoint_dir, "cc_rounds")
+        os.makedirs(ck_dir, exist_ok=True)
+        manifest_path = os.path.join(ck_dir, "manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        done = sorted(int(r) for r in manifest["rounds"])
+        if done:
+            last = done[-1]
+            entry = manifest["rounds"][str(last)]
+            cur = ray.data.read_parquet(
+                os.path.join(ck_dir, f"round={last}")
+            ).materialize()
+            start_round = last + 1
+            ps = entry.get("prev_sig")
+            prev_sig = tuple(ps) if ps else (entry["n"], None)
+            if entry.get("converged"):
+                start_round = max_rounds  # skip straight to label extraction
+
+    add_part = _with_part(partitions)
+    for rnd in range(start_round, max_rounds):
         cur = (
             cur.map_batches(_symmetrize, batch_format="pyarrow")
             .map_batches(add_part, batch_format="pyarrow")
@@ -244,13 +282,32 @@ def connected_components(
         # convergence: count() on a materialized dataset is free metadata —
         # only pay for the checksum job once the count stops moving
         n = cur.count()
+        converged = False
         if prev_sig is not None and n == prev_sig[0]:
             sig = _checksum(cur)
             if sig == prev_sig:
-                break
+                converged = True
             prev_sig = sig
         else:
             prev_sig = (n, None)
+        if ck_dir is not None:
+            rdir = os.path.join(ck_dir, f"round={rnd}")
+            tmp = rdir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            cur.write_parquet(tmp)
+            shutil.rmtree(rdir, ignore_errors=True)
+            os.replace(tmp, rdir)
+            manifest["rounds"][str(rnd)] = {
+                "n": n,
+                "prev_sig": list(prev_sig) if prev_sig[1] is not None else None,
+                "converged": converged,
+            }
+            mtmp = manifest_path + ".tmp"
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(mtmp, manifest_path)  # commit AFTER the round data
+        if converged:
+            break
 
     # converged: star edges (node -> root). label(node) = its root; the root
     # labels itself.

@@ -349,7 +349,7 @@ def near_dupe_pipeline(
         edges_parts, edge_metrics = checkpointed_edges(sigs, cfg, checkpoint_dir)
         edges = dedup_pair_edges(edges_parts).materialize()
         strong = cluster_edges(edges)
-        labels = connected_components(strong)
+        labels = connected_components(strong, checkpoint_dir=checkpoint_dir)
         docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
         clusters = assign_clusters(docs, labels, num_partitions=cfg.num_partitions)
         return {
@@ -580,45 +580,51 @@ def _sig_state_ref(sigs: ray.data.Dataset):
     return _build_sig_state.remote(*refs)
 
 
+def _verify_against_state(src, dst, trunc, state, cfg: PipelineConfig) -> pa.Table:
+    """Vectorized pair verification against the broadcast signature state
+    (sorted-id searchsorted lookup)."""
+    import numpy as np
+
+    from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
+
+    li = np.searchsorted(state["ids"], src)
+    ri = np.searchsorted(state["ids"], dst)
+    # every pair endpoint comes from the signature table by construction
+    raw = (state["mh"][li] == state["mh"][ri]).mean(axis=1)
+    exact = state["sha"][li] == state["sha"][ri]
+    both_short = state["short"][li] & state["short"][ri]
+    ham = np.zeros(src.shape[0], dtype=np.int64)
+    if both_short.any():
+        x = (state["sim"][li] ^ state["sim"][ri]).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+    status, est = verify_pair_statuses(
+        exact, raw, both_short, ham, cfg,
+        nsh_a=state["nsh"][li], nsh_b=state["nsh"][ri],
+    )
+    keep = status > 0
+    return pa.table(
+        {
+            "src": pa.array(src[keep], type=pa.int64()),
+            "dst": pa.array(dst[keep], type=pa.int64()),
+            "status": pa.array(status[keep], type=pa.int8()),
+            "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            "truncated": pa.array(trunc[keep]),
+        },
+        schema=EDGE_SCHEMA,
+    )
+
+
 def _verify_pairs_broadcast(
     pairs: ray.data.Dataset, sigs: ray.data.Dataset, cfg: PipelineConfig
 ) -> ray.data.Dataset:
-    from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
-
     ref = _sig_state_ref(sigs)
 
     def verify_batch(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         state = ray.get(ref)
         src = batch["src"].to_numpy(zero_copy_only=False).astype("int64")
         dst = batch["dst"].to_numpy(zero_copy_only=False).astype("int64")
         trunc = batch["truncated"].to_numpy(zero_copy_only=False)
-        li = np.searchsorted(state["ids"], src)
-        ri = np.searchsorted(state["ids"], dst)
-        # every pair endpoint comes from the signature table by construction
-        raw = (state["mh"][li] == state["mh"][ri]).mean(axis=1)
-        exact = state["sha"][li] == state["sha"][ri]
-        both_short = state["short"][li] & state["short"][ri]
-        ham = np.zeros(src.shape[0], dtype=np.int64)
-        if both_short.any():
-            x = (state["sim"][li] ^ state["sim"][ri]).view(np.uint8).reshape(-1, 8)
-            ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
-        status, est = verify_pair_statuses(
-            exact, raw, both_short, ham, cfg,
-            nsh_a=state["nsh"][li], nsh_b=state["nsh"][ri],
-        )
-        keep = status > 0
-        return pa.table(
-            {
-                "src": pa.array(src[keep], type=pa.int64()),
-                "dst": pa.array(dst[keep], type=pa.int64()),
-                "status": pa.array(status[keep], type=pa.int8()),
-                "est_jaccard": pa.array(est[keep], type=pa.float64()),
-                "truncated": pa.array(trunc[keep]),
-            },
-            schema=EDGE_SCHEMA,
-        )
+        return _verify_against_state(src, dst, trunc, state, cfg)
 
     return pairs.map_batches(
         verify_batch, batch_format="pyarrow", batch_size=cfg.verify_batch_size
@@ -719,10 +725,21 @@ def _candidate_edges_pairs(
         k = batch["band_key"].to_numpy(zero_copy_only=False)
         return batch.append_column("vpart", pa.array((k % P).astype("int64")))
 
+    if cfg.shuffle_impl == "manual" and sigs.count() <= cfg.sig_broadcast_max:
+        # FUSED scale plan: the broadcast verification state starts building
+        # the moment the exchange launches (overlapped, not serial), and the
+        # pair-identity dedup reducers verify their pairs in place — edges
+        # come straight out of the chained exchange with no extra pass.
+        state_ref = _sig_state_ref(sigs)
+        return _manual_exchange_pairs(sigs, cfg, state_ref=state_ref)
     if cfg.shuffle_impl == "manual":
-        # explode fused into the split tasks; sigs are already materialized
-        # by the pipeline, so this adds NO extra dataset pass
-        raw_pairs = _manual_exchange_pairs(sigs, cfg).materialize()
+        # above the broadcast budget: exchange yields unique pairs, verify
+        # attaches signatures via two hash joins
+        pairs = _manual_exchange_pairs(sigs, cfg).materialize()
+        if pairs.count() == 0:
+            from libpostal_ray.stages.verify import EDGE_SCHEMA
+
+            return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
     else:
         skinny = sigs.map_batches(
             explode_band_keys_skinny, batch_format="pyarrow", zero_copy_batch=True
@@ -738,21 +755,21 @@ def _candidate_edges_pairs(
             .map_groups(pairgen_partition, batch_format="pyarrow")
             .materialize()
         )
-    n = raw_pairs.count()
-    if n == 0:
-        from libpostal_ray.stages.verify import EDGE_SCHEMA
+        n = raw_pairs.count()
+        if n == 0:
+            from libpostal_ray.stages.verify import EDGE_SCHEMA
 
-        return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
-    if n <= PAIR_DEDUP_LOCAL_MAX:
-        pairs = ray.data.from_arrow(
-            ray.get(_dedup_raw_pairs_task.remote(*raw_pairs.to_arrow_refs()))
-        )
-    else:
-        from ray.data.aggregate import Max as _Max
+            return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+        if n <= PAIR_DEDUP_LOCAL_MAX:
+            pairs = ray.data.from_arrow(
+                ray.get(_dedup_raw_pairs_task.remote(*raw_pairs.to_arrow_refs()))
+            )
+        else:
+            from ray.data.aggregate import Max as _Max
 
-        pairs = raw_pairs.groupby(["src", "dst"]).aggregate(
-            _Max("truncated", alias_name="truncated")
-        )
+            pairs = raw_pairs.groupby(["src", "dst"]).aggregate(
+                _Max("truncated", alias_name="truncated")
+            )
 
     n_docs = sigs.count()
     if n_docs <= cfg.sig_broadcast_max:
@@ -772,15 +789,18 @@ def _candidate_edges_pairs(
 # is a pure hash, PairGen sorts within the partition.
 
 
-def _split_block_by_key(t: pa.Table, P: int) -> list[pa.Table]:
-    """Explode a SIGNATURE block to skinny (band_key, doc_id) rows and split
-    them into P hash partitions (fused: the skinny table never materializes
-    as a whole dataset)."""
+def _split_block_by_key(P: int, *tables: pa.Table) -> list[pa.Table]:
+    """Explode SIGNATURE blocks to skinny (band_key, doc_id, sha_key) rows
+    and split them into P hash partitions (fused: the skinny table never
+    materializes as a whole dataset).  One split task handles SEVERAL input
+    blocks, keeping the exchange's object count at O(n_split_tasks * P)
+    instead of O(n_blocks * P) — object-store metadata handling is a fixed
+    per-object cost that otherwise dominates on fine-blocked inputs."""
     import numpy as np
 
     from libpostal_ray.stages.lsh import explode_band_keys_skinny
 
-    sk = explode_band_keys_skinny(t)
+    sk = pa.concat_tables([explode_band_keys_skinny(t) for t in tables])
     k = sk["band_key"].to_numpy(zero_copy_only=False)
     part = (k % P).astype(np.int64)
     order = np.argsort(part, kind="stable")
@@ -790,29 +810,106 @@ def _split_block_by_key(t: pa.Table, P: int) -> list[pa.Table]:
     return [ts.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p])) for p in range(P)]
 
 
-def _pairgen_reduce(cfg: PipelineConfig, *slices: pa.Table) -> pa.Table:
+def _pairgen_reduce(cfg: PipelineConfig, P2: int, *slices: pa.Table) -> list[pa.Table]:
+    """Bucket reduce: run PairGen over this partition's skinny rows, then
+    hash-split the emitted pairs by pair identity into P2 slices — the
+    SECOND exchange that makes the global (src,dst) dedup fully distributed
+    (no single-task sort barrier)."""
+    import numpy as np
+
+    from libpostal_ray.functions.hashing import mix_fold_u64
     from libpostal_ray.stages.verify import PAIR_SCHEMA, PairGenPartition
 
     parts = [s for s in slices if s.num_rows > 0]
     if not parts:
-        return PAIR_SCHEMA.empty_table()
-    return PairGenPartition(cfg)(pa.concat_tables(parts))
+        return [PAIR_SCHEMA.empty_table()] * P2
+    pairs = PairGenPartition(cfg)(pa.concat_tables(parts))
+    if pairs.num_rows == 0:
+        return [PAIR_SCHEMA.empty_table()] * P2
+    src = pairs["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dst = pairs["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = mix_fold_u64([src, dst], salt=0x9A12)
+    part = (h % np.uint64(P2)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    ts = pairs.take(pa.array(order))
+    part_s = part[order]
+    bounds = np.searchsorted(part_s, np.arange(P2 + 1))
+    return [ts.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p])) for p in range(P2)]
+
+
+def _dedup_pairs_partition(cfg, state_ref, *slices: pa.Table) -> pa.Table:
+    """Per-partition (src,dst) dedup of raw pairs (truncated takes OR
+    semantics) — each partition holds ALL occurrences of its pairs because
+    the reduce split by a pure hash of the pair identity.
+
+    With ``state_ref`` (the broadcast signature state, built CONCURRENTLY
+    with the exchange), the task verifies its deduped pairs in place and
+    returns EDGE rows — fusing the verify stage into the reduce removes a
+    whole dataset pass + serial barrier from the hot path."""
+    import numpy as np
+
+    from libpostal_ray.stages.verify import EDGE_SCHEMA, PAIR_SCHEMA
+
+    parts = [s for s in slices if s.num_rows > 0]
+    if not parts:
+        return EDGE_SCHEMA.empty_table() if state_ref is not None else PAIR_SCHEMA.empty_table()
+    t = pa.concat_tables(parts)
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    trunc = t["truncated"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    src, dst, trunc = src[order], dst[order], trunc[order]
+    keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    seg = np.cumsum(keep) - 1
+    trunc_or = np.zeros(int(keep.sum()), dtype=bool)
+    np.logical_or.at(trunc_or, seg, trunc)
+    src, dst = src[keep], dst[keep]
+    if state_ref is not None:
+        # passed as a task argument, so Ray already resolved the ObjectRef
+        state = state_ref
+        return _verify_against_state(
+            src.astype("int64"), dst.astype("int64"), trunc_or, state, cfg
+        )
+    return pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "truncated": pa.array(trunc_or),
+        },
+        schema=PAIR_SCHEMA,
+    )
 
 
 def _manual_exchange_pairs(
-    sigs: ray.data.Dataset, cfg: PipelineConfig
+    sigs: ray.data.Dataset, cfg: PipelineConfig, state_ref=None
 ) -> ray.data.Dataset:
+    """Two chained manual hash exchanges expressed as raw Ray tasks (the one
+    plan Ray Data's sort-based groupby cannot express):
+
+        sig blocks --num_returns=P-->  bucket partitions (band_key % P)
+        PairGen    --num_returns=P2--> pair partitions  (hash(src,dst) % P2)
+        per-partition dedup -> globally unique candidate pairs
+
+    No driver-side barrier, no single-task global sort; every stage is a
+    pure hash partition so retries are deterministic."""
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 4))
     P = max(8, min(cfg.verify_partitions, cpus * 2))
+    P2 = P
     blocks = sigs.materialize().to_arrow_refs()
+    # one split task per core (each handling several blocks): object count
+    # stays O(cpus * P), not O(n_blocks * P)
+    n_split = max(1, min(len(blocks), cpus))
+    groups = [blocks[i::n_split] for i in range(n_split)]
     split = _ray.remote(num_returns=P)(_split_block_by_key)
-    outs = [split.remote(b, P) for b in blocks]
-    reduce_fn = _ray.remote(_pairgen_reduce)
+    outs = [split.remote(P, *g) for g in groups]
+    reduce_fn = _ray.remote(num_returns=P2)(_pairgen_reduce)
+    mid = [reduce_fn.remote(cfg, P2, *[outs[i][p] for i in range(len(outs))]) for p in range(P)]
+    dedup_fn = _ray.remote(_dedup_pairs_partition)
     pair_refs = [
-        reduce_fn.remote(cfg, *[outs[i][p] for i in range(len(outs))])
-        for p in range(P)
+        dedup_fn.remote(cfg, state_ref, *[mid[p][q] for p in range(P)])
+        for q in range(P2)
     ]
     return ray.data.from_arrow_refs(pair_refs)
 

@@ -281,11 +281,13 @@ def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    # pushed-down point read for the query row: only matching row groups
+    # are decoded, nothing corpus-sized ever lands on the driver
+    qrow = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
     )
-    mask = pc.equal(qt["vec_id"], pa.scalar(0))
-    qrow = qt.filter(mask)
     qm = np.array(qrow["embedding"].to_pylist(), dtype=np.float64)
     res = brute_force_topk(emb, qm, np.array([0]), k=k).to_pandas()
     res["cos_sim"] = res["cos_sim"].round(4)
@@ -406,12 +408,13 @@ def ann_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    qrow = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
     )
-    qrow = qt.filter(pc.equal(qt["vec_id"], pa.scalar(0)))
     qm = np.array(qrow["embedding"].to_pylist(), dtype=np.float64)
-    res = bucketed_topk(emb, qm, np.array([0]), k=k, bits=4).to_pandas()
+    res = bucketed_topk(emb, qm, np.array([0]), k=k, bits=4, probes=1, tables=4).to_pandas()
     res["cos_sim"] = res["cos_sim"].round(4)
     return res[["vec_id", "cos_sim", "rank"]].sort_values("rank").reset_index(drop=True)
 
@@ -474,16 +477,25 @@ def embedding_dups(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     embedding near-dup dedup (the IVF/LSH scale path is pipelines/ann.py)."""
     import pyarrow.parquet as pq
 
+    import ray as _ray
+
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids_all = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = np.array(full["embedding"].to_pylist(), dtype=np.float64)
-    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-    import ray as _ray
 
-    ref = _ray.put({"ids": ids_all, "m": m})
+    @_ray.remote
+    def _build_state(*blocks) -> dict:
+        t = pa.concat_tables([b for b in blocks if b.num_rows])
+        ids_all = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["embedding"].combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = m.reshape(t.num_rows, -1)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return {"ids": ids_all, "m": m}
+
+    # the corpus matrix is assembled in a WORKER task from the dataset's own
+    # blocks and broadcast by ObjectRef — the driver never holds it
+    ref = _build_state.remote(*emb.materialize().to_arrow_refs())
 
     def pairs(batch: pa.Table) -> pa.Table:
         state = _ray.get(ref)

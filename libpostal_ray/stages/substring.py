@@ -25,6 +25,7 @@ import pyarrow as pa
 from libpostal_ray.config import PipelineConfig
 
 STATUS_SPAN = 5  # between NEEDS_REVIEW(3) and LIKELY(6): exact shared span
+LCP_CAP = 1024   # reported span lengths saturate here (see lcp_kasai)
 
 SPAN_EDGE_SCHEMA = pa.schema(
     [
@@ -37,25 +38,28 @@ SPAN_EDGE_SCHEMA = pa.schema(
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of an int array (values >= 0) by prefix doubling."""
+    """Suffix array of an int array (values >= 0) by prefix doubling.
+
+    All intermediates are int32 (partitions are bounded far below 2^31
+    rows by substring_max_bytes), halving sort/gather memory traffic — the
+    lexsort rounds dominate the pass."""
     n = s.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = np.asarray(s, dtype=np.int64)
+    rank = np.asarray(s, dtype=np.int32)
     k = 1
-    order = np.argsort(rank, kind="stable")
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.full(n, -1, dtype=np.int32)
         if k < n:
             key2[:-k] = rank[k:]
         order = np.lexsort((key2, rank))
         r1 = rank[order]
         r2 = key2[order]
-        changed = np.empty(n, dtype=np.int64)
+        changed = np.empty(n, dtype=np.int32)
         changed[0] = 0
         changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
-        new_rank = np.cumsum(changed)
-        rank = np.empty(n, dtype=np.int64)
+        new_rank = np.cumsum(changed, dtype=np.int32)
+        rank = np.empty(n, dtype=np.int32)
         rank[order] = new_rank
         k *= 2
         if new_rank[-1] == n - 1 or k >= 2 * n:
@@ -64,25 +68,41 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
 
 
 def lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """LCP array (lcp[i] = common prefix of sa[i-1], sa[i]); lcp[0] = 0."""
+    """LCP array (lcp[i] = common prefix of sa[i-1], sa[i]); lcp[0] = 0.
+
+    Kasai's per-char scan is a Python loop; instead all n-1 adjacent-suffix
+    pairs advance TOGETHER in vectorized 64-element comparison rounds, each
+    pair dropping out at its first mismatch — numpy-speed instead of
+    interpreter-speed per char.  LCP values are CAPPED at LCP_CAP: span
+    DETECTION only needs lcp >= min_span_len (<< cap), and the cap bounds
+    total work at O(n * cap / 64) even on adversarial tandem repeats where
+    uncapped per-pair scanning would be quadratic (Kasai's amortization
+    does not vectorize).  Reported span lengths saturate at LCP_CAP.
+    Out-of-range positions use two DIFFERENT sentinel pads so they can
+    never compare equal."""
     n = s.shape[0]
     lcp = np.zeros(n, dtype=np.int64)
-    if n == 0:
+    if n < 2:
         return lcp
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            while i + h < n and j + h < n and s[i + h] == s[j + h]:
-                h += 1
-            lcp[r] = h
-            if h > 0:
-                h -= 1
-        else:
-            h = 0
+    chunk = 64
+    win = np.arange(chunk, dtype=np.int64)
+    sp_a = np.concatenate((s, np.full(chunk, -1, dtype=np.int64)))
+    sp_b = np.concatenate((s, np.full(chunk, -2, dtype=np.int64)))
+    i_arr = sa[:-1]
+    j_arr = sa[1:]
+    h = np.zeros(n - 1, dtype=np.int64)
+    active = np.arange(n - 1, dtype=np.int64)
+    while active.size:
+        ia = (i_arr[active] + h[active])[:, None] + win
+        ja = (j_arr[active] + h[active])[:, None] + win
+        eq = sp_a[ia] == sp_b[ja]
+        full = eq.all(axis=1)
+        first = np.where(full, chunk, eq.argmin(axis=1))
+        h[active] += first
+        active = active[full]
+        active = active[h[active] < LCP_CAP]
+    np.minimum(h, LCP_CAP, out=h)
+    lcp[1:] = h
     return lcp
 
 
@@ -157,6 +177,21 @@ class SubstringPartition:
         order = np.argsort(ids, kind="stable")
         texts = group["canonical"].take(pa.array(order)).to_pylist()
         ids = ids[order]
+        # collapse content-identical docs to their min-id representative:
+        # exact whole-file duplicates are already EXACT edges in the main
+        # pipeline, and repeated identical texts turn the concatenation into
+        # tandem repeats — the adversarial case for suffix-array LCP work.
+        seen: dict[str, int] = {}
+        keep_rows = []
+        for i, t in enumerate(texts):
+            if (t or "") not in seen:
+                seen[t or ""] = i
+                keep_rows.append(i)
+        if len(keep_rows) < len(texts):
+            texts = [texts[i] for i in keep_rows]
+            ids = ids[np.array(keep_rows, dtype=np.int64)]
+        if ids.shape[0] < 2:
+            return SPAN_EDGE_SCHEMA.empty_table()
         # deterministic byte budget (smallest doc_ids kept)
         total = 0
         cut = len(texts)
