@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_by_value": q.top_events_by_value,
         "embedding_dups": q.embedding_dups,
         "distinct_users": q.distinct_users,
+        "mktsegment_order_stats": q.mktsegment_order_stats,
+        "supplier_nation_agg": q.supplier_nation_agg,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -154,6 +156,22 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "mktsegment_order_stats": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "supplier_nation_agg": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(s.s_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+                       AS acctbal_cents,
+                   count(*) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -649,6 +649,102 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     return raw.groupby(["src", "dst"]).aggregate(_Min("hamming", alias_name="hamming"))
 
 
+def mktsegment_order_stats(sf_dir: str) -> ray.data.Dataset:
+    """Large-large hash join (orders x customer on custkey) -> per-market-
+    segment order count + total price cents.  The Dataset.join operator with
+    partial pre-aggregation BEFORE the final groupby: only (segment,
+    partials) shuffle twice."""
+    from libpostal_ray.pipelines.cluster import effective_join_partitions
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=effective_join_partitions(16),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, "c_mktsegment").aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "cents", "one"])
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("cents", alias_name="total_cents"),
+            Sum("one", alias_name="n_orders"),
+        )
+    )
+
+
+def supplier_nation_agg(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast lookup join: the tiny nation table is ray.put once and
+    mapped into every supplier batch (never a shuffle join — the
+    dictionary-trie-broadcast pattern, SURVEY 2.4) -> per-nation supplier
+    count + account balance cents."""
+    import ray as _ray
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    keys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    ref = _ray.put({"keys": keys[order], "names": names[order]})
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        state = _ray.get(ref)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(state["keys"], nk)
+        cents = np.floor(
+            batch["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "n_name": pa.array(state["names"][pos], type=pa.string()),
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, "n_name").aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["n_name", "cents", "one"])
+
+    return (
+        sup.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("cents", alias_name="acctbal_cents"),
+            Sum("one", alias_name="n_suppliers"),
+        )
+    )
+
+
 def hot_buckets(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Bucket-frequency stats: top-k LSH band keys by member count — the
     vendored/boilerplate skew detector (SURVEY.md section 4: bucket-frequency

@@ -62,6 +62,8 @@ ORACLE_QUERIES = [
     "top_events_by_value",
     "embedding_dups",
     "distinct_users",
+    "mktsegment_order_stats",
+    "supplier_nation_agg",
 ]
 
 
@@ -100,6 +102,8 @@ ROWS_ONLY = [
     "cluster_size_topk",
     "simhash_dup_pairs",
     "hot_buckets",
+    "dedup_report",
+    "near_dupe_clusters_with_spans",
 ]
 
 
