@@ -121,6 +121,82 @@ def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
     return jaro + prefix * prefix_scale * (1.0 - jaro)
 
 
+def possible_abbreviation(short: str, full: str, strict: bool = False) -> bool:
+    """True if ``short`` could abbreviate ``full``
+    (string_similarity.c:289-354 analog): same first char and ``short`` is
+    a subsequence of ``full``; strict additionally requires the last chars
+    to match ("rd"/"road" strict, "st"/"street" non-strict)."""
+    if not short or not full or len(short) > len(full):
+        return False
+    if short[0] != full[0]:
+        return False
+    if strict and short[-1] != full[-1]:
+        return False
+    it = iter(full)
+    return all(c in it for c in short)
+
+
+def acronym_of(tokens) -> str:
+    """First-letter acronym of a token sequence (acronyms.c:94-215 analog:
+    'International Business Machines' -> 'ibm')."""
+    return "".join(t[0] for t in tokens if t).lower()
+
+
+def acronym_alignment(t1: str, t2: str) -> bool:
+    """True if either side is the acronym of the other's tokens (with or
+    without single-char stopword-ish tokens dropped) — the reference's
+    acronym-alignment check before fuzzy scoring (near_dupe.c:416-559)."""
+    a, b = (t1 or "").split(), (t2 or "").split()
+    if len(a) == 1 and len(b) > 1:
+        one, many = a[0].lower().replace(".", ""), b
+    elif len(b) == 1 and len(a) > 1:
+        one, many = b[0].lower().replace(".", ""), a
+    else:
+        return False
+    if one == acronym_of(many):
+        return True
+    kept = [t for t in many if len(t) > 1]
+    return len(kept) >= 2 and one == acronym_of(kept)
+
+
+def soft_token_similarity(t1: str, t2: str, idf: dict | None = None) -> float:
+    """Soft-TFIDF-style token-set cosine (soft_tfidf.c:128-592 analog):
+    tokens match if equal, Jaro-Winkler >= 0.9, or one abbreviates the
+    other; matched weight over the geometric mean of total weights.
+    ``idf`` maps token -> weight (uniform 1.0 when absent — the reference
+    likewise takes caller-supplied token_scores, libpostal.h:261-262)."""
+    a, b = (t1 or "").split(), (t2 or "").split()
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+
+    def w(tok: str) -> float:
+        return float(idf.get(tok, 1.0)) if idf else 1.0
+
+    used = [False] * len(b)
+    matched = 0.0
+    for ta in a:
+        best_j = -1
+        for j, tb in enumerate(b):
+            if used[j]:
+                continue
+            if (
+                ta == tb
+                or jaro_winkler(ta, tb) >= 0.9
+                or possible_abbreviation(ta, tb)
+                or possible_abbreviation(tb, ta)
+            ):
+                best_j = j
+                break
+        if best_j >= 0:
+            used[best_j] = True
+            matched += (w(ta) * w(b[best_j])) ** 0.5
+    wa = sum(w(t) for t in a)
+    wb = sum(w(t) for t in b)
+    return matched / max((wa * wb) ** 0.5, 1e-12)
+
+
 def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Brute-force cosine top-k: queries (q, d) x corpus (n, d) -> (idx, score)
     each (q, k).  float64 matmul per batch; the corpus side is a broadcast

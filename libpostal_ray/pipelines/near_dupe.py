@@ -953,6 +953,7 @@ def refine_review_edges(
         exact_jaccard,
         jaro_winkler,
         shingle_set,
+        soft_token_similarity,
     )
     from libpostal_ray.stages.verify import STATUS_LIKELY, STATUS_NEEDS_REVIEW
 
@@ -1007,9 +1008,20 @@ def refine_review_edges(
         for i, c in zip(picked["doc_id"].to_pylist(), picked["content"].to_pylist())
     }
     sets = {i: shingle_set(c, cfg.shingle_k) for i, c in canon_texts.items()}
+    # crude IDF over the review-set docs for the soft-TFIDF scorer (the
+    # reference takes caller-computed token_scores, libpostal.h:261-262;
+    # full-corpus DF would be a groupby the tiny review tier cannot justify)
+    import math
+
+    df: dict[str, int] = {}
+    for c in canon_texts.values():
+        for tok in set(c.split()):
+            df[tok] = df.get(tok, 0) + 1
+    n_docs_rev = max(1, len(canon_texts))
+    idf = {t: math.log(1.0 + n_docs_rev / d) for t, d in df.items()}
     import ray as _ray
 
-    ref = _ray.put({"sets": sets, "texts": canon_texts})
+    ref = _ray.put({"sets": sets, "texts": canon_texts, "idf": idf})
 
     def refine(batch: pa.Table) -> pa.Table:
         state = _ray.get(ref)
@@ -1037,6 +1049,10 @@ def refine_review_edges(
             sim = jaro_winkler(ta, tb)
             if sim < cfg.fuzzy_sim_likely and len(ta) * len(tb) <= 1 << 22:
                 sim = max(sim, dl_similarity(ta, tb))
+            if sim < cfg.fuzzy_sim_likely:
+                sim = max(
+                    sim, soft_token_similarity(ta, tb, state.get("idf"))
+                )
             fz[i] = sim
             if sim >= cfg.fuzzy_sim_likely:
                 status[i] = STATUS_LIKELY

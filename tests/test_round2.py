@@ -514,6 +514,39 @@ def test_cc_round_checkpoint_resume(ray_session, tmp_path):
     assert set(man3["rounds"]) == rounds_after
 
 
+class TestAbbreviationAndSoftTfidf:
+    def test_possible_abbreviation(self):
+        from libpostal_ray.functions.similarity import possible_abbreviation
+
+        assert possible_abbreviation("st", "street")
+        assert possible_abbreviation("rd", "road", strict=True)
+        assert not possible_abbreviation("st", "avenue")
+        assert not possible_abbreviation("street", "st")  # short must be shorter
+        assert not possible_abbreviation("sx", "street")
+        assert not possible_abbreviation("", "road")
+
+    def test_acronym_alignment(self):
+        from libpostal_ray.functions.similarity import acronym_alignment
+
+        assert acronym_alignment("ibm", "international business machines")
+        assert acronym_alignment("international business machines", "ibm")
+        assert not acronym_alignment("ibm", "big blue company")
+        assert not acronym_alignment("a b", "c d")
+
+    def test_soft_token_similarity(self):
+        from libpostal_ray.functions.similarity import soft_token_similarity
+
+        assert soft_token_similarity("main street", "main street") == 1.0
+        # abbreviation-matched tokens count as matches
+        assert soft_token_similarity("main st", "main street") > 0.9
+        assert soft_token_similarity("alpha beta", "gamma delta") == 0.0
+        # idf downweights common tokens
+        idf = {"the": 0.1, "zebra": 5.0, "quay": 5.0}
+        hi = soft_token_similarity("the zebra", "the zebra quay", idf)
+        lo = soft_token_similarity("the zebra", "the zebra quay", None)
+        assert hi != lo  # weighting is live
+
+
 def test_rewrite_rules_in_config_fingerprint():
     from libpostal_ray.state.checkpoint import config_fingerprint
 
