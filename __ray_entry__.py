@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_counts": q.fingerprint_counts,
         "substring_spans": q.substring_spans,
         "ann_topk_lsh": q.ann_topk_lsh,
+        "ann_topk_ivf": q.ann_topk_ivf,
         "cluster_size_topk": q.cluster_size_topk,
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "hot_buckets": q.hot_buckets,

@@ -170,6 +170,19 @@ def bucketed_topk(
                         keys.add(bk ^ (1 << j) ^ (1 << j2))
         for kk_ in keys:
             q_by_bucket.setdefault(kk_, []).append(qi)
+    return _score_and_merge(bucketed, q_by_bucket, query_ids, qm, k)
+
+
+def _score_and_merge(
+    bucketed: ray.data.Dataset,
+    q_by_bucket: dict[int, list[int]],
+    query_ids: np.ndarray,
+    qm: np.ndarray,
+    k: int,
+) -> ray.data.Dataset:
+    """Shared tail of every bucketed ANN plan (LSH or IVF): per-bucket
+    scoring of the queries probing it, then a global per-query merge with
+    vec_id dedup and deterministic ranking."""
     ref = ray.put(
         {
             "q_by_bucket": q_by_bucket,
@@ -233,3 +246,126 @@ def bucketed_topk(
         )
 
     return scored.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: distributed k-means coarse quantizer + centroid-bucketed search
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    embeddings: ray.data.Dataset,
+    k: int,
+    iters: int = 8,
+    seed: int = 0x5EED0001,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding Dataset (cosine/unit-
+    sphere variant: vectors and centroids L2-normalized).
+
+    Each iteration is ONE map_batches pass emitting per-batch partial sums
+    (k x d) + counts — only k x d floats per batch leave the workers; the
+    tiny combine runs on the driver and the new centroids broadcast via
+    ray.put.  Deterministic: seeded init from the k lowest vec_id hashes.
+    """
+    # deterministic init: the k rows with smallest mix-hash of vec_id
+    from libpostal_ray.functions.hashing import mix_fold_u64
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix_fold_u64([ids], salt=0xC3A7)
+        order = np.argsort(h, kind="stable")[:k]
+        return batch.take(pa.array(order)).append_column(
+            "_h", pa.array(h[order].astype(np.int64))
+        )
+
+    cand = pa.concat_tables(
+        [
+            b
+            for b in embeddings.map_batches(init_partial, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    order = np.argsort(cand["_h"].to_numpy(zero_copy_only=False), kind="stable")[:k]
+    cents = _emb_matrix(cand.take(pa.array(order)), "embedding")
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _emb_matrix(batch, "embedding")
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                    "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "cnt": pa.array(counts),
+                }
+            )
+
+        parts = pa.concat_tables(
+            [
+                b
+                for b in embeddings.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+                if b.num_rows
+            ]
+        )
+        cid = parts["cid"].to_numpy(zero_copy_only=False)
+        cnt = parts["cnt"].to_numpy(zero_copy_only=False)
+        vs = np.array(parts["vsum"].to_pylist(), dtype=np.float64)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, cid, vs)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        np.add.at(counts, cid, cnt)
+        nonzero = counts > 0
+        new_c = cents.copy()
+        new_c[nonzero] = sums[nonzero] / counts[nonzero, None]
+        new_c = new_c / np.maximum(np.linalg.norm(new_c, axis=1, keepdims=True), 1e-30)
+        if np.allclose(new_c, cents, atol=1e-9):
+            cents = new_c
+            break
+        cents = new_c
+    return cents
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 8,
+    seed: int = 0x5EED0001,
+) -> ray.data.Dataset:
+    """IVF ANN: k-means coarse quantizer buckets the corpus by nearest
+    centroid; each query scores only its ``nprobe`` nearest centroid
+    buckets.  The learned-partition alternative to hyperplane LSH — tighter
+    buckets on clustered data at the cost of the k-means fit."""
+    cents = kmeans_fit(embeddings, n_centroids, iters=iters, seed=seed)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _emb_matrix(batch, "embedding")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("ann_bucket", pa.array(a, type=pa.int64()))
+
+    bucketed = embeddings.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    q_scores = qn @ cents.T  # (q, n_centroids)
+    probes = np.argsort(-q_scores, axis=1, kind="stable")[:, :nprobe]
+    q_by_bucket: dict[int, list[int]] = {}
+    for qi in range(probes.shape[0]):
+        for c in probes[qi]:
+            q_by_bucket.setdefault(int(c), []).append(qi)
+    return _score_and_merge(bucketed, q_by_bucket, query_ids, qm, k)

@@ -419,6 +419,27 @@ def ann_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return res[["vec_id", "cos_sim", "rank"]].sort_values("rank").reset_index(drop=True)
 
 
+def ann_topk_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF ANN: distributed k-means coarse quantizer (one map_batches pass
+    per Lloyd iteration, k x d partials only) + nprobe centroid buckets."""
+    import pyarrow.parquet as pq
+
+    from libpostal_ray.pipelines.ann import ivf_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qrow = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qm = np.array(qrow["embedding"].to_pylist(), dtype=np.float64)
+    res = ivf_topk(emb, qm, np.array([0]), k=k, n_centroids=16, nprobe=8).to_pandas()
+    res["cos_sim"] = res["cos_sim"].round(4)
+    return res[["vec_id", "cos_sim", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
 def fingerprint_counts(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_fingerprints): winnowed rolling-hash fingerprint counts."""
     return (

@@ -25,7 +25,7 @@ import pyarrow as pa
 from libpostal_ray.config import PipelineConfig
 
 STATUS_SPAN = 5  # between NEEDS_REVIEW(3) and LIKELY(6): exact shared span
-LCP_CAP = 1024   # reported span lengths saturate here (see lcp_kasai)
+LCP_CAP = 256    # reported span lengths saturate here (see lcp_kasai)
 
 SPAN_EDGE_SCHEMA = pa.schema(
     [
@@ -52,7 +52,12 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
         key2 = np.full(n, -1, dtype=np.int32)
         if k < n:
             key2[:-k] = rank[k:]
-        order = np.lexsort((key2, rank))
+        # one u64 argsort instead of a two-key lexsort: ~2x less sort work
+        # (rank and key2+1 both fit 31 bits)
+        packed = (rank.astype(np.uint64) << np.uint64(32)) | (
+            (key2 + 1).astype(np.uint64)
+        )
+        order = np.argsort(packed, kind="stable")
         r1 = rank[order]
         r2 = key2[order]
         changed = np.empty(n, dtype=np.int32)
@@ -84,23 +89,35 @@ def lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
     lcp = np.zeros(n, dtype=np.int64)
     if n < 2:
         return lcp
-    chunk = 64
-    win = np.arange(chunk, dtype=np.int64)
-    sp_a = np.concatenate((s, np.full(chunk, -1, dtype=np.int64)))
-    sp_b = np.concatenate((s, np.full(chunk, -2, dtype=np.int64)))
+    max_chunk = 64
+    s32 = np.asarray(s, dtype=np.int32)  # values fit int32; halves gather bytes
+    sp_a = np.concatenate((s32, np.full(max_chunk, -1, dtype=np.int32)))
+    sp_b = np.concatenate((s32, np.full(max_chunk, -2, dtype=np.int32)))
     i_arr = sa[:-1]
     j_arr = sa[1:]
     h = np.zeros(n - 1, dtype=np.int64)
     active = np.arange(n - 1, dtype=np.int64)
+    # geometric chunk schedule: the first rounds compare 1-2 chars — most
+    # adjacent suffixes mismatch immediately, and gather volume is
+    # active * chunk, so widening only as the active set thins keeps the
+    # total traffic near sum-of-survivors instead of n * 64
+    chunk = 1
     while active.size:
-        ia = (i_arr[active] + h[active])[:, None] + win
-        ja = (j_arr[active] + h[active])[:, None] + win
-        eq = sp_a[ia] == sp_b[ja]
-        full = eq.all(axis=1)
-        first = np.where(full, chunk, eq.argmin(axis=1))
-        h[active] += first
-        active = active[full]
+        base_i = i_arr[active] + h[active]
+        base_j = j_arr[active] + h[active]
+        if chunk == 1:
+            eq1 = sp_a[base_i] == sp_b[base_j]
+            h[active] += eq1
+            active = active[eq1]
+        else:
+            win = np.arange(chunk, dtype=np.int64)
+            eq = sp_a[base_i[:, None] + win] == sp_b[base_j[:, None] + win]
+            full = eq.all(axis=1)
+            first = np.where(full, chunk, eq.argmin(axis=1))
+            h[active] += first
+            active = active[full]
         active = active[h[active] < LCP_CAP]
+        chunk = min(max_chunk, chunk * 2)
     np.minimum(h, LCP_CAP, out=h)
     lcp[1:] = h
     return lcp

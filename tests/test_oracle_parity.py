@@ -99,6 +99,7 @@ ROWS_ONLY = [
     "fingerprint_counts",
     "substring_spans",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "cluster_size_topk",
     "simhash_dup_pairs",
     "hot_buckets",

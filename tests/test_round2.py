@@ -547,6 +547,47 @@ class TestAbbreviationAndSoftTfidf:
         assert hi != lo  # weighting is live
 
 
+def test_ivf_ann_monotone_recall_and_determinism(ray_session):
+    """IVF ANN: recall improves monotonically with nprobe, and the k-means
+    fit is deterministic (seeded init, fixed iteration order)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from libpostal_ray.pipelines.ann import brute_force_topk, ivf_topk, kmeans_fit
+
+    sf = "/root/testdata/sf0.01"
+    emb = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c1 = kmeans_fit(emb, 8, iters=4)
+    c2 = kmeans_fit(emb, 8, iters=4)
+    assert np.array_equal(c1, c2), "k-means must be deterministic"
+
+    qt = pq.read_table(
+        f"{sf}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 10)],
+    )
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    brute = brute_force_topk(emb, qm, qids, k=10).to_pandas()
+
+    def recall(nprobe):
+        approx = ivf_topk(
+            emb, qm, qids, k=10, n_centroids=8, nprobe=nprobe, iters=4
+        ).to_pandas()
+        rs = []
+        for q in qids:
+            truth = set(brute[brute["query_id"] == q]["vec_id"])
+            got = set(approx[approx["query_id"] == q]["vec_id"])
+            rs.append(len(truth & got) / max(1, len(truth)))
+        return float(np.mean(rs))
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2, (r2, r8)
+    assert r8 == 1.0, "nprobe == n_centroids scans everything -> exact"
+
+
 def test_rewrite_rules_in_config_fingerprint():
     from libpostal_ray.state.checkpoint import config_fingerprint
 
