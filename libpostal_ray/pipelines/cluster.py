@@ -185,6 +185,45 @@ def _cc_task(*blocks) -> pa.Table:
     )
 
 
+@ray.remote
+def _cc_task_from_edges(min_status: int, *blocks) -> pa.Table:
+    """Single-task CC straight from EDGE blocks (src, dst, status, ...):
+    the status filter and the (u,v) conversion run inside the task, so the
+    whole local path costs ONE Ray job instead of three (filter map +
+    convert map + CC).  Used by the fused fast path in near_dupe_pipeline."""
+    import numpy as np
+
+    parts = []
+    for b in blocks:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            continue
+        st = b["status"].to_numpy(zero_copy_only=False)
+        keep = st >= min_status
+        if keep.any():
+            parts.append(
+                (
+                    b["src"].to_numpy(zero_copy_only=False)[keep],
+                    b["dst"].to_numpy(zero_copy_only=False)[keep],
+                )
+            )
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+            }
+        )
+    u = np.concatenate([p[0] for p in parts]).astype(np.int64)
+    v = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    nodes, labels = _cc_vectorized(u, v)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array(labels, type=pa.int64()),
+        }
+    )
+
+
 # crossover between the single-task vectorized CC and the distributed
 # large/small-star rounds: below this many edges the whole graph fits one
 # worker comfortably (~16 B/edge => 5e7 edges ~ 800 MB) and a single task
@@ -348,6 +387,28 @@ def effective_join_partitions(requested: int) -> int:
 # label sets under this row count are broadcast (ray.put once, searchsorted
 # lookup per batch — no shuffle); 2 x 8 B x 2e7 = ~320 MB object
 ASSIGN_BROADCAST_MAX = 20_000_000
+
+
+def assign_clusters_ref(docs: ray.data.Dataset, labels_ref) -> ray.data.Dataset:
+    """Broadcast-only cluster assignment taking the label TABLE by
+    ObjectRef (e.g. straight from _cc_task_from_edges) — no label dataset,
+    no driver-side concat, no extra Ray jobs; one map over docs."""
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(labels_ref) if not isinstance(labels_ref, pa.Table) else labels_ref
+        node = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = tbl["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if node.shape[0] == 0:
+            return batch.append_column("cluster_id", pa.array(ids, type=pa.int64()))
+        # nodes from _cc_vectorized are sorted (np.unique)
+        pos = np.searchsorted(node, ids)
+        pos_c = np.clip(pos, 0, node.shape[0] - 1)
+        hit = (pos < node.shape[0]) & (node[pos_c] == ids)
+        cid = np.where(hit, lab[pos_c], ids)
+        return batch.append_column("cluster_id", pa.array(cid, type=pa.int64()))
+
+    return docs.map_batches(lookup, batch_format="pyarrow")
 
 
 def assign_clusters(

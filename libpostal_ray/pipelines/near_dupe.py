@@ -377,11 +377,26 @@ def near_dupe_pipeline(
         )
         return {"signatures": sigs, "edges": empty_edges, "clusters": empty_clusters}
     edges = candidate_edges(sigs, cfg).materialize()
+    docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
+    from libpostal_ray.pipelines.cluster import (
+        CC_LOCAL_MAX_EDGES,
+        _cc_task_from_edges,
+        assign_clusters_ref,
+    )
+
+    if not cfg.span_edges and edges.count() <= CC_LOCAL_MAX_EDGES:
+        # fused tail: status filter + (u,v) conversion + CC in ONE task,
+        # labels broadcast by ObjectRef into one map over the docs — three
+        # fewer Ray jobs of fixed latency than the general path
+        labels_ref = _cc_task_from_edges.remote(
+            STATUS_LIKELY, *edges.to_arrow_refs()
+        )
+        clusters = assign_clusters_ref(docs, labels_ref)
+        return {"signatures": sigs, "edges": edges, "clusters": clusters}
     strong = cluster_edges(edges)
     if cfg.span_edges:
         strong = strong.union(_span_edges_as_cluster_edges(corpus, cfg))
     labels = connected_components(strong)
-    docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
     clusters = assign_clusters(docs, labels, num_partitions=cfg.num_partitions)
     return {"signatures": sigs, "edges": edges, "clusters": clusters}
 
