@@ -33,6 +33,15 @@ _LINE_COMMENT_RE = re.compile(r"(//|#)[^\n]*")
 _BLOCK_COMMENT_RE = re.compile(r"/\*.*?\*/", re.S)
 
 
+# Example rule-pack: the expand_affixes / normalize_ordinal_suffixes analogs
+# (expand.c:413-449, 1368-1383) expressed as rewrite-rule entries — pass via
+# PipelineConfig(rewrite_rules=ORDINAL_AFFIX_RULES + your_rules).
+ORDINAL_AFFIX_RULES: tuple[tuple[str, str], ...] = (
+    (r"\b(\d+)(?:st|nd|rd|th)\b", r"\1"),   # "106th" -> "106"
+    (r"\b(\w+)str\.", r"\1 strasse"),        # "hauptstr." -> "haupt strasse"
+)
+
+
 def compile_rules(rules) -> list[tuple["re.Pattern[str]", str]]:
     """Compile a (pattern, replacement) rewrite-rule table (the
     resources/dictionaries analog, expand.c:724-1366) — done once per worker."""

@@ -73,6 +73,22 @@ def read_documents_corpus(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_docs_adapt, batch_format="pyarrow")
 
 
+def read_tsv_corpus(path: str) -> ray.data.Dataset:
+    """Delimited-text ingest (the reference's TSV training reader pattern,
+    address_parser_io.c:1-300): tab-separated
+    (repo, path, commit, lang, content) -> canonical corpus schema."""
+    from pyarrow import csv as pacsv
+
+    ds = ray.data.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(
+            column_names=CODE_COLUMNS, autogenerate_column_names=False
+        ),
+        parse_options=pacsv.ParseOptions(delimiter="\t"),
+    )
+    return ds.map_batches(_code_ids, batch_format="pyarrow")
+
+
 def from_arrow_corpus(table: pa.Table) -> ray.data.Dataset:
     """Wrap an in-memory code-shaped table (tests / synth corpus)."""
     cols = [c for c in CODE_COLUMNS if c in table.column_names]

@@ -588,6 +588,40 @@ def test_ivf_ann_monotone_recall_and_determinism(ray_session):
     assert r8 == 1.0, "nprobe == n_centroids scans everything -> exact"
 
 
+def test_ordinal_affix_rule_pack():
+    from libpostal_ray.functions.canonicalize import (
+        ORDINAL_AFFIX_RULES,
+        canonicalize_one,
+        compile_rules,
+    )
+
+    rules = compile_rules(ORDINAL_AFFIX_RULES)
+    assert (
+        canonicalize_one("E 106th St", compiled_rules=rules) == "e 106 st"
+    )
+    assert (
+        canonicalize_one("Hauptstr. 5", compiled_rules=rules)
+        == "haupt strasse 5"
+    )
+    # no rules: untouched
+    assert canonicalize_one("E 106th St") == "e 106th st"
+
+
+def test_tsv_reader(ray_session, tmp_path):
+    from libpostal_ray.sources.readers import read_tsv_corpus
+
+    p = tmp_path / "corpus.tsv"
+    p.write_text(
+        "r0\tsrc/a.py\tc1\tpy\tdef a(): pass\n"
+        "r1\tsrc/b.py\tc2\tpy\tdef b(): pass\n"
+    )
+    ds = read_tsv_corpus(str(p))
+    df = ds.to_pandas()
+    assert len(df) == 2
+    assert set(df.columns) == {"doc_id", "repo", "path", "lang", "content"}
+    assert df["doc_id"].nunique() == 2
+
+
 def test_rewrite_rules_in_config_fingerprint():
     from libpostal_ray.state.checkpoint import config_fingerprint
 
