@@ -622,6 +622,28 @@ def test_tsv_reader(ray_session, tmp_path):
     assert df["doc_id"].nunique() == 2
 
 
+def test_physical_plans_agree(ray_session):
+    """The three physical plans (manual fused exchange, sort-shuffle pairs,
+    inline bucket verify) must produce IDENTICAL cluster assignments — the
+    plan choice is an execution property, not a semantic one."""
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+    from libpostal_ray.synth import synth_code_corpus
+
+    t = synth_code_corpus(n_files=250, seed=21).drop_columns(["dup_group"])
+    corpus = from_arrow_corpus(t)
+
+    def clusters(cfg):
+        out = near_dupe_pipeline(corpus, cfg)
+        df = out["clusters"].to_pandas()[["doc_id", "cluster_id"]]
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    manual = clusters(PipelineConfig(shuffle_impl="manual"))
+    sorted_ = clusters(PipelineConfig(shuffle_impl="sort"))
+    inline = clusters(PipelineConfig(verify_mode="inline"))
+    assert manual.equals(sorted_), "manual vs sort-shuffle divergence"
+    assert manual.equals(inline), "pairs vs inline divergence"
+
+
 def test_rewrite_rules_in_config_fingerprint():
     from libpostal_ray.state.checkpoint import config_fingerprint
 
