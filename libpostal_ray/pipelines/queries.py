@@ -212,20 +212,27 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["sum_qty"] = np.floor(df["l_quantity"]).astype(np.int64)
-        df["sum_price_cents"] = np.floor(df["l_extendedprice"] * 100.0).astype(np.int64)
-        df["revenue_cents"] = np.floor(
-            df["l_extendedprice"] * (1.0 - df["l_discount"]) * 100.0
-        ).astype(np.int64)
-        df["n"] = 1
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
-                ["sum_qty", "sum_price_cents", "revenue_cents", "n"]
-            ]
-            .sum()
+        qty = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "sum_price_cents": pa.array(np.floor(price * 100.0).astype(np.int64)),
+                "revenue_cents": pa.array(
+                    np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+                ),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"), ("revenue_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "revenue_cents", "n"]
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -549,8 +556,7 @@ def distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
     def uniq(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
 
     pairs = ds.map_batches(uniq, batch_format="pyarrow").groupby(
         ["event_type", "user_id"]
@@ -777,9 +783,8 @@ def hot_buckets(sf_dir: str, k: int = 20) -> pd.DataFrame:
     keys = near_dupe_hashes(sigs, cfg)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby("band_key", as_index=False).size()
-        df.columns = ["band_key", "n_part"]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = pa.TableGroupBy(batch, "band_key").aggregate([([], "count_all")])
+        return g.rename_columns(["band_key", "n_part"])
 
     counts = (
         keys.map_batches(partial, batch_format="pyarrow")
