@@ -663,15 +663,22 @@ def _verify_pairs_join(
         mh = batch["minhash8"]
         if isinstance(mh, pa.ChunkedArray):
             mh = mh.combine_chunks()
-        packed = mh.flatten().to_numpy(zero_copy_only=False).reshape(-1, K).tobytes()
+        # fixed_size_list<uint8,K> -> fixed_size_binary(K): SAME buffer
+        # layout, zero-copy rewrap (Arrow's join can carry fixed binary but
+        # not list payloads)
+        flat = mh.flatten()
+        values_buf = flat.buffers()[1]
+        mh_bin = pa.Array.from_buffers(
+            pa.binary(K),
+            batch.num_rows,
+            [None, values_buf],
+            offset=flat.offset // K if flat.offset else 0,
+        )
         return pa.table(
             {
                 f"jkey{suffix}": batch["doc_id"],
                 f"sha{suffix}": batch["sha256"],
-                f"mh{suffix}": pa.array(
-                    [packed[i * K : (i + 1) * K] for i in range(batch.num_rows)],
-                    type=pa.binary(K),
-                ),
+                f"mh{suffix}": mh_bin,
                 f"sim{suffix}": batch["simhash"],
                 f"short{suffix}": batch["is_short"],
                 f"nsh{suffix}": batch["n_shingles"],

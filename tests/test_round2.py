@@ -622,6 +622,29 @@ def test_tsv_reader(ray_session, tmp_path):
     assert df["doc_id"].nunique() == 2
 
 
+def test_join_verify_path_matches_broadcast(ray_session):
+    """Above sig_broadcast_max the pair verification runs as two hash joins
+    instead of a broadcast lookup; forcing the threshold to 0 must produce
+    identical clusters (the >3M-doc scale path, normally untestable)."""
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+    from libpostal_ray.synth import synth_code_corpus
+
+    t = synth_code_corpus(n_files=200, seed=33).drop_columns(["dup_group"])
+    corpus = from_arrow_corpus(t)
+
+    def clusters(cfg):
+        out = near_dupe_pipeline(corpus, cfg)
+        return (
+            out["clusters"].to_pandas()[["doc_id", "cluster_id"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    broadcast = clusters(PipelineConfig())
+    joined = clusters(PipelineConfig(sig_broadcast_max=0))
+    assert broadcast.equals(joined)
+
+
 def test_physical_plans_agree(ray_session):
     """The three physical plans (manual fused exchange, sort-shuffle pairs,
     inline bucket verify) must produce IDENTICAL cluster assignments — the
