@@ -124,9 +124,16 @@ class PipelineConfig:
                                     # "inline": carry b-bit signatures through
                                     # the shuffle and verify inside the bucket
                                     # groupby (fewer stages; denser payload)
-    sig_broadcast_max: int = 3_000_000  # docs; signature table under this is
-                                    # ray.put-broadcast for pair verification
-                                    # (~200 B/doc); above it, two hash joins
+    sig_broadcast_max: int = 12_000_000  # docs; the verification state is
+                                    # broadcast (one shared plasma object,
+                                    # ~185 B/doc: ids 8 + sha 32 + b-bit 128
+                                    # + simhash 8 + nsh 8 + short 1) for pair
+                                    # verification below this — 12M docs ~
+                                    # 2.2 GB, well inside a worker heap.
+                                    # Above it, two hash joins attach the
+                                    # columns instead (measured 30x slower
+                                    # locally — the join is the >memory
+                                    # fallback, not the preferred plan)
     shuffle_impl: str = "manual"    # "manual": raw-task hash exchange for the
                                     # pairgen shuffle (split by band_key % P,
                                     # num_returns=P; no global sort);

@@ -32,17 +32,6 @@ from libpostal_ray.stages.signature import SignatureStage, SIGNATURE_COLUMNS
 from libpostal_ray.stages.verify import STATUS_LIKELY, VerifyPartition
 
 
-def _pool(cfg: PipelineConfig):
-    """Actor-pool sizing for genuinely stateful stages: autoscale up to the
-    cluster's CPUs so the pool never starves the read/write stages."""
-    if cfg.sig_concurrency is not None:
-        return cfg.sig_concurrency
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus))
-
-
 def _sig_transforms(cfg: PipelineConfig):
     """The canonicalize+signature transforms as STATELESS task functions.
 
