@@ -237,6 +237,7 @@ def connected_components(
     partitions: int = 64,
     checkpoint_dir: str | None = None,
     local_max_edges: int | None = None,
+    config_fp: str | None = None,
 ) -> ray.data.Dataset:
     """edges (src: int64, dst: int64, ...) -> labels (doc_id: int64,
     cluster_id: int64) for every node that appears in an edge.
@@ -287,9 +288,23 @@ def connected_components(
         ck_dir = os.path.join(checkpoint_dir, "cc_rounds")
         os.makedirs(ck_dir, exist_ok=True)
         manifest_path = os.path.join(ck_dir, "manifest.json")
+        # manifest validity = (config fingerprint, input edge-set signature):
+        # a converged manifest from an earlier run with a different corpus or
+        # config would otherwise short-circuit straight to stale labels
+        # (mirrors StageCheckpoint._load's invalidation contract).
+        input_sig = list(_checksum(cur))
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 manifest = json.load(f)
+            if (
+                manifest.get("config_fp") != config_fp
+                or manifest.get("input_sig") != input_sig
+            ):
+                shutil.rmtree(ck_dir, ignore_errors=True)
+                os.makedirs(ck_dir, exist_ok=True)
+                manifest = {"rounds": {}}
+        manifest["config_fp"] = config_fp
+        manifest["input_sig"] = input_sig
         done = sorted(int(r) for r in manifest["rounds"])
         if done:
             last = done[-1]

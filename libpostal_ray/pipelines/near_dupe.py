@@ -338,7 +338,13 @@ def near_dupe_pipeline(
         edges_parts, edge_metrics = checkpointed_edges(sigs, cfg, checkpoint_dir)
         edges = dedup_pair_edges(edges_parts).materialize()
         strong = cluster_edges(edges)
-        labels = connected_components(strong, checkpoint_dir=checkpoint_dir)
+        from libpostal_ray.state.checkpoint import config_fingerprint
+
+        labels = connected_components(
+            strong,
+            checkpoint_dir=checkpoint_dir,
+            config_fp=config_fingerprint(cfg),
+        )
         docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
         clusters = assign_clusters(docs, labels, num_partitions=cfg.num_partitions)
         return {

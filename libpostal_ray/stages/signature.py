@@ -119,6 +119,24 @@ class SignatureStage:
         concat, voff = _segment_gather(h_all, off[:-1], counts)
         sigs = oph_minhash_batch(concat, voff, cfg.num_perm)
 
+        # DISTINCT shingle count per row (not the position count): the
+        # size-ratio guard in verify_pair_statuses relies on the bound
+        # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), which only holds for
+        # distinct-shingle SET sizes — a file that is N repeats of another's
+        # content has a near-identical shingle set but an N:1 position
+        # ratio, and the multiset count would silently drop the pair.
+        # One lexsort over the sub-batch's shingles (cache-blocked upstream).
+        if concat.shape[0]:
+            seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+            so = np.lexsort((concat, seg))
+            cs, ss = concat[so], seg[so]
+            new = np.concatenate(
+                ([True], (ss[1:] != ss[:-1]) | (cs[1:] != cs[:-1]))
+            )
+            distinct = np.bincount(ss[new], minlength=n).astype(np.int64)
+        else:
+            distinct = np.zeros(n, dtype=np.int64)
+
         cutoff = cfg.short_file_cutoff
         band = cfg.boundary_band
         is_short = char_len < cutoff
@@ -190,7 +208,7 @@ class SignatureStage:
             "sha256": batch["sha256"],
             "sha_key": pa.array(sha_key, type=pa.int64()),
             "n_chars": batch["n_chars"],
-            "n_shingles": pa.array(counts, type=pa.int64()),
+            "n_shingles": pa.array(distinct, type=pa.int64()),
             "is_short": pa.array(is_short),
             # ONLY the b-bit signature leaves this stage: the full 64-bit
             # signature exists transiently for band-key derivation and is

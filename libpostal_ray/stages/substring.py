@@ -25,8 +25,12 @@ import pyarrow as pa
 from libpostal_ray.config import PipelineConfig
 
 STATUS_SPAN = 5  # between NEEDS_REVIEW(3) and LIKELY(6): exact shared span
-LCP_CAP = 256    # reported span lengths saturate here (see lcp_kasai)
+LCP_CAP = 256    # default LCP work cap; the effective cap is
+                 # max(LCP_CAP, cfg.min_span_len) so detection can never be
+                 # silently disabled by a large min_span_len (see lcp_kasai)
 
+# NOTE: span_len SATURATES at max(LCP_CAP, cfg.min_span_len) — it is the
+# length of the shared span up to that cap, not the full span length.
 SPAN_EDGE_SCHEMA = pa.schema(
     [
         ("src", pa.int64()),
@@ -72,17 +76,18 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
     return order.astype(np.int64)
 
 
-def lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+def lcp_kasai(s: np.ndarray, sa: np.ndarray, cap: int = LCP_CAP) -> np.ndarray:
     """LCP array (lcp[i] = common prefix of sa[i-1], sa[i]); lcp[0] = 0.
 
     Kasai's per-char scan is a Python loop; instead all n-1 adjacent-suffix
     pairs advance TOGETHER in vectorized 64-element comparison rounds, each
     pair dropping out at its first mismatch — numpy-speed instead of
-    interpreter-speed per char.  LCP values are CAPPED at LCP_CAP: span
-    DETECTION only needs lcp >= min_span_len (<< cap), and the cap bounds
-    total work at O(n * cap / 64) even on adversarial tandem repeats where
-    uncapped per-pair scanning would be quadratic (Kasai's amortization
-    does not vectorize).  Reported span lengths saturate at LCP_CAP.
+    interpreter-speed per char.  LCP values are CAPPED at ``cap`` (callers
+    pass max(LCP_CAP, min_span_len) so detection works for any
+    min_span_len); the cap bounds total work at O(n * cap / 64) even on
+    adversarial tandem repeats where uncapped per-pair scanning would be
+    quadratic (Kasai's amortization does not vectorize).  Reported span
+    lengths saturate at the cap (SPAN_EDGE_SCHEMA note).
     Out-of-range positions use two DIFFERENT sentinel pads so they can
     never compare equal."""
     n = s.shape[0]
@@ -116,9 +121,9 @@ def lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
             first = np.where(full, chunk, eq.argmin(axis=1))
             h[active] += first
             active = active[full]
-        active = active[h[active] < LCP_CAP]
+        active = active[h[active] < cap]
         chunk = min(max_chunk, chunk * 2)
-    np.minimum(h, LCP_CAP, out=h)
+    np.minimum(h, cap, out=h)
     lcp[1:] = h
     return lcp
 
@@ -139,7 +144,9 @@ def _span_edges_for_texts(
     s = np.concatenate(parts)
     owner = np.concatenate(owners)
     sa = suffix_array(s)
-    lcp = lcp_kasai(s, sa)
+    # effective cap >= min_span so a large min_span_len can never silently
+    # detect zero spans (detection requires lcp >= min_span)
+    lcp = lcp_kasai(s, sa, cap=max(LCP_CAP, min_span))
 
     # runs of SA positions where consecutive LCP >= min_span share a prefix
     # of >= min_span chars; distinct owners within a run => SPAN edges

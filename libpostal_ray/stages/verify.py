@@ -401,8 +401,11 @@ def verify_pair_statuses(
     analog): Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so when the
     shingle-count ratio is below a threshold the true Jaccard cannot reach
     it — a noisy b-bit estimate above the threshold is demoted (to
-    NEEDS_REVIEW) or dropped rather than believed.  Exact pairs are
-    unaffected (identical content has ratio 1)."""
+    NEEDS_REVIEW) or dropped rather than believed.  nsh_a/nsh_b are
+    DISTINCT-shingle set sizes (stages/signature.py computes them that
+    way), which is the only form for which the bound holds — multiset
+    position counts would wrongly drop e.g. a file that is N repeats of
+    another's content.  Exact pairs are unaffected (ratio 1)."""
     C = 1.0 / 256.0
     est = np.clip((raw_agree - C) / (1.0 - C), 0.0, 1.0)
     status = np.zeros(exact.shape[0], dtype=np.int8)
