@@ -272,7 +272,11 @@ def kmeans_fit(
 
     def init_partial(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = mix_fold_u64([ids], salt=0xC3A7)
+        # mask to 63 bits BEFORE ordering: the driver re-selects by the
+        # int64 view of _h, where unmasked hashes >= 2^63 would sort
+        # negative-first and disagree with the uint64 worker order, making
+        # seed choice depend on Ray block boundaries
+        h = mix_fold_u64([ids], salt=0xC3A7) & np.uint64(0x7FFFFFFFFFFFFFFF)
         order = np.argsort(h, kind="stable")[:k]
         return batch.take(pa.array(order)).append_column(
             "_h", pa.array(h[order].astype(np.int64))
@@ -369,3 +373,195 @@ def ivf_topk(
         for c in probes[qi]:
             q_by_bucket.setdefault(int(c), []).append(qi)
     return _score_and_merge(bucketed, q_by_bucket, query_ids, qm, k)
+
+
+# ---------------------------------------------------------------------------
+# bucketed embedding near-dup PAIRS (the scale path for embedding_dups)
+# ---------------------------------------------------------------------------
+
+DUP_PAIR_SCHEMA = pa.schema(
+    [
+        ("vec_a", pa.int64()),
+        ("vec_b", pa.int64()),
+        ("cos_sim", pa.float64()),
+    ]
+)
+
+
+@ray.remote
+def _dedup_dup_pairs_task(*blocks) -> pa.Table:
+    """(vec_a, vec_b) dedup across hash tables — cos_sim is a per-pair
+    invariant, so any duplicate row's value is the value."""
+    parts = [
+        b for b in blocks if b.num_rows > 0 and "vec_a" in b.column_names
+    ]
+    if not parts:
+        return DUP_PAIR_SCHEMA.empty_table()
+    t = pa.concat_tables(parts)
+    a = t["vec_a"].to_numpy(zero_copy_only=False)
+    b = t["vec_b"].to_numpy(zero_copy_only=False)
+    s = t["cos_sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, s = a[order], b[order], s[order]
+    keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    return pa.table(
+        {
+            "vec_a": pa.array(a[keep], type=pa.int64()),
+            "vec_b": pa.array(b[keep], type=pa.int64()),
+            "cos_sim": pa.array(s[keep], type=pa.float64()),
+        },
+        schema=DUP_PAIR_SCHEMA,
+    )
+
+
+class _BucketPairEmit:
+    """map_groups callable over a PARTITION of LSH buckets
+    (ann_bucket % P): per bucket, all-pairs cosine over the bucket's members
+    with a threshold filter.  Hot buckets are chunked deterministically
+    (hash order) into groups of <= bucket_cap with all-pairs inside — the
+    same connectivity-for-work trade as the MinHash salted buckets; at the
+    near-dup thresholds this path targets (cos >= ~0.8) true pairs collide
+    in several of the L tables, so a chunk split in one table is rescued by
+    another."""
+
+    def __init__(self, threshold: float, bucket_cap: int = 4096):
+        self.threshold = threshold
+        self.bucket_cap = bucket_cap
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from libpostal_ray.functions.hashing import mix_fold_u64
+
+        n = group.num_rows
+        if n < 2:
+            return DUP_PAIR_SCHEMA.empty_table()
+        bks = group["ann_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bks))
+        bks_s, ids_s = bks[order], ids[order]
+        m = _emb_matrix(group.take(pa.array(order)), "embedding")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        starts = np.flatnonzero(np.concatenate(([True], bks_s[1:] != bks_s[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        out_a, out_b, out_s = [], [], []
+        for st, en in zip(starts, ends):
+            sz = int(en - st)
+            if sz < 2:
+                continue
+            rows = np.arange(st, en)
+            if sz > self.bucket_cap:
+                # deterministic hash-order chunking of a hot bucket
+                h = mix_fold_u64(
+                    [ids_s[rows].astype(np.uint64)], salt=int(bks_s[st])
+                )
+                rows = rows[np.lexsort((ids_s[rows], h))]
+            for cs in range(0, sz, self.bucket_cap):
+                chunk = rows[cs : cs + self.bucket_cap]
+                cm = chunk.shape[0]
+                if cm < 2:
+                    continue
+                scores = m[chunk] @ m[chunk].T
+                li, ri = np.nonzero(np.triu(scores >= self.threshold, k=1))
+                if li.size == 0:
+                    continue
+                ga, gb = ids_s[chunk[li]], ids_s[chunk[ri]]
+                lo = np.minimum(ga, gb)
+                hi = np.maximum(ga, gb)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(scores[li, ri])
+        if not out_a:
+            return DUP_PAIR_SCHEMA.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        s = np.concatenate(out_s)
+        # local pair dedup (same pair via two buckets of this partition)
+        order2 = np.lexsort((b, a))
+        a, b, s = a[order2], b[order2], s[order2]
+        keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], type=pa.int64()),
+                "vec_b": pa.array(b[keep], type=pa.int64()),
+                "cos_sim": pa.array(s[keep], type=pa.float64()),
+            },
+            schema=DUP_PAIR_SCHEMA,
+        )
+
+
+# hybrid crossover for the cross-table pair dedup (same rationale as
+# near_dupe.PAIR_DEDUP_LOCAL_MAX: one vectorized task beats a distributed
+# aggregate by ~10x below this row count)
+DUP_PAIR_DEDUP_LOCAL_MAX = 50_000_000
+
+
+def embedding_dup_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    dim: int,
+    bits: int | None = None,
+    tables: int = 8,
+    seed: int = 0x5EED0001,
+    partitions: int = 64,
+    bucket_cap: int = 4096,
+    round_to: int | None = 4,
+) -> ray.data.Dataset:
+    """Embedding near-dup pairs WITHOUT the all-pairs matmul: hyperplane-LSH
+    buckets (L independent tables) + per-bucket all-pairs + cross-table pair
+    dedup.  Work is O(N * bucket_size * tables), never O(N^2); no stage
+    holds more than one bucket partition.
+
+    APPROXIMATE by design: a pair at cosine c collides in one table with
+    probability (1 - acos(c)/pi)^bits; across L tables the miss rate is
+    (1 - p^bits)^L.  At the near-dup operating point (c >= 0.8, bits=8,
+    tables=8) recall is ~0.97; recall decays for low thresholds — use the
+    brute path (pipelines/queries.embedding_dups below its size threshold)
+    when exact low-threshold output is required.
+
+    ``bits=None`` auto-scales to the corpus: bits = log2(N / 512) clipped to
+    [6, 16], keeping expected bucket size ~512 so per-bucket all-pairs work
+    stays O(N * 512 * tables) as N grows (add tables to recover recall)."""
+    if bits is None:
+        n_total = embeddings.count()
+        bits = int(np.clip(np.ceil(np.log2(max(2.0, n_total / 512.0))), 6, 16))
+    bucketed = embeddings.map_batches(
+        HyperplaneLSHBucketer(dim, bits=bits, seed=seed, tables=tables),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    P = partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bk = batch["ann_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(bk % P, type=pa.int64()))
+
+    emit = _BucketPairEmit(threshold, bucket_cap=bucket_cap)
+
+    def emit_partition(group: pa.Table) -> pa.Table:
+        out = emit(group)
+        if round_to is not None and out.num_rows:
+            s = np.round(out["cos_sim"].to_numpy(zero_copy_only=False), round_to)
+            out = out.set_column(
+                out.column_names.index("cos_sim"),
+                "cos_sim",
+                pa.array(s, type=pa.float64()),
+            )
+        return out
+
+    raw = (
+        bucketed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_partition, batch_format="pyarrow")
+        .materialize()
+    )
+    n = raw.count()
+    if n == 0:
+        return ray.data.from_arrow(DUP_PAIR_SCHEMA.empty_table())
+    if n <= DUP_PAIR_DEDUP_LOCAL_MAX:
+        return ray.data.from_arrow(
+            ray.get(_dedup_dup_pairs_task.remote(*raw.to_arrow_refs()))
+        )
+    from ray.data.aggregate import Max
+
+    return raw.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cos_sim", alias_name="cos_sim")
+    )

@@ -496,13 +496,25 @@ def cluster_size_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
 
 
-def embedding_dups(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
+# above this corpus size the brute all-pairs matmul (O(N^2) work against a
+# broadcast (N x d) matrix) is a scale-killer: route through the bucketed
+# LSH path instead (per-bucket all-pairs, O(N * bucket * tables) work).
+# The brute path stays the small-N plan because it is EXACT (the oracle
+# compares against SQL's exact all-pairs); the bucketed path is the
+# documented-approximate 100-TB plan.
+EMBEDDING_DUPS_BRUTE_MAX = 100_000
+
+
+def embedding_dups(
+    sf_dir: str, threshold: float = 0.3, brute_max: int = EMBEDDING_DUPS_BRUTE_MAX
+) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim) for
     all pairs with cosine >= threshold (vec_a < vec_b).
 
-    The corpus matrix is broadcast once (ray.put); each batch computes one
-    float64 matmul block against it — the brute-force baseline of
-    embedding near-dup dedup (the IVF/LSH scale path is pipelines/ann.py)."""
+    Hybrid: corpora up to ``brute_max`` rows use the exact broadcast
+    all-pairs matmul (the oracle plan); larger corpora route through the
+    hyperplane-LSH bucketed pair emitter (pipelines/ann.embedding_dup_pairs)
+    — per-bucket all-pairs only, no O(N^2) score block anywhere."""
     import pyarrow.parquet as pq
 
     import ray as _ray
@@ -510,6 +522,11 @@ def embedding_dups(sf_dir: str, threshold: float = 0.3) -> ray.data.Dataset:
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    if emb.count() > brute_max:
+        from libpostal_ray.pipelines.ann import embedding_dup_pairs
+
+        dim = len(emb.take(1)[0]["embedding"])
+        return embedding_dup_pairs(emb, threshold, dim)
 
     @_ray.remote
     def _build_state(*blocks) -> dict:

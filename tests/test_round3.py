@@ -1,0 +1,199 @@
+"""Round-3 tests: advisory fixes + the bucketed embedding-dup scale path."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# size-ratio guard: distinct-shingle counts (advisory fix)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_content_pair_survives_size_ratio_guard(ray_session):
+    """A file that is N repeats of another's content has a near-identical
+    DISTINCT shingle set but an N:1 shingle-POSITION ratio.  The guard must
+    use set sizes (the Jaccard bound only holds for sets) — with multiset
+    counts this pair was silently dropped before reaching any review tier."""
+    import ray.data
+
+    from libpostal_ray.config import PipelineConfig
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+
+    base = "def handler(request):\n    return dispatch(request, registry)\n" * 4
+    rep = base * 6  # 6x repeat: multiset ratio ~1/6, set ratio ~1
+    rows = [
+        {"doc_id": 1, "repo": "r", "path": "a.py", "lang": "py", "content": base},
+        {"doc_id": 2, "repo": "r", "path": "b.py", "lang": "py", "content": rep},
+        # unrelated filler so the corpus isn't a single bucket
+        {
+            "doc_id": 3,
+            "repo": "r",
+            "path": "c.py",
+            "lang": "py",
+            "content": "import os, sys\nprint(os.listdir(sys.argv[1]))\n" * 3,
+        },
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "repo": [r["repo"] for r in rows],
+            "path": [r["path"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+            "content": [r["content"] for r in rows],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    cfg = PipelineConfig(size_ratio_guard=True)
+    out = near_dupe_pipeline(ds, cfg)
+    edges = out["edges"].to_pandas()
+    pair = edges[(edges.src == 1) & (edges.dst == 2)]
+    assert len(pair) == 1, f"repeat pair missing from edges:\n{edges}"
+    assert int(pair.status.iloc[0]) > 0
+
+
+def test_distinct_shingle_counts_in_signature(ray_session):
+    """n_shingles is the DISTINCT shingle count, not the position count."""
+    import ray.data
+
+    from libpostal_ray.config import PipelineConfig
+    from libpostal_ray.pipelines.near_dupe import signatures
+
+    content = "abcdefgh" * 10  # 80 chars; positions=76, distinct shingles=8
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "repo": ["r"],
+            "path": ["p"],
+            "lang": ["py"],
+            "content": [content],
+        }
+    )
+    sigs = signatures(ray.data.from_arrow(t), PipelineConfig()).to_pandas()
+    # "abcdefgh"*10 with k=5 has exactly 8 distinct 5-grams (cyclic shifts)
+    assert int(sigs.n_shingles.iloc[0]) == 8
+
+
+# ---------------------------------------------------------------------------
+# cc_rounds checkpoint fingerprint invalidation (advisory fix)
+# ---------------------------------------------------------------------------
+
+
+def test_cc_rounds_checkpoint_invalidated_on_input_change(ray_session, tmp_path):
+    import ray.data
+
+    from libpostal_ray.pipelines.cluster import connected_components
+
+    def edges_of(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], type=pa.int64()),
+                }
+            )
+        )
+
+    ck = str(tmp_path / "ck")
+    # force the distributed path so the checkpoint machinery engages
+    e1 = edges_of([(1, 2), (2, 3), (10, 11)])
+    l1 = connected_components(
+        e1, checkpoint_dir=ck, local_max_edges=0, partitions=4, config_fp="A"
+    ).to_pandas()
+    assert set(l1[l1.doc_id.isin([1, 2, 3])].cluster_id) == {1}
+
+    # SAME dir, DIFFERENT edge set: a stale converged manifest must not
+    # short-circuit to the old labels
+    e2 = edges_of([(1, 2), (10, 11), (11, 12)])
+    l2 = connected_components(
+        e2, checkpoint_dir=ck, local_max_edges=0, partitions=4, config_fp="A"
+    ).to_pandas()
+    lab = dict(zip(l2.doc_id, l2.cluster_id))
+    assert lab[12] == 10 and lab[11] == 10
+    assert 3 not in lab  # node 3 is not in e2 at all
+
+    # config fingerprint change alone also invalidates
+    l3 = connected_components(
+        e2, checkpoint_dir=ck, local_max_edges=0, partitions=4, config_fp="B"
+    ).to_pandas()
+    assert dict(zip(l3.doc_id, l3.cluster_id)) == lab
+
+
+# ---------------------------------------------------------------------------
+# LCP cap derives from min_span_len (advisory fix)
+# ---------------------------------------------------------------------------
+
+
+def test_large_min_span_len_still_detects():
+    from libpostal_ray.stages.substring import _span_edges_for_texts
+
+    shared = "x" + "abcdefghij" * 40 + "y"  # ~400-char shared span
+    t1 = "AAA" + shared + "BBB"
+    t2 = "CCC" + shared + "DDD"
+    ids = np.array([1, 2], dtype=np.int64)
+    # min_span_len=300 > LCP_CAP=256: previously detected NOTHING
+    out = _span_edges_for_texts(ids, [t1, t2], 300, False)
+    assert out.num_rows == 1
+    assert int(out["span_len"][0].as_py()) >= 300
+
+
+# ---------------------------------------------------------------------------
+# bucketed embedding-dup pairs (the embedding_dups scale path)
+# ---------------------------------------------------------------------------
+
+
+def _planted_embeddings(n, dim, n_dup, seed=7):
+    """(table, planted_pairs): n random unit vectors; the last n_dup rows are
+    near-copies (cos >= ~0.99) of the first n_dup rows."""
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    pairs = []
+    for i in range(n_dup):
+        j = n - n_dup + i
+        m[j] = m[i] + 0.05 * rng.standard_normal(dim)
+        m[j] /= np.linalg.norm(m[j])
+        pairs.append((i, j))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m.astype(np.float32))),
+        }
+    )
+    return t, pairs
+
+
+def test_embedding_dup_pairs_bucketed_recall(ray_session):
+    import ray.data
+
+    from libpostal_ray.pipelines.ann import embedding_dup_pairs
+
+    n, dim, n_dup = 20_000, 16, 200
+    t, planted = _planted_embeddings(n, dim, n_dup)
+    ds = ray.data.from_arrow(t)
+    out = embedding_dup_pairs(ds, threshold=0.9, dim=dim, tables=8).to_pandas()
+    found = set(zip(out.vec_a, out.vec_b))
+    hit = sum(1 for p in planted if p in found)
+    assert hit / n_dup >= 0.9, f"bucketed recall {hit}/{n_dup}"
+    # precision is exact: every emitted pair's true cosine >= threshold
+    m = t["embedding"].combine_chunks().flatten().to_numpy().reshape(n, dim)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = (m[out.vec_a.to_numpy()] * m[out.vec_b.to_numpy()]).sum(axis=1)
+    assert (cos >= 0.9 - 1e-6).all()
+
+
+def test_embedding_dups_routes_to_bucketed_above_threshold(ray_session, tmp_path):
+    """queries.embedding_dups must switch plans above brute_max and still
+    find the planted near-dup pairs."""
+    from libpostal_ray.pipelines.queries import embedding_dups
+
+    n, dim, n_dup = 4000, 16, 50
+    t, planted = _planted_embeddings(n, dim, n_dup)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    out = embedding_dups(str(d), threshold=0.9, brute_max=100).to_pandas()
+    found = set(zip(out.vec_a, out.vec_b))
+    hit = sum(1 for p in planted if p in found)
+    assert hit / n_dup >= 0.9
