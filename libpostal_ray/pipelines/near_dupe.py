@@ -79,9 +79,15 @@ def near_dupe_hashes(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Da
     )
 
 
-def candidate_edges(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+def candidate_edges(
+    sigs: ray.data.Dataset, cfg: PipelineConfig, extras: dict | None = None
+) -> ray.data.Dataset:
     """signature table -> verified, deduplicated edge table
     (src, dst, status, est_jaccard, truncated).
+
+    ``extras``, when passed, receives internal artifacts downstream fusions
+    reuse (currently ``state_refs``: the sharded broadcast signature state —
+    dedup_report's rep-sha lookup reads it instead of re-shuffling docs).
 
     Two physical plans (cfg.verify_mode):
       * "pairs" (default, the 100TB plan): shuffle only (band_key, doc_id)
@@ -92,7 +98,7 @@ def candidate_edges(sigs: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dat
         inside the bucket groupby (one all-to-all, ~13x more bytes).
     """
     if cfg.verify_mode == "pairs":
-        return _candidate_edges_pairs(sigs, cfg)
+        return _candidate_edges_pairs(sigs, cfg, extras=extras)
     exploded = sigs.map_batches(
         explode_band_keys, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -371,7 +377,8 @@ def near_dupe_pipeline(
             ).empty_table()
         )
         return {"signatures": sigs, "edges": empty_edges, "clusters": empty_clusters}
-    edges = candidate_edges(sigs, cfg).materialize()
+    extras: dict = {}
+    edges = candidate_edges(sigs, cfg, extras=extras).materialize()
     docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
     from libpostal_ray.pipelines.cluster import (
         CC_LOCAL_MAX_EDGES,
@@ -379,18 +386,40 @@ def near_dupe_pipeline(
         assign_clusters_ref,
     )
 
-    if not cfg.span_edges and edges.count() <= CC_LOCAL_MAX_EDGES:
+    # SPAN edges (exact shared substrings) fuse into the same CC task:
+    # their status (5) sits between NEEDS_REVIEW (3) and LIKELY (6), so
+    # lowering the CC status floor to SPAN with the span blocks appended is
+    # exactly the old filter+union plan, minus the union dataset and the
+    # extra distributed-CC jobs.
+    span_refs: list = []
+    n_span = 0
+    min_status = STATUS_LIKELY
+    if cfg.span_edges:
+        from libpostal_ray.stages.substring import STATUS_SPAN
+
+        spans = _span_edges_as_cluster_edges(corpus, cfg).materialize()
+        span_refs = spans.to_arrow_refs()
+        n_span = spans.count()
+        min_status = STATUS_SPAN
+
+    if edges.count() + n_span <= CC_LOCAL_MAX_EDGES:
         # fused tail: status filter + (u,v) conversion + CC in ONE task,
         # labels broadcast by ObjectRef into one map over the docs — three
         # fewer Ray jobs of fixed latency than the general path
         labels_ref = _cc_task_from_edges.remote(
-            STATUS_LIKELY, *edges.to_arrow_refs()
+            min_status, *edges.to_arrow_refs(), *span_refs
         )
         clusters = assign_clusters_ref(docs, labels_ref)
-        return {"signatures": sigs, "edges": edges, "clusters": clusters}
+        return {
+            "signatures": sigs,
+            "edges": edges,
+            "clusters": clusters,
+            "_labels_ref": labels_ref,
+            "_state_refs": extras.get("state_refs"),
+        }
     strong = cluster_edges(edges)
     if cfg.span_edges:
-        strong = strong.union(_span_edges_as_cluster_edges(corpus, cfg))
+        strong = strong.union(spans)
     labels = connected_components(strong)
     clusters = assign_clusters(docs, labels, num_partitions=cfg.num_partitions)
     return {"signatures": sigs, "edges": edges, "clusters": clusters}
@@ -430,6 +459,20 @@ def _span_edges_as_cluster_edges(
     return spans.map_batches(to_edges, batch_format="pyarrow")
 
 
+@ray.remote
+def _report_state(labels: pa.Table, *states: dict) -> dict:
+    """Tiny per-cluster state for the fused dedup report: sorted cluster
+    ids, member counts, and each representative's sha256 (rep doc_id ==
+    cluster_id under min-label CC; sha gathered from the sharded broadcast
+    signature state)."""
+    import numpy as np
+
+    lab = labels["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cids, sizes = np.unique(lab, return_counts=True)
+    _, rep_sha, _, _, _ = _state_gather(list(states), cids)
+    return {"cids": cids, "sizes": sizes.astype(np.int64), "rep_sha": rep_sha}
+
+
 def dedup_report(
     corpus: ray.data.Dataset,
     cfg: PipelineConfig | None = None,
@@ -443,14 +486,71 @@ def dedup_report(
     {'unique', 'kept', 'exact_dup', 'near_dup'}: dropped docs whose sha256
     equals the representative's are exact_dup, others near_dup.
 
-    Physical plan: cluster rows co-locate via ONE groupby on
-    cluster_id % P; per-partition the segments are recovered vectorized
+    Physical plan (fused pipeline tail available): the label table and the
+    sharded signature state are already broadcast ObjectRefs, and
+    cluster_id IS the representative's doc_id (min-label CC), so the whole
+    report is ONE map over the docs against a tiny per-cluster state
+    (sizes + rep sha) built in one remote task — zero shuffles.  Fallback
+    (checkpointed/distributed tail): cluster rows co-locate via ONE groupby
+    on cluster_id % P; per-partition the segments are recovered vectorized
     (sort + searchsorted) — no per-cluster Python calls, no broadcast of
     the full cluster table."""
     import numpy as np
 
     cfg = cfg or PipelineConfig()
     out = near_dupe_pipeline(corpus, cfg)
+    labels_ref = out.get("_labels_ref")
+    state_refs = out.get("_state_refs")
+    if labels_ref is not None and state_refs:
+        sigs = out["signatures"]
+        docs = sigs.select_columns(["doc_id", "sha256"])
+        rep_ref = _report_state.remote(labels_ref, *state_refs)
+
+        def report_batch(batch: pa.Table) -> pa.Table:
+            labels, rep = ray.get([labels_ref, rep_ref])
+            did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = batch.num_rows
+            # cluster lookup (labels sorted by doc_id from _cc_vectorized)
+            node = labels["doc_id"].to_numpy(zero_copy_only=False)
+            lab = labels["cluster_id"].to_numpy(zero_copy_only=False)
+            if node.shape[0]:
+                pos = np.searchsorted(node, did)
+                posc = np.clip(pos, 0, node.shape[0] - 1)
+                hit = (pos < node.shape[0]) & (node[posc] == did)
+                cid = np.where(hit, lab[posc], did)
+            else:
+                cid = did
+            # per-cluster size + rep sha (rep doc_id == cluster_id)
+            cpos = np.searchsorted(rep["cids"], cid)
+            cposc = np.clip(cpos, 0, max(rep["cids"].shape[0] - 1, 0))
+            chit = (
+                (cpos < rep["cids"].shape[0]) & (rep["cids"][cposc] == cid)
+                if rep["cids"].shape[0]
+                else np.zeros(n, dtype=bool)
+            )
+            n_copies = np.where(chit, rep["sizes"][cposc], 1)
+            sha_np = _sha_to_np(batch["sha256"])
+            exact = np.zeros(n, dtype=bool)
+            if rep["cids"].shape[0]:
+                exact = chit & (rep["rep_sha"][cposc] == sha_np)
+            keep = did == cid
+            reason = np.where(
+                keep,
+                np.where(n_copies == 1, "unique", "kept"),
+                np.where(exact, "exact_dup", "near_dup"),
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(did, type=pa.int64()),
+                    "cluster_id": pa.array(cid, type=pa.int64()),
+                    "n_copies": pa.array(n_copies, type=pa.int64()),
+                    "keep": pa.array(keep),
+                    "reason": pa.array(reason.astype(object), type=pa.string()),
+                }
+            )
+
+        return docs.map_batches(report_batch, batch_format="pyarrow")
+
     clusters = out["clusters"]
     P = cfg.num_partitions
 
@@ -553,19 +653,31 @@ def _sha_to_np(arr) -> "np.ndarray":
 
 @ray.remote
 def _build_sig_state(*blocks) -> dict:
-    """Build the broadcast verification state in a worker (not the driver):
-    arrays sorted by doc_id for searchsorted lookup."""
+    """Build ONE SHARD of the broadcast verification state in a worker (not
+    the driver): arrays sorted by doc_id for searchsorted lookup.  The full
+    state is a LIST of such shards (one per build task, each handling a
+    subset of the signature blocks) so the build parallelizes — a single
+    build task over the whole corpus was a multi-second serial straggler
+    that delayed the verify wave."""
     import numpy as np
 
-    t = pa.concat_tables(
-        [
-            b.select(
-                ["doc_id", "sha256", "minhash8", "simhash", "is_short", "n_shingles"]
-            )
-            for b in blocks
-            if b.num_rows > 0
-        ]
-    )
+    parts = [
+        b.select(
+            ["doc_id", "sha256", "minhash8", "simhash", "is_short", "n_shingles"]
+        )
+        for b in blocks
+        if b.num_rows > 0
+    ]
+    if not parts:
+        return {
+            "ids": np.empty(0, dtype=np.int64),
+            "sha": np.empty(0, dtype="S32"),
+            "mh": np.empty((0, 0), dtype=np.uint8),
+            "sim": np.empty(0, dtype=np.uint64),
+            "short": np.empty(0, dtype=bool),
+            "nsh": np.empty(0, dtype=np.int64),
+        }
+    t = pa.concat_tables(parts)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
@@ -583,33 +695,73 @@ def _build_sig_state(*blocks) -> dict:
     return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short, "nsh": nsh}
 
 
-def _sig_state_ref(sigs: ray.data.Dataset):
-    """The broadcast small side: built once in a remote task; the returned
-    ObjectRef is shared by every verify task (zero-copy from the store)."""
+def _sig_state_refs(sigs: ray.data.Dataset, n_shards: int | None = None) -> list:
+    """The broadcast small side, SHARDED: n_shards build tasks each sort a
+    subset of the signature blocks; every verify task resolves the shard
+    list (zero-copy from the store) and gathers endpoints across shards.
+    Parallel build removes the single-task straggler from the critical path
+    (measured ~5 s serial at 1M docs, delaying the verify wave ~1 s past
+    the reduce wave)."""
     refs = sigs.materialize().to_arrow_refs()
-    return _build_sig_state.remote(*refs)
+    if n_shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_shards = max(1, min(16, cpus, len(refs)))
+    groups = [refs[i::n_shards] for i in range(n_shards)]
+    return [_build_sig_state.remote(*g) for g in groups]
 
 
-def _verify_against_state(src, dst, trunc, state, cfg: PipelineConfig) -> pa.Table:
-    """Vectorized pair verification against the broadcast signature state
-    (sorted-id searchsorted lookup)."""
+def _state_gather(states: list, ids) -> tuple:
+    """(mh, sha, sim, short, nsh) rows for ``ids``, gathered from the shard
+    list (each shard sorted by doc_id; one searchsorted per shard)."""
+    import numpy as np
+
+    n = ids.shape[0]
+    K = next((s["mh"].shape[1] for s in states if s["ids"].shape[0]), 0)
+    mh = np.zeros((n, K), dtype=np.uint8)
+    sha = np.zeros(n, dtype="S32")
+    sim = np.zeros(n, dtype=np.uint64)
+    short = np.zeros(n, dtype=bool)
+    nsh = np.zeros(n, dtype=np.int64)
+    found = np.zeros(n, dtype=bool)
+    for st in states:
+        sids = st["ids"]
+        if sids.shape[0] == 0:
+            continue
+        pos = np.searchsorted(sids, ids)
+        posc = np.clip(pos, 0, sids.shape[0] - 1)
+        hit = (~found) & (pos < sids.shape[0]) & (sids[posc] == ids)
+        if not hit.any():
+            continue
+        p = posc[hit]
+        mh[hit] = st["mh"][p]
+        sha[hit] = st["sha"][p]
+        sim[hit] = st["sim"][p]
+        short[hit] = st["short"][p]
+        nsh[hit] = st["nsh"][p]
+        found |= hit
+    return mh, sha, sim, short, nsh
+
+
+def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) -> pa.Table:
+    """Vectorized pair verification against the sharded broadcast signature
+    state (sorted-id searchsorted lookup per shard)."""
     import numpy as np
 
     from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
 
-    li = np.searchsorted(state["ids"], src)
-    ri = np.searchsorted(state["ids"], dst)
+    mh_a, sha_a, sim_a, short_a, nsh_a = _state_gather(states, src)
+    mh_b, sha_b, sim_b, short_b, nsh_b = _state_gather(states, dst)
     # every pair endpoint comes from the signature table by construction
-    raw = (state["mh"][li] == state["mh"][ri]).mean(axis=1)
-    exact = state["sha"][li] == state["sha"][ri]
-    both_short = state["short"][li] & state["short"][ri]
+    raw = (mh_a == mh_b).mean(axis=1)
+    exact = sha_a == sha_b
+    both_short = short_a & short_b
     ham = np.zeros(src.shape[0], dtype=np.int64)
     if both_short.any():
-        x = (state["sim"][li] ^ state["sim"][ri]).view(np.uint8).reshape(-1, 8)
+        x = (sim_a ^ sim_b).view(np.uint8).reshape(-1, 8)
         ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
     status, est = verify_pair_statuses(
         exact, raw, both_short, ham, cfg,
-        nsh_a=state["nsh"][li], nsh_b=state["nsh"][ri],
+        nsh_a=nsh_a, nsh_b=nsh_b,
     )
     keep = status > 0
     return pa.table(
@@ -627,14 +779,14 @@ def _verify_against_state(src, dst, trunc, state, cfg: PipelineConfig) -> pa.Tab
 def _verify_pairs_broadcast(
     pairs: ray.data.Dataset, sigs: ray.data.Dataset, cfg: PipelineConfig
 ) -> ray.data.Dataset:
-    ref = _sig_state_ref(sigs)
+    refs = _sig_state_refs(sigs)
 
     def verify_batch(batch: pa.Table) -> pa.Table:
-        state = ray.get(ref)
+        states = ray.get(refs)
         src = batch["src"].to_numpy(zero_copy_only=False).astype("int64")
         dst = batch["dst"].to_numpy(zero_copy_only=False).astype("int64")
         trunc = batch["truncated"].to_numpy(zero_copy_only=False)
-        return _verify_against_state(src, dst, trunc, state, cfg)
+        return _verify_against_state(src, dst, trunc, states, cfg)
 
     return pairs.map_batches(
         verify_batch, batch_format="pyarrow", batch_size=cfg.verify_batch_size
@@ -729,7 +881,7 @@ def _verify_pairs_join(
 
 
 def _candidate_edges_pairs(
-    sigs: ray.data.Dataset, cfg: PipelineConfig
+    sigs: ray.data.Dataset, cfg: PipelineConfig, extras: dict | None = None
 ) -> ray.data.Dataset:
     import numpy as np
 
@@ -744,11 +896,14 @@ def _candidate_edges_pairs(
 
     if cfg.shuffle_impl == "manual" and sigs.count() <= cfg.sig_broadcast_max:
         # FUSED scale plan: the broadcast verification state starts building
-        # the moment the exchange launches (overlapped, not serial), and the
-        # pair-identity dedup reducers verify their pairs in place — edges
-        # come straight out of the chained exchange with no extra pass.
-        state_ref = _sig_state_ref(sigs)
-        return _manual_exchange_pairs(sigs, cfg, state_ref=state_ref)
+        # the moment the exchange launches (overlapped AND sharded across
+        # workers), and the pair-identity dedup reducers verify their pairs
+        # in place — edges come straight out of the chained exchange with no
+        # extra pass.
+        state_refs = _sig_state_refs(sigs)
+        if extras is not None:
+            extras["state_refs"] = state_refs
+        return _manual_exchange_pairs(sigs, cfg, state_refs=state_refs)
     if cfg.shuffle_impl == "manual":
         # above the broadcast budget: exchange yields unique pairs, verify
         # attaches signatures via two hash joins
@@ -854,22 +1009,26 @@ def _pairgen_reduce(cfg: PipelineConfig, P2: int, *slices: pa.Table) -> list[pa.
     return [ts.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p])) for p in range(P2)]
 
 
-def _dedup_pairs_partition(cfg, state_ref, *slices: pa.Table) -> pa.Table:
+def _dedup_pairs_partition(cfg, n_states: int, *parts_in: pa.Table) -> pa.Table:
     """Per-partition (src,dst) dedup of raw pairs (truncated takes OR
     semantics) — each partition holds ALL occurrences of its pairs because
     the reduce split by a pure hash of the pair identity.
 
-    With ``state_ref`` (the broadcast signature state, built CONCURRENTLY
-    with the exchange), the task verifies its deduped pairs in place and
-    returns EDGE rows — fusing the verify stage into the reduce removes a
-    whole dataset pass + serial barrier from the hot path."""
+    The first ``n_states`` varargs are broadcast signature-state SHARDS
+    (built CONCURRENTLY with the exchange; Ray resolves top-level ObjectRef
+    args, which is why they ride in *args rather than a list).  With shards
+    present the task verifies its deduped pairs in place and returns EDGE
+    rows — fusing the verify stage into the reduce removes a whole dataset
+    pass + serial barrier from the hot path."""
     import numpy as np
 
     from libpostal_ray.stages.verify import EDGE_SCHEMA, PAIR_SCHEMA
 
+    states = list(parts_in[:n_states])
+    slices = parts_in[n_states:]
     parts = [s for s in slices if s.num_rows > 0]
     if not parts:
-        return EDGE_SCHEMA.empty_table() if state_ref is not None else PAIR_SCHEMA.empty_table()
+        return EDGE_SCHEMA.empty_table() if n_states else PAIR_SCHEMA.empty_table()
     t = pa.concat_tables(parts)
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -881,11 +1040,9 @@ def _dedup_pairs_partition(cfg, state_ref, *slices: pa.Table) -> pa.Table:
     trunc_or = np.zeros(int(keep.sum()), dtype=bool)
     np.logical_or.at(trunc_or, seg, trunc)
     src, dst = src[keep], dst[keep]
-    if state_ref is not None:
-        # passed as a task argument, so Ray already resolved the ObjectRef
-        state = state_ref
+    if states:
         return _verify_against_state(
-            src.astype("int64"), dst.astype("int64"), trunc_or, state, cfg
+            src.astype("int64"), dst.astype("int64"), trunc_or, states, cfg
         )
     return pa.table(
         {
@@ -898,7 +1055,7 @@ def _dedup_pairs_partition(cfg, state_ref, *slices: pa.Table) -> pa.Table:
 
 
 def _manual_exchange_pairs(
-    sigs: ray.data.Dataset, cfg: PipelineConfig, state_ref=None
+    sigs: ray.data.Dataset, cfg: PipelineConfig, state_refs: list | None = None
 ) -> ray.data.Dataset:
     """Two chained manual hash exchanges expressed as raw Ray tasks (the one
     plan Ray Data's sort-based groupby cannot express):
@@ -924,8 +1081,9 @@ def _manual_exchange_pairs(
     reduce_fn = _ray.remote(num_returns=P2)(_pairgen_reduce)
     mid = [reduce_fn.remote(cfg, P2, *[outs[i][p] for i in range(len(outs))]) for p in range(P)]
     dedup_fn = _ray.remote(_dedup_pairs_partition)
+    srefs = state_refs or []
     pair_refs = [
-        dedup_fn.remote(cfg, state_ref, *[mid[p][q] for p in range(P)])
+        dedup_fn.remote(cfg, len(srefs), *srefs, *[mid[p][q] for p in range(P)])
         for q in range(P2)
     ]
     return ray.data.from_arrow_refs(pair_refs)
