@@ -62,6 +62,13 @@ class PipelineConfig:
                                     # length-routing boundary)
     simhash_max_hamming: int = 3
     simhash_chunks: int = 4         # 4 x 16-bit chunks => catches hamming <= 3
+    phonetic_keys: bool = False     # sound-alike blocking for SHORT rows
+                                    # (double_metaphone key-family analog,
+                                    # near_dupe.c:283-315): short rows emit an
+                                    # extra band key from the sorted Soundex
+                                    # codes of their tokens; phonetic-equal
+                                    # short pairs verify at NEEDS_REVIEW (the
+                                    # fuzzy refine tier decides)
 
     # --- verification thresholds (dedupe.c status lattice analog,
     #     libpostal.h:218-224 EXACT=9/LIKELY=6/NEEDS_REVIEW=3) ---
@@ -72,6 +79,19 @@ class PipelineConfig:
     # jw>=0.9): applied only to review pairs small enough to score exactly
     fuzzy_sim_likely: float = 0.9   # JW or DL similarity >= this upgrades to LIKELY
     fuzzy_max_chars: int = 4096     # skip fuzzy scoring for docs longer than this
+    review_pair_cap: int = 2_000_000  # max NEEDS_REVIEW pairs the refine tier
+                                    # scores per run: beyond the cap the pairs
+                                    # with smallest (src, dst) are scored and
+                                    # the rest stay NEEDS_REVIEW (logged —
+                                    # never silent).  Bounds the broadcast
+                                    # review state on skewed corpora.
+    soft_tfidf_corpus_df: bool = False  # True: the soft-TFIDF scorer uses
+                                    # CORPUS document frequencies (one
+                                    # vectorized DF pass over the corpus for
+                                    # the review vocabulary, partial counts
+                                    # combined; the reference's delegated
+                                    # token_scores contract, libpostal.h:
+                                    # 261-262).  False: review-set-local IDF
     # size-ratio guard (dedupe.c:231-293 symmetric-difference demotion analog):
     # |A|/|B| bounds Jaccard from above, so pairs whose shingle-count ratio is
     # below a threshold cannot reach it — demote before believing the estimate

@@ -248,6 +248,7 @@ def checkpointed_signatures(
             ("is_short", pa.bool_()),
             ("minhash8", pa.list_(pa.uint8())),
             ("simhash", pa.int64()),
+            ("phonetic", pa.int64()),
             ("band_keys", pa.list_(pa.int64())),
         ]
     )
@@ -469,7 +470,7 @@ def _report_state(labels: pa.Table, *states: dict) -> dict:
 
     lab = labels["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     cids, sizes = np.unique(lab, return_counts=True)
-    _, rep_sha, _, _, _ = _state_gather(list(states), cids)
+    rep_sha = _state_gather(list(states), cids)[1]
     return {"cids": cids, "sizes": sizes.astype(np.int64), "rep_sha": rep_sha}
 
 
@@ -663,7 +664,8 @@ def _build_sig_state(*blocks) -> dict:
 
     parts = [
         b.select(
-            ["doc_id", "sha256", "minhash8", "simhash", "is_short", "n_shingles"]
+            ["doc_id", "sha256", "minhash8", "simhash", "is_short",
+             "n_shingles", "phonetic"]
         )
         for b in blocks
         if b.num_rows > 0
@@ -676,6 +678,7 @@ def _build_sig_state(*blocks) -> dict:
             "sim": np.empty(0, dtype=np.uint64),
             "short": np.empty(0, dtype=bool),
             "nsh": np.empty(0, dtype=np.int64),
+            "ph": np.empty(0, dtype=np.int64),
         }
     t = pa.concat_tables(parts)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
@@ -692,7 +695,9 @@ def _build_sig_state(*blocks) -> dict:
     )
     short = t["is_short"].to_numpy(zero_copy_only=False).astype(bool)[order]
     nsh = t["n_shingles"].to_numpy(zero_copy_only=False).astype("int64")[order]
-    return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short, "nsh": nsh}
+    ph = t["phonetic"].to_numpy(zero_copy_only=False).astype("int64")[order]
+    return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short,
+            "nsh": nsh, "ph": ph}
 
 
 def _sig_state_refs(sigs: ray.data.Dataset, n_shards: int | None = None) -> list:
@@ -711,8 +716,8 @@ def _sig_state_refs(sigs: ray.data.Dataset, n_shards: int | None = None) -> list
 
 
 def _state_gather(states: list, ids) -> tuple:
-    """(mh, sha, sim, short, nsh) rows for ``ids``, gathered from the shard
-    list (each shard sorted by doc_id; one searchsorted per shard)."""
+    """(mh, sha, sim, short, nsh, ph) rows for ``ids``, gathered from the
+    shard list (each shard sorted by doc_id; one searchsorted per shard)."""
     import numpy as np
 
     n = ids.shape[0]
@@ -722,6 +727,7 @@ def _state_gather(states: list, ids) -> tuple:
     sim = np.zeros(n, dtype=np.uint64)
     short = np.zeros(n, dtype=bool)
     nsh = np.zeros(n, dtype=np.int64)
+    ph = np.zeros(n, dtype=np.int64)
     found = np.zeros(n, dtype=bool)
     for st in states:
         sids = st["ids"]
@@ -738,8 +744,9 @@ def _state_gather(states: list, ids) -> tuple:
         sim[hit] = st["sim"][p]
         short[hit] = st["short"][p]
         nsh[hit] = st["nsh"][p]
+        ph[hit] = st["ph"][p]
         found |= hit
-    return mh, sha, sim, short, nsh
+    return mh, sha, sim, short, nsh, ph
 
 
 def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) -> pa.Table:
@@ -749,8 +756,8 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
 
     from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
 
-    mh_a, sha_a, sim_a, short_a, nsh_a = _state_gather(states, src)
-    mh_b, sha_b, sim_b, short_b, nsh_b = _state_gather(states, dst)
+    mh_a, sha_a, sim_a, short_a, nsh_a, ph_a = _state_gather(states, src)
+    mh_b, sha_b, sim_b, short_b, nsh_b, ph_b = _state_gather(states, dst)
     # every pair endpoint comes from the signature table by construction
     raw = (mh_a == mh_b).mean(axis=1)
     exact = sha_a == sha_b
@@ -761,7 +768,7 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
         ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
     status, est = verify_pair_statuses(
         exact, raw, both_short, ham, cfg,
-        nsh_a=nsh_a, nsh_b=nsh_b,
+        nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b,
     )
     keep = status > 0
     return pa.table(
@@ -829,11 +836,13 @@ def _verify_pairs_join(
                 f"sim{suffix}": batch["simhash"],
                 f"short{suffix}": batch["is_short"],
                 f"nsh{suffix}": batch["n_shingles"],
+                f"ph{suffix}": batch["phonetic"],
             }
         )
 
     slim = sigs.select_columns(
-        ["doc_id", "sha256", "minhash8", "simhash", "is_short", "n_shingles"]
+        ["doc_id", "sha256", "minhash8", "simhash", "is_short",
+         "n_shingles", "phonetic"]
     )
     side_a = slim.map_batches(lambda b: pack(b, "_a"), batch_format="pyarrow")
     side_b = slim.map_batches(lambda b: pack(b, "_b"), batch_format="pyarrow")
@@ -862,8 +871,11 @@ def _verify_pairs_join(
             ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
         nsh_a = batch["nsh_a"].to_numpy(zero_copy_only=False).astype("int64")
         nsh_b = batch["nsh_b"].to_numpy(zero_copy_only=False).astype("int64")
+        ph_a = batch["ph_a"].to_numpy(zero_copy_only=False).astype("int64")
+        ph_b = batch["ph_b"].to_numpy(zero_copy_only=False).astype("int64")
         status, est = verify_pair_statuses(
-            exact, raw, both_short, ham, cfg, nsh_a=nsh_a, nsh_b=nsh_b
+            exact, raw, both_short, ham, cfg,
+            nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b
         )
         keep = status > 0
         return pa.table(
@@ -1133,11 +1145,18 @@ def refine_review_edges(
     from libpostal_ray.stages.verify import STATUS_LIKELY, STATUS_NEEDS_REVIEW
 
     edges = edges.materialize()
-    review = edges.filter(
-        lambda r: r["status"] == STATUS_NEEDS_REVIEW
-    )  # tiny control set; row filter is fine here
+
+    # vectorized status filter (no per-row lambda)
+    def review_only(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["status"], STATUS_NEEDS_REVIEW))
+        return pa.table({"src": sub["src"], "dst": sub["dst"]})
+
     review_tbl = pa.concat_tables(
-        [b for b in review.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        [
+            b
+            for b in edges.map_batches(review_only, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
         or [pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())})]
     )
     if review_tbl.num_rows == 0:
@@ -1153,6 +1172,29 @@ def refine_review_edges(
 
         return edges.map_batches(add_col, batch_format="pyarrow")
 
+    # BOUND the review tier (a skewed corpus could otherwise make the
+    # broadcast state arbitrarily large): beyond review_pair_cap, the pairs
+    # with smallest (src, dst) are scored and the rest stay NEEDS_REVIEW —
+    # logged, never silent.
+    if review_tbl.num_rows > cfg.review_pair_cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "refine_review_edges: %d review pairs exceed review_pair_cap=%d; "
+            "scoring the first %d by (src, dst) order, the rest stay "
+            "NEEDS_REVIEW",
+            review_tbl.num_rows,
+            cfg.review_pair_cap,
+            cfg.review_pair_cap,
+        )
+        srt = np.lexsort(
+            (
+                review_tbl["dst"].to_numpy(zero_copy_only=False),
+                review_tbl["src"].to_numpy(zero_copy_only=False),
+            )
+        )[: cfg.review_pair_cap]
+        review_tbl = review_tbl.take(pa.array(np.sort(srt)))
+
     needed = set(review_tbl["src"].to_pylist()) | set(review_tbl["dst"].to_pylist())
     needed_arr = pa.array(sorted(needed), type=pa.int64())
 
@@ -1161,45 +1203,23 @@ def refine_review_edges(
         sub = batch.filter(mask)
         return pa.table({"doc_id": sub["doc_id"], "content": sub["content"]})
 
-    picked = pa.concat_tables(
-        [
-            b
-            for b in corpus.map_batches(fetch_content, batch_format="pyarrow")
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-            if b.num_rows
-        ]
-    )
-    # canonicalize with the SAME flags the signature stage used — the exact
-    # Jaccard must be computed on the form the signatures were built from
-    rules = compile_rules(cfg.rewrite_rules)
-    canon_texts = {
-        int(i): canonicalize_one(
-            c,
-            fold_case=cfg.fold_case,
-            collapse_whitespace=cfg.collapse_whitespace,
-            strip_comments=cfg.strip_comments,
-            compiled_rules=rules,
-        )
-        for i, c in zip(picked["doc_id"].to_pylist(), picked["content"].to_pylist())
-    }
-    sets = {i: shingle_set(c, cfg.shingle_k) for i, c in canon_texts.items()}
-    # crude IDF over the review-set docs for the soft-TFIDF scorer (the
-    # reference takes caller-computed token_scores, libpostal.h:261-262;
-    # full-corpus DF would be a groupby the tiny review tier cannot justify)
-    import math
+    # the review state (canonical texts, shingle sets, review-local IDF) is
+    # built in a WORKER task from the picked blocks — the driver never
+    # concatenates content (round-2 advisory: the driver-side concat was
+    # unbounded on skewed corpora)
+    picked = corpus.map_batches(fetch_content, batch_format="pyarrow").materialize()
+    state_ref = _build_review_state.remote(cfg, *picked.to_arrow_refs())
 
-    df: dict[str, int] = {}
-    for c in canon_texts.values():
-        for tok in set(c.split()):
-            df[tok] = df.get(tok, 0) + 1
-    n_docs_rev = max(1, len(canon_texts))
-    idf = {t: math.log(1.0 + n_docs_rev / d) for t, d in df.items()}
+    idf_ref = None
+    if cfg.soft_tfidf_corpus_df:
+        tokens = ray.get(_review_tokens.remote(state_ref))
+        idf_ref = ray.put(_corpus_idf(corpus, tokens, cfg))
+
     import ray as _ray
 
-    ref = _ray.put({"sets": sets, "texts": canon_texts, "idf": idf})
-
     def refine(batch: pa.Table) -> pa.Table:
-        state = _ray.get(ref)
+        state = _ray.get(state_ref)
+        idf_use = _ray.get(idf_ref) if idf_ref is not None else state["idf"]
         sets_s, texts_s = state["sets"], state["texts"]
         status = batch["status"].to_numpy(zero_copy_only=False).copy()
         src = batch["src"].to_numpy(zero_copy_only=False)
@@ -1225,9 +1245,7 @@ def refine_review_edges(
             if sim < cfg.fuzzy_sim_likely and len(ta) * len(tb) <= 1 << 22:
                 sim = max(sim, dl_similarity(ta, tb))
             if sim < cfg.fuzzy_sim_likely:
-                sim = max(
-                    sim, soft_token_similarity(ta, tb, state.get("idf"))
-                )
+                sim = max(sim, soft_token_similarity(ta, tb, idf_use))
             fz[i] = sim
             if sim >= cfg.fuzzy_sim_likely:
                 status[i] = STATUS_LIKELY
@@ -1240,3 +1258,116 @@ def refine_review_edges(
         return out.append_column("fuzzy_sim", pa.array(fz, type=pa.float64()))
 
     return edges.map_batches(refine, batch_format="pyarrow")
+
+
+@ray.remote
+def _build_review_state(cfg: PipelineConfig, *blocks: pa.Table) -> dict:
+    """Review-tier broadcast state, built in a worker: canonical texts,
+    shingle sets, review-set-local IDF, and the review vocabulary (for the
+    optional corpus-DF pass).  Canonicalization uses the SAME flags the
+    signature stage used — the exact Jaccard must be computed on the form
+    the signatures were built from."""
+    import math
+
+    from libpostal_ray.functions.canonicalize import canonicalize_one, compile_rules
+    from libpostal_ray.functions.similarity import shingle_set
+
+    parts = [b for b in blocks if b.num_rows > 0]
+    if not parts:
+        return {"sets": {}, "texts": {}, "idf": {}, "tokens": []}
+    picked = pa.concat_tables(parts)
+    rules = compile_rules(cfg.rewrite_rules)
+    texts = {
+        int(i): canonicalize_one(
+            c,
+            fold_case=cfg.fold_case,
+            collapse_whitespace=cfg.collapse_whitespace,
+            strip_comments=cfg.strip_comments,
+            compiled_rules=rules,
+        )
+        for i, c in zip(picked["doc_id"].to_pylist(), picked["content"].to_pylist())
+    }
+    sets = {i: shingle_set(c, cfg.shingle_k) for i, c in texts.items()}
+    df: dict[str, int] = {}
+    for c in texts.values():
+        for tok in set(c.split()):
+            df[tok] = df.get(tok, 0) + 1
+    n_docs_rev = max(1, len(texts))
+    idf = {t: math.log(1.0 + n_docs_rev / d) for t, d in df.items()}
+    return {"sets": sets, "texts": texts, "idf": idf, "tokens": sorted(df)}
+
+
+@ray.remote
+def _review_tokens(state: dict) -> list:
+    return state["tokens"]
+
+
+def _corpus_idf(
+    corpus: ray.data.Dataset, tokens: list, cfg: PipelineConfig
+) -> dict:
+    """token -> CORPUS IDF for the review vocabulary: one vectorized DF pass
+    over the corpus (canonicalize -> whitespace split -> index_in the token
+    list -> distinct (doc, token) -> per-token doc counts), partial counts
+    combined on the driver.  Only |tokens| integers per batch leave the
+    workers — the corpus itself never shuffles.  This is the reference's
+    delegated token_scores contract (libpostal.h:261-262) computed by the
+    engine itself."""
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from libpostal_ray.stages.canonicalize import CanonicalizeStage
+
+    if not tokens:
+        return {}
+    T = len(tokens)
+    tok_arr = pa.array(tokens, type=pa.string())
+    canon = CanonicalizeStage(cfg)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        cb = canon(batch)
+        col = cb["canonical"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        split = pc.utf8_split_whitespace(col)
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        offs = split.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs)
+        )
+        ti = pc.index_in(flat, value_set=tok_arr).fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        valid = ti >= 0
+        if not valid.any():
+            return pa.table(
+                {
+                    "ti": pa.array(np.arange(T, dtype=np.int64)),
+                    "df": pa.array(np.zeros(T, dtype=np.int64)),
+                }
+            )
+        key = doc_idx[valid] * T + ti[valid]
+        uniq = np.unique(key)
+        counts = np.bincount(uniq % T, minlength=T).astype(np.int64)
+        return pa.table(
+            {
+                "ti": pa.array(np.arange(T, dtype=np.int64)),
+                "df": pa.array(counts),
+            }
+        )
+
+    df = np.zeros(T, dtype=np.int64)
+    for b in corpus.map_batches(df_partial, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            df[b["ti"].to_numpy(zero_copy_only=False)] += b["df"].to_numpy(
+                zero_copy_only=False
+            )
+    n_docs = corpus.count()
+    return {
+        tokens[i]: math.log(1.0 + n_docs / max(1, int(df[i]))) for i in range(T)
+    }

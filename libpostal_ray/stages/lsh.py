@@ -43,6 +43,7 @@ def explode_band_keys(batch: pa.Table) -> pa.Table:
             # b-bit signature only: the full 64-bit signature never shuffles
             "minhash8": batch["minhash8"].take(idx_arr),
             "simhash": batch["simhash"].take(idx_arr),
+            "phonetic": batch["phonetic"].take(idx_arr),
         }
     )
 

@@ -33,6 +33,7 @@ SIGNATURE_COLUMNS = [
     "is_short",
     "minhash8",
     "simhash",
+    "phonetic",
     "band_keys",
 ]
 
@@ -158,6 +159,16 @@ class SignatureStage:
                     rolling_shingle_hashes(seg, int(seg.shape[0]))
                 )
 
+        # phonetic code for short rows (config-gated; Python loop over the
+        # FEW short rows only — long content is covered by MinHash)
+        ph = np.zeros(n, dtype=np.int64)
+        if cfg.phonetic_keys and rows_sh.size:
+            from libpostal_ray.functions.phonetic import phonetic_codes
+
+            ph[rows_sh] = phonetic_codes(
+                col.take(pa.array(rows_sh)).to_pylist()
+            )
+
         rows_mh = np.flatnonzero(emit_mh)
         bk_sub = (
             band_keys(sigs[rows_mh], cfg.bands, cfg.rows_per_band)
@@ -171,9 +182,12 @@ class SignatureStage:
         )
 
         # assemble the band_keys list column without per-row Python lists
-        nkeys = emit_mh.astype(np.int64) * cfg.bands + emit_sh.astype(
-            np.int64
-        ) * cfg.simhash_chunks
+        has_ph = ph != 0
+        nkeys = (
+            emit_mh.astype(np.int64) * cfg.bands
+            + emit_sh.astype(np.int64) * cfg.simhash_chunks
+            + has_ph.astype(np.int64)
+        )
         koff = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(nkeys, out=koff[1:])
         vals = np.empty(int(koff[-1]), dtype=np.int64)
@@ -184,6 +198,17 @@ class SignatureStage:
             base = koff[rows_sh] + emit_mh[rows_sh] * cfg.bands
             idx = (base[:, None] + np.arange(cfg.simhash_chunks)).ravel()
             vals[idx] = sk_sub.ravel()
+        rows_ph = np.flatnonzero(has_ph)
+        if rows_ph.size:
+            # the phonetic band key slot comes after both other families;
+            # the row code is already salt-mixed into its own key space
+            # (functions/phonetic.py), disjoint from MinHash/SimHash keys whp
+            base = (
+                koff[rows_ph]
+                + emit_mh[rows_ph] * cfg.bands
+                + emit_sh[rows_ph] * cfg.simhash_chunks
+            )
+            vals[base] = ph[rows_ph]
         band_keys_arr = pa.ListArray.from_arrays(
             pa.array(koff.astype(np.int32)), pa.array(vals, type=pa.int64())
         )
@@ -226,6 +251,7 @@ class SignatureStage:
                 cfg.num_perm,
             ),
             "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
+            "phonetic": pa.array(ph, type=pa.int64()),
             "band_keys": band_keys_arr,
         }
         # checkpoint partition id (and any other passthrough key) survives

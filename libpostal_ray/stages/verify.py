@@ -194,6 +194,7 @@ def _edges_from_pairs(
     cfg: PipelineConfig,
     truncated: bool,
     nsh: np.ndarray | None = None,
+    ph: np.ndarray | None = None,
 ) -> pa.Table:
     """Verify candidate index pairs (li, ri) and emit edge rows.
 
@@ -224,6 +225,8 @@ def _edges_from_pairs(
         cfg,
         nsh_a=nsh[li] if nsh is not None else None,
         nsh_b=nsh[ri] if nsh is not None else None,
+        ph_a=ph[li] if ph is not None else None,
+        ph_b=ph[ri] if ph is not None else None,
     )
 
     keep = status > 0
@@ -300,8 +303,13 @@ class VerifyPartition:
             if "n_shingles" in group.column_names
             else None
         )
+        ph = (
+            group["phonetic"].take(take).to_numpy(zero_copy_only=False).astype(np.int64)
+            if "phonetic" in group.column_names
+            else None
+        )
         edges = _edges_from_pairs(
-            ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any, nsh=nsh
+            ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any, nsh=nsh, ph=ph
         )
         if edges.num_rows == 0:
             return edges
@@ -393,6 +401,8 @@ def verify_pair_statuses(
     cfg: PipelineConfig,
     nsh_a: np.ndarray | None = None,
     nsh_b: np.ndarray | None = None,
+    ph_a: np.ndarray | None = None,
+    ph_b: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared status lattice: inputs per pair -> (status int8, est float64).
     raw_agree is the UNCORRECTED b-bit agreement rate.
@@ -422,6 +432,15 @@ def verify_pair_statuses(
         status[cannot_likely & (status == STATUS_LIKELY)] = STATUS_NEEDS_REVIEW
         cannot_review = long_pair & (ratio < cfg.jaccard_review)
         status[cannot_review] = 0
+    if cfg.phonetic_keys and ph_a is not None and ph_b is not None:
+        # phonetic key family (double_metaphone analog): sound-alike SHORT
+        # pairs reach at least NEEDS_REVIEW even when their SimHash differs
+        # — the fuzzy refine tier (JW on short strings) decides
+        ph_match = both_short & (ph_a != 0) & (ph_a == ph_b)
+        status = np.maximum(
+            status,
+            np.where(ph_match, STATUS_NEEDS_REVIEW, 0).astype(np.int8),
+        )
     status[exact] = STATUS_EXACT
     est[exact] = 1.0
     return status, est
