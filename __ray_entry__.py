@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q.distinct_users,
         "mktsegment_order_stats": q.mktsegment_order_stats,
         "supplier_nation_agg": q.supplier_nation_agg,
+        "bpe_token_count": q.bpe_token_count,
+        "user_sessions": q.user_sessions,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -173,6 +175,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_suppliers
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "user_sessions": """
+            WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events),
+            g AS (SELECT user_id, ms,
+                    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+                         OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT user_id, ms,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+            FROM s GROUP BY user_id, session_id
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -814,3 +814,97 @@ def hot_buckets(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .to_pandas()
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------- BPE-ish tokenization
+# the "BPE-ish regex" pre-tokenizer of LLM data pipelines: letter runs,
+# digit runs, single punctuation marks (GPT-2-style pre-tokenization shape)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens): count of BPE-ish pre-tokens per doc.  Vectorized
+    via pandas' C regex engine (str.count) inside map_batches."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        n = s.str.count(BPE_TOKEN_PATTERN).astype("int64")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(count_tokens, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------- sessionization
+SESSION_GAP_MS = 30 * 60 * 1000  # a >30-minute silence starts a new session
+
+
+def user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization of the events stream (the windowed operator
+    of §2.9 beyond tumbling windows): per (user, session) -> (user_id,
+    session_id, n_events, start_ms, end_ms); a session breaks when the gap
+    to the previous event of the SAME user exceeds SESSION_GAP_MS.
+
+    Physical plan: one groupby on user_id % P co-locates each user's events;
+    inside the partition everything is one lexsort + segment scan — no
+    per-user Python calls, no global sort."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    P = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # epoch microseconds -> floor milliseconds (DuckDB epoch_ms semantics)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ms = us // 1000
+        return pa.table(
+            {
+                "user_id": pa.array(u, type=pa.int64()),
+                "ms": pa.array(ms, type=pa.int64()),
+                "part": pa.array(u % P, type=pa.int64()),
+            }
+        )
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = group["ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((t, u))
+        us, ts_ = u[order], t[order]
+        new_user = np.concatenate(([True], us[1:] != us[:-1]))
+        gap_break = np.concatenate(([False], (ts_[1:] - ts_[:-1]) > SESSION_GAP_MS))
+        brk = new_user | gap_break
+        seg = np.cumsum(brk) - 1  # global session segment per row
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [n]))
+        # per-user session index: this segment's rank within its user's runs
+        user_first_seg = seg[np.flatnonzero(new_user)]
+        # user of each segment
+        seg_user = us[starts]
+        seg_newu = np.concatenate(([True], seg_user[1:] != seg_user[:-1]))
+        first_of_user = np.arange(seg_user.shape[0])[seg_newu]
+        base = np.repeat(first_of_user, np.diff(np.concatenate((np.flatnonzero(seg_newu), [seg_user.shape[0]]))))
+        session_id = np.arange(seg_user.shape[0]) - base + 1
+        return pa.table(
+            {
+                "user_id": pa.array(seg_user, type=pa.int64()),
+                "session_id": pa.array(session_id, type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "start_ms": pa.array(ts_[starts], type=pa.int64()),
+                "end_ms": pa.array(ts_[ends - 1], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )
