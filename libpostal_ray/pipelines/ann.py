@@ -25,26 +25,32 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(batch.num_rows, -1)
 
 
-class BruteForceTopK:
-    """Actor: holds the broadcast query matrix; scores batches against it.
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Top-k cosine neighbors of each query row over the embedding dataset.
 
-    Emits (vec_id, query_id, cos_sim) rows for the per-query top-k within the
-    batch; a final small groupby-topk merges batch-local winners.
-    """
+    The query matrix is broadcast once (ray.put) and resolved per batch via
+    a zero-copy plasma read — a PLAIN function, not an actor pool: passing
+    an ObjectRef through fn_constructor_kwargs triggers Ray's actor-restart
+    + unhashable-schema warnings (ray-project/ray#53727) with no benefit,
+    since the 'state' is just a deserialized-from-plasma dict."""
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    ref = ray.put({"query_id": np.asarray(query_ids, dtype=np.int64), "matrix": qm})
 
-    def __init__(self, queries_ref, k: int):
-        q = ray.get(queries_ref)
-        self.qids = q["query_id"]
-        self.qm = q["matrix"]  # (q, d) float64, pre-normalized
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def score_batch(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        qids, qmat = q["query_id"], q["matrix"]
         m = _emb_matrix(batch, "embedding")
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        scores = self.qm @ m.T  # (q, n)
-        k = min(self.k, m.shape[0])
-        idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
-        rows_q = np.repeat(self.qids, k)
+        scores = qmat @ m.T  # (q, n)
+        kk = min(k, m.shape[0])
+        idx = np.argpartition(-scores, kth=kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
         rows_v = batch["vec_id"].to_numpy(zero_copy_only=False)[idx.reshape(-1)]
         rows_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
         return pa.table(
@@ -55,24 +61,10 @@ class BruteForceTopK:
             }
         )
 
-
-def brute_force_topk(
-    embeddings: ray.data.Dataset,
-    query_matrix: np.ndarray,
-    query_ids: np.ndarray,
-    k: int = 10,
-) -> ray.data.Dataset:
-    """Top-k cosine neighbors of each query row over the embedding dataset."""
-    qm = np.asarray(query_matrix, dtype=np.float64)
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
-    ref = ray.put({"query_id": np.asarray(query_ids, dtype=np.int64), "matrix": qm})
-
     scored = embeddings.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        score_batch,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
         zero_copy_batch=True,
     )
 
@@ -146,12 +138,12 @@ def bucketed_topk(
     0.945 vs brute force on the sf0.1 embeddings (tests/test_round2.py)."""
     dim = np.asarray(query_matrix).shape[1]
     bucketer = HyperplaneLSHBucketer(dim, bits=bits, seed=seed, tables=tables)
+    # plain-function stage: the bucketer's state (a (d, bits*tables) plane
+    # matrix) serializes in one piece with the task — no actor pool needed
     bucketed = embeddings.map_batches(
-        HyperplaneLSHBucketer,
-        fn_constructor_kwargs={"dim": dim, "bits": bits, "seed": seed, "tables": tables},
+        HyperplaneLSHBucketer(dim, bits=bits, seed=seed, tables=tables),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
     )
     qm = np.asarray(query_matrix, dtype=np.float64)
     q_keys = bucketer.keys(qm)  # (q, tables)

@@ -29,6 +29,19 @@ from libpostal_ray.sources.readers import read_documents_corpus
 from libpostal_ray.stages.textstats import fingerprint_batch
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop parquet pandas-metadata from block schemas: Ray's schema
+    deduplication logs 'Failed to hash the schemas' on every task otherwise
+    (the metadata dict is unhashable)."""
+    return batch.replace_schema_metadata(None)
+
+
+def _embeddings(sf_dir: str, columns=("vec_id", "embedding")) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=list(columns)
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
@@ -285,9 +298,7 @@ def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     from libpostal_ray.pipelines.ann import brute_force_topk
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    emb = _embeddings(sf_dir)
     # pushed-down point read for the query row: only matching row groups
     # are decoded, nothing corpus-sized ever lands on the driver
     qrow = pq.read_table(
@@ -412,9 +423,7 @@ def ann_topk_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     from libpostal_ray.pipelines.ann import bucketed_topk
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    emb = _embeddings(sf_dir)
     qrow = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
@@ -433,9 +442,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     from libpostal_ray.pipelines.ann import ivf_topk
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    emb = _embeddings(sf_dir)
     qrow = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
@@ -519,9 +526,7 @@ def embedding_dups(
 
     import ray as _ray
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    emb = _embeddings(sf_dir)
     if emb.count() > brute_max:
         from libpostal_ray.pipelines.ann import embedding_dup_pairs
 
