@@ -42,10 +42,145 @@ ORDINAL_AFFIX_RULES: tuple[tuple[str, str], ...] = (
 )
 
 
-def compile_rules(rules) -> list[tuple["re.Pattern[str]", str]]:
+def _word_rules(pairs: dict[str, str]) -> tuple[tuple[str, str], ...]:
+    return tuple((r"\b" + w + r"\b", r) for w, r in pairs.items())
+
+
+# ---------------------------------------------------------------------------
+# EN rule packs — the resources/dictionaries/en/*.txt content model
+# (expand.c:724-1366 applies such lists as phrase rewrites; here each list is
+# rewrite-rule entries, merged per use: PipelineConfig(rewrite_rules=
+# EN_GENERAL_RULES) or any concatenation).  All packs are plain-word rules,
+# so compile_rules folds each consecutive run into ONE combined regex pass.
+# ---------------------------------------------------------------------------
+
+EN_CONTRACTION_RULES = _word_rules({
+    "can't": "cannot", "won't": "will not", "shan't": "shall not",
+    "i'm": "i am", "let's": "let us", "it's": "it is", "he's": "he is",
+    "she's": "she is", "that's": "that is", "what's": "what is",
+    "there's": "there is", "who's": "who is",
+}) + (
+    # suffix contractions need explicit regex: \b can't sit between two word
+    # chars, so a plain-word "n't" rule would never match inside "don't"
+    (r"n't\b", " not"),
+    (r"'re\b", " are"),
+    (r"'ve\b", " have"),
+    (r"'ll\b", " will"),
+    (r"'d\b", " would"),
+)
+
+EN_UNIT_RULES = _word_rules({
+    "km": "kilometer", "kilometers": "kilometer", "kilometres": "kilometer",
+    "kg": "kilogram", "kilograms": "kilogram",
+    "mi": "mile", "miles": "mile",
+    "ft": "foot", "feet": "foot",
+    "lb": "pound", "lbs": "pound", "pounds": "pound",
+    "hr": "hour", "hrs": "hour", "hours": "hour",
+    "min": "minute", "mins": "minute", "minutes": "minute",
+    "sec": "second", "secs": "second", "seconds": "second",
+    "oz": "ounce", "ounces": "ounce",
+    "gal": "gallon", "gallons": "gallon",
+})
+
+EN_ABBREV_RULES = _word_rules({
+    "mr": "mister", "mrs": "missus", "dr": "doctor", "prof": "professor",
+    "jr": "junior", "sr": "senior", "capt": "captain", "sgt": "sergeant",
+    "dept": "department", "govt": "government", "univ": "university",
+    "assn": "association", "bros": "brothers", "inc": "incorporated",
+    "ltd": "limited", "corp": "corporation", "co": "company",
+    "intl": "international", "natl": "national",
+})
+
+_ONES = {
+    "one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+    "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
+    "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
+}
+_TENS = {
+    "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
+    "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+}
+_ORD_ONES = {
+    "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
+    "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
+    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "fourteenth": 14,
+    "fifteenth": 15, "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
+    "nineteenth": 19,
+}
+_ORD_TENS = {
+    "twentieth": 20, "thirtieth": 30, "fortieth": 40, "fiftieth": 50,
+    "sixtieth": 60, "seventieth": 70, "eightieth": 80, "ninetieth": 90,
+}
+
+
+def _numex_rules() -> tuple[tuple[str, str], ...]:
+    """numex-lite (numex.c:1260-1335 role): spelled-out cardinals/ordinals
+    1-99 -> digits, compounds first ("twenty six"/"twenty-sixth" -> 26)
+    before single words so the longest phrase wins."""
+    rules: list[tuple[str, str]] = []
+    # compounds as PLAIN-WORD rules (space and hyphen variants) so the whole
+    # pack folds into one alternation pass; longest-first matching in the
+    # combined regex makes "twenty six" win over "twenty"+"six"
+    for tw, tv in _TENS.items():
+        for ow, ov in {**_ONES, **_ORD_ONES}.items():
+            if ov < 10:
+                rules.append((rf"\b{tw} {ow}\b", str(tv + ov)))
+                rules.append((rf"\b{tw}-{ow}\b", str(tv + ov)))
+    for w, v in {**_TENS, **_ONES, **_ORD_TENS, **_ORD_ONES}.items():
+        rules.append((rf"\b{w}\b", str(v)))
+    return tuple(rules)
+
+
+EN_NUMBER_RULES: tuple[tuple[str, str], ...] = _numex_rules()
+
+EN_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    EN_CONTRACTION_RULES + EN_ABBREV_RULES + EN_UNIT_RULES
+    + EN_NUMBER_RULES + ORDINAL_AFFIX_RULES
+)
+
+_PLAIN_WORD_RE = re.compile(r"^\\b([A-Za-z0-9' -]+)\\b$")
+
+
+def compile_rules(rules) -> list[tuple["re.Pattern[str]", object]]:
     """Compile a (pattern, replacement) rewrite-rule table (the
-    resources/dictionaries analog, expand.c:724-1366) — done once per worker."""
-    return [(re.compile(p), r) for p, r in (rules or ())]
+    resources/dictionaries analog, expand.c:724-1366) — done once per worker.
+
+    Optimization: a consecutive RUN of plain-word rules (pattern is exactly
+    \\b<literal>\\b with a literal replacement) folds into ONE combined
+    alternation regex + dict lookup, so a 200-entry pack costs one pass, not
+    200.  Rule order semantics are preserved: folding never crosses a
+    non-plain rule, and within a run the longest alternative is tried first
+    (regex alternation is first-match, so entries are sorted by length)."""
+    rules = list(rules or ())
+    out: list[tuple[re.Pattern[str], object]] = []
+    run: list[tuple[str, str]] = []
+
+    def flush() -> None:
+        if not run:
+            return
+        if len(run) == 1:
+            out.append(
+                (re.compile(r"\b" + re.escape(run[0][0]) + r"\b"), run[0][1])
+            )
+        else:
+            mapping = {w: r for w, r in run}
+            alts = sorted(mapping, key=len, reverse=True)
+            pat = re.compile(
+                r"\b(?:" + "|".join(re.escape(w) for w in alts) + r")\b"
+            )
+            out.append((pat, lambda m, _m=mapping: _m[m.group(0)]))
+        run.clear()
+
+    for p, r in rules:
+        m = _PLAIN_WORD_RE.match(p)
+        if m is not None and "\\" not in r:
+            run.append((m.group(1), r))
+        else:
+            flush()
+            out.append((re.compile(p), r))
+    flush()
+    return out
 
 
 def canonicalize_one(

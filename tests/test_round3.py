@@ -325,3 +325,50 @@ def test_phonetic_keys_order_free_and_gated():
     assert phonetic_row_code("john smith") == phonetic_row_code("smith john")
     assert phonetic_row_code("smith") != phonetic_row_code("schmidt") or True
     assert phonetic_row_code("12345") == 0  # no letters -> no key
+
+
+# ---------------------------------------------------------------------------
+# EN rewrite-rule packs (dictionaries content model + numex-lite)
+# ---------------------------------------------------------------------------
+
+
+def test_en_rule_packs():
+    from libpostal_ray.functions.canonicalize import (
+        EN_GENERAL_RULES,
+        canonicalize_one,
+        compile_rules,
+    )
+
+    rules = compile_rules(EN_GENERAL_RULES)
+    # plain-word packs fold into a handful of combined passes
+    assert len(rules) < 20 < len(EN_GENERAL_RULES)
+
+    def c(t):
+        return canonicalize_one(t, compiled_rules=rules)
+
+    assert c("don't worry it's fine") == "do not worry it is fine"
+    assert c("twenty-six miles in two hrs") == "26 mile in 2 hour"
+    # the numex.c gap from round 2: spelled-out vs digit ordinals now meet
+    assert c("meet on the twenty sixth") == c("meet on the 26th")
+
+
+def test_numex_pair_clusters_with_pack(ray_session):
+    """'twenty sixth' vs '26th' docs cluster together WITH the pack and not
+    without (the round-2 'what's missing' numex item)."""
+    from libpostal_ray.config import PipelineConfig
+    from libpostal_ray.functions.canonicalize import EN_GENERAL_RULES
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+
+    body = "the annual general meeting will be held on the {} of june at the main hall as previously announced to all members of record"
+    corpus = _mk_corpus(
+        [
+            (1, body.format("twenty sixth")),
+            (2, body.format("26th")),
+            (3, "completely different filler content about unrelated topics entirely"),
+        ]
+    )
+    on = near_dupe_pipeline(
+        corpus, PipelineConfig(rewrite_rules=EN_GENERAL_RULES)
+    )["clusters"].to_pandas()
+    lab = dict(zip(on.doc_id, on.cluster_id))
+    assert lab[1] == lab[2], on
