@@ -161,6 +161,9 @@ def run_bench() -> dict:
     timed("events_hourly", q.events_hourly)
     timed("ann_topk", lambda d: __import__("ray").data.from_pandas(q.ann_topk(d)))
     timed("fingerprint_counts", q.fingerprint_counts)
+    timed("bpe_token_count", q.bpe_token_count)
+    timed("user_sessions", q.user_sessions)
+    timed("embedding_dups_bucketed", lambda d: q.embedding_dups(d, brute_max=0))
 
     ray.shutdown()
     return {
