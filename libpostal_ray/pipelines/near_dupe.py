@@ -360,7 +360,16 @@ def near_dupe_pipeline(
             "clusters": clusters,
             "metrics": {"signatures": sig_metrics, "edges": edge_metrics},
         }
-    sigs = signatures(corpus, cfg).materialize()
+    extras: dict = {}
+    if cfg.verify_mode == "pairs" and cfg.shuffle_impl == "manual":
+        # streaming fused plan: the exchange's split tasks and the sharded
+        # broadcast-state build launch while the signature stage is still
+        # producing blocks — no full-materialize barrier between stages
+        sigs, edges = _streamed_candidate_edges(corpus, cfg, extras=extras)
+        edges = edges.materialize()
+    else:
+        sigs = signatures(corpus, cfg).materialize()
+        edges = None
     if sigs.count() == 0:
         # empty corpus: Ray's hash join can't recover a schema from zero
         # blocks — short-circuit with empty, correctly-schemed outputs
@@ -378,8 +387,8 @@ def near_dupe_pipeline(
             ).empty_table()
         )
         return {"signatures": sigs, "edges": empty_edges, "clusters": empty_clusters}
-    extras: dict = {}
-    edges = candidate_edges(sigs, cfg, extras=extras).materialize()
+    if edges is None:
+        edges = candidate_edges(sigs, cfg, extras=extras).materialize()
     docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
     from libpostal_ray.pipelines.cluster import (
         CC_LOCAL_MAX_EDGES,
@@ -1064,6 +1073,90 @@ def _dedup_pairs_partition(cfg, n_states: int, *parts_in: pa.Table) -> pa.Table:
         },
         schema=PAIR_SCHEMA,
     )
+
+
+def _streamed_candidate_edges(
+    corpus: ray.data.Dataset, cfg: PipelineConfig, extras: dict | None = None
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Streaming fused plan: signature blocks flow into split and
+    state-shard tasks AS THEY ARE PRODUCED (``iter_internal_ref_bundles``),
+    so the exchange's map side and the broadcast-state build overlap the
+    signature stage's tail instead of waiting behind a full materialize
+    barrier.  Returns (sigs dataset over the same blocks, edge dataset).
+
+    Group size doubles once a CPU's worth of split tasks is in flight, so
+    the exchange's object count stays ~O(cpus x P) however many blocks the
+    corpus produces (the round-2 object-count lesson).  If the streamed row
+    count crosses sig_broadcast_max, shard builds stop and verification
+    falls back to the hash-join path — same plan the non-streamed route
+    picks."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    P = max(8, min(cfg.verify_partitions, cpus * 2))
+    P2 = P
+    split = _ray.remote(num_returns=P)(_split_block_by_key)
+
+    blocks: list = []
+    outs: list = []
+    state_refs: list = []
+    group: list = []
+    total_rows = 0
+    state_ok = True
+    G = 8
+
+    def launch(g: list) -> None:
+        nonlocal G
+        outs.append(split.remote(P, *g))
+        if state_ok:
+            state_refs.append(_build_sig_state.remote(*g))
+        if len(outs) >= cpus:
+            G *= 2
+
+    for bundle in signatures(corpus, cfg).iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            blocks.append(ref)
+            group.append(ref)
+        nr = bundle.num_rows()
+        total_rows += nr or 0
+        if total_rows > cfg.sig_broadcast_max:
+            state_ok = False
+        if len(group) >= G:
+            launch(group)
+            group = []
+    if group:
+        launch(group)
+
+    if not blocks or total_rows == 0:
+        empty = signatures(corpus, cfg).materialize()
+        from libpostal_ray.stages.verify import EDGE_SCHEMA
+
+        return empty, ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+
+    sigs = ray.data.from_arrow_refs(blocks)
+
+    reduce_fn = _ray.remote(num_returns=P2)(_pairgen_reduce)
+    mid = [
+        reduce_fn.remote(cfg, P2, *[outs[i][p] for i in range(len(outs))])
+        for p in range(P)
+    ]
+    dedup_fn = _ray.remote(_dedup_pairs_partition)
+    srefs = state_refs if state_ok else []
+    pair_refs = [
+        dedup_fn.remote(cfg, len(srefs), *srefs, *[mid[p][q] for p in range(P)])
+        for q in range(P2)
+    ]
+    out_ds = ray.data.from_arrow_refs(pair_refs)
+    if state_ok:
+        if extras is not None:
+            extras["state_refs"] = srefs
+        return sigs, out_ds
+    pairs = out_ds.materialize()
+    if pairs.count() == 0:
+        from libpostal_ray.stages.verify import EDGE_SCHEMA
+
+        return sigs, ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+    return sigs, _verify_pairs_join(pairs, sigs, cfg)
 
 
 def _manual_exchange_pairs(
