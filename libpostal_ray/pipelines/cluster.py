@@ -191,6 +191,11 @@ def _cc_task_from_edges(min_status: int, *blocks) -> pa.Table:
     the status filter and the (u,v) conversion run inside the task, so the
     whole local path costs ONE Ray job instead of three (filter map +
     convert map + CC).  Used by the fused fast path in near_dupe_pipeline."""
+    import os
+    import sys
+    import time
+
+    _t0 = time.perf_counter()
     import numpy as np
 
     parts = []
@@ -213,9 +218,17 @@ def _cc_task_from_edges(min_status: int, *blocks) -> pa.Table:
                 "cluster_id": pa.array([], type=pa.int64()),
             }
         )
+    _t1 = time.perf_counter()
     u = np.concatenate([p[0] for p in parts]).astype(np.int64)
     v = np.concatenate([p[1] for p in parts]).astype(np.int64)
     nodes, labels = _cc_vectorized(u, v)
+    if os.environ.get("GRAFT_PHASE_LOG") == "1":
+        print(
+            f"[phase-task] cc_task filter {_t1 - _t0:.2f}s"
+            f" + cc {time.perf_counter() - _t1:.2f}s ({u.shape[0]} edges,"
+            f" {len(blocks)} blocks)",
+            file=sys.stderr,
+        )
     return pa.table(
         {
             "doc_id": pa.array(nodes, type=pa.int64()),
@@ -402,6 +415,72 @@ def effective_join_partitions(requested: int) -> int:
 # label sets under this row count are broadcast (ray.put once, searchsorted
 # lookup per batch — no shuffle); 2 x 8 B x 2e7 = ~320 MB object
 ASSIGN_BROADCAST_MAX = 20_000_000
+
+
+@ray.remote
+def _nrows_of(block: pa.Table) -> int:
+    """Row count of one Arrow block — the cheap alternative to a Ray Data
+    ``count()`` job (which spins up a whole streaming executor) when the
+    caller already holds the block refs."""
+    return block.num_rows
+
+
+@ray.remote
+def _assign_blocks_task(labels: pa.Table, columns, *blocks: pa.Table) -> pa.Table:
+    """Label a group of doc blocks against the (sorted) label table — the
+    raw-task body behind ``assign_clusters_blocks``.  ``labels`` arrives as
+    a resolved top-level ObjectRef arg (one shared plasma read per task)."""
+    import os
+    import sys
+    import time
+
+    _t0 = time.perf_counter()
+    node = labels["doc_id"].to_numpy(zero_copy_only=False)
+    lab = labels["cluster_id"].to_numpy(zero_copy_only=False)
+    outs = []
+    for b in blocks:
+        t = b.select(columns) if columns else b
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if node.shape[0] == 0:
+            cid = ids
+        else:
+            pos = np.searchsorted(node, ids)
+            pos_c = np.clip(pos, 0, node.shape[0] - 1)
+            hit = (pos < node.shape[0]) & (node[pos_c] == ids)
+            cid = np.where(hit, lab[pos_c], ids)
+        outs.append(t.append_column("cluster_id", pa.array(cid, type=pa.int64())))
+    if os.environ.get("GRAFT_PHASE_LOG") == "1":
+        print(
+            f"[phase-task] assign_task {time.perf_counter() - _t0:.2f}s"
+            f" ({len(blocks)} blocks)",
+            file=sys.stderr,
+        )
+    return pa.concat_tables(outs)
+
+
+def assign_clusters_blocks(
+    block_refs: list,
+    labels_ref,
+    columns: list[str] | None = None,
+    n_tasks: int | None = None,
+    as_refs: bool = False,
+):
+    """Cluster assignment as RAW tasks over doc block refs, chained on the
+    label ObjectRef: the tasks are submitted before the CC task finishes,
+    so Ray starts them the instant labels resolve — no Ray Data job
+    startup, no per-block task overhead, no driver wake-up in between.
+    One task per CPU (each labels several blocks).
+
+    ``as_refs=True`` returns the raw output refs (submission only, no
+    blocking) so the caller can overlap other driver work before wrapping
+    them in a Dataset (from_arrow_refs blocks on metadata)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n = max(1, min(len(block_refs), n_tasks or cpus))
+    groups = [block_refs[i::n] for i in range(n)]
+    refs = [_assign_blocks_task.remote(labels_ref, columns, *g) for g in groups]
+    if as_refs:
+        return refs
+    return ray.data.from_arrow_refs(refs)
 
 
 def assign_clusters_ref(docs: ray.data.Dataset, labels_ref) -> ray.data.Dataset:

@@ -360,13 +360,28 @@ def near_dupe_pipeline(
             "clusters": clusters,
             "metrics": {"signatures": sig_metrics, "edges": edge_metrics},
         }
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _plog = (
+        (lambda m: print(f"[phase] {m} @{_time.perf_counter() - _t0:.2f}s", file=_sys.stderr))
+        if _os.environ.get("GRAFT_PHASE_LOG") == "1"
+        else (lambda m: None)
+    )
     extras: dict = {}
     if cfg.verify_mode == "pairs" and cfg.shuffle_impl == "manual":
         # streaming fused plan: the exchange's split tasks and the sharded
         # broadcast-state build launch while the signature stage is still
-        # producing blocks — no full-materialize barrier between stages
+        # producing blocks — no full-materialize barrier between stages.
+        # On the fused path edges comes back as None + extras["pair_refs"]
+        # (raw edge-block refs) so the CC/assign tail can be chained onto
+        # the refs BEFORE the driver blocks on exchange completion.
         sigs, edges = _streamed_candidate_edges(corpus, cfg, extras=extras)
-        edges = edges.materialize()
+        if edges is not None:
+            edges = edges.materialize()
+        _plog("sig stream consumed")
     else:
         sigs = signatures(corpus, cfg).materialize()
         edges = None
@@ -387,13 +402,13 @@ def near_dupe_pipeline(
             ).empty_table()
         )
         return {"signatures": sigs, "edges": empty_edges, "clusters": empty_clusters}
-    if edges is None:
+    if edges is None and "pair_refs" not in extras:
         edges = candidate_edges(sigs, cfg, extras=extras).materialize()
-    docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
     from libpostal_ray.pipelines.cluster import (
         CC_LOCAL_MAX_EDGES,
         _cc_task_from_edges,
-        assign_clusters_ref,
+        _nrows_of,
+        assign_clusters_blocks,
     )
 
     # SPAN edges (exact shared substrings) fuse into the same CC task:
@@ -412,14 +427,32 @@ def near_dupe_pipeline(
         n_span = spans.count()
         min_status = STATUS_SPAN
 
-    if edges.count() + n_span <= CC_LOCAL_MAX_EDGES:
-        # fused tail: status filter + (u,v) conversion + CC in ONE task,
-        # labels broadcast by ObjectRef into one map over the docs — three
-        # fewer Ray jobs of fixed latency than the general path
-        labels_ref = _cc_task_from_edges.remote(
-            min_status, *edges.to_arrow_refs(), *span_refs
-        )
-        clusters = assign_clusters_ref(docs, labels_ref)
+    # Fused, barrier-free tail: the CC task and the assign tasks are
+    # submitted EAGERLY, chained on the raw edge-block refs — Ray schedules
+    # each the instant its inputs resolve, with no driver wake-up between
+    # the exchange, CC and assignment.  The crossover row count comes from
+    # tiny per-ref tasks instead of a Ray Data count job.  Only THEN does
+    # the driver block (building the edges Dataset + the final
+    # from_arrow_refs over the assign outputs), so the one barrier overlaps
+    # the whole tail.
+    pair_refs = extras.get("pair_refs")
+    if pair_refs is None:
+        pair_refs = edges.to_arrow_refs()
+    nrow_refs = [_nrows_of.remote(r) for r in pair_refs]
+    labels_ref = _cc_task_from_edges.remote(min_status, *pair_refs, *span_refs)
+    assign_refs = assign_clusters_blocks(
+        sigs.to_arrow_refs(),
+        labels_ref,
+        columns=["doc_id", "sha256", "n_chars"],
+        as_refs=True,
+    )
+    if edges is None:
+        edges = ray.data.from_arrow_refs(pair_refs)
+    _plog("exchange complete (edge blocks resolved)")
+    n_edges = sum(ray.get(nrow_refs))
+    if n_edges + n_span <= CC_LOCAL_MAX_EDGES:
+        clusters = ray.data.from_arrow_refs(assign_refs)
+        _plog(f"tail complete ({n_edges} edges)")
         return {
             "signatures": sigs,
             "edges": edges,
@@ -427,6 +460,13 @@ def near_dupe_pipeline(
             "_labels_ref": labels_ref,
             "_state_refs": extras.get("state_refs"),
         }
+    # rare fallback (> CC_LOCAL_MAX_EDGES): the optimistic CC/assign tasks
+    # are abandoned (cancel is best-effort; a completed task is a no-op)
+    # and the distributed large/small-star rounds take over
+    ray.cancel(labels_ref)
+    for _r in assign_refs:
+        ray.cancel(_r)
+    docs = sigs.select_columns(["doc_id", "sha256", "n_chars"])
     strong = cluster_edges(edges)
     if cfg.span_edges:
         strong = strong.union(spans)
@@ -1146,12 +1186,16 @@ def _streamed_candidate_edges(
         dedup_fn.remote(cfg, len(srefs), *srefs, *[mid[p][q] for p in range(P)])
         for q in range(P2)
     ]
-    out_ds = ray.data.from_arrow_refs(pair_refs)
     if state_ok:
         if extras is not None:
             extras["state_refs"] = srefs
-        return sigs, out_ds
-    pairs = out_ds.materialize()
+            # hand the caller the RAW edge refs: from_arrow_refs blocks on
+            # metadata, so building the Dataset here would stall the driver
+            # before it can chain the CC/assign tail onto these refs
+            extras["pair_refs"] = pair_refs
+            return sigs, None
+        return sigs, ray.data.from_arrow_refs(pair_refs)
+    pairs = ray.data.from_arrow_refs(pair_refs).materialize()
     if pairs.count() == 0:
         from libpostal_ray.stages.verify import EDGE_SCHEMA
 
