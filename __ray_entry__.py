@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_agg": q.supplier_nation_agg,
         "bpe_token_count": q.bpe_token_count,
         "user_sessions": q.user_sessions,
+        "exact_copy_coclustering": q.exact_copy_coclustering,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -184,6 +185,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "exact_copy_coclustering": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 50 = 0
+            )
+            SELECT md5(text) AS content_md5, count(*) AS n_copies,
+                   min(doc_id) AS keep_id, CAST(1 AS BIGINT) AS n_clusters
+            FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
         """,
         "user_sessions": """
             WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events),

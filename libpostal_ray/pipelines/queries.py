@@ -847,6 +847,138 @@ def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ------------------------------------- flagship-path oracle (exact co-cluster)
+PLANT_STEP, PLANT_SHIFT = 50, 1_000_000
+
+
+def exact_copy_coclustering(sf_dir: str) -> pd.DataFrame:
+    """Oracle row covering the FLAGSHIP near-dup pipeline end-to-end
+    (dedupe.c:78-156's exact-duplicate decision): exact copies must land in
+    ONE cluster.  The sf documents tables carry no exact copies at small
+    scale, so BOTH sides plant the same deterministic family set first
+    (every ``PLANT_STEP``-th doc re-appears with doc_id+``PLANT_SHIFT``);
+    SQL can then predict, for every content-md5 group with >1 copies, the
+    group size, the representative (min doc_id), and — the flagship
+    assertion — that the real pipeline assigned the whole group exactly one
+    cluster (``n_clusters = 1``).  A regression that splits an exact family
+    breaks the value hash.
+
+    Scale shape: content never shuffles (the group stats form over
+    (sha256, doc_id, cluster_id) rows, partitioned by a sha-derived int64
+    key); md5 labels are computed only for the surviving representatives —
+    one filtered pass over the raw table against a broadcast id set."""
+    from libpostal_ray.pipelines.near_dupe import _sha_to_np, near_dupe_pipeline
+    from libpostal_ray.sources.readers import read_documents_corpus
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(did % PLANT_STEP == 0)
+        if sel.size == 0:
+            return batch
+        extra = batch.take(pa.array(sel))
+        extra = extra.set_column(
+            extra.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(did[sel] + PLANT_SHIFT, type=pa.int64()),
+        )
+        return pa.concat_tables([batch, extra]).combine_chunks()
+
+    corpus = read_documents_corpus(sf_dir).map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True
+    )
+    clusters = near_dupe_pipeline(corpus, PipelineConfig())["clusters"]
+
+    P = 16
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sha = _sha_to_np(batch["sha256"])
+        key = np.frombuffer(sha.tobytes(), dtype="<u8").reshape(-1, 4)[:, 0]
+        return pa.table(
+            {
+                "sha256": batch["sha256"],
+                "doc_id": batch["doc_id"],
+                "cluster_id": batch["cluster_id"],
+                "part": pa.array((key % np.uint64(P)).astype("int64")),
+            }
+        )
+
+    def group_stats(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "keep_id": pa.array([], type=pa.int64()),
+                "n_copies": pa.array([], type=pa.int64()),
+                "n_clusters": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        sha = _sha_to_np(group["sha256"])
+        did = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = group["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # pass 1, sorted (sha, doc_id): per-sha segment sizes + min doc_id
+        order = np.lexsort((did, sha))
+        sha_s, did_s = sha[order], did[order]
+        newseg = np.concatenate(([True], sha_s[1:] != sha_s[:-1]))
+        seg = np.cumsum(newseg) - 1
+        nseg = int(seg[-1]) + 1
+        sizes = np.bincount(seg, minlength=nseg)
+        keep_id = did_s[np.flatnonzero(newseg)]
+        # pass 2, sorted (sha, cluster_id): distinct clusters per sha segment
+        order2 = np.lexsort((cid, sha))
+        sha2, cid2 = sha[order2], cid[order2]
+        new_sha2 = np.concatenate(([True], sha2[1:] != sha2[:-1]))
+        new_pair = new_sha2 | np.concatenate(([True], cid2[1:] != cid2[:-1]))
+        seg2 = np.cumsum(new_sha2) - 1
+        n_clusters = np.bincount(seg2[new_pair], minlength=nseg)
+        mask = sizes > 1
+        if not mask.any():
+            return empty
+        return pa.table(
+            {
+                "keep_id": pa.array(keep_id[mask], type=pa.int64()),
+                "n_copies": pa.array(sizes[mask], type=pa.int64()),
+                "n_clusters": pa.array(n_clusters[mask], type=pa.int64()),
+            }
+        )
+
+    groups = (
+        clusters.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(group_stats, batch_format="pyarrow")
+        .to_pandas()  # one row per duplicate FAMILY — small by construction
+    )
+
+    # md5 labels for the representatives only (keep_id is always the
+    # original doc: planted copies have ids shifted by PLANT_SHIFT)
+    rep_ids_ref = ray.put(np.sort(groups["keep_id"].to_numpy().astype(np.int64)))
+
+    def md5_for_reps(batch: pa.Table) -> pa.Table:
+        rep_ids = ray.get(rep_ids_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(np.isin(did, rep_ids))
+        texts = batch["text"].take(pa.array(sel)).to_pylist()
+        return pa.table(
+            {
+                "keep_id": pa.array(did[sel], type=pa.int64()),
+                "content_md5": pa.array(
+                    [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    md5s = (
+        _docs(sf_dir).map_batches(md5_for_reps, batch_format="pyarrow").to_pandas()
+    )
+    res = groups.merge(md5s, on="keep_id")
+    return (
+        res[["content_md5", "n_copies", "keep_id", "n_clusters"]]
+        .sort_values("content_md5")
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------------- sessionization
 SESSION_GAP_MS = 30 * 60 * 1000  # a >30-minute silence starts a new session
 

@@ -64,6 +64,9 @@ ORACLE_QUERIES = [
     "distinct_users",
     "mktsegment_order_stats",
     "supplier_nation_agg",
+    "bpe_token_count",
+    "user_sessions",
+    "exact_copy_coclustering",
 ]
 
 
