@@ -64,11 +64,21 @@ class PipelineConfig:
     simhash_chunks: int = 4         # 4 x 16-bit chunks => catches hamming <= 3
     phonetic_keys: bool = False     # sound-alike blocking for SHORT rows
                                     # (double_metaphone key-family analog,
-                                    # near_dupe.c:283-315): short rows emit an
-                                    # extra band key from the sorted Soundex
+                                    # near_dupe.c:283-315): short rows emit
+                                    # extra band keys from the sorted phonetic
                                     # codes of their tokens; phonetic-equal
                                     # short pairs verify at NEEDS_REVIEW (the
                                     # fuzzy refine tier decides)
+    phonetic_algo: str = "double_metaphone"  # "double_metaphone": primary +
+                                    # secondary codes (Philips 2000, the
+                                    # reference's double_metaphone.c:55-980
+                                    # family); rows with a distinct alternate
+                                    # pronunciation emit a SECOND band key and
+                                    # verification matches any primary/
+                                    # secondary combo ("SMITH" pri SM0/alt XMT
+                                    # meets "SCHMIDT" pri XMT).  "soundex":
+                                    # single classic Soundex code — cheaper,
+                                    # coarser
 
     # --- verification thresholds (dedupe.c status lattice analog,
     #     libpostal.h:218-224 EXACT=9/LIKELY=6/NEEDS_REVIEW=3) ---

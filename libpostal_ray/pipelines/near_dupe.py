@@ -249,6 +249,7 @@ def checkpointed_signatures(
             ("minhash8", pa.list_(pa.uint8())),
             ("simhash", pa.int64()),
             ("phonetic", pa.int64()),
+            ("phonetic2", pa.int64()),
             ("band_keys", pa.list_(pa.int64())),
         ]
     )
@@ -714,7 +715,7 @@ def _build_sig_state(*blocks) -> dict:
     parts = [
         b.select(
             ["doc_id", "sha256", "minhash8", "simhash", "is_short",
-             "n_shingles", "phonetic"]
+             "n_shingles", "phonetic", "phonetic2"]
         )
         for b in blocks
         if b.num_rows > 0
@@ -728,6 +729,7 @@ def _build_sig_state(*blocks) -> dict:
             "short": np.empty(0, dtype=bool),
             "nsh": np.empty(0, dtype=np.int64),
             "ph": np.empty(0, dtype=np.int64),
+            "ph2": np.empty(0, dtype=np.int64),
         }
     t = pa.concat_tables(parts)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
@@ -745,8 +747,9 @@ def _build_sig_state(*blocks) -> dict:
     short = t["is_short"].to_numpy(zero_copy_only=False).astype(bool)[order]
     nsh = t["n_shingles"].to_numpy(zero_copy_only=False).astype("int64")[order]
     ph = t["phonetic"].to_numpy(zero_copy_only=False).astype("int64")[order]
+    ph2 = t["phonetic2"].to_numpy(zero_copy_only=False).astype("int64")[order]
     return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short,
-            "nsh": nsh, "ph": ph}
+            "nsh": nsh, "ph": ph, "ph2": ph2}
 
 
 def _sig_state_refs(sigs: ray.data.Dataset, n_shards: int | None = None) -> list:
@@ -777,6 +780,7 @@ def _state_gather(states: list, ids) -> tuple:
     short = np.zeros(n, dtype=bool)
     nsh = np.zeros(n, dtype=np.int64)
     ph = np.zeros(n, dtype=np.int64)
+    ph2 = np.zeros(n, dtype=np.int64)
     found = np.zeros(n, dtype=bool)
     for st in states:
         sids = st["ids"]
@@ -794,8 +798,9 @@ def _state_gather(states: list, ids) -> tuple:
         short[hit] = st["short"][p]
         nsh[hit] = st["nsh"][p]
         ph[hit] = st["ph"][p]
+        ph2[hit] = st["ph2"][p]
         found |= hit
-    return mh, sha, sim, short, nsh, ph
+    return mh, sha, sim, short, nsh, ph, ph2
 
 
 def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) -> pa.Table:
@@ -805,8 +810,8 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
 
     from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
 
-    mh_a, sha_a, sim_a, short_a, nsh_a, ph_a = _state_gather(states, src)
-    mh_b, sha_b, sim_b, short_b, nsh_b, ph_b = _state_gather(states, dst)
+    mh_a, sha_a, sim_a, short_a, nsh_a, ph_a, ph2_a = _state_gather(states, src)
+    mh_b, sha_b, sim_b, short_b, nsh_b, ph_b, ph2_b = _state_gather(states, dst)
     # every pair endpoint comes from the signature table by construction
     raw = (mh_a == mh_b).mean(axis=1)
     exact = sha_a == sha_b
@@ -818,6 +823,7 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
     status, est = verify_pair_statuses(
         exact, raw, both_short, ham, cfg,
         nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b,
+        ph2_a=ph2_a, ph2_b=ph2_b,
     )
     keep = status > 0
     return pa.table(
@@ -886,12 +892,13 @@ def _verify_pairs_join(
                 f"short{suffix}": batch["is_short"],
                 f"nsh{suffix}": batch["n_shingles"],
                 f"ph{suffix}": batch["phonetic"],
+                f"ph2{suffix}": batch["phonetic2"],
             }
         )
 
     slim = sigs.select_columns(
         ["doc_id", "sha256", "minhash8", "simhash", "is_short",
-         "n_shingles", "phonetic"]
+         "n_shingles", "phonetic", "phonetic2"]
     )
     side_a = slim.map_batches(lambda b: pack(b, "_a"), batch_format="pyarrow")
     side_b = slim.map_batches(lambda b: pack(b, "_b"), batch_format="pyarrow")
@@ -922,9 +929,12 @@ def _verify_pairs_join(
         nsh_b = batch["nsh_b"].to_numpy(zero_copy_only=False).astype("int64")
         ph_a = batch["ph_a"].to_numpy(zero_copy_only=False).astype("int64")
         ph_b = batch["ph_b"].to_numpy(zero_copy_only=False).astype("int64")
+        ph2_a = batch["ph2_a"].to_numpy(zero_copy_only=False).astype("int64")
+        ph2_b = batch["ph2_b"].to_numpy(zero_copy_only=False).astype("int64")
         status, est = verify_pair_statuses(
             exact, raw, both_short, ham, cfg,
-            nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b
+            nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b,
+            ph2_a=ph2_a, ph2_b=ph2_b,
         )
         keep = status > 0
         return pa.table(

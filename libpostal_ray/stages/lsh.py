@@ -44,6 +44,7 @@ def explode_band_keys(batch: pa.Table) -> pa.Table:
             "minhash8": batch["minhash8"].take(idx_arr),
             "simhash": batch["simhash"].take(idx_arr),
             "phonetic": batch["phonetic"].take(idx_arr),
+            "phonetic2": batch["phonetic2"].take(idx_arr),
         }
     )
 

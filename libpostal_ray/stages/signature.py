@@ -34,6 +34,7 @@ SIGNATURE_COLUMNS = [
     "minhash8",
     "simhash",
     "phonetic",
+    "phonetic2",
     "band_keys",
 ]
 
@@ -159,14 +160,17 @@ class SignatureStage:
                     rolling_shingle_hashes(seg, int(seg.shape[0]))
                 )
 
-        # phonetic code for short rows (config-gated; Python loop over the
-        # FEW short rows only — long content is covered by MinHash)
+        # phonetic codes for short rows (config-gated; Python loop over the
+        # FEW short rows only — long content is covered by MinHash).  ph2 is
+        # the Double Metaphone ALTERNATE pronunciation (0 = none): it emits
+        # its own band key and verify matches any primary/alternate combo
         ph = np.zeros(n, dtype=np.int64)
+        ph2 = np.zeros(n, dtype=np.int64)
         if cfg.phonetic_keys and rows_sh.size:
-            from libpostal_ray.functions.phonetic import phonetic_codes
+            from libpostal_ray.functions.phonetic import phonetic_code_arrays
 
-            ph[rows_sh] = phonetic_codes(
-                col.take(pa.array(rows_sh)).to_pylist()
+            ph[rows_sh], ph2[rows_sh] = phonetic_code_arrays(
+                col.take(pa.array(rows_sh)).to_pylist(), cfg.phonetic_algo
             )
 
         rows_mh = np.flatnonzero(emit_mh)
@@ -183,10 +187,12 @@ class SignatureStage:
 
         # assemble the band_keys list column without per-row Python lists
         has_ph = ph != 0
+        has_ph2 = ph2 != 0
         nkeys = (
             emit_mh.astype(np.int64) * cfg.bands
             + emit_sh.astype(np.int64) * cfg.simhash_chunks
             + has_ph.astype(np.int64)
+            + has_ph2.astype(np.int64)
         )
         koff = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(nkeys, out=koff[1:])
@@ -200,8 +206,8 @@ class SignatureStage:
             vals[idx] = sk_sub.ravel()
         rows_ph = np.flatnonzero(has_ph)
         if rows_ph.size:
-            # the phonetic band key slot comes after both other families;
-            # the row code is already salt-mixed into its own key space
+            # the phonetic band key slots come after both other families;
+            # row codes are already salt-mixed into their own key space
             # (functions/phonetic.py), disjoint from MinHash/SimHash keys whp
             base = (
                 koff[rows_ph]
@@ -209,6 +215,16 @@ class SignatureStage:
                 + emit_sh[rows_ph] * cfg.simhash_chunks
             )
             vals[base] = ph[rows_ph]
+        rows_ph2 = np.flatnonzero(has_ph2)
+        if rows_ph2.size:
+            # alternate-pronunciation slot (double metaphone secondary)
+            base2 = (
+                koff[rows_ph2]
+                + emit_mh[rows_ph2] * cfg.bands
+                + emit_sh[rows_ph2] * cfg.simhash_chunks
+                + has_ph[rows_ph2]
+            )
+            vals[base2] = ph2[rows_ph2]
         band_keys_arr = pa.ListArray.from_arrays(
             pa.array(koff.astype(np.int32)), pa.array(vals, type=pa.int64())
         )
@@ -252,6 +268,7 @@ class SignatureStage:
             ),
             "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
             "phonetic": pa.array(ph, type=pa.int64()),
+            "phonetic2": pa.array(ph2, type=pa.int64()),
             "band_keys": band_keys_arr,
         }
         # checkpoint partition id (and any other passthrough key) survives

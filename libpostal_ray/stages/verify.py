@@ -195,6 +195,7 @@ def _edges_from_pairs(
     truncated: bool,
     nsh: np.ndarray | None = None,
     ph: np.ndarray | None = None,
+    ph2: np.ndarray | None = None,
 ) -> pa.Table:
     """Verify candidate index pairs (li, ri) and emit edge rows.
 
@@ -227,6 +228,8 @@ def _edges_from_pairs(
         nsh_b=nsh[ri] if nsh is not None else None,
         ph_a=ph[li] if ph is not None else None,
         ph_b=ph[ri] if ph is not None else None,
+        ph2_a=ph2[li] if ph2 is not None else None,
+        ph2_b=ph2[ri] if ph2 is not None else None,
     )
 
     keep = status > 0
@@ -308,8 +311,14 @@ class VerifyPartition:
             if "phonetic" in group.column_names
             else None
         )
+        ph2 = (
+            group["phonetic2"].take(take).to_numpy(zero_copy_only=False).astype(np.int64)
+            if "phonetic2" in group.column_names
+            else None
+        )
         edges = _edges_from_pairs(
-            ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any, nsh=nsh, ph=ph
+            ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any, nsh=nsh, ph=ph,
+            ph2=ph2,
         )
         if edges.num_rows == 0:
             return edges
@@ -403,6 +412,8 @@ def verify_pair_statuses(
     nsh_b: np.ndarray | None = None,
     ph_a: np.ndarray | None = None,
     ph_b: np.ndarray | None = None,
+    ph2_a: np.ndarray | None = None,
+    ph2_b: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared status lattice: inputs per pair -> (status int8, est float64).
     raw_agree is the UNCORRECTED b-bit agreement rate.
@@ -435,8 +446,20 @@ def verify_pair_statuses(
     if cfg.phonetic_keys and ph_a is not None and ph_b is not None:
         # phonetic key family (double_metaphone analog): sound-alike SHORT
         # pairs reach at least NEEDS_REVIEW even when their SimHash differs
-        # — the fuzzy refine tier (JW on short strings) decides
-        ph_match = both_short & (ph_a != 0) & (ph_a == ph_b)
+        # — the fuzzy refine tier (JW on short strings) decides.  Under
+        # Double Metaphone a row may carry an ALTERNATE-pronunciation code
+        # (ph2, 0 = none); a pair matches on ANY primary/alternate combo
+        # ("SMITH" alt XMT meets "SCHMIDT" pri XMT), per the published
+        # algorithm's two-code contract.
+        ph_match = ph_a == ph_b
+        if ph2_a is not None and ph2_b is not None:
+            ph_match = (
+                ph_match
+                | ((ph2_a != 0) & (ph2_a == ph_b))
+                | ((ph2_b != 0) & (ph_a == ph2_b))
+                | ((ph2_a != 0) & (ph2_a == ph2_b))
+            )
+        ph_match = both_short & (ph_a != 0) & ph_match
         status = np.maximum(
             status,
             np.where(ph_match, STATUS_NEEDS_REVIEW, 0).astype(np.int8),

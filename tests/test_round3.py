@@ -327,6 +327,85 @@ def test_phonetic_keys_order_free_and_gated():
     assert phonetic_row_code("12345") == 0  # no letters -> no key
 
 
+def test_double_metaphone_known_codes():
+    """Published-spec fixtures (Philips 2000).  The secondary code is the
+    point: SMITH's alternate XMT equals SCHMIDT's primary — the classic
+    anglicization pair no single-code scheme can block together."""
+    from libpostal_ray.functions.phonetic import double_metaphone
+
+    assert double_metaphone("SMITH") == ("SM0", "XMT")
+    assert double_metaphone("SMYTHE") == ("SM0", "XMT")
+    assert double_metaphone("SCHMIDT")[0] == "XMT"
+    # katherine/catherine collapse on the primary
+    assert double_metaphone("KATHERINE")[0] == double_metaphone("CATHERINE")[0]
+    # thomas is a T, not a th-sound
+    assert double_metaphone("THOMAS")[0].startswith("TM")
+    # silent-letter starts
+    assert double_metaphone("KNIGHT")[0][0] == "N"
+    assert double_metaphone("WRIGHT")[0][0] == "R"
+    assert double_metaphone("XAVIER") == ("SF", "SFR")
+    # accent folding shares the base-letter code
+    assert double_metaphone("müller") == double_metaphone("muller")
+    assert double_metaphone("123") == ("", "")
+
+
+def test_dm_row_codes_alternate_gating():
+    from libpostal_ray.functions.phonetic import dm_row_codes
+
+    # order-free over tokens
+    assert dm_row_codes("john smith") == dm_row_codes("smith john")
+    # SMITH carries a distinct alternate; its alternate row code must be
+    # nonzero and differ from the primary
+    c1, c2 = dm_row_codes("smith")
+    assert c1 != 0 and c2 != 0 and c1 != c2
+    # a token with no alternate pronunciation emits exactly one key
+    c1, c2 = dm_row_codes("ann")
+    assert c1 != 0 and c2 == 0
+    assert dm_row_codes("9000") == (0, 0)
+
+
+def test_dm_cross_code_pair_found_in_pipeline(ray_session):
+    """'smith' vs 'schmidt': primary codes differ (SM0 vs XMT) but SMITH's
+    ALTERNATE is XMT — the pair must block via the alternate band key and
+    verify on the any-combo match (the two-code contract of the reference's
+    double_metaphone.c family)."""
+    from libpostal_ray.config import PipelineConfig
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+    from libpostal_ray.stages.verify import STATUS_NEEDS_REVIEW
+
+    corpus = _mk_corpus(
+        [
+            (1, "smith"),
+            (2, "schmidt"),
+            (3, "completely unrelated content body"),
+        ]
+    )
+    on = near_dupe_pipeline(corpus, PipelineConfig(phonetic_keys=True))
+    e_on = on["edges"].to_pandas()
+    pair = e_on[(e_on.src == 1) & (e_on.dst == 2)]
+    assert len(pair) == 1, e_on
+    assert int(pair.status.iloc[0]) == STATUS_NEEDS_REVIEW
+
+    # soundex mode is coarser: S530 vs S530?  SMITH=S530, SCHMIDT=S530 too —
+    # pick a pair soundex MISSES but metaphone catches to show the families
+    # differ: 'wright' (W623) vs 'right' (R230) share metaphone primary RT.
+    corpus2 = _mk_corpus(
+        [
+            (1, "wright"),
+            (2, "right"),
+            (3, "completely unrelated content body"),
+        ]
+    )
+    dm = near_dupe_pipeline(corpus2, PipelineConfig(phonetic_keys=True))
+    e_dm = dm["edges"].to_pandas()
+    assert len(e_dm[(e_dm.src == 1) & (e_dm.dst == 2)]) == 1, e_dm
+    sx = near_dupe_pipeline(
+        corpus2, PipelineConfig(phonetic_keys=True, phonetic_algo="soundex")
+    )
+    e_sx = sx["edges"].to_pandas()
+    assert len(e_sx) == 0 or len(e_sx[(e_sx.src == 1) & (e_sx.dst == 2)]) == 0
+
+
 # ---------------------------------------------------------------------------
 # EN rewrite-rule packs (dictionaries content model + numex-lite)
 # ---------------------------------------------------------------------------
