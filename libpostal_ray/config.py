@@ -126,18 +126,18 @@ class PipelineConfig:
 
     # --- substring (suffix-array) pass ---
     min_span_len: int = 50          # minimum exact duplicated span (chars)
-    substring_max_bytes: int = 4 * 1024 * 1024  # suffix-array partition byte
-                                    # budget: prefix-doubling SA costs
-                                    # O(n log n) sort rounds over ~5 int32
-                                    # arrays and goes superlinear once the
-                                    # working set outruns cache/bandwidth —
-                                    # measured ~15 s/4.5M chars, ~90 s/9M on
-                                    # this host.  4 MiB keeps a partition
-                                    # ~15-30 s; raise num_partitions (more,
-                                    # smaller partitions) rather than this
-                                    # budget at scale.  Beyond the budget
-                                    # the partition is truncated
-                                    # deterministically + flagged
+    substring_max_bytes: int = 16 * 1024 * 1024  # suffix-array partition byte
+                                    # budget.  The refined-doubling SA
+                                    # (Larsson-Sadakane subset rounds,
+                                    # stages/substring.py) pays full
+                                    # n log n only while >50% of groups
+                                    # are unresolved, then the active set
+                                    # collapses — measured best-of-N on
+                                    # this host: ~7 s/4 MiB, ~25 s/13 MiB
+                                    # (plain doubling was ~9 s and ~100+ s:
+                                    # superlinear on repeat-heavy text).
+                                    # Beyond the budget the partition is
+                                    # truncated deterministically + flagged
     span_edges: bool = False        # feed SPAN edges (exact shared substrings,
                                     # stages/substring.py) into clustering
                                     # alongside LIKELY/EXACT edges

@@ -6,8 +6,11 @@ unrelated file; this pass catches exact shared spans.  Per partition
 (pid = hash(repo) % P — same layout as the checkpoints):
 
   1. concatenate the partition's canonical contents with unique sentinels,
-  2. build the suffix array by prefix doubling (numpy lexsort rounds,
-     O(n log^2 n) — Manber & Myers),
+  2. build the suffix array by REFINED prefix doubling (Larsson & Sadakane
+     1999 qsufsort, vectorized: full streaming rounds while most groups
+     are unresolved, then subset rounds over only the unresolved groups —
+     worst case O(n log^2 n), typical cost one n log n sort + a
+     fast-vanishing tail),
   3. LCP array by Kasai's algorithm,
   4. runs of SA-adjacent suffixes with LCP >= min_span_len that span >= 2
      distinct docs emit SPAN edges (anchor pairing within the run).
@@ -42,38 +45,115 @@ SPAN_EDGE_SCHEMA = pa.schema(
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array of an int array (values >= 0) by prefix doubling.
+    """Suffix array of an int array (values >= 0) by refined prefix
+    doubling (Larsson & Sadakane 1999, qsufsort): each doubling round
+    re-sorts ONLY the suffixes still inside unresolved (size > 1) rank
+    groups, instead of re-sorting all n.
+
+    Ranks use the group-head-slot convention (a suffix's rank = the SA slot
+    index of the first member of its group), so a subset update stays
+    globally consistent — resolved suffixes keep their slot-index rank and
+    never move again.  For real text the active set collapses after
+    ~log2(longest repeat) rounds, so total work is n log n for the first
+    round plus a rapidly vanishing tail — the plain-doubling version paid
+    the full n log n EVERY round, which is what went superlinear past ~5M
+    chars/partition.  Worst case (tandem repeats) is unchanged at
+    O(n log^2 n); SubstringPartition already collapses content-identical
+    docs, the adversarial input for that bound.
 
     All intermediates are int32 (partitions are bounded far below 2^31
-    rows by substring_max_bytes), halving sort/gather memory traffic — the
-    lexsort rounds dominate the pass."""
+    rows by substring_max_bytes), halving sort/gather memory traffic."""
     n = s.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = np.asarray(s, dtype=np.int32)
+    if n >= 1 << 30:  # int32 position+offset arithmetic below
+        raise ValueError("suffix_array partition too large (>= 2^30 chars)")
+    slots = np.arange(n, dtype=np.int32)
+    sa = np.argsort(s, kind="stable").astype(np.int32)
+    first = np.asarray(s, dtype=np.int32)[sa]
+    start = np.empty(n, dtype=bool)
+    start[0] = True
+    start[1:] = first[1:] != first[:-1]
+    # rank = slot index of the group head (monotone within sa order).
+    # rank_pad is padded to 2n so pos + k (k < n) never needs a bounds
+    # check: out-of-range reads hit the -1 pad, which sorts before every
+    # real rank — one plain gather instead of a where/minimum/astype chain
+    # (DRAM traffic is the budget on this host, not instructions)
+    rank_slot = np.maximum.accumulate(np.where(start, slots, 0))
+    rank_pad = np.full(2 * n, -1, dtype=np.int32)
+    rank_pad[sa] = rank_slot
+    n_unresolved = n - int(
+        (start & np.concatenate((start[1:], [True]))).sum()
+    )
     k = 1
-    while True:
-        key2 = np.full(n, -1, dtype=np.int32)
-        if k < n:
-            key2[:-k] = rank[k:]
-        # one u64 argsort instead of a two-key lexsort: ~2x less sort work
-        # (rank and key2+1 both fit 31 bits)
-        packed = (rank.astype(np.uint64) << np.uint64(32)) | (
-            (key2 + 1).astype(np.uint64)
-        )
-        order = np.argsort(packed, kind="stable")
-        r1 = rank[order]
-        r2 = key2[order]
-        changed = np.empty(n, dtype=np.int32)
-        changed[0] = 0
-        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
-        new_rank = np.cumsum(changed, dtype=np.int32)
-        rank = np.empty(n, dtype=np.int32)
-        rank[order] = new_rank
+    while k < n and n_unresolved:
+        if n_unresolved * 2 > n:
+            # FULL streaming round (early rounds, most groups unresolved):
+            # keys are built in TEXT order with sequential slices — no
+            # random gathers — and all n are re-sorted, exactly the classic
+            # doubling round.  Cheaper than subset bookkeeping while the
+            # active set is still ~n.
+            packed = rank_pad[:n].astype(np.uint64)
+            packed <<= np.uint64(32)
+            key2 = np.full(n, -1, dtype=np.int32)
+            key2[: n - k] = rank_pad[k:n]
+            packed |= (key2 + np.int32(1)).astype(np.uint32)
+            order32 = np.argsort(packed, kind="stable").astype(np.int32)
+            sa = order32
+            pk = packed[order32]
+            boundary = np.empty(n, dtype=bool)
+            boundary[0] = True
+            boundary[1:] = pk[1:] != pk[:-1]
+            rank_slot = np.maximum.accumulate(np.where(boundary, slots, 0))
+            rank_pad[sa] = rank_slot
+            start = boundary
+            n_unresolved = n - int(
+                (start & np.concatenate((start[1:], [True]))).sum()
+            )
+        else:
+            # SUBSET round (Larsson-Sadakane refinement): re-sort only the
+            # suffixes still inside unresolved groups; resolved suffixes
+            # keep their slot-index rank and never move again
+            single = start & np.concatenate((start[1:], [True]))
+            active = np.flatnonzero(~single).astype(np.int32)
+            if active.size == 0:
+                break
+            pos = sa[active]
+            key2 = rank_pad[pos + np.int32(k)]
+            # one u64 argsort instead of a two-key lexsort (both halves
+            # fit 31 bits); the high half is the CURRENT rank, so ordering
+            # can never cross old group boundaries
+            packed = rank_slot[active].astype(np.uint64)
+            packed <<= np.uint64(32)
+            packed |= (key2 + np.int32(1)).astype(np.uint32)
+            sub = np.argsort(packed, kind="stable")
+            newpos = pos[sub]
+            sa[active] = newpos
+            # boundary detection needs only the LOW key after the sort:
+            # sub permutes strictly within segments (stable sort, high
+            # bits equal inside a segment), so segment starts keep their
+            # positions — no need to gather the sorted u64 keys back
+            k2s = key2[sub]
+            boundary = np.empty(active.shape[0], dtype=bool)
+            boundary[0] = True
+            boundary[1:] = (
+                (k2s[1:] != k2s[:-1])
+                | start[active[1:]]
+                | (active[1:] != active[:-1] + 1)
+            )
+            heads = np.maximum.accumulate(np.where(boundary, active, 0))
+            rank_pad[newpos] = heads
+            rank_slot[active] = heads
+            new_heads = active[boundary]
+            start[new_heads] = True
+            # unresolved shrinkage: each new head splits off a group whose
+            # members before it become countable; recount cheaply over the
+            # touched range only when it is small, else globally
+            n_unresolved = n - int(
+                (start & np.concatenate((start[1:], [True]))).sum()
+            )
         k *= 2
-        if new_rank[-1] == n - 1 or k >= 2 * n:
-            break
-    return order.astype(np.int64)
+    return sa.astype(np.int64)
 
 
 def lcp_kasai(s: np.ndarray, sa: np.ndarray, cap: int = LCP_CAP) -> np.ndarray:

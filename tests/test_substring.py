@@ -33,6 +33,29 @@ class TestSuffixArray:
         suffixes = sorted(range(len(s)), key=lambda i: tuple(s[i:]))
         assert list(sa) == suffixes
 
+    def test_matches_naive_property(self):
+        """Random sizes/alphabets (incl. sentinel-range values >= 256) +
+        adversarial shapes; exercises both the full-streaming and
+        subset-round paths of the refined-doubling SA and the crossover
+        between them."""
+        rng = np.random.default_rng(11)
+        cases = [
+            rng.integers(0, hi, size=int(rng.integers(1, 150))).astype(np.int64)
+            for hi in rng.choice([2, 3, 300], size=30)
+        ]
+        cases += [
+            np.zeros(700, np.int64),                       # single group, slow resolve
+            np.tile(np.arange(5), 120).astype(np.int64),   # tandem repeats
+            np.arange(400, dtype=np.int64),                # already sorted
+            np.arange(400, dtype=np.int64)[::-1].copy(),   # reverse sorted
+            np.array([1], dtype=np.int64),
+        ]
+        for s in cases:
+            sa = suffix_array(s)
+            tl = tuple(s.tolist())
+            want = sorted(range(len(s)), key=lambda i: tl[i:])
+            assert list(sa) == want, s
+
 
 class TestSpanEdges:
     def test_shared_span_detected(self):
