@@ -45,6 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": q.bpe_token_count,
         "user_sessions": q.user_sessions,
         "exact_copy_coclustering": q.exact_copy_coclustering,
+        "event_order_asof": q.event_order_asof,
+        "click_attribution": q.click_attribution,
+        "events_sliding": q.events_sliding,
+        "tfidf_top_terms": q.tfidf_top_terms,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -211,6 +215,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
             FROM s GROUP BY user_id, session_id
+        """,
+        "event_order_asof": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_ms(e.ts) AS BIGINT) AS event_ms,
+                   o.o_orderkey,
+                   CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS order_ms
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "click_attribution": """
+            SELECT e1.event_id, e1.user_id, count(*) AS n_purchases,
+                   min(CAST(epoch_ms(e2.ts) AS BIGINT)) AS first_purchase_ms
+            FROM events e1 JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 6 HOUR
+            WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+            GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 900000 AS bkt,
+                              CAST(floor(value * 100.0) AS BIGINT) AS cents
+                       FROM events),
+            k AS (SELECT unnest([0, 1, 2, 3]) AS j)
+            SELECT (e.bkt - k.j) * 900000 AS window_start_ms,
+                   count(*) AS n_events,
+                   CAST(sum(e.cents) AS BIGINT) AS sum_value_cents
+            FROM e CROSS JOIN k GROUP BY 1
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+                FROM documents
+            ),
+            t AS (SELECT doc_id, term, count(*) AS tf
+                  FROM toks WHERE term <> '' GROUP BY 1, 2),
+            d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+            s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                         t.tf * ln(((SELECT count(*) FROM documents) + 1.0)
+                                   / (d.df + 1.0)) AS score
+                  FROM t JOIN d USING (term))
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+                  FROM s)
+            WHERE rn <= 5
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -74,6 +74,11 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's map_groups emits schema-less bundles for empty shuffle
+    # partitions; the executor's "different schema" WARNING is noise here
+    import logging as _logging
+
+    _logging.getLogger("ray.data").setLevel(_logging.ERROR)
 
     from libpostal_ray.config import PipelineConfig
     from libpostal_ray.pipelines import queries as q
@@ -164,6 +169,10 @@ def run_bench() -> dict:
     timed("bpe_token_count", q.bpe_token_count)
     timed("user_sessions", q.user_sessions)
     timed("embedding_dups_bucketed", lambda d: q.embedding_dups(d, brute_max=0))
+    timed("event_order_asof", q.event_order_asof)
+    timed("click_attribution", q.click_attribution)
+    timed("events_sliding", q.events_sliding)
+    timed("tfidf_top_terms", q.tfidf_top_terms)
 
     ray.shutdown()
     return {

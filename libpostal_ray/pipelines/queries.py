@@ -1045,3 +1045,229 @@ def user_sessions(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(sessionize, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------- temporal relational ops
+# as-of join / range join / sliding window (pipelines/relational.py) —
+# operators Ray Data lacks natively, shaped as one key%P exchange +
+# vectorized per-partition merge kernels.  The reference has no temporal
+# joins (its only joins: trie phrase lookup, address_dictionary.h:62-69,
+# and the expansions_intersect semi-join, dedupe.c:13-31); these cover the
+# training-data-pipeline side of the engine.
+
+ATTRIBUTION_WINDOW_US = 6 * 3600 * 1_000_000  # click -> purchase horizon
+
+
+def event_order_asof(sf_dir: str) -> ray.data.Dataset:
+    """For every event, the customer's most recent order at event time
+    (point-in-time feature join): (event_id, user_id, event_ms,
+    o_orderkey, order_ms).  DuckDB parity: ASOF JOIN over orders deduped
+    to one row per (custkey, orderdate) keeping max o_orderkey — exactly
+    what tie_break="o_orderkey" does without the extra pass."""
+    from libpostal_ray.pipelines.relational import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on=("user_id", "o_custkey"),
+        ts=("ts", "o_orderdate"),
+        tie_break="o_orderkey",
+        how="inner",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ev_us = batch["ts"].to_numpy(zero_copy_only=False)
+        or_us = batch["o_orderdate_matched"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "event_ms": pa.array(ev_us // 1000, type=pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+                "order_ms": pa.array(or_us // 1000, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def click_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Range join: for each click, the purchases of the same user inside
+    (click_ts, click_ts + 6h]: (event_id, user_id, n_purchases,
+    first_purchase_ms).  Only clicks with >= 1 attributed purchase emit
+    (inner semantics).  The kernel answers each click with two
+    searchsorted probes — matched PAIRS are never materialized."""
+    from libpostal_ray.pipelines.relational import interval_count_join
+
+    ev = f"{sf_dir}/events.parquet"
+    clicks = ray.data.read_parquet(
+        ev, columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    purchases = ray.data.read_parquet(
+        ev, columns=["user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    out = interval_count_join(
+        purchases,
+        clicks,
+        point_key="user_id",
+        point_ts="ts",
+        interval_key="user_id",
+        interval_ts="ts",
+        window_us=ATTRIBUTION_WINDOW_US,
+        closed="right",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "n_purchases": batch["n_points"],
+                "first_purchase_ms": pa.array(
+                    batch["first_point_us"].to_numpy(zero_copy_only=False) // 1000,
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate over the events stream: 1-hour windows
+    every 15 minutes -> (window_start_ms, n_events, sum_value_cents).
+    Batch-local partials collapse rows to slide buckets BEFORE the x4
+    window replication, so the exchange is O(buckets), not O(events)."""
+    from libpostal_ray.pipelines.relational import sliding_window_count_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return sliding_window_count_sum(
+        ds,
+        ts_col="ts",
+        value_col="value",
+        window_us=3600 * 1_000_000,
+        slide_us=900 * 1_000_000,
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide TF-IDF: top-5 terms per document by
+    tf * ln((N+1)/(df+1)), ties broken by term ASC -> (doc_id, term, tf,
+    df).  This is the corpus-level ``token_scores`` aggregate the
+    reference delegates to its host system (libpostal.h:261-262,
+    dedupe.c:340), as a first-class operator.
+
+    Physical plan: (doc, term, tf) rows from one tokenize pass ->
+    groupby(term).count() = DF (vocabulary-sized, tiny vs corpus) ->
+    DF state built in a WORKER task and broadcast via its object ref ->
+    per-doc top-k inside ONE groupby(doc_id % P) with a vectorized
+    segment-rank kernel.  Content never shuffles; the only all-to-all
+    carries (doc_id, term, tf) rows."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    P = 32
+    tok_re = _re.compile(r"[^a-z0-9]+")
+
+    def term_tf(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_term, out_tf = [], [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            terms = [t for t in tok_re.split((text or "").lower()) if t]
+            if not terms:
+                continue
+            ut, tf = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+            out_doc.append(np.full(ut.shape[0], did, dtype=np.int64))
+            out_term.append(ut)
+            out_tf.append(tf.astype(np.int64))
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int64()),
+                }
+            )
+        doc = np.concatenate(out_doc)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "term": pa.array(np.concatenate(out_term), type=pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), type=pa.int64()),
+                "part": pa.array(doc % P, type=pa.int64()),
+            }
+        )
+
+    # materialized once: both the DF aggregate and the top-k groupby
+    # consume it (otherwise Ray re-runs the tokenize pass twice)
+    tf_ds = docs.map_batches(term_tf, batch_format="pyarrow").materialize()
+    df_ds = tf_ds.groupby("term").aggregate(Count(alias_name="df"))
+
+    @ray.remote
+    def _build_df_state(*blocks):
+        # empty blocks lose their schema in Ray aggregates — filter first
+        blocks = [b for b in blocks if b.num_rows > 0 and "term" in b.column_names]
+        terms = np.concatenate(
+            [np.asarray(b.column("term").to_pylist(), dtype="U") for b in blocks]
+        ) if blocks else np.empty(0, dtype="U1")
+        dfs = np.concatenate(
+            [b.column("df").to_numpy(zero_copy_only=False) for b in blocks]
+        ) if blocks else np.empty(0, dtype=np.int64)
+        order = np.argsort(terms, kind="stable")
+        return {"terms": terms[order], "df": dfs[order].astype(np.int64)}
+
+    state_ref = _build_df_state.remote(*df_ds.materialize().to_arrow_refs())
+    import ray as _ray
+
+    def topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "term" not in group.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "term": pa.nulls(0, pa.string()),
+                    "tf": pa.nulls(0, pa.int64()),
+                    "df": pa.nulls(0, pa.int64()),
+                }
+            )
+        state = _ray.get(state_ref)
+        vt, vdf = state["terms"], state["df"]
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(group["term"].to_pylist(), dtype="U")
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = vdf[np.searchsorted(vt, terms)]
+        score = tf * np.log((n_docs + 1.0) / (df + 1.0))
+        # (doc asc, score desc, term asc); lexsort: last key primary
+        order = np.lexsort((terms, -score, doc))
+        ds_, = (doc[order],)
+        newdoc = np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        seg_start = np.maximum.accumulate(np.where(newdoc, np.arange(ds_.shape[0]), 0))
+        rank = np.arange(ds_.shape[0]) - seg_start
+        keep = order[rank < TFIDF_TOP_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "term": pa.array(terms[keep], type=pa.string()),
+                "tf": pa.array(tf[keep].astype(np.int64), type=pa.int64()),
+                "df": pa.array(df[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        tf_ds.groupby("part")
+        .map_groups(topk, batch_format="pyarrow")
+    )

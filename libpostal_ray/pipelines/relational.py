@@ -1,0 +1,362 @@
+"""Relational operators Ray Data lacks natively: as-of join, range
+(interval) join, sliding-window aggregate.
+
+The reference engine has no temporal joins at all — its only join is the
+dictionary-trie phrase lookup (``address_dictionary.h:62-69``) and the
+``expansions_intersect`` semi-join (``dedupe.c:13-31``).  These operators
+exist because a training-data pipeline needs them (event attribution,
+point-in-time feature joins, windowed stream stats); they follow the same
+physical discipline as the rest of the engine:
+
+  * ONE hash exchange on ``key % P`` co-locates everything a kernel needs
+    (the same partitioning layout the near-dup exchange and the
+    checkpoints use) — never a global sort;
+  * inside a partition the work is one ``np.lexsort`` + vectorized
+    ``searchsorted`` / ``maximum.accumulate`` segment scans — one Python
+    call per PARTITION, never per key/row;
+  * time comparisons happen at full input precision (µs); outputs floor
+    to ms only at the edge, so boundary semantics match a SQL oracle
+    comparing native timestamps.
+
+Scale posture (100 TB): both joins ship only (key, ts, payload) rows once
+through a single exchange whose fan-in is ``P`` groups; skewed keys cost
+one partition, not an all-to-all, and ``P`` is a knob.  The sliding window
+pre-aggregates per batch BEFORE fanning out window replicas, so the
+shuffle carries ``O(buckets x window/slide)`` rows, not ``O(events)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+__all__ = [
+    "asof_join",
+    "interval_count_join",
+    "sliding_window_count_sum",
+]
+
+_PART = "__part"
+_KEY = "__key"
+_T = "__t"
+_T2 = "__t2"
+_SIDE = "__side"
+_TB = "__tb"
+
+
+def _ts_to_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp/integer column -> int64 epoch microseconds."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    elif not pa.types.is_int64(col.type):
+        col = col.cast(pa.int64())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _null_cols(schema: pa.Schema, names: list[str], n: int) -> dict:
+    return {m: pa.nulls(n, type=schema.field(m).type) for m in names}
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: tuple[str, str],
+    ts: tuple[str, str],
+    tie_break: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the right row of the same key with
+    the greatest ``right_ts <= left_ts`` (backward, exact matches allowed
+    — DuckDB ``ASOF JOIN`` semantics).
+
+    ``on=(left_key, right_key)``, ``ts=(left_ts, right_ts)``; key columns
+    must be non-negative int64 (engine-wide constraint, CLAUDE.md).  All
+    non-key/ts columns of both sides pass through; names must be disjoint.
+    ``tie_break``: right column breaking ties among equal (key, ts) right
+    rows deterministically (the MAX wins), independent of block order.
+    Timestamp columns come back as int64 epoch µs (``left_ts`` under its
+    own name, the matched right ts as ``<right_ts>_matched``).
+
+    Physical plan: tag each side, union, ONE groupby on ``key % P``; the
+    per-partition kernel is a single lexsort + ``maximum.accumulate`` of
+    right-row indices (the classic vectorized as-of merge) — no per-key
+    calls, no global sort.  Payload gathers use Arrow ``take`` so any
+    column type (incl. list/binary) rides along zero-conversion.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}")
+    lk, rk = on
+    lt, rt = ts
+    ls, rs = left.schema().base_schema, right.schema().base_schema
+    lpay = [n for n in ls.names if n != lk and n != lt]
+    rpay = [n for n in rs.names if n != rk and n != rt]
+    clash = set(lpay) & set(rpay)
+    if clash:
+        raise ValueError(f"payload column collision: {sorted(clash)}")
+    P = num_partitions
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch[lk].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {
+            _PART: pa.array(k % P, type=pa.int64()),
+            _KEY: pa.array(k, type=pa.int64()),
+            _T: pa.array(_ts_to_us(batch[lt]), type=pa.int64()),
+            _SIDE: pa.array(np.ones(batch.num_rows, np.int8)),
+            _TB: pa.array(np.zeros(batch.num_rows, np.int64)),
+        }
+        for m in lpay:
+            cols[m] = batch[m]
+        cols.update(_null_cols(rs, rpay, batch.num_rows))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[rk].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        tb = (
+            batch[tie_break].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+            if tie_break
+            else np.zeros(n, np.int64)
+        )
+        cols = {
+            _PART: pa.array(k % P, type=pa.int64()),
+            _KEY: pa.array(k, type=pa.int64()),
+            _T: pa.array(_ts_to_us(batch[rt]), type=pa.int64()),
+            _SIDE: pa.array(np.zeros(n, np.int8)),
+            _TB: pa.array(tb),
+        }
+        cols.update(_null_cols(ls, lpay, n))
+        for m in rpay:
+            cols[m] = batch[m]
+        return pa.table(cols)
+
+    def _empty_out() -> pa.Table:
+        cols = {lk: pa.nulls(0, pa.int64()), lt: pa.nulls(0, pa.int64())}
+        for m in lpay:
+            cols[m] = pa.nulls(0, ls.field(m).type)
+        cols[rt + "_matched"] = pa.nulls(0, pa.int64())
+        for m in rpay:
+            cols[m] = pa.nulls(0, rs.field(m).type)
+        return pa.table(cols)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        # empty groups arrive schema-less from the shuffle — emit typed empty
+        if group.num_rows == 0 or _KEY not in group.column_names:
+            return _empty_out()
+        k = group[_KEY].to_numpy(zero_copy_only=False)
+        t = group[_T].to_numpy(zero_copy_only=False)
+        side = group[_SIDE].to_numpy(zero_copy_only=False)  # 1=left 0=right
+        tb = group[_TB].to_numpy(zero_copy_only=False)
+        # rights before lefts at equal (key, ts) — exact matches visible;
+        # among right ties, tie_break ASC so accumulate picks the MAX
+        order = np.lexsort((tb, side, t, k))
+        ks, sides = k[order], side[order]
+        n = order.shape[0]
+        ridx = np.where(sides == 0, np.arange(n, dtype=np.int64), -1)
+        last = np.maximum.accumulate(ridx)
+        is_left = sides == 1
+        matched = is_left & (last >= 0)
+        matched[matched] &= ks[last[matched]] == ks[matched]
+        keep = matched if how == "inner" else is_left
+        li = order[keep]  # original positions of kept left rows
+        out = {
+            lk: pa.array(k[li], type=pa.int64()),
+            lt: pa.array(t[li], type=pa.int64()),
+        }
+        for m in lpay:
+            out[m] = group[m].take(pa.array(li, type=pa.int64()))
+        # right original positions; -1 (unmatched, how="left") -> null take
+        rpos = np.full(int(keep.sum()), -1, dtype=np.int64)
+        mk = matched[keep]
+        rpos[mk] = order[last[keep][mk]]
+        rtake = pa.array(rpos, type=pa.int64(), mask=rpos < 0)
+        out[rt + "_matched"] = group[_T].take(rtake)
+        for m in rpay:
+            out[m] = group[m].take(rtake)
+        return pa.table(out)
+
+    lu = left.map_batches(tag_left, batch_format="pyarrow")
+    ru = right.map_batches(tag_right, batch_format="pyarrow")
+    return lu.union(ru).groupby(_PART).map_groups(kernel, batch_format="pyarrow")
+
+
+def interval_count_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    point_key: str,
+    point_ts: str,
+    interval_key: str,
+    interval_ts: str,
+    window_us: int,
+    closed: str = "right",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Range join, count form: for each interval row (anchor ts, window
+    ``window_us``), count the points of the same key inside the window and
+    report the earliest one.  ``closed="right"`` means the window is
+    ``(ts, ts + window_us]`` (the anchor itself excluded — attribution
+    semantics); ``closed="both"`` is ``[ts, ts + window_us]``.
+
+    Output: interval payload columns + ``n_points`` + ``first_point_us``
+    (int64 µs; null-free because only intervals with n_points >= 1 emit).
+
+    Instead of materializing matched PAIRS (the O(pairs) blow-up a naive
+    range join pays), the kernel answers each interval with two
+    ``searchsorted`` probes over the partition's points — O((p+i) log p)
+    per partition, output = intervals, never pairs.  Rank-compression of
+    timestamps keeps the combined (key, ts) order encodable in int64 for
+    ANY key/ts magnitude: ranks are bounded by partition row count, so
+    ``key_rank * span + ts_rank`` cannot overflow.
+    """
+    if closed not in ("right", "both"):
+        raise ValueError(f"closed={closed!r}")
+    ischema = intervals.schema().base_schema
+    ipay = [n for n in ischema.names if n != interval_key and n != interval_ts]
+    P = num_partitions
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        k = batch[point_key].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {
+            _PART: pa.array(k % P, type=pa.int64()),
+            _KEY: pa.array(k, type=pa.int64()),
+            _T: pa.array(_ts_to_us(batch[point_ts]), type=pa.int64()),
+            _SIDE: pa.array(np.zeros(batch.num_rows, np.int8)),
+        }
+        cols.update(_null_cols(ischema, ipay, batch.num_rows))
+        return pa.table(cols)
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        k = batch[interval_key].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {
+            _PART: pa.array(k % P, type=pa.int64()),
+            _KEY: pa.array(k, type=pa.int64()),
+            _T: pa.array(_ts_to_us(batch[interval_ts]), type=pa.int64()),
+            _SIDE: pa.array(np.ones(batch.num_rows, np.int8)),
+        }
+        for m in ipay:
+            cols[m] = batch[m]
+        return pa.table(cols)
+
+    def _empty_out() -> pa.Table:
+        cols = {m: pa.nulls(0, ischema.field(m).type) for m in ipay}
+        cols[interval_key] = pa.nulls(0, pa.int64())
+        cols["n_points"] = pa.nulls(0, pa.int64())
+        cols["first_point_us"] = pa.nulls(0, pa.int64())
+        return pa.table(cols)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or _KEY not in group.column_names:
+            return _empty_out()
+        k = group[_KEY].to_numpy(zero_copy_only=False)
+        t = group[_T].to_numpy(zero_copy_only=False)
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        isp = side == 1
+        pk, pt = k[~isp], t[~isp]
+        ik, it = k[isp], t[isp]
+        ipos = np.flatnonzero(isp)
+        lo_b, hi_b = it, it + np.int64(window_us)
+        # (ts, ts+w]: lower-bound rank via side="right" puts equal-ts
+        # points BELOW the bound (excluded); [ts, ts+w]: side="left"
+        # makes them equal (included, since the enc probe is side="left")
+        lo_rank_side = "right" if closed == "right" else "left"
+        # rank-compress all timestamps so key*span+rank fits int64 always
+        ut = np.unique(np.concatenate((pt, lo_b, hi_b)))
+        span = np.int64(ut.shape[0] + 1)
+        uk = np.unique(np.concatenate((pk, ik)))
+        pkr = np.searchsorted(uk, pk).astype(np.int64)
+        ikr = np.searchsorted(uk, ik).astype(np.int64)
+        enc = pkr * span + np.searchsorted(ut, pt).astype(np.int64)
+        po = np.argsort(enc, kind="stable")
+        enc_s, pt_s = enc[po], pt[po]
+        lo = np.searchsorted(
+            enc_s,
+            ikr * span + np.searchsorted(ut, lo_b, side=lo_rank_side).astype(np.int64),
+            side="left",
+        )
+        hi = np.searchsorted(
+            enc_s,
+            ikr * span + np.searchsorted(ut, hi_b, side="right").astype(np.int64),
+            side="left",
+        )
+        cnt = (hi - lo).astype(np.int64)
+        has = cnt > 0
+        first = np.zeros(ik.shape[0], dtype=np.int64)
+        first[has] = pt_s[lo[has]]
+        keep = np.flatnonzero(has)
+        take = pa.array(ipos[keep], type=pa.int64())
+        out = {m: group[m].take(take) for m in ipay}
+        out[interval_key] = pa.array(ik[keep], type=pa.int64())
+        out["n_points"] = pa.array(cnt[keep], type=pa.int64())
+        out["first_point_us"] = pa.array(first[keep], type=pa.int64())
+        return pa.table(out)
+
+    pu = points.map_batches(tag_points, batch_format="pyarrow")
+    iu = intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    return pu.union(iu).groupby(_PART).map_groups(kernel, batch_format="pyarrow")
+
+
+def sliding_window_count_sum(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    slide_us: int,
+) -> ray.data.Dataset:
+    """Sliding-window aggregate: for every window of length ``window_us``
+    starting on the ``slide_us`` grid, the row count and the sum of
+    ``floor(value*100)`` cents of rows with ``window_start <= ts <
+    window_start + window_us``.  Requires ``window_us % slide_us == 0``
+    (window = R slide-buckets).
+
+    Output: (window_start_ms:int64, n_events:int64, sum_value_cents:int64)
+    — only non-empty windows (an empty window has no row to vote for it,
+    matching the SQL formulation that derives windows from the data).
+
+    Physical plan: per batch, collapse rows to slide-bucket partials
+    (np.unique on the bucket id), THEN replicate each bucket partial into
+    the R windows covering it, and finish with one small groupby-sum over
+    window starts.  The exchange carries O(buckets x R) partial rows —
+    independent of row count — instead of R copies of every row.
+    """
+    if window_us % slide_us:
+        raise ValueError("window_us must be a multiple of slide_us")
+    if slide_us % 1000:
+        # window starts are reported in ms; a sub-ms slide would alias
+        # distinct windows onto one ms-floored start
+        raise ValueError("slide_us must be a multiple of 1000 (ms output)")
+    R = window_us // slide_us
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = _ts_to_us(batch[ts_col])
+        v = batch[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        bkt = us // np.int64(slide_us)
+        ub, inv = np.unique(bkt, return_inverse=True)
+        n_b = np.bincount(inv, minlength=ub.shape[0]).astype(np.int64)
+        s_b = np.bincount(inv, weights=cents, minlength=ub.shape[0]).astype(np.int64)
+        # replicate bucket partials into the R windows covering the bucket
+        offs = np.arange(R, dtype=np.int64)
+        wstart_us = (ub[:, None] - offs[None, :]).reshape(-1) * np.int64(slide_us)
+        return pa.table(
+            {
+                "window_start_ms": pa.array(wstart_us // 1000, type=pa.int64()),
+                "n_events": pa.array(np.repeat(n_b, R), type=pa.int64()),
+                "sum_value_cents": pa.array(np.repeat(s_b, R), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("window_start_ms")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )

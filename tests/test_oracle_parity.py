@@ -67,6 +67,10 @@ ORACLE_QUERIES = [
     "bpe_token_count",
     "user_sessions",
     "exact_copy_coclustering",
+    "event_order_asof",
+    "click_attribution",
+    "events_sliding",
+    "tfidf_top_terms",
 ]
 
 
