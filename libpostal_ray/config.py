@@ -147,6 +147,28 @@ class PipelineConfig:
     verify_partitions: int = 256    # LSH-bucket partitions (band_key % P);
                                     # a partition's rows must fit one
                                     # worker's heap — raise P with corpus size
+    expansion_keys: bool = False    # multi-form expansion blocking for SHORT
+                                    # rows (expand_address parity,
+                                    # expand.c:1453-1553 + the
+                                    # expansions_intersect duplicate test,
+                                    # dedupe.c:13-31): each short row emits
+                                    # one band key per alternative form of
+                                    # its canonical text ("main st" ->
+                                    # {main st, main street, main saint});
+                                    # two rows sharing ANY form collide, and
+                                    # verification upgrades form-intersecting
+                                    # pairs to NEEDS_REVIEW for the fuzzy
+                                    # refine tier (identity form always
+                                    # included, so "main street" meets
+                                    # "main st" on the expanded form)
+    expansion_alternatives: tuple[tuple[str, tuple[str, ...]], ...] = ()
+                                    # surface word -> alternative expansions
+                                    # (functions/expand.py ships
+                                    # EN_ALTERNATIVES); empty + expansion_keys
+                                    # => identity-form keys only
+    max_expansions: int = 16        # mixed-radix enumeration cap per row
+                                    # (the reference caps permutations,
+                                    # expand.c:29, 1526-1528)
     verify_mode: str = "pairs"      # "pairs": shuffle skinny (band_key,
                                     # doc_id) rows, then verify candidate
                                     # pairs against broadcast/joined

@@ -250,6 +250,7 @@ def checkpointed_signatures(
             ("simhash", pa.int64()),
             ("phonetic", pa.int64()),
             ("phonetic2", pa.int64()),
+            ("exp4", pa.list_(pa.int64(), 4)),
             ("band_keys", pa.list_(pa.int64())),
         ]
     )
@@ -715,7 +716,7 @@ def _build_sig_state(*blocks) -> dict:
     parts = [
         b.select(
             ["doc_id", "sha256", "minhash8", "simhash", "is_short",
-             "n_shingles", "phonetic", "phonetic2"]
+             "n_shingles", "phonetic", "phonetic2", "exp4"]
         )
         for b in blocks
         if b.num_rows > 0
@@ -730,6 +731,7 @@ def _build_sig_state(*blocks) -> dict:
             "nsh": np.empty(0, dtype=np.int64),
             "ph": np.empty(0, dtype=np.int64),
             "ph2": np.empty(0, dtype=np.int64),
+            "exp": np.empty((0, 4), dtype=np.int64),
         }
     t = pa.concat_tables(parts)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
@@ -748,8 +750,12 @@ def _build_sig_state(*blocks) -> dict:
     nsh = t["n_shingles"].to_numpy(zero_copy_only=False).astype("int64")[order]
     ph = t["phonetic"].to_numpy(zero_copy_only=False).astype("int64")[order]
     ph2 = t["phonetic2"].to_numpy(zero_copy_only=False).astype("int64")[order]
+    e4 = t["exp4"]
+    if isinstance(e4, pa.ChunkedArray):
+        e4 = e4.combine_chunks()
+    exp = e4.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
     return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short,
-            "nsh": nsh, "ph": ph, "ph2": ph2}
+            "nsh": nsh, "ph": ph, "ph2": ph2, "exp": exp}
 
 
 def _sig_state_refs(sigs: ray.data.Dataset, n_shards: int | None = None) -> list:
@@ -781,6 +787,7 @@ def _state_gather(states: list, ids) -> tuple:
     nsh = np.zeros(n, dtype=np.int64)
     ph = np.zeros(n, dtype=np.int64)
     ph2 = np.zeros(n, dtype=np.int64)
+    exp = np.zeros((n, 4), dtype=np.int64)
     found = np.zeros(n, dtype=bool)
     for st in states:
         sids = st["ids"]
@@ -799,8 +806,9 @@ def _state_gather(states: list, ids) -> tuple:
         nsh[hit] = st["nsh"][p]
         ph[hit] = st["ph"][p]
         ph2[hit] = st["ph2"][p]
+        exp[hit] = st["exp"][p]
         found |= hit
-    return mh, sha, sim, short, nsh, ph, ph2
+    return mh, sha, sim, short, nsh, ph, ph2, exp
 
 
 def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) -> pa.Table:
@@ -810,8 +818,8 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
 
     from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
 
-    mh_a, sha_a, sim_a, short_a, nsh_a, ph_a, ph2_a = _state_gather(states, src)
-    mh_b, sha_b, sim_b, short_b, nsh_b, ph_b, ph2_b = _state_gather(states, dst)
+    mh_a, sha_a, sim_a, short_a, nsh_a, ph_a, ph2_a, exp_a = _state_gather(states, src)
+    mh_b, sha_b, sim_b, short_b, nsh_b, ph_b, ph2_b, exp_b = _state_gather(states, dst)
     # every pair endpoint comes from the signature table by construction
     raw = (mh_a == mh_b).mean(axis=1)
     exact = sha_a == sha_b
@@ -823,7 +831,7 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
     status, est = verify_pair_statuses(
         exact, raw, both_short, ham, cfg,
         nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b,
-        ph2_a=ph2_a, ph2_b=ph2_b,
+        ph2_a=ph2_a, ph2_b=ph2_b, exp_a=exp_a, exp_b=exp_b,
     )
     keep = status > 0
     return pa.table(
@@ -883,6 +891,18 @@ def _verify_pairs_join(
             [None, values_buf],
             offset=flat.offset // K if flat.offset else 0,
         )
+        # exp4 fixed_size_list<int64,4> -> fixed_size_binary(32): same
+        # zero-copy rewrap trick (joins cannot carry list payloads)
+        e4 = batch["exp4"]
+        if isinstance(e4, pa.ChunkedArray):
+            e4 = e4.combine_chunks()
+        e4_flat = e4.flatten()
+        exp_bin = pa.Array.from_buffers(
+            pa.binary(32),
+            batch.num_rows,
+            [None, e4_flat.buffers()[1]],
+            offset=e4_flat.offset // 4 if e4_flat.offset else 0,
+        )
         return pa.table(
             {
                 f"jkey{suffix}": batch["doc_id"],
@@ -893,12 +913,13 @@ def _verify_pairs_join(
                 f"nsh{suffix}": batch["n_shingles"],
                 f"ph{suffix}": batch["phonetic"],
                 f"ph2{suffix}": batch["phonetic2"],
+                f"exp{suffix}": exp_bin,
             }
         )
 
     slim = sigs.select_columns(
         ["doc_id", "sha256", "minhash8", "simhash", "is_short",
-         "n_shingles", "phonetic", "phonetic2"]
+         "n_shingles", "phonetic", "phonetic2", "exp4"]
     )
     side_a = slim.map_batches(lambda b: pack(b, "_a"), batch_format="pyarrow")
     side_b = slim.map_batches(lambda b: pack(b, "_b"), batch_format="pyarrow")
@@ -931,10 +952,16 @@ def _verify_pairs_join(
         ph_b = batch["ph_b"].to_numpy(zero_copy_only=False).astype("int64")
         ph2_a = batch["ph2_a"].to_numpy(zero_copy_only=False).astype("int64")
         ph2_b = batch["ph2_b"].to_numpy(zero_copy_only=False).astype("int64")
+        exp_a = np.frombuffer(
+            b"".join(batch["exp_a"].to_pylist()), dtype=np.int64
+        ).reshape(-1, 4)
+        exp_b = np.frombuffer(
+            b"".join(batch["exp_b"].to_pylist()), dtype=np.int64
+        ).reshape(-1, 4)
         status, est = verify_pair_statuses(
             exact, raw, both_short, ham, cfg,
             nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b,
-            ph2_a=ph2_a, ph2_b=ph2_b,
+            ph2_a=ph2_a, ph2_b=ph2_b, exp_a=exp_a, exp_b=exp_b,
         )
         keep = status > 0
         return pa.table(

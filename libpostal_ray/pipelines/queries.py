@@ -1271,3 +1271,39 @@ def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
         tf_ds.groupby("part")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def expand_multi_forms(sf_dir: str) -> ray.data.Dataset:
+    """Multi-form expansion of each document's canonical text under the EN
+    alternatives packs (expand_address parity, expand.c:1453-1553):
+    (doc_id, form_idx, form) — form_idx 0 is the identity form, every
+    alternative combination follows in deterministic mixed-radix order,
+    capped at max_expansions.  Rows-only (the cartesian fan-out is not
+    SQL-expressible); golden fixtures live in tests/test_expand.py."""
+    from libpostal_ray.functions.canonicalize import basic_canonicalize_array
+    from libpostal_ray.functions.expand import (
+        EN_ALTERNATIVES,
+        compile_alternatives,
+        expand_variants,
+    )
+
+    compiled = compile_alternatives(EN_ALTERNATIVES)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        canon = basic_canonicalize_array(batch["text"].to_pylist())
+        out_id, out_idx, out_form = [], [], []
+        for did, text in zip(ids, canon):
+            forms = expand_variants(text, compiled, max_forms=16)
+            out_id.extend([int(did)] * len(forms))
+            out_idx.extend(range(len(forms)))
+            out_form.extend(forms)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "form_idx": pa.array(out_idx, type=pa.int64()),
+                "form": pa.array(out_form, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")

@@ -35,6 +35,7 @@ SIGNATURE_COLUMNS = [
     "simhash",
     "phonetic",
     "phonetic2",
+    "exp4",
     "band_keys",
 ]
 
@@ -73,6 +74,15 @@ class SignatureStage:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
+        self._alt_compiled = None
+        if self.cfg.expansion_keys:
+            from libpostal_ray.functions.expand import compile_alternatives
+
+            # compiled once per worker (the dictionary-trie setup analog,
+            # libpostal.c:289-330)
+            self._alt_compiled = compile_alternatives(
+                self.cfg.expansion_alternatives
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -173,6 +183,37 @@ class SignatureStage:
                 col.take(pa.array(rows_sh)).to_pylist(), cfg.phonetic_algo
             )
 
+        # multi-form expansion keys for short rows (config-gated;
+        # expand_address parity, expand.c:1453-1553): one band key per
+        # alternative form of the canonical text, identity form included —
+        # two rows sharing ANY form land in one bucket
+        # (expansions_intersect blocking, dedupe.c:13-31).  exp4 stores the
+        # first 4 form hashes for the verify-stage intersect upgrade.
+        exp_counts = np.zeros(n, dtype=np.int64)
+        exp_flat = np.empty(0, dtype=np.int64)
+        exp4 = np.zeros((n, 4), dtype=np.int64)
+        if cfg.expansion_keys and rows_sh.size:
+            from libpostal_ray.functions.expand import (
+                expand_variants,
+                expansion_key_hashes,
+            )
+
+            texts_sh = col.take(pa.array(rows_sh)).to_pylist()
+            flat_parts: list[np.ndarray] = []
+            for j, r in enumerate(rows_sh):
+                txt = texts_sh[j]
+                if not txt:
+                    continue
+                forms = expand_variants(
+                    txt, self._alt_compiled, cfg.max_expansions
+                )
+                keys_r = expansion_key_hashes(forms)
+                exp_counts[r] = keys_r.shape[0]
+                exp4[r, : min(4, keys_r.shape[0])] = keys_r[:4]
+                flat_parts.append(keys_r)
+            if flat_parts:
+                exp_flat = np.concatenate(flat_parts)
+
         rows_mh = np.flatnonzero(emit_mh)
         bk_sub = (
             band_keys(sigs[rows_mh], cfg.bands, cfg.rows_per_band)
@@ -193,6 +234,7 @@ class SignatureStage:
             + emit_sh.astype(np.int64) * cfg.simhash_chunks
             + has_ph.astype(np.int64)
             + has_ph2.astype(np.int64)
+            + exp_counts
         )
         koff = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(nkeys, out=koff[1:])
@@ -225,6 +267,24 @@ class SignatureStage:
                 + has_ph[rows_ph2]
             )
             vals[base2] = ph2[rows_ph2]
+        rows_ex = np.flatnonzero(exp_counts > 0)
+        if rows_ex.size:
+            # expansion-form key slots fill the tail of each row's range
+            # (variable count; flat positions via repeat + intra-run arange)
+            cnts = exp_counts[rows_ex]
+            base_ex = (
+                koff[rows_ex]
+                + emit_mh[rows_ex] * cfg.bands
+                + emit_sh[rows_ex] * cfg.simhash_chunks
+                + has_ph[rows_ex]
+                + has_ph2[rows_ex]
+            )
+            eoff = np.zeros(rows_ex.shape[0] + 1, dtype=np.int64)
+            np.cumsum(cnts, out=eoff[1:])
+            intra = np.arange(int(eoff[-1]), dtype=np.int64) - np.repeat(
+                eoff[:-1], cnts
+            )
+            vals[np.repeat(base_ex, cnts) + intra] = exp_flat
         band_keys_arr = pa.ListArray.from_arrays(
             pa.array(koff.astype(np.int32)), pa.array(vals, type=pa.int64())
         )
@@ -269,6 +329,12 @@ class SignatureStage:
             "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
             "phonetic": pa.array(ph, type=pa.int64()),
             "phonetic2": pa.array(ph2, type=pa.int64()),
+            # first 4 expansion-form hashes (0-padded): the verify stage's
+            # expansions_intersect evidence.  Fixed width keeps the
+            # broadcast state flat and the join payload packable.
+            "exp4": pa.FixedSizeListArray.from_arrays(
+                pa.array(exp4.reshape(-1), type=pa.int64()), 4
+            ),
             "band_keys": band_keys_arr,
         }
         # checkpoint partition id (and any other passthrough key) survives

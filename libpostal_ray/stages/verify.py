@@ -196,6 +196,7 @@ def _edges_from_pairs(
     nsh: np.ndarray | None = None,
     ph: np.ndarray | None = None,
     ph2: np.ndarray | None = None,
+    exp4: np.ndarray | None = None,
 ) -> pa.Table:
     """Verify candidate index pairs (li, ri) and emit edge rows.
 
@@ -230,6 +231,8 @@ def _edges_from_pairs(
         ph_b=ph[ri] if ph is not None else None,
         ph2_a=ph2[li] if ph2 is not None else None,
         ph2_b=ph2[ri] if ph2 is not None else None,
+        exp_a=exp4[li] if exp4 is not None else None,
+        exp_b=exp4[ri] if exp4 is not None else None,
     )
 
     keep = status > 0
@@ -316,9 +319,15 @@ class VerifyPartition:
             if "phonetic2" in group.column_names
             else None
         )
+        exp4 = None
+        if "exp4" in group.column_names:
+            e4 = group["exp4"].take(take)
+            if isinstance(e4, pa.ChunkedArray):
+                e4 = e4.combine_chunks()
+            exp4 = e4.flatten().to_numpy(zero_copy_only=False).reshape(n, 4)
         edges = _edges_from_pairs(
             ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any, nsh=nsh, ph=ph,
-            ph2=ph2,
+            ph2=ph2, exp4=exp4,
         )
         if edges.num_rows == 0:
             return edges
@@ -414,6 +423,8 @@ def verify_pair_statuses(
     ph_b: np.ndarray | None = None,
     ph2_a: np.ndarray | None = None,
     ph2_b: np.ndarray | None = None,
+    exp_a: np.ndarray | None = None,
+    exp_b: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared status lattice: inputs per pair -> (status int8, est float64).
     raw_agree is the UNCORRECTED b-bit agreement rate.
@@ -463,6 +474,23 @@ def verify_pair_statuses(
         status = np.maximum(
             status,
             np.where(ph_match, STATUS_NEEDS_REVIEW, 0).astype(np.int8),
+        )
+    if cfg.expansion_keys and exp_a is not None and exp_b is not None:
+        # expansions_intersect (dedupe.c:13-31): two SHORT rows sharing any
+        # whole-string expansion form ("main st" expands to "main street")
+        # are LIKELY duplicates — the reference's likely_dupe verdict for
+        # intersecting expansion sets.  exp_a/exp_b are (m, 4) stored form
+        # hashes (0 = empty slot); a 63-bit hash collision mislabeling a
+        # pair is ~2^-63 per pair — the same risk class as sha_key star
+        # pairing.  Only the first 4 forms are stored: pairs meeting on a
+        # later enumerated form still become candidates (every form emits a
+        # band key) but fall back to the SimHash/fuzzy verdicts.
+        inter = (
+            (exp_a[:, :, None] == exp_b[:, None, :]) & (exp_a[:, :, None] != 0)
+        ).any(axis=(1, 2))
+        exp_match = both_short & inter
+        status = np.maximum(
+            status, np.where(exp_match, STATUS_LIKELY, 0).astype(np.int8)
         )
     status[exact] = STATUS_EXACT
     est[exact] = 1.0

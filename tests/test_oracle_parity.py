@@ -112,6 +112,7 @@ ROWS_ONLY = [
     "hot_buckets",
     "dedup_report",
     "near_dupe_clusters_with_spans",
+    "expand_multi_forms",
 ]
 
 
