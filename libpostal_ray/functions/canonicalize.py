@@ -139,6 +139,116 @@ EN_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     + EN_NUMBER_RULES + ORDINAL_AFFIX_RULES
 )
 
+# ---------------------------------------------------------------------------
+# ES / FR / DE / PT rule packs (the per-language resources/dictionaries/<lang>
+# content model beyond EN — round-2 verdict gap #2).  Same mechanics: plain-
+# word entries fold into one alternation pass each; canonical targets keep
+# their diacritics because the canonicalizer is NFKC+casefold, NOT
+# latin-ascii ("sr" must meet the canonical "señor", not "senor").
+# ---------------------------------------------------------------------------
+
+ES_ABBREV_RULES = _word_rules({
+    "sr": "señor", "sra": "señora", "srta": "señorita",
+    "dr": "doctor", "dra": "doctora", "gral": "general",
+    "avda": "avenida", "av": "avenida", "cl": "calle",
+    "pza": "plaza", "pzta": "plazuela",
+    "dpto": "departamento", "nro": "número", "núm": "número",
+    "izq": "izquierda", "dcha": "derecha", "esq": "esquina",
+    "cía": "compañía", "cia": "compañía", "tel": "teléfono",
+    "del": "de el",
+})
+
+_ES_ONES = {
+    "uno": 1, "dos": 2, "tres": 3, "cuatro": 4, "cinco": 5, "seis": 6,
+    "siete": 7, "ocho": 8, "nueve": 9, "diez": 10, "once": 11, "doce": 12,
+    "trece": 13, "catorce": 14, "quince": 15,
+}
+_ES_TENS = {
+    "veinte": 20, "treinta": 30, "cuarenta": 40, "cincuenta": 50,
+    "sesenta": 60, "setenta": 70, "ochenta": 80, "noventa": 90,
+}
+
+ES_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in {**_ES_TENS, **_ES_ONES}.items()
+)
+
+ES_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    ES_ABBREV_RULES + ES_NUMBER_RULES
+)
+
+FR_ELISION_RULES: tuple[tuple[str, str], ...] = (
+    # elision: the apostrophe hides the article ("l'hôtel" = "le hôtel");
+    # suffix-style regex rules, like the EN n't/'re family
+    (r"\bl'", "le "),
+    (r"\bd'", "de "),
+    (r"\bqu'", "que "),
+)
+
+FR_ABBREV_RULES = _word_rules({
+    "st": "saint", "ste": "sainte",
+    "bd": "boulevard", "blvd": "boulevard", "av": "avenue",
+    "pl": "place", "fg": "faubourg", "imp": "impasse",
+    "dr": "docteur", "mme": "madame", "mlle": "mademoiselle",
+    "cie": "compagnie", "ets": "établissements", "no": "numéro",
+})
+
+_FR_NUMS = {
+    "un": 1, "deux": 2, "trois": 3, "quatre": 4, "cinq": 5, "six": 6,
+    "sept": 7, "huit": 8, "neuf": 9, "dix": 10, "onze": 11, "douze": 12,
+    "vingt": 20, "trente": 30, "quarante": 40, "cinquante": 50,
+    "soixante": 60, "cent": 100,
+}
+
+FR_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _FR_NUMS.items()
+)
+
+FR_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    FR_ELISION_RULES + FR_ABBREV_RULES + FR_NUMBER_RULES
+)
+
+DE_ABBREV_RULES = _word_rules({
+    "str": "strasse", "st": "sankt", "pl": "platz",
+    "nr": "nummer", "hbf": "hauptbahnhof", "bhf": "bahnhof",
+    "dr": "doktor", "geb": "gebäude", "og": "obergeschoss",
+    "eg": "erdgeschoss", "zi": "zimmer",
+})
+
+_DE_NUMS = {
+    "eins": 1, "zwei": 2, "drei": 3, "vier": 4, "fünf": 5, "sechs": 6,
+    "sieben": 7, "acht": 8, "neun": 9, "zehn": 10, "elf": 11, "zwölf": 12,
+    "zwanzig": 20, "dreissig": 30, "vierzig": 40, "fünfzig": 50,
+    "hundert": 100,
+}
+
+DE_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _DE_NUMS.items()
+)
+
+DE_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    DE_ABBREV_RULES + DE_NUMBER_RULES + ORDINAL_AFFIX_RULES
+)
+
+PT_ABBREV_RULES = _word_rules({
+    "sr": "senhor", "sra": "senhora", "dr": "doutor", "dra": "doutora",
+    "av": "avenida", "pça": "praça", "pca": "praça",
+    "sto": "santo", "sta": "santa", "nro": "número",
+    "cia": "companhia", "depto": "departamento",
+})
+
+PT_GENERAL_RULES: tuple[tuple[str, str], ...] = PT_ABBREV_RULES
+
+# per-language registry: pick by the corpus lang column, concatenate for
+# mixed corpora (rule order = pack order; later packs never see earlier
+# packs' outputs within one word because replacements are full words)
+LANG_RULE_PACKS: dict[str, tuple[tuple[str, str], ...]] = {
+    "en": EN_GENERAL_RULES,
+    "es": ES_GENERAL_RULES,
+    "fr": FR_GENERAL_RULES,
+    "de": DE_GENERAL_RULES,
+    "pt": PT_GENERAL_RULES,
+}
+
 _PLAIN_WORD_RE = re.compile(r"^\\b([A-Za-z0-9' -]+)\\b$")
 
 

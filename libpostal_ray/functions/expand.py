@@ -91,6 +91,42 @@ EN_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
     EN_STREET_ALTERNATIVES + EN_NAME_ALTERNATIVES
 )
 
+# per-language alternative packs (ambiguity is the point: "st" is
+# saint/sainte in FR, sankt in DE, street/saint in EN)
+ES_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("av", ("avenida",)),
+    ("avda", ("avenida",)),
+    ("cl", ("calle",)),
+    ("pza", ("plaza",)),
+    ("sta", ("santa",)),
+    ("sto", ("santo",)),
+    ("sr", ("señor",)),
+    ("sra", ("señora",)),
+)
+
+FR_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("st", ("saint",)),
+    ("ste", ("sainte",)),
+    ("bd", ("boulevard",)),
+    ("av", ("avenue",)),
+    ("pl", ("place",)),
+    ("fg", ("faubourg",)),
+)
+
+DE_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("str", ("strasse",)),
+    ("st", ("sankt",)),
+    ("pl", ("platz",)),
+    ("nr", ("nummer",)),
+)
+
+LANG_ALTERNATIVES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
+    "en": EN_ALTERNATIVES,
+    "es": ES_ALTERNATIVES,
+    "fr": FR_ALTERNATIVES,
+    "de": DE_ALTERNATIVES,
+}
+
 
 def compile_alternatives(
     table,
