@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_attribution": q.click_attribution,
         "events_sliding": q.events_sliding,
         "tfidf_top_terms": q.tfidf_top_terms,
+        "hash_sample": q.hash_sample,
+        "lang_top_docs": q.lang_top_docs,
+        "order_customer_nation": q.order_customer_nation,
+        "customers_without_orders": q.customers_without_orders,
+        "priority_price_quantiles": q.priority_price_quantiles,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -267,6 +272,44 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
                   FROM s)
             WHERE rn <= 5
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+        """,
+        "lang_top_docs": """
+            SELECT lang, doc_id, n_chars
+            FROM (SELECT lang, doc_id, n_chars, row_number() OVER (
+                      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 3
+        """,
+        "order_customer_nation": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+            )
+        """,
+        "priority_price_quantiles": """
+            SELECT o_orderpriority,
+                   quantile_disc(cents, 0.5) AS p50_cents,
+                   quantile_disc(cents, 0.9) AS p90_cents,
+                   count(*) AS n_orders
+            FROM (SELECT o_orderpriority,
+                         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY o_orderpriority
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -95,7 +95,7 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
 
     pds.dataset(corpus_path, format="parquet").to_table()
-    for t in ("documents", "lineitem", "events", "embeddings"):
+    for t in ("documents", "lineitem", "events", "embeddings", "orders"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
     def _warm(b):
         # pull the heavy imports (numpy/pyarrow/libpostal_ray) into every
@@ -173,6 +173,8 @@ def run_bench() -> dict:
     timed("click_attribution", q.click_attribution)
     timed("events_sliding", q.events_sliding)
     timed("tfidf_top_terms", q.tfidf_top_terms)
+    timed("order_customer_nation", q.order_customer_nation)
+    timed("priority_price_quantiles", q.priority_price_quantiles)
 
     ray.shutdown()
     return {

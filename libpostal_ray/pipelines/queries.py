@@ -1068,10 +1068,10 @@ def event_order_asof(sf_dir: str) -> ray.data.Dataset:
 
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    )
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     joined = asof_join(
         events,
         orders,
@@ -1106,12 +1106,18 @@ def click_attribution(sf_dir: str) -> ray.data.Dataset:
     from libpostal_ray.pipelines.relational import interval_count_join
 
     ev = f"{sf_dir}/events.parquet"
-    clicks = ray.data.read_parquet(
-        ev, columns=["event_id", "user_id", "ts", "event_type"]
-    ).filter(expr="event_type == 'click'").drop_columns(["event_type"])
-    purchases = ray.data.read_parquet(
-        ev, columns=["user_id", "ts", "event_type"]
-    ).filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    clicks = (
+        ray.data.read_parquet(ev, columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .filter(expr="event_type == 'click'")
+        .drop_columns(["event_type"])
+    )
+    purchases = (
+        ray.data.read_parquet(ev, columns=["user_id", "ts", "event_type"])
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .filter(expr="event_type == 'purchase'")
+        .drop_columns(["event_type"])
+    )
     out = interval_count_join(
         purchases,
         clicks,
@@ -1146,7 +1152,9 @@ def events_sliding(sf_dir: str) -> ray.data.Dataset:
     window replication, so the exchange is O(buckets), not O(events)."""
     from libpostal_ray.pipelines.relational import sliding_window_count_sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     return sliding_window_count_sum(
         ds,
         ts_col="ts",
@@ -1179,7 +1187,7 @@ def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     P = 32
     tok_re = _re.compile(r"[^a-z0-9]+")
 
@@ -1307,3 +1315,241 @@ def expand_multi_forms(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------- breadth relational ops
+# deterministic sampling / per-group top-k / star join / anti-join /
+# exact per-group quantiles — the remaining everyday shapes of a
+# training-data pipeline, each with a DuckDB oracle.
+
+_SAMPLE_MULT = 2654435761        # Knuth multiplicative hash constant
+_SAMPLE_MOD = 4294967296         # 2^32
+_SAMPLE_KEEP = 429496729         # ~10%
+
+
+def hash_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic hash sampling (consistent ~10% of documents):
+    keep rows with (doc_id * 2654435761) mod 2^32 < 0.1 * 2^32.  The
+    sample is a pure function of the key — stable across runs, engines
+    and partitionings (the property random_shuffle-based sampling lacks),
+    which is what makes it auditable at 100 TB: the oracle computes the
+    EXACT same set in SQL."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * _SAMPLE_MULT) % _SAMPLE_MOD < _SAMPLE_KEEP
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "lang": batch["lang"].filter(pa.array(keep)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def lang_top_docs(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-group top-k: the k longest documents of every language
+    (lang, doc_id, n_chars), ties broken by doc_id ASC — the window-function
+    ROW_NUMBER() <= k pattern as one groupby + vectorized segment rank."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "lang" not in group.column_names:
+            return pa.table(
+                {
+                    "lang": pa.nulls(0, pa.string()),
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "n_chars": pa.nulls(0, pa.int64()),
+                }
+            )
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nch = group["n_chars"].to_numpy(zero_copy_only=False)
+        langs = np.asarray(group["lang"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, -nch, langs.astype("U")))
+        ls = langs[order]
+        new = np.concatenate(([True], ls[1:] != ls[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(ls.shape[0]), 0)
+        )
+        rank = np.arange(ls.shape[0]) - seg_start
+        kept = order[rank < k]
+        return pa.table(
+            {
+                "lang": pa.array(langs[kept], type=pa.string()),
+                "doc_id": pa.array(ids[kept], type=pa.int64()),
+                "n_chars": pa.array(nch[kept], type=pa.int64()),
+            }
+        )
+
+    # a handful of languages: single-digit group count, one kernel call each
+    return ds.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+def order_customer_nation(sf_dir: str) -> ray.data.Dataset:
+    """Three-way star join: orders -> customer -> nation, revenue by nation
+    (n_name, total_cents, n_orders).  Both dimension tables broadcast once
+    (ray.put), the fact table streams through one map with an Arrow-native
+    per-batch partial aggregate — the fact side never shuffles content,
+    only (nation, partial) rows."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck)
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    no = np.argsort(nk)
+    ref = _ray.put(
+        {"ck": ck[co], "cn": cn[co], "nk": nk[no], "nn": nn[no]}
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        st = _ray.get(ref)
+        cust_k = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nkey = st["cn"][np.searchsorted(st["ck"], cust_k)]
+        names = st["nn"][np.searchsorted(st["nk"], nkey)]
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, "n_name").aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["n_name", "cents", "one"])
+
+    return (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("cents", alias_name="total_cents"),
+            Sum("one", alias_name="n_orders"),
+        )
+    )
+
+
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join (§2.7 set ops): customers with no FINISHED ('F') order
+    (c_custkey, c_name).  The distinct order-key side is built in a WORKER
+    task from the aggregated blocks and broadcast; the customer stream
+    filters by searchsorted membership — the anti-join never shuffles the
+    big side (same discipline as checkpoint resume's anti-join on finished
+    partitions)."""
+    import ray as _ray
+
+    okeys_ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+        )
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .filter(expr="o_orderstatus == 'F'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    @_ray.remote
+    def build(*blocks):
+        blocks = [
+            b for b in blocks if b.num_rows > 0 and "o_custkey" in b.column_names
+        ]
+        if not blocks:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(
+            np.concatenate(
+                [
+                    b.column("o_custkey").to_numpy(zero_copy_only=False)
+                    for b in blocks
+                ]
+            ).astype(np.int64)
+        )
+
+    ref = build.remote(*okeys_ds.materialize().to_arrow_refs())
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        have = _ray.get(ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(have, ck)
+        posc = np.clip(pos, 0, max(have.shape[0] - 1, 0))
+        hit = (
+            (pos < have.shape[0]) & (have[posc] == ck)
+            if have.shape[0]
+            else np.zeros(ck.shape[0], dtype=bool)
+        )
+        keep = pa.array(~hit)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].filter(keep),
+                "c_name": batch["c_name"].filter(keep),
+            }
+        )
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def priority_price_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group discrete quantiles: median and p90 of order price
+    cents per o_orderpriority (+ count).  quantile_disc semantics: the
+    element at index ceil(q*n)-1 of the sorted group (verified against
+    DuckDB).  Exact quantiles need the group co-located — fine for a
+    low-cardinality group-by key; the 100-TB path for high-cardinality
+    keys is a mergeable sketch (t-digest/KLL), not exact ranks."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def quant(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "o_orderpriority" not in group.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.nulls(0, pa.string()),
+                    "p50_cents": pa.nulls(0, pa.int64()),
+                    "p90_cents": pa.nulls(0, pa.int64()),
+                    "n_orders": pa.nulls(0, pa.int64()),
+                }
+            )
+        cents = np.sort(
+            np.floor(
+                group["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+        )
+        n = cents.shape[0]
+        import math
+
+        p50 = cents[math.ceil(0.5 * n) - 1]
+        p90 = cents[math.ceil(0.9 * n) - 1]
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [group["o_orderpriority"][0].as_py()], type=pa.string()
+                ),
+                "p50_cents": pa.array([int(p50)], type=pa.int64()),
+                "p90_cents": pa.array([int(p90)], type=pa.int64()),
+                "n_orders": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(quant, batch_format="pyarrow")

@@ -71,6 +71,11 @@ ORACLE_QUERIES = [
     "click_attribution",
     "events_sliding",
     "tfidf_top_terms",
+    "hash_sample",
+    "lang_top_docs",
+    "order_customer_nation",
+    "customers_without_orders",
+    "priority_price_quantiles",
 ]
 
 
