@@ -178,8 +178,9 @@ class PipelineConfig:
                                     # groupby (fewer stages; denser payload)
     sig_broadcast_max: int = 12_000_000  # docs; the verification state is
                                     # broadcast (one shared plasma object,
-                                    # ~185 B/doc: ids 8 + sha 32 + b-bit 128
-                                    # + simhash 8 + nsh 8 + short 1) for pair
+                                    # ~217 B/doc: ids 8 + sha 32 + b-bit 128
+                                    # + simhash 8 + nsh 8 + short 1 + exp4 32)
+                                    # for pair
                                     # verification below this — 12M docs ~
                                     # 2.2 GB, well inside a worker heap.
                                     # Above it, two hash joins attach the
