@@ -31,6 +31,13 @@ class PipelineConfig:
     collapse_whitespace: bool = True
     strip_comments: bool = False    # code-aware comment folding (off by default:
                                     # keeps canonical form cheap + language-neutral)
+    transliterate: bool = False     # latin-ascii transliteration chain
+                                    # (transliterate.c:669-780 analog): NFD +
+                                    # accent strip + Greek/Cyrillic
+                                    # romanization (functions/translit.py).
+                                    # Identity on ASCII, so the buffer fast
+                                    # path is unaffected; only detected
+                                    # non-ASCII rows pay the per-row map.
     # token-rewrite rule table — the analog of the reference's data-driven
     # dictionaries (resources/dictionaries/<lang>/*.txt, "st|street";
     # expand.c:724-1366 applies them as phrase rewrites).  Each entry is a

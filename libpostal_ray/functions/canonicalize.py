@@ -299,6 +299,7 @@ def canonicalize_one(
     fold_case: bool = True,
     collapse_whitespace: bool = True,
     strip_comments: bool = False,
+    transliterate: bool = False,
     compiled_rules: list | None = None,
 ) -> str:
     if text is None:
@@ -306,7 +307,9 @@ def canonicalize_one(
     # ASCII fast path for the default rule set (the reference has the same
     # trick, normalize.c:200-349): NFKC is identity on ASCII, casefold ==
     # lower, and split/join == ws-collapse+strip — ~3x faster, identical
-    # output (covered by an equivalence unit test).
+    # output (covered by an equivalence unit test).  The latin-ascii
+    # transliteration chain is identity on ASCII too, so it never disables
+    # this path.
     if (
         not strip_comments
         and fold_case
@@ -318,6 +321,10 @@ def canonicalize_one(
     s = unicodedata.normalize("NFKC", text)
     if fold_case:
         s = s.casefold()
+    if transliterate and not s.isascii():
+        from libpostal_ray.functions.translit import latin_ascii
+
+        s = latin_ascii(s)
     if strip_comments:
         s = _BLOCK_COMMENT_RE.sub(" ", s)
         s = _LINE_COMMENT_RE.sub(" ", s)
@@ -335,6 +342,7 @@ def canonicalize_array(
     fold_case: bool = True,
     collapse_whitespace: bool = True,
     strip_comments: bool = False,
+    transliterate: bool = False,
 ) -> np.ndarray:
     """Vectorized-enough canonicalization (regex/casefold are C-level; the
     loop is over rows, not chars). Returns object ndarray of str."""
@@ -345,6 +353,7 @@ def canonicalize_array(
                 fold_case=fold_case,
                 collapse_whitespace=collapse_whitespace,
                 strip_comments=strip_comments,
+                transliterate=transliterate,
             )
             for t in texts
         ],

@@ -100,6 +100,7 @@ class CanonicalizeStage:
             fold_case=cfg.fold_case,
             collapse_whitespace=cfg.collapse_whitespace,
             strip_comments=cfg.strip_comments,
+            transliterate=cfg.transliterate,
             compiled_rules=self.compiled_rules,
         )
 
