@@ -1,0 +1,188 @@
+"""Cluster job entry point — `ray job submit` surface.
+
+The reference is a library embedded in a host process; the Ray-native
+equivalent of "run libpostal over my corpus" is a self-contained job you
+submit to a cluster:
+
+    ray job submit --working-dir . -- \
+        python -m libpostal_ray.job \
+            --input  s3://bucket/corpus/            \
+            --output s3://bucket/dedup_run_1/       \
+            --checkpoint-dir s3://bucket/ckpt_1/    \
+            --config '{"bands": 16, "num_perm": 128}' \
+            --report
+
+Locally (and in tests) the same module runs against `ray.init(address=
+"local")`.  The job:
+
+  1. reads the corpus (parquet in the (repo, path, commit, lang, content)
+     schema; --input-format documents/tsv adapt the other readers),
+  2. runs the flagship near-dup pipeline (optionally checkpointed — a
+     resubmitted job resumes from the per-partition manifest instead of
+     recomputing, state/checkpoint.py),
+  3. writes clusters/ edges/ [report/] as partitioned parquet under
+     --output, and
+  4. writes manifest.json with config fingerprint, row counts, wall time
+     and per-stage checkpoint metrics — the lineage record a scheduled
+     production run keys off.
+
+Ray ownership: `ray job submit` starts the driver inside the cluster, so
+`main()` calls ray.init(address=...) ONLY if Ray isn't already initialised
+(the driver contract everywhere else in this repo: library code never owns
+the session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _read_corpus(args):
+    from libpostal_ray.sources.readers import (
+        read_code_corpus,
+        read_documents_corpus,
+        read_tsv_corpus,
+    )
+
+    if args.input_format == "code":
+        return read_code_corpus(args.input)
+    if args.input_format == "documents":
+        # read_documents_corpus takes the sf-dir containing documents.parquet
+        return read_documents_corpus(args.input)
+    if args.input_format == "tsv":
+        return read_tsv_corpus(args.input)
+    raise SystemExit(f"unknown --input-format {args.input_format!r}")
+
+
+def _rows_written(path: str) -> int:
+    """Row count from parquet footers — no extra Ray job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def build_config(config_json: str | None):
+    from libpostal_ray.config import PipelineConfig
+
+    if not config_json:
+        return PipelineConfig()
+    if os.path.exists(config_json):
+        with open(config_json) as f:
+            overrides = json.load(f)
+    else:
+        overrides = json.loads(config_json)
+    # tuples survive JSON as lists; PipelineConfig fields that are tuples
+    # (rewrite_rules, expansion_alternatives) need re-tupling
+    for k, v in overrides.items():
+        if isinstance(v, list):
+            overrides[k] = tuple(
+                tuple(e) if isinstance(e, list) else e for e in v
+            )
+    return PipelineConfig(**overrides)
+
+
+def run_job(args) -> dict:
+    import ray
+
+    from libpostal_ray.pipelines.near_dupe import (
+        dedup_report,
+        near_dupe_pipeline,
+    )
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    cfg = build_config(args.config)
+    t0 = time.time()
+    corpus = _read_corpus(args)
+    out = near_dupe_pipeline(corpus, cfg, checkpoint_dir=args.checkpoint_dir)
+
+    os.makedirs(args.output, exist_ok=True)
+    out["clusters"].write_parquet(os.path.join(args.output, "clusters"))
+    if args.write_edges:
+        out["edges"].write_parquet(os.path.join(args.output, "edges"))
+    if args.report:
+        rep = dedup_report(corpus, cfg, pipeline_out=out)
+        rep.write_parquet(os.path.join(args.output, "report"))
+
+    manifest = {
+        "config_fingerprint": config_fingerprint(cfg),
+        "config": {
+            k: v
+            for k, v in cfg.to_dict().items()
+            if not isinstance(v, (list, tuple)) or len(v) <= 8
+        },
+        "input": args.input,
+        "input_format": args.input_format,
+        "checkpoint_dir": args.checkpoint_dir,
+        "wall_seconds": round(time.time() - t0, 3),
+        "rows": {
+            "clusters": _rows_written(os.path.join(args.output, "clusters")),
+        },
+        "stage_metrics": out.get("metrics"),
+        "ray": {
+            "nodes": len(ray.nodes()),
+            "cpus": int(ray.cluster_resources().get("CPU", 0)),
+        },
+    }
+    if args.report:
+        manifest["rows"]["report"] = _rows_written(
+            os.path.join(args.output, "report")
+        )
+    if args.write_edges:
+        manifest["rows"]["edges"] = _rows_written(
+            os.path.join(args.output, "edges")
+        )
+    tmp = os.path.join(args.output, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(args.output, "manifest.json"))
+    return manifest
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m libpostal_ray.job",
+        description="Near-duplicate detection + clustering over a parquet corpus",
+    )
+    p.add_argument("--input", required=True, help="parquet path/dir (or sf dir for --input-format documents)")
+    p.add_argument("--input-format", default="code", choices=["code", "documents", "tsv"])
+    p.add_argument("--output", required=True, help="output dir: clusters/ [edges/ report/] manifest.json")
+    p.add_argument("--checkpoint-dir", default=None, help="per-partition checkpoint dir; resubmits resume")
+    p.add_argument("--config", default=None, help="PipelineConfig overrides: JSON string or path to a JSON file")
+    p.add_argument("--report", action="store_true", help="also write the keep/drop dedup report")
+    p.add_argument("--write-edges", action="store_true", help="also write verified pair edges")
+    p.add_argument("--ray-address", default=None, help="ray.init address if Ray is not already initialised (ray job submit drivers are)")
+    p.add_argument("--num-cpus", type=int, default=None, help="only with --ray-address local: CPU count for the local session")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {}
+        if args.num_cpus is not None:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(
+            address=args.ray_address or os.environ.get("RAY_ADDRESS", "auto"),
+            include_dashboard=False,
+            **kw,
+        )
+    manifest = run_job(args)
+    json.dump(
+        {"status": "ok", "output": args.output, "rows": manifest["rows"],
+         "wall_seconds": manifest["wall_seconds"]},
+        sys.stdout,
+    )
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -528,6 +528,7 @@ def _report_state(labels: pa.Table, *states: dict) -> dict:
 def dedup_report(
     corpus: ray.data.Dataset,
     cfg: PipelineConfig | None = None,
+    pipeline_out: dict | None = None,
 ) -> ray.data.Dataset:
     """The reference's actual deliverable — a keep/drop decision per record
     (dedupe.c:78-156 status decisions) — at dataset scale:
@@ -550,7 +551,9 @@ def dedup_report(
     import numpy as np
 
     cfg = cfg or PipelineConfig()
-    out = near_dupe_pipeline(corpus, cfg)
+    # reuse an existing pipeline result (e.g. the job CLI runs the pipeline
+    # once, writes clusters AND the report from the same run)
+    out = pipeline_out if pipeline_out is not None else near_dupe_pipeline(corpus, cfg)
     labels_ref = out.get("_labels_ref")
     state_refs = out.get("_state_refs")
     if labels_ref is not None and state_refs:

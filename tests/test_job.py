@@ -1,0 +1,123 @@
+"""`python -m libpostal_ray.job` — the ray-job-submit surface.
+
+Each invocation is a fresh subprocess that owns its OWN Ray session
+(--ray-address local), exactly like a driver started by `ray job submit`;
+the pytest session's Ray cluster is untouched.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.dataset as pds
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(*extra):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    # the job must not inherit the pytest session's address
+    env.pop("RAY_ADDRESS", None)
+    return subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "libpostal_ray.job",
+            "--ray-address",
+            "local",
+            "--num-cpus",
+            "4",
+            *extra,
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+
+
+@pytest.fixture(scope="module")
+def job_corpus(tmp_path_factory):
+    from libpostal_ray.synth import write_synth_corpus
+
+    d = tmp_path_factory.mktemp("jobcorpus")
+    path = str(d / "corpus.parquet")
+    write_synth_corpus(path, n_files=300, seed=11)
+    return path
+
+
+def test_job_end_to_end_and_resume(job_corpus, tmp_path):
+    out1 = str(tmp_path / "run1")
+    ck = str(tmp_path / "ckpt")
+    r = _run_job(
+        "--input", job_corpus,
+        "--output", out1,
+        "--checkpoint-dir", ck,
+        "--report",
+        "--write-edges",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    status = json.loads(r.stdout.strip().splitlines()[-1])
+    assert status["status"] == "ok"
+
+    man = json.load(open(os.path.join(out1, "manifest.json")))
+    n_docs = pds.dataset(job_corpus, format="parquet").count_rows()
+    assert man["rows"]["clusters"] == n_docs
+    assert man["rows"]["report"] == n_docs
+    assert man["config_fingerprint"]
+    # first run computed every signature partition
+    sig_m = man["stage_metrics"]["signatures"]
+    assert sig_m["computed_pids"] and not sig_m["loaded_pids"]
+
+    clusters1 = (
+        pds.dataset(os.path.join(out1, "clusters"), format="parquet")
+        .to_table(columns=["doc_id", "cluster_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rep = (
+        pds.dataset(os.path.join(out1, "report"), format="parquet")
+        .to_table()
+        .to_pandas()
+    )
+    assert set(rep.reason.unique()) <= {"unique", "kept", "exact_dup", "near_dup"}
+    # exactly one kept/unique row per cluster
+    keeps = rep[rep.keep].groupby("cluster_id").size()
+    assert (keeps == 1).all()
+
+    # resubmit with the same checkpoint dir: everything resumes, labels equal
+    out2 = str(tmp_path / "run2")
+    r2 = _run_job(
+        "--input", job_corpus,
+        "--output", out2,
+        "--checkpoint-dir", ck,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    man2 = json.load(open(os.path.join(out2, "manifest.json")))
+    sig2 = man2["stage_metrics"]["signatures"]
+    assert not sig2["computed_pids"] and sig2["loaded_pids"]
+    clusters2 = (
+        pds.dataset(os.path.join(out2, "clusters"), format="parquet")
+        .to_table(columns=["doc_id", "cluster_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert clusters1.equals(clusters2)
+
+
+def test_job_config_overrides(job_corpus, tmp_path):
+    out = str(tmp_path / "cfgrun")
+    r = _run_job(
+        "--input", job_corpus,
+        "--output", out,
+        "--config", '{"bands": 8, "rows_per_band": 16, "transliterate": true}',
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["config"]["bands"] == 8
+    assert man["config"]["transliterate"] is True
