@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_nation": q.order_customer_nation,
         "customers_without_orders": q.customers_without_orders,
         "priority_price_quantiles": q.priority_price_quantiles,
+        "repetition_stats": q.repetition_stats,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -206,6 +207,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, count(*) AS n_copies,
                    min(doc_id) AS keep_id, CAST(1 AS BIGINT) AS n_clusters
             FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+        """,
+        "repetition_stats": """
+            WITH lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ),
+            lc AS (
+                SELECT doc_id, line, count(*) AS c
+                FROM lines GROUP BY doc_id, line
+            ),
+            per AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_lines,
+                       count(*) AS n_distinct_lines,
+                       CAST(max(c) AS BIGINT) AS top_line_count,
+                       CAST(coalesce(sum(CASE WHEN c > 1
+                                              THEN c * length(line) END), 0)
+                            AS BIGINT) AS dup_line_chars
+                FROM lc GROUP BY doc_id
+            ),
+            wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                      FROM documents WHERE trim(text) <> '')
+                GROUP BY doc_id, w
+            ),
+            wtop AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count
+                FROM wc GROUP BY doc_id
+            )
+            SELECT per.doc_id, n_lines, n_distinct_lines, top_line_count,
+                   dup_line_chars,
+                   coalesce(wtop.top_word_count, 0) AS top_word_count
+            FROM per LEFT JOIN wtop USING (doc_id)
         """,
         "user_sessions": """
             WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events),

@@ -175,6 +175,7 @@ def run_bench() -> dict:
     timed("tfidf_top_terms", q.tfidf_top_terms)
     timed("order_customer_nation", q.order_customer_nation)
     timed("priority_price_quantiles", q.priority_price_quantiles)
+    timed("repetition_stats", q.repetition_stats)
 
     ray.shutdown()
     return {

@@ -847,6 +847,62 @@ def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Within-document repetition signals — the Gopher-style quality-filter
+    family (dup-line fraction, most-common-line/word coverage) used to drop
+    template/boilerplate docs from training corpora:
+
+        (doc_id, n_lines, n_distinct_lines, top_line_count,
+         dup_line_chars, top_word_count)
+
+    dup_line_chars = characters inside lines that occur more than once
+    (all occurrences counted) — the numerator of Gopher's
+    duplicate-line-character fraction; consumers divide by n_chars.
+
+    Char-exact for SQL parity (Counter over literal lines/words, like
+    ngram_shingles); the flagship-scale repetition signal would hash lines
+    vectorized instead, but this table is the small per-doc feature side.
+    """
+    from collections import Counter
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n = len(ids)
+        n_lines = np.empty(n, dtype=np.int64)
+        n_dist = np.empty(n, dtype=np.int64)
+        top_line = np.empty(n, dtype=np.int64)
+        dup_chars = np.empty(n, dtype=np.int64)
+        top_word = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            lines = (t or "").split("\n")
+            lc = Counter(lines)
+            n_lines[i] = len(lines)
+            n_dist[i] = len(lc)
+            top_line[i] = max(lc.values())
+            dup_chars[i] = sum(
+                c * len(l) for l, c in lc.items() if c > 1
+            )
+            words = (t or "").split()
+            top_word[i] = max(Counter(words).values()) if words else 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(n_lines),
+                "n_distinct_lines": pa.array(n_dist),
+                "top_line_count": pa.array(top_line),
+                "dup_line_chars": pa.array(dup_chars),
+                "top_word_count": pa.array(top_word),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(f, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------- flagship-path oracle (exact co-cluster)
 PLANT_STEP, PLANT_SHIFT = 50, 1_000_000
 

@@ -76,6 +76,7 @@ ORACLE_QUERIES = [
     "order_customer_nation",
     "customers_without_orders",
     "priority_price_quantiles",
+    "repetition_stats",
 ]
 
 
