@@ -45,6 +45,15 @@ class PipelineConfig:
     # and before whitespace collapse; compiled once per worker.  Part of the
     # config fingerprint, so changing rules invalidates checkpoints.
     rewrite_rules: tuple[tuple[str, str], ...] = ()
+    lang_rules: bool = False        # per-language dictionary ROUTING
+                                    # (expand.c selects dictionaries by the
+                                    # address' languages): each row gets
+                                    # rewrite_rules + LANG_RULE_PACKS[lang]
+                                    # keyed off the corpus `lang` column
+                                    # ("pt-br" -> "pt"); packs compile once
+                                    # per worker per observed language.
+                                    # Disables the ASCII buffer fast path
+                                    # (rows need per-row rule passes).
 
     # --- shingling (ngrams.c:4-71 analog) ---
     shingle_k: int = 5              # chars per shingle of the canonical text

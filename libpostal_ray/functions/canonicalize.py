@@ -266,20 +266,29 @@ def compile_rules(rules) -> list[tuple["re.Pattern[str]", object]]:
     out: list[tuple[re.Pattern[str], object]] = []
     run: list[tuple[str, str]] = []
 
+    # a replaced word may consume ONE trailing period when followed by
+    # whitespace or end ("Avda. x" -> "avenida x") — the reference's
+    # DELETE_FINAL_PERIOD / DELETE_ACRONYM_PERIODS normalize options
+    # (normalize.h:23-40); the lookahead keeps "co.uk" intact
+    _dot = r"(?:\.(?=\s|$))?"
+
     def flush() -> None:
         if not run:
             return
         if len(run) == 1:
             out.append(
-                (re.compile(r"\b" + re.escape(run[0][0]) + r"\b"), run[0][1])
+                (
+                    re.compile(r"\b" + re.escape(run[0][0]) + r"\b" + _dot),
+                    run[0][1],
+                )
             )
         else:
             mapping = {w: r for w, r in run}
             alts = sorted(mapping, key=len, reverse=True)
             pat = re.compile(
-                r"\b(?:" + "|".join(re.escape(w) for w in alts) + r")\b"
+                r"\b(" + "|".join(re.escape(w) for w in alts) + r")\b" + _dot
             )
-            out.append((pat, lambda m, _m=mapping: _m[m.group(0)]))
+            out.append((pat, lambda m, _m=mapping: _m[m.group(1)]))
         run.clear()
 
     for p, r in rules:

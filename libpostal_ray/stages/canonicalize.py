@@ -85,15 +85,35 @@ class CanonicalizeStage:
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
         self.compiled_rules = compile_rules(self.cfg.rewrite_rules)
+        # per-language routed packs (lang_rules=True): compiled lazily per
+        # OBSERVED language, cached for the worker's lifetime — the analog
+        # of the reference loading dictionaries for the languages it meets
+        self._lang_compiled: dict[str, list] = {}
         # buffer fast path applies only to the default ASCII-equivalent rules
         self.buffer_path = (
             self.cfg.fold_case
             and self.cfg.collapse_whitespace
             and not self.cfg.strip_comments
             and not self.compiled_rules
+            and not self.cfg.lang_rules
         )
 
-    def _canonicalize_py(self, text: str) -> str:
+    def _rules_for_lang(self, lang: str) -> list:
+        base = lang.split("-", 1)[0].split("_", 1)[0].lower() if lang else ""
+        got = self._lang_compiled.get(base)
+        if got is None:
+            from libpostal_ray.functions.canonicalize import LANG_RULE_PACKS
+
+            pack = LANG_RULE_PACKS.get(base, ())
+            got = (
+                compile_rules(tuple(self.cfg.rewrite_rules) + tuple(pack))
+                if pack
+                else self.compiled_rules
+            )
+            self._lang_compiled[base] = got
+        return got
+
+    def _canonicalize_py(self, text: str, rules: list | None = None) -> str:
         cfg = self.cfg
         return canonicalize_one(
             text,
@@ -101,7 +121,7 @@ class CanonicalizeStage:
             collapse_whitespace=cfg.collapse_whitespace,
             strip_comments=cfg.strip_comments,
             transliterate=cfg.transliterate,
-            compiled_rules=self.compiled_rules,
+            compiled_rules=self.compiled_rules if rules is None else rules,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -161,6 +181,16 @@ class CanonicalizeStage:
                     for i in non_ascii_rows
                 ]
                 canon = _scatter_replace(canon, non_ascii_rows, fixed)
+        elif self.cfg.lang_rules and "lang" in batch.column_names:
+            canon = pa.array(
+                [
+                    self._canonicalize_py(t, rules=self._rules_for_lang(l))
+                    for t, l in zip(
+                        col.to_pylist(), batch["lang"].to_pylist()
+                    )
+                ],
+                type=pa.large_string(),
+            )
         else:
             canon = pa.array(
                 [self._canonicalize_py(t) for t in col.to_pylist()],

@@ -1,0 +1,66 @@
+"""Per-language rule-pack routing (cfg.lang_rules) — the reference selects
+dictionaries by each address' languages (expand.c); here each row gets
+rewrite_rules + LANG_RULE_PACKS[lang] keyed off the corpus lang column."""
+
+import pyarrow as pa
+
+from libpostal_ray.config import PipelineConfig
+from libpostal_ray.stages.canonicalize import CanonicalizeStage
+
+
+def _canon(stage, texts, langs):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), type=pa.int64()),
+            "lang": langs,
+            "content": texts,
+        }
+    )
+    return stage(tbl)["canonical"].to_pylist()
+
+
+def test_routing_applies_matching_pack():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        ["Avda. Sr. Uno", "I can't stop", "Hauptstr. zwei", "Avda. Sr. Uno"],
+        ["es", "en", "de", "en"],
+    )
+    # abbreviation periods are consumed with the replacement
+    # (DELETE_FINAL_PERIOD analog)
+    assert out[0] == "avenida señor 1"
+    assert out[1] == "i cannot stop"
+    assert out[2] == "haupt strasse 2"
+    # same text under EN: the ES entries (avda->avenida, uno->1) don't fire;
+    # EN's own "sr"->"senior" does — routing picked a different pack
+    assert out[3] == "avda. senior uno"
+
+
+def test_region_suffix_and_unknown_lang():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(stage, ["Av. Sra. dois", "won't change"], ["pt-BR", "xx"])
+    assert "avenida" in out[0] and "senhora" in out[0]
+    # unknown language: base canonicalization only
+    assert out[1] == "won't change"
+    # compiled packs cached per observed base language
+    assert set(stage._lang_compiled) == {"pt", "xx"}
+
+
+def test_off_by_default_and_global_rules_compose():
+    off = CanonicalizeStage(PipelineConfig())
+    assert _canon(off, ["Avda. Uno"], ["es"]) == ["avda. uno"]
+    # global rewrite_rules still apply to every language when routing is on
+    both = CanonicalizeStage(
+        PipelineConfig(lang_rules=True, rewrite_rules=((r"\bfoo\b", "bar"),))
+    )
+    out = _canon(both, ["foo uno", "foo one"], ["es", "xx"])
+    assert out[0] == "bar 1"
+    assert out[1] == "bar one"
+
+
+def test_fingerprint_covers_lang_rules():
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    assert config_fingerprint(PipelineConfig()) != config_fingerprint(
+        PipelineConfig(lang_rules=True)
+    )
