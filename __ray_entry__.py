@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q.customers_without_orders,
         "priority_price_quantiles": q.priority_price_quantiles,
         "repetition_stats": q.repetition_stats,
+        "lineitem_rollup": q.lineitem_rollup,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -207,6 +208,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, count(*) AS n_copies,
                    min(doc_id) AS keep_id, CAST(1 AS BIGINT) AS n_clusters
             FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+        """,
+        "lineitem_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "repetition_stats": """
             WITH lines AS (

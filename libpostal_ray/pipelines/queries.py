@@ -847,6 +847,74 @@ def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — hierarchy rollup as a
+    first-class operator.  Physical plan: ONE distributed aggregate at the
+    finest grain (partial pre-agg inside map_batches, then the small global
+    groupby), and every coarser level is DERIVED from the finest result on
+    the driver — the fact table is scanned once, never re-shuffled per
+    level (finest-level cardinality = #rf x #ls ~ 6 rows, so the derivation
+    is trivially driver-side at any corpus scale).  Rolled-up key slots are
+    'ALL' (COALESCE'd in the oracle too) to keep value hashing
+    NULL-ordering-free."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "revenue_cents": pa.array(
+                    np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+                ),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("revenue_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "revenue_cents", "n"]
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    meas = ["sum_qty", "revenue_cents", "n"]
+    lvl1 = fine.groupby("l_returnflag", as_index=False)[meas].sum()
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = fine[meas].sum().to_frame().T
+    lvl0["l_returnflag"] = "ALL"
+    lvl0["l_linestatus"] = "ALL"
+    cols = ["l_returnflag", "l_linestatus", *meas]
+    out = pd.concat([fine[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+    for m in meas:
+        out[m] = out[m].astype("int64")
+    return out
+
+
 def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     """Within-document repetition signals — the Gopher-style quality-filter
     family (dup-line fraction, most-common-line/word coverage) used to drop

@@ -77,6 +77,7 @@ ORACLE_QUERIES = [
     "customers_without_orders",
     "priority_price_quantiles",
     "repetition_stats",
+    "lineitem_rollup",
 ]
 
 
