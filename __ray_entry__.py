@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": q.lang_count,
         "ngram_shingles": q.ngram_shingles,
         "word_jaccard_pairs": q.word_jaccard_pairs,
+        "edit_distance_pairs": q.edit_distance_pairs,
         "lineitem_agg": q.lineitem_agg,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk,
@@ -141,6 +142,15 @@ def oracle_sql() -> dict[str, str]:
                               - length(list_intersect(a.ws, b.ws)) AS DOUBLE),
                          6) AS jaccard
             FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "edit_distance_pairs": """
+            WITH pfx AS (
+                SELECT doc_id, substr(text, 1, 120) AS p FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+                   jaccard(a.p, b.p) AS char_jacc
+            FROM pfx a JOIN pfx b ON b.doc_id = a.doc_id + 1
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

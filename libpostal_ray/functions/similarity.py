@@ -79,6 +79,48 @@ def damerau_levenshtein(a: str, b: str) -> int:
     return int(prev[m])
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance over UTF-8 BYTES (string_similarity.c:
+    247-287 analog; byte-level to match DuckDB's ``levenshtein`` builtin for
+    the oracle row).  Same row-wise numpy DP + prefix-scan as
+    damerau_levenshtein, minus the transposition branch."""
+    if a == b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    n, m = ca.shape[0], cb.shape[0]
+    if n == 0 or m == 0:
+        return n + m
+    prev = np.arange(m + 1, dtype=np.int64)
+    cur = np.empty(m + 1, dtype=np.int64)
+    ins_idx = np.arange(1, m + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        cur[0] = i
+        base = np.minimum(prev[1:] + 1, prev[:-1] + (cb != ca[i - 1]))
+        # insertion dependency cur[j] = min(base[j], cur[j-1]+1) resolved as
+        # a running min of (base[k] - k) + j  (prefix scan, no Python cells)
+        shifted = base - ins_idx
+        np.minimum.accumulate(shifted, out=shifted)
+        cur[1:] = np.minimum(base, shifted + ins_idx)
+        cur[1:] = np.minimum(cur[1:], cur[0] + ins_idx)
+        prev, cur = cur, prev
+    return int(prev[m])
+
+
+def char_jaccard(a: str, b: str) -> float:
+    """Set Jaccard over UTF-8 bytes — DuckDB ``jaccard`` builtin semantics
+    (byte sets; identical to char sets on ASCII).  The single small-int
+    division makes the double bit-identical to the oracle's."""
+    sa = set(a.encode("utf-8"))
+    sb = set(b.encode("utf-8"))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
 def dl_similarity(a: str, b: str) -> float:
     """1 - DL/max(len) in [0,1]."""
     mx = max(len(a), len(b))

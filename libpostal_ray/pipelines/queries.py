@@ -206,6 +206,73 @@ def word_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(jac, batch_format="pyarrow")
 
 
+EDIT_PREFIX_CHARS = 120  # edit-distance pair scoring runs on a bounded
+                         # prefix: the DP is O(len^2) per pair and the
+                         # operator's contract is candidate-pair scoring,
+                         # never whole-corpus all-pairs
+
+
+def edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact edit-distance scoring of consecutive doc-id pairs:
+    (doc_a, doc_b, lev, char_jacc) over the first EDIT_PREFIX_CHARS chars.
+
+    The verification-tier scalar family (string_similarity.c:247-287) run
+    the way it runs in the flagship: on already-blocked candidate pairs
+    (here the deterministic doc_id+1 pairing so DuckDB can replay it).
+    ``lev`` is byte-level Levenshtein (DuckDB builtin semantics);
+    ``char_jacc`` is byte-set Jaccard (DuckDB ``jaccard``)."""
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        texts = [(t or "")[:EDIT_PREFIX_CHARS] for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pfx": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    t = _docs(sf_dir).map_batches(prefix, batch_format="pyarrow")
+    left = t.map_batches(
+        lambda b: b.append_column(
+            "next_id", pc.add(b["doc_id"], pa.scalar(1, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    from libpostal_ray.pipelines.cluster import effective_join_partitions
+
+    joined = left.join(
+        t,
+        join_type="inner",
+        num_partitions=effective_join_partitions(16),
+        on=("next_id",),
+        right_on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    from libpostal_ray.functions.similarity import char_jaccard, levenshtein
+
+    def score(batch: pa.Table) -> pa.Table:
+        a_pfx = batch["pfx_a"].to_pylist()
+        b_pfx = batch["pfx_b"].to_pylist()
+        n = len(a_pfx)
+        lev = np.empty(n, dtype=np.int64)
+        jac = np.empty(n, dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a_pfx, b_pfx)):
+            lev[i] = levenshtein(x, y)
+            jac[i] = char_jaccard(x, y)
+        return pa.table(
+            {
+                "doc_a": batch["doc_id"],
+                "doc_b": batch["next_id"],
+                "lev": pa.array(lev),
+                "char_jacc": pa.array(jac),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ relational
 def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped aggregate with PARTIAL pre-aggregation: per-batch

@@ -275,3 +275,36 @@ class TestCanonicalizeFastPath:
         for s in cases:
             general = ws.sub(" ", unicodedata.normalize("NFKC", s).casefold()).strip()
             assert canonicalize_one(s) == general, repr(s)
+
+
+class TestLevenshteinVsDuckDB:
+    """The edit_distance_pairs oracle depends on our levenshtein /
+    char_jaccard agreeing EXACTLY with DuckDB's builtins (byte-level)."""
+
+    def test_levenshtein_known(self):
+        from libpostal_ray.functions.similarity import levenshtein
+
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("", "abc") == 3
+        assert levenshtein("abc", "abc") == 0
+        # byte-level: 'é' is two UTF-8 bytes (DuckDB semantics)
+        assert levenshtein("café", "cafe") == 2
+
+    def test_random_vs_duckdb(self):
+        import random
+
+        import duckdb
+
+        from libpostal_ray.functions.similarity import char_jaccard, levenshtein
+
+        con = duckdb.connect()
+        rng = random.Random(42)
+        alphabet = "abcdef ghé"
+        for _ in range(200):
+            a = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 40)))
+            b = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 40)))
+            want_lev, want_jac = con.sql(
+                "select levenshtein(?, ?), jaccard(?, ?)", params=[a, b, a, b]
+            ).fetchone()
+            assert levenshtein(a, b) == want_lev, (a, b)
+            assert char_jaccard(a, b) == want_jac, (a, b)

@@ -56,6 +56,7 @@ ORACLE_QUERIES = [
     "lang_count",
     "ngram_shingles",
     "word_jaccard_pairs",
+    "edit_distance_pairs",
     "lineitem_agg",
     "events_hourly",
     "ann_topk",
