@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_shingles": q.ngram_shingles,
         "word_jaccard_pairs": q.word_jaccard_pairs,
         "edit_distance_pairs": q.edit_distance_pairs,
+        "customer_order_ranks": q.customer_order_ranks,
         "lineitem_agg": q.lineitem_agg,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk,
@@ -151,6 +152,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
                    jaccard(a.p, b.p) AS char_jacc
             FROM pfx a JOIN pfx b ON b.doc_id = a.doc_id + 1
+        """,
+        "customer_order_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS rn,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(floor(o_totalprice * 100.0) AS BIGINT) DESC
+                               ) AS price_rank,
+                   coalesce(lag(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER w,
+                            -1) AS prev_price_cents,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_price_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -273,6 +273,53 @@ def edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+def customer_order_ranks(sf_dir: str) -> ray.data.Dataset:
+    """Window functions over orders: per customer in (o_orderdate,
+    o_orderkey) order — row_number, competition rank by price DESC,
+    lag(price) and running price sum.  One key%P exchange + vectorized
+    segment kernels (pipelines/window.py); no per-customer Python calls."""
+    from libpostal_ray.pipelines.window import window_over_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "date_us": batch["o_orderdate"].cast(pa.int64()),
+                "price_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    out = window_over_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="o_custkey",
+        order_cols=["date_us", "o_orderkey"],
+        value="price_cents",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "rn": batch["rn"],
+                "price_rank": batch["value_rank"],
+                "prev_price_cents": batch["prev_value"],
+                "cum_price_cents": batch["cum_value"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ relational
 def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped aggregate with PARTIAL pre-aggregation: per-batch

@@ -1,0 +1,129 @@
+"""Partitioned window functions — row_number / rank / lag / running sum.
+
+The reference has no window functions (its closest analog is the per-doc
+ordered token scan in near_dupe.c:283-315); these are the §2.9 streaming /
+analytic operators a training-data pipeline needs (e.g. "rank documents
+within a source by quality, keep top-k, carry the previous score").
+
+Physical plan — the same shape as every wide operator in this repo:
+
+  one hash exchange on ``key % P`` (P fixed, small — one Python group call
+  per PARTITION, never per key) co-locates all rows of a key; inside the
+  partition a single lexsort orders (key, order_cols...) and every window
+  function is a vectorized segment kernel (cumsum-minus-offset for running
+  sums, shift-within-segment for lag, run-start broadcast for rank).  Row
+  count in == row count out; nothing materializes on the driver.
+
+At 100 TB: the exchange ships only the key, order and value columns
+(prune at the read), P scales with the cluster, and skewed keys cost only
+their share of one partition — there is no per-key task or sort barrier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+WINDOW_PARTITIONS = 32
+
+
+def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a new key segment begins (sorted input)."""
+    if sorted_keys.shape[0] == 0:
+        return np.zeros(0, dtype=bool)
+    return np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
+
+
+def _seg_offset(new_seg: np.ndarray) -> np.ndarray:
+    """For each row, the index of its segment's first row."""
+    idx = np.arange(new_seg.shape[0], dtype=np.int64)
+    starts = idx[new_seg]
+    return np.repeat(starts, np.diff(np.concatenate((starts, [new_seg.shape[0]]))))
+
+
+def window_over_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    *,
+    lag_fill: int = -1,
+    partitions: int = WINDOW_PARTITIONS,
+) -> ray.data.Dataset:
+    """Compute (rn, value_rank, prev_value, cum_value) per ``key`` group.
+
+    ``order_cols`` define the in-group order (must be int64-able and make
+    the order total for deterministic rn); ``value`` is an int64 measure.
+    rank() is competition rank over value DESC (ties share the smallest
+    position); lag is the previous row's value in window order
+    (``lag_fill`` for the first row — avoids cross-engine NULL handling).
+    Output: key, order_cols..., rn, value_rank, prev_value, cum_value.
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "part", pa.array(k % partitions, type=pa.int64())
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            empty = {key: pa.array([], type=pa.int64())}
+            for c in order_cols:
+                empty[c] = pa.array([], type=pa.int64())
+            for c in ("rn", "value_rank", "prev_value", "cum_value"):
+                empty[c] = pa.array([], type=pa.int64())
+            return pa.table(empty)
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = [
+            group[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in order_cols
+        ]
+        # lexsort: last key is primary -> (key, order_cols...) ascending
+        order = np.lexsort(tuple(reversed(ords)) + (k,))
+        ks, vs = k[order], v[order]
+        new_seg = _segment_starts(ks)
+        off = _seg_offset(new_seg)
+        idx = np.arange(n, dtype=np.int64)
+        rn = idx - off + 1
+        # running sum within segment: global cumsum minus the segment's base
+        cs = np.cumsum(vs)
+        base = np.where(off > 0, cs[off - 1], 0)
+        cum_value = cs - base
+        # lag(1) within segment
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = lag_fill
+        prev[1:] = vs[:-1]
+        prev[new_seg] = lag_fill
+        # competition rank over value DESC: sort (key, -value); ties share
+        # the run-start position within the segment
+        order2 = np.lexsort((-v, k))
+        ks2, vs2 = k[order2], v[order2]
+        new_seg2 = _segment_starts(ks2)
+        off2 = _seg_offset(new_seg2)
+        pos2 = idx - off2
+        new_run = new_seg2.copy()
+        new_run[1:] |= vs2[1:] != vs2[:-1]
+        run_pos = pos2[_seg_offset(new_run)]
+        rank = np.empty(n, dtype=np.int64)
+        rank[order2] = run_pos + 1
+        rank = rank[order]
+
+        cols = {key: pa.array(ks, type=pa.int64())}
+        for c, arr in zip(order_cols, ords):
+            cols[c] = pa.array(arr[order], type=pa.int64())
+        cols["rn"] = pa.array(rn, type=pa.int64())
+        cols["value_rank"] = pa.array(rank, type=pa.int64())
+        cols["prev_value"] = pa.array(prev, type=pa.int64())
+        cols["cum_value"] = pa.array(cum_value, type=pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -57,6 +57,7 @@ ORACLE_QUERIES = [
     "ngram_shingles",
     "word_jaccard_pairs",
     "edit_distance_pairs",
+    "customer_order_ranks",
     "lineitem_agg",
     "events_hourly",
     "ann_topk",

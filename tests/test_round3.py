@@ -451,3 +451,34 @@ def test_numex_pair_clusters_with_pack(ray_session):
     )["clusters"].to_pandas()
     lab = dict(zip(on.doc_id, on.cluster_id))
     assert lab[1] == lab[2], on
+
+
+class TestWindowOverKey:
+    def test_known_small(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.window import window_over_key
+
+        # key 1: values 50, 30, 30, 10 in order o=0..3; key 2: single row
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+                "o": pa.array([0, 1, 2, 3, 0], type=pa.int64()),
+                "v": pa.array([50, 30, 30, 10, 7], type=pa.int64()),
+            }
+        )
+        out = (
+            window_over_key(
+                ray.data.from_arrow(t), key="k", order_cols=["o"], value="v"
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        assert out.rn.tolist() == [1, 2, 3, 4, 1]
+        # competition rank desc with a tie at 30 -> [1, 2, 2, 4]
+        assert out.value_rank.tolist() == [1, 2, 2, 4, 1]
+        assert out.prev_value.tolist() == [-1, 50, 30, 30, -1]
+        assert out.cum_value.tolist() == [50, 80, 110, 120, 7]
