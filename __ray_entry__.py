@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_pairs": q.word_jaccard_pairs,
         "edit_distance_pairs": q.edit_distance_pairs,
         "customer_order_ranks": q.customer_order_ranks,
+        "redact_docs": q.redact_docs,
         "lineitem_agg": q.lineitem_agg,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk,
@@ -152,6 +153,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
                    jaccard(a.p, b.p) AS char_jacc
             FROM pfx a JOIN pfx b ON b.doc_id = a.doc_id + 1
+        """,
+        "redact_docs": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         'https?://[^\\s]+', '<URL>', 'g'),
+                       '[0-9]{3,}', '<NUM>', 'g'),
+                     '\\b(spark|window)\\b', '<MASK>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                      + len(regexp_extract_all(text, '[0-9]{3,}'))
+                      + len(regexp_extract_all(text, '\\b(spark|window)\\b')) AS BIGINT) AS n_masked
+            FROM documents
         """,
         "customer_order_ranks": """
             SELECT o_custkey, o_orderkey,

@@ -320,6 +320,33 @@ def customer_order_ranks(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
+                                         # synthetic corpus has no PII, so
+                                         # the canary-mask family is what
+                                         # makes the oracle row non-trivial
+
+
+def redact_docs(sf_dir: str) -> ray.data.Dataset:
+    """PII + contamination-string redaction: (doc_id, redacted, n_masked).
+    Vectorized RE2 over Arrow string columns (functions/redact.py); the
+    pattern list = email/URL/digit-run PII + a word-bounded canary list."""
+    from libpostal_ray.functions.redact import (
+        PII_PATTERNS,
+        mask_terms_pattern,
+        redact_column,
+    )
+
+    patterns = PII_PATTERNS + [(mask_terms_pattern(REDACT_MASK_TERMS), "<MASK>")]
+
+    def f(batch: pa.Table) -> pa.Table:
+        red, n = redact_column(batch["text"], patterns)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "redacted": red, "n_masked": n}
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ relational
 def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped aggregate with PARTIAL pre-aggregation: per-batch

@@ -58,6 +58,7 @@ ORACLE_QUERIES = [
     "word_jaccard_pairs",
     "edit_distance_pairs",
     "customer_order_ranks",
+    "redact_docs",
     "lineitem_agg",
     "events_hourly",
     "ann_topk",

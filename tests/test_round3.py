@@ -482,3 +482,59 @@ class TestWindowOverKey:
         assert out.value_rank.tolist() == [1, 2, 2, 4, 1]
         assert out.prev_value.tolist() == [-1, 50, 30, 30, -1]
         assert out.cum_value.tolist() == [50, 80, 110, 120, 7]
+
+
+class TestRedaction:
+    def test_planted_pii(self):
+        import pyarrow as pa
+
+        from libpostal_ray.functions.redact import (
+            PII_PATTERNS,
+            mask_terms_pattern,
+            redact_column,
+        )
+
+        pats = PII_PATTERNS + [(mask_terms_pattern(["secretcanary"]), "<MASK>")]
+        texts = pa.array(
+            [
+                "mail me at a.b+x@example.co.uk now",
+                "see https://ex.com/p?q=1 and http://x.io",
+                "call 5551234 ext 42 room 007",
+                "the secretcanary string and secretcanaries",
+                "clean text with nothing to hide",
+            ]
+        )
+        red, n = redact_column(texts, pats)
+        red = red.to_pylist()
+        assert red[0] == "mail me at <EMAIL> now"
+        assert red[1] == "see <URL> and <URL>"
+        assert red[2] == "call <NUM> ext 42 room <NUM>"  # {3,}: '42' kept
+        assert red[3] == "the <MASK> string and secretcanaries"  # \b bound
+        assert red[4] == "clean text with nothing to hide"
+        assert n.to_pylist() == [1, 2, 2, 1, 0]
+
+    def test_matches_duckdb_on_planted(self):
+        import duckdb
+
+        from libpostal_ray.functions.redact import PII_PATTERNS, redact_column
+        import pyarrow as pa
+
+        texts = [
+            "x 12345 y a@b.io https://q.z/1 33",
+            "no matches",
+            "a@b.cd e@f.gh 999",
+        ]
+        red, n = redact_column(pa.array(texts), PII_PATTERNS)
+        con = duckdb.connect()
+        for t, r, c in zip(texts, red.to_pylist(), n.to_pylist()):
+            want_r, want_c = con.sql(
+                """select regexp_replace(regexp_replace(regexp_replace(?,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     'https?://[^\\s]+', '<URL>', 'g'),
+                     '[0-9]{3,}', '<NUM>', 'g'),
+                   len(regexp_extract_all(?, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(?, 'https?://[^\\s]+'))
+                 + len(regexp_extract_all(?, '[0-9]{3,}'))""",
+                params=[t, t, t, t],
+            ).fetchone()
+            assert r == want_r and c == want_c, (t, r, want_r, c, want_c)
