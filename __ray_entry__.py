@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": q.edit_distance_pairs,
         "customer_order_ranks": q.customer_order_ranks,
         "redact_docs": q.redact_docs,
+        "users_with_both": q.users_with_both,
+        "users_without": q.users_without,
         "lineitem_agg": q.lineitem_agg,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk,
@@ -153,6 +155,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
                    jaccard(a.p, b.p) AS char_jacc
             FROM pfx a JOIN pfx b ON b.doc_id = a.doc_id + 1
+        """,
+        "users_with_both": """
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 95.0
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value >= 95.0
+        """,
+        "users_without": """
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 95.0
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value >= 95.0
         """,
         "redact_docs": """
             SELECT doc_id,

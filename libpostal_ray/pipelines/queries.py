@@ -729,6 +729,82 @@ def distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _user_type_flag_sums(
+    sf_dir: str, type_a: str, type_b: str, min_value: float
+) -> ray.data.Dataset:
+    """Per user: (user_id, a, b) with a/b > 0 iff the user has a qualifying
+    (type, value >= min_value) event.  Partial pre-agg inside map_batches
+    (per-batch group_by ORs the indicators) so the global shuffle carries
+    one skinny row per (batch, user), never the raw event stream — the
+    set-op building block."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.and_(
+            pc.is_in(et, value_set=pa.array([type_a, type_b])),
+            pc.greater_equal(batch["value"], min_value),
+        )
+        t = batch.filter(keep)
+        a = pc.cast(pc.equal(t["event_type"], type_a), pa.int64())
+        b = pc.cast(pc.equal(t["event_type"], type_b), pa.int64())
+        part = pa.table({"user_id": t["user_id"], "a": a, "b": b})
+        return part.group_by("user_id").aggregate([("a", "max"), ("b", "max")]).rename_columns(
+            ["user_id", "a", "b"]
+        )
+
+    agg = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum(on="a", alias_name="a"), Sum(on="b", alias_name="b"))
+    )
+    return agg
+
+
+SETOP_MIN_VALUE = 95.0  # qualifying-event threshold: the synthetic events
+                        # are dense (every user has every type), so the
+                        # set ops are only non-trivial over a value filter
+
+
+def users_with_both(
+    sf_dir: str,
+    type_a: str = "purchase",
+    type_b: str = "error",
+    min_value: float = SETOP_MIN_VALUE,
+) -> ray.data.Dataset:
+    """Set INTERSECT: distinct users with BOTH a qualifying ``type_a`` and
+    ``type_b`` event (§2.7 set ops; khash-set intersection analog,
+    dedupe.c:13-31 — expressed as a flag aggregate so it is one shuffle,
+    not two + a join)."""
+    agg = _user_type_flag_sums(sf_dir, type_a, type_b, min_value)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch["a"], 0), pc.greater(batch["b"], 0))
+        return pa.table({"user_id": batch.filter(keep)["user_id"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def users_without(
+    sf_dir: str,
+    type_a: str = "purchase",
+    type_b: str = "error",
+    min_value: float = SETOP_MIN_VALUE,
+) -> ray.data.Dataset:
+    """Set EXCEPT: distinct users with a qualifying ``type_a`` event and NO
+    qualifying ``type_b`` event — same single-shuffle flag aggregate,
+    different final filter."""
+    agg = _user_type_flag_sums(sf_dir, type_a, type_b, min_value)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch["a"], 0), pc.equal(batch["b"], 0))
+        return pa.table({"user_id": batch.filter(keep)["user_id"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-dup pairs over documents: (src, dst, hamming) with
     hamming <= max_hamming, found via chunk-key blocking (pigeonhole) —

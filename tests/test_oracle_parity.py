@@ -59,6 +59,8 @@ ORACLE_QUERIES = [
     "edit_distance_pairs",
     "customer_order_ranks",
     "redact_docs",
+    "users_with_both",
+    "users_without",
     "lineitem_agg",
     "events_hourly",
     "ann_topk",
