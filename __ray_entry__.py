@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_quantiles": q.priority_price_quantiles,
         "repetition_stats": q.repetition_stats,
         "lineitem_rollup": q.lineitem_rollup,
+        "orders_cube": q.orders_cube,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -276,6 +277,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "orders_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents,
+                   count(*) AS n
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "repetition_stats": """
             WITH lines AS (

@@ -1132,6 +1132,61 @@ def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) — all four grouping
+    sets from ONE distributed aggregate at the finest grain (same
+    single-scan physical plan as lineitem_rollup, plus the (ALL, p)
+    cross-slice a ROLLUP lacks).  Rolled-up slots are 'ALL'."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_cents": pa.array(cents),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("price_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "price_cents", "n"]
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    meas = ["price_cents", "n"]
+    by_s = fine.groupby("o_orderstatus", as_index=False)[meas].sum()
+    by_s["o_orderpriority"] = "ALL"
+    by_p = fine.groupby("o_orderpriority", as_index=False)[meas].sum()
+    by_p["o_orderstatus"] = "ALL"
+    total = fine[meas].sum().to_frame().T
+    total["o_orderstatus"] = "ALL"
+    total["o_orderpriority"] = "ALL"
+    cols = ["o_orderstatus", "o_orderpriority", *meas]
+    out = pd.concat(
+        [fine[cols], by_s[cols], by_p[cols], total[cols]], ignore_index=True
+    )
+    for m in meas:
+        out[m] = out[m].astype("int64")
+    return out
+
+
 def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     """Within-document repetition signals — the Gopher-style quality-filter
     family (dup-line fraction, most-common-line/word coverage) used to drop

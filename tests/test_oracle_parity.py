@@ -83,6 +83,7 @@ ORACLE_QUERIES = [
     "priority_price_quantiles",
     "repetition_stats",
     "lineitem_rollup",
+    "orders_cube",
 ]
 
 
