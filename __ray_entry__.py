@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_ranks": q.customer_order_ranks,
         "redact_docs": q.redact_docs,
         "users_with_both": q.users_with_both,
+        "user_event_pivot": q.user_event_pivot,
         "users_without": q.users_without,
         "lineitem_agg": q.lineitem_agg,
         "events_hourly": q.events_hourly,
@@ -156,6 +157,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
                    jaccard(a.p, b.p) AS char_jacc
             FROM pfx a JOIN pfx b ON b.doc_id = a.doc_id + 1
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS milli_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS milli_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS milli_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS milli_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 1000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS milli_view
+            FROM events GROUP BY user_id
         """,
         "users_with_both": """
             SELECT user_id FROM events

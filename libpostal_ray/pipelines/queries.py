@@ -729,6 +729,44 @@ def distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT events on event_type: one row per user with per-type event
+    counts and per-type value sums (milli-units).  Conditional aggregation
+    — the pivot columns become indicator measures inside the partial
+    pre-agg, so the plan is ONE scan + ONE skinny groupby regardless of
+    pivot width; no per-type scans, no join."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    n_cols = [f"n_{t}" for t in EVENT_TYPES]
+    v_cols = [f"milli_{t}" for t in EVENT_TYPES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        milli = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        cols = {"user_id": batch["user_id"]}
+        for t, nc, vc in zip(EVENT_TYPES, n_cols, v_cols):
+            m = et == t
+            cols[nc] = pa.array(m.astype(np.int64))
+            cols[vc] = pa.array(np.where(m, milli, 0))
+        t_ = pa.table(cols)
+        g = pa.TableGroupBy(t_, "user_id").aggregate(
+            [(c, "sum") for c in (*n_cols, *v_cols)]
+        )
+        return g.rename_columns(["user_id", *n_cols, *v_cols])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*(Sum(c, alias_name=c) for c in (*n_cols, *v_cols)))
+    )
+
+
 def _user_type_flag_sums(
     sf_dir: str, type_a: str, type_b: str, min_value: float
 ) -> ray.data.Dataset:

@@ -60,6 +60,7 @@ ORACLE_QUERIES = [
     "customer_order_ranks",
     "redact_docs",
     "users_with_both",
+    "user_event_pivot",
     "users_without",
     "lineitem_agg",
     "events_hourly",
