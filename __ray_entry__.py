@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": q.dedup_report,
         "near_dupe_clusters_with_spans": q.near_dupe_clusters_with_spans,
         "expand_multi_forms": q.expand_multi_forms,
+        "approx_distinct_users_hll": q.approx_distinct_users_hll,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

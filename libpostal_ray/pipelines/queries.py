@@ -843,6 +843,62 @@ def users_without(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def approx_distinct_users_hll(sf_dir: str) -> ray.data.Dataset:
+    """Approximate count-distinct per event_type via HyperLogLog
+    (functions/hll.py): each batch ships ONE 4 KB register row per type,
+    the per-type merge is an elementwise max — at 100 TB the exchange
+    volume is (batches x types x 4 KB) instead of every distinct user id.
+    Rows-only (approximate by design); the error bound is pytest-covered
+    against the exact distinct_users oracle query."""
+    from libpostal_ray.functions.hashing import mix_fold_u64
+    from libpostal_ray.functions.hll import (
+        HLL_P,
+        add_hashes,
+        empty_registers,
+        estimate,
+        merge_registers,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix_fold_u64([uid.astype(np.uint64)], salt=0x48_4C_4C)
+        types, regs = [], []
+        for t in np.unique(et):
+            reg = empty_registers()
+            add_hashes(reg, h[et == t])
+            types.append(str(t))
+            regs.append(reg.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "reg": pa.array(regs, type=pa.binary(1 << HLL_P)),
+            }
+        )
+
+    def reduce_type(group: pa.Table) -> pa.Table:
+        regs = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in group["reg"].to_pylist()]
+        )
+        n = int(round(estimate(merge_registers(regs))))
+        return pa.table(
+            {
+                "event_type": group["event_type"][:1],
+                "n_users_approx": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(reduce_type, batch_format="pyarrow")
+    )
+
+
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-dup pairs over documents: (src, dst, hamming) with
     hamming <= max_hamming, found via chunk-key blocking (pigeonhole) —

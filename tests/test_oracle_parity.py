@@ -127,6 +127,7 @@ ROWS_ONLY = [
     "dedup_report",
     "near_dupe_clusters_with_spans",
     "expand_multi_forms",
+    "approx_distinct_users_hll",
 ]
 
 

@@ -538,3 +538,64 @@ class TestRedaction:
                 params=[t, t, t, t],
             ).fetchone()
             assert r == want_r and c == want_c, (t, r, want_r, c, want_c)
+
+
+class TestHLL:
+    def test_error_bound_across_cardinalities(self):
+        import numpy as np
+
+        from libpostal_ray.functions.hll import (
+            add_hashes,
+            empty_registers,
+            estimate,
+            merge_registers,
+        )
+        from libpostal_ray.functions.hashing import mix_fold_u64
+
+        rng = np.random.default_rng(11)
+        for true_n in (50, 1_000, 50_000, 500_000):
+            vals = rng.choice(10_000_000, size=true_n, replace=False).astype(
+                np.uint64
+            )
+            h = mix_fold_u64([vals], salt=0x48)
+            # split into 7 shards, sketch each, merge — exercises mergeability
+            regs = []
+            for shard in np.array_split(h, 7):
+                reg = empty_registers()
+                regs.append(add_hashes(reg, shard))
+            est = estimate(merge_registers(np.stack(regs)))
+            rel = abs(est - true_n) / true_n
+            assert rel < 0.05, (true_n, est, rel)
+
+    def test_merge_equals_single_pass(self):
+        import numpy as np
+
+        from libpostal_ray.functions.hll import add_hashes, empty_registers, merge_registers
+        from libpostal_ray.functions.hashing import mix_fold_u64
+
+        h = mix_fold_u64([np.arange(10_000, dtype=np.uint64)], salt=1)
+        one = add_hashes(empty_registers(), h)
+        parts = [add_hashes(empty_registers(), s) for s in np.array_split(h, 5)]
+        assert (merge_registers(np.stack(parts)) == one).all()
+
+    def test_query_close_to_exact(self, ray_session):
+        from libpostal_ray.pipelines.queries import (
+            approx_distinct_users_hll,
+            distinct_users,
+        )
+
+        approx = (
+            approx_distinct_users_hll("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("event_type")
+            .n_users_approx
+        )
+        exact = (
+            distinct_users("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("event_type")
+            .n_users
+        )
+        for t in exact.index:
+            rel = abs(approx[t] - exact[t]) / max(exact[t], 1)
+            assert rel < 0.05, (t, approx[t], exact[t])
