@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_shingles": q.ngram_shingles,
         "word_jaccard_pairs": q.word_jaccard_pairs,
         "edit_distance_pairs": q.edit_distance_pairs,
+        "doc_token_positions": q.doc_token_positions,
         "customer_order_ranks": q.customer_order_ranks,
         "redact_docs": q.redact_docs,
         "users_with_both": q.users_with_both,
@@ -149,6 +150,12 @@ def oracle_sql() -> dict[str, str]:
                               - length(list_intersect(a.ws, b.ws)) AS DOUBLE),
                          6) AS jaccard
             FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "doc_token_positions": """
+            SELECT doc_id,
+                   unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) + 1)) AS pos,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents
         """,
         "edit_distance_pairs": """
             WITH pfx AS (

@@ -206,6 +206,38 @@ def word_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(jac, batch_format="pyarrow")
 
 
+def doc_token_positions(sf_dir: str) -> ray.data.Dataset:
+    """Explode documents to one row per token: (doc_id, pos, token).
+    The flat_map/unnest operator, done Arrow-native: split_pattern_regex ->
+    list_flatten + list_parent_indices + offset-derived positions — zero
+    Python per row, output blocks stream (nothing aggregates)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(batch["text"])
+        lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = offsets[:-1]
+        total = int(offsets[-1])
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, np.diff(offsets))
+            + 1
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(batch["doc_id"], parent),
+                "pos": pa.array(pos, type=pa.int64()),
+                "token": flat,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
 EDIT_PREFIX_CHARS = 120  # edit-distance pair scoring runs on a bounded
                          # prefix: the DP is O(len^2) per pair and the
                          # operator's contract is candidate-pair scoring,

@@ -57,6 +57,7 @@ ORACLE_QUERIES = [
     "ngram_shingles",
     "word_jaccard_pairs",
     "edit_distance_pairs",
+    "doc_token_positions",
     "customer_order_ranks",
     "redact_docs",
     "users_with_both",
