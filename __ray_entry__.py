@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_docs": q.lang_top_docs,
         "order_customer_nation": q.order_customer_nation,
         "customers_without_orders": q.customers_without_orders,
+        "customers_without_orders_bloom": q.customers_without_orders_bloom,
         "priority_price_quantiles": q.priority_price_quantiles,
         "repetition_stats": q.repetition_stats,
         "lineitem_rollup": q.lineitem_rollup,
@@ -432,6 +433,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.n_name
         """,
         "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+            )
+        """,
+        "customers_without_orders_bloom": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders o

@@ -2032,6 +2032,76 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     return cust.map_batches(anti, batch_format="pyarrow")
 
 
+def customers_without_orders_bloom(sf_dir: str) -> ray.data.Dataset:
+    """The same anti-join, bloom-pruned (functions/bloom.py): a fixed-size
+    bloom over the order-side keys is broadcast and tested FIRST inside the
+    customer map — bloom misses are definite non-members and skip the exact
+    membership probe entirely; only bloom hits (members + ~0.8% false
+    positives) touch the sorted-key array.  Output-identical to
+    customers_without_orders (same oracle SQL); at 100 TB the bloom is what
+    stays broadcastable when the exact build side no longer is."""
+    import ray as _ray
+
+    from libpostal_ray.functions.bloom import (
+        bloom_bits,
+        bloom_build,
+        bloom_contains,
+    )
+
+    okeys_ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+        )
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .filter(expr="o_orderstatus == 'F'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    @_ray.remote
+    def build(*blocks):
+        blocks = [
+            b for b in blocks if b.num_rows > 0 and "o_custkey" in b.column_names
+        ]
+        if not blocks:
+            return np.zeros(8, dtype=np.uint8), np.empty(0, dtype=np.int64)
+        keys = np.sort(
+            np.concatenate(
+                [
+                    b.column("o_custkey").to_numpy(zero_copy_only=False)
+                    for b in blocks
+                ]
+            ).astype(np.int64)
+        )
+        return bloom_build(keys, bloom_bits(keys.shape[0])), keys
+
+    ref = build.remote(*okeys_ds.materialize().to_arrow_refs())
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        bloom, have = _ray.get(ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        maybe = bloom_contains(bloom, ck)
+        hit = np.zeros(ck.shape[0], dtype=bool)
+        if maybe.any() and have.shape[0]:
+            sub = ck[maybe]
+            pos = np.searchsorted(have, sub)
+            posc = np.clip(pos, 0, have.shape[0] - 1)
+            hit[maybe] = (pos < have.shape[0]) & (have[posc] == sub)
+        keep = pa.array(~hit)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].filter(keep),
+                "c_name": batch["c_name"].filter(keep),
+            }
+        )
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
 def priority_price_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group discrete quantiles: median and p90 of order price
     cents per o_orderpriority (+ count).  quantile_disc semantics: the

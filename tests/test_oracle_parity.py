@@ -82,6 +82,7 @@ ORACLE_QUERIES = [
     "lang_top_docs",
     "order_customer_nation",
     "customers_without_orders",
+    "customers_without_orders_bloom",
     "priority_price_quantiles",
     "repetition_stats",
     "lineitem_rollup",

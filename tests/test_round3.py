@@ -599,3 +599,31 @@ class TestHLL:
         for t in exact.index:
             rel = abs(approx[t] - exact[t]) / max(exact[t], 1)
             assert rel < 0.05, (t, approx[t], exact[t])
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        import numpy as np
+
+        from libpostal_ray.functions.bloom import (
+            bloom_bits,
+            bloom_build,
+            bloom_contains,
+            bloom_merge,
+        )
+
+        rng = np.random.default_rng(5)
+        members = rng.choice(10_000_000, size=20_000, replace=False).astype(np.int64)
+        others = np.setdiff1d(
+            rng.choice(10_000_000, size=40_000, replace=False).astype(np.int64),
+            members,
+        )
+        m = bloom_bits(members.shape[0])
+        # build from 6 shards, OR-merge (the distributed build path)
+        parts = np.stack(
+            [bloom_build(s, m) for s in np.array_split(members, 6)]
+        )
+        bloom = bloom_merge(parts)
+        assert bloom_contains(bloom, members).all()       # no false negatives
+        fp = bloom_contains(bloom, others).mean()
+        assert fp < 0.02, fp                              # ~0.8% expected
