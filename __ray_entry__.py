@@ -217,6 +217,10 @@ def oracle_sql() -> dict[str, str]:
                    rank() OVER (PARTITION BY o_custkey
                                 ORDER BY CAST(floor(o_totalprice * 100.0) AS BIGINT) DESC
                                ) AS price_rank,
+                   dense_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(floor(o_totalprice * 100.0) AS BIGINT) DESC
+                               ) AS price_dense_rank,
+                   ntile(4) OVER w AS date_ntile,
                    coalesce(lag(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER w,
                             -1) AS prev_price_cents,
                    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))

@@ -344,6 +344,8 @@ def customer_order_ranks(sf_dir: str) -> ray.data.Dataset:
                 "o_orderkey": batch["o_orderkey"],
                 "rn": batch["rn"],
                 "price_rank": batch["value_rank"],
+                "price_dense_rank": batch["dense_rank"],
+                "date_ntile": batch["ntile"],
                 "prev_price_cents": batch["prev_value"],
                 "cum_price_cents": batch["cum_value"],
             }

@@ -50,6 +50,7 @@ def window_over_key(
     value: str,
     *,
     lag_fill: int = -1,
+    ntile_n: int = 4,
     partitions: int = WINDOW_PARTITIONS,
 ) -> ray.data.Dataset:
     """Compute (rn, value_rank, prev_value, cum_value) per ``key`` group.
@@ -57,9 +58,12 @@ def window_over_key(
     ``order_cols`` define the in-group order (must be int64-able and make
     the order total for deterministic rn); ``value`` is an int64 measure.
     rank() is competition rank over value DESC (ties share the smallest
-    position); lag is the previous row's value in window order
+    position); dense_rank packs the tie runs; ntile buckets the rn order
+    into ``ntile_n`` near-equal groups (larger groups first, SQL NTILE
+    semantics); lag is the previous row's value in window order
     (``lag_fill`` for the first row — avoids cross-engine NULL handling).
-    Output: key, order_cols..., rn, value_rank, prev_value, cum_value.
+    Output: key, order_cols..., rn, value_rank, dense_rank, ntile,
+    prev_value, cum_value.
     """
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -74,7 +78,14 @@ def window_over_key(
             empty = {key: pa.array([], type=pa.int64())}
             for c in order_cols:
                 empty[c] = pa.array([], type=pa.int64())
-            for c in ("rn", "value_rank", "prev_value", "cum_value"):
+            for c in (
+                "rn",
+                "value_rank",
+                "dense_rank",
+                "ntile",
+                "prev_value",
+                "cum_value",
+            ):
                 empty[c] = pa.array([], type=pa.int64())
             return pa.table(empty)
         k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -112,12 +123,32 @@ def window_over_key(
         rank = np.empty(n, dtype=np.int64)
         rank[order2] = run_pos + 1
         rank = rank[order]
+        # dense_rank: count of tie runs so far within the segment
+        runs_cum = np.cumsum(new_run)
+        drank = np.empty(n, dtype=np.int64)
+        drank[order2] = runs_cum - runs_cum[_seg_offset(new_seg2)] + 1
+        drank = drank[order]
+        # ntile over the rn order — exact SQL semantics: with q = n//B and
+        # r = n%B, the FIRST r buckets take q+1 rows, the rest take q
+        # (cross-checked vs DuckDB in the oracle row)
+        seg_lens = np.diff(np.concatenate((np.flatnonzero(new_seg), [n])))
+        seg_size = np.repeat(seg_lens, seg_lens)
+        q, r = seg_size // ntile_n, seg_size % ntile_n
+        big_span = r * (q + 1)  # rows covered by the q+1-sized buckets
+        in_big = (rn - 1) < big_span
+        ntile = np.where(
+            in_big,
+            (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + (rn - 1 - big_span) // np.maximum(q, 1) + 1,
+        )
 
         cols = {key: pa.array(ks, type=pa.int64())}
         for c, arr in zip(order_cols, ords):
             cols[c] = pa.array(arr[order], type=pa.int64())
         cols["rn"] = pa.array(rn, type=pa.int64())
         cols["value_rank"] = pa.array(rank, type=pa.int64())
+        cols["dense_rank"] = pa.array(drank, type=pa.int64())
+        cols["ntile"] = pa.array(ntile, type=pa.int64())
         cols["prev_value"] = pa.array(prev, type=pa.int64())
         cols["cum_value"] = pa.array(cum_value, type=pa.int64())
         return pa.table(cols)

@@ -627,3 +627,31 @@ class TestBloom:
         assert bloom_contains(bloom, members).all()       # no false negatives
         fp = bloom_contains(bloom, others).mean()
         assert fp < 0.02, fp                              # ~0.8% expected
+
+    def test_dense_rank_and_ntile_small(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.window import window_over_key
+
+        # one key, 5 rows, values 9,9,7,7,7 (rn order = o)
+        t = pa.table(
+            {
+                "k": pa.array([1] * 5, type=pa.int64()),
+                "o": pa.array(list(range(5)), type=pa.int64()),
+                "v": pa.array([9, 9, 7, 7, 7], type=pa.int64()),
+            }
+        )
+        out = (
+            window_over_key(
+                ray.data.from_arrow(t), key="k", order_cols=["o"], value="v",
+                ntile_n=3,
+            )
+            .to_pandas()
+            .sort_values("o")
+            .reset_index(drop=True)
+        )
+        assert out.value_rank.tolist() == [1, 1, 3, 3, 3]
+        assert out.dense_rank.tolist() == [1, 1, 2, 2, 2]
+        # n=5, B=3 -> sizes [2,2,1]
+        assert out.ntile.tolist() == [1, 1, 2, 2, 3]
