@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_pairs": q.word_jaccard_pairs,
         "edit_distance_pairs": q.edit_distance_pairs,
         "doc_token_positions": q.doc_token_positions,
+        "boilerplate_ngrams": q.boilerplate_ngrams,
+        "quality_filter": q.quality_filter,
         "customer_order_ranks": q.customer_order_ranks,
         "redact_docs": q.redact_docs,
         "users_with_both": q.users_with_both,
@@ -61,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_nation": q.order_customer_nation,
         "customers_without_orders": q.customers_without_orders,
         "customers_without_orders_bloom": q.customers_without_orders_bloom,
+        "nation_customer_names": q.nation_customer_names,
         "priority_price_quantiles": q.priority_price_quantiles,
         "repetition_stats": q.repetition_stats,
         "lineitem_rollup": q.lineitem_rollup,
@@ -151,6 +154,39 @@ def oracle_sql() -> dict[str, str]:
                               - length(list_intersect(a.ws, b.ws)) AS DOUBLE),
                          6) AS jaccard
             FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "quality_filter": """
+            WITH w AS (
+                SELECT doc_id, count(w) AS n_words,
+                       count(DISTINCT w) AS n_distinct_words
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                      FROM documents)
+                GROUP BY doc_id
+            ),
+            d AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_distinct_words, alpha_chars
+            FROM w JOIN d USING (doc_id)
+            WHERE n_words BETWEEN 20 AND 80
+              AND n_distinct_words * 10 >= n_words * 4
+              AND alpha_chars * 100 >= n_chars * 82
+        """,
+        "boilerplate_ngrams": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+                FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                      FROM toks)
+            )
+            SELECT gram, count(*) AS n_docs
+            FROM grams GROUP BY gram HAVING count(*) >= 3
         """,
         "doc_token_positions": """
             SELECT doc_id,
@@ -442,6 +478,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
             )
+        """,
+        "nation_customer_names": """
+            SELECT c_nationkey, count(*) AS n_customers,
+                   string_agg(c_name, ',' ORDER BY c_name) AS names
+            FROM customer GROUP BY c_nationkey
         """,
         "customers_without_orders_bloom": """
             SELECT c_custkey, c_name FROM customer c

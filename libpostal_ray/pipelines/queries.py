@@ -117,6 +117,39 @@ def quality_stats(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style document quality gate: keep docs passing ALL of
+    (a) 20 <= n_words <= 80, (b) distinct-word ratio >= 0.4,
+    (c) alpha-char ratio >= 0.82 — every comparison in integers so the
+    oracle row is exact.  The pre-training filter stage: one streaming
+    map_batches, no shuffle; drop reasons stay auditable via the carried
+    feature columns."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        feats = quality_features(batch["text"].to_pylist())
+        n_words = np.asarray(feats["n_words"], dtype=np.int64)
+        n_dist = np.asarray(feats["n_distinct_words"], dtype=np.int64)
+        n_chars = np.asarray(feats["n_chars"], dtype=np.int64)
+        alpha = np.asarray(feats["alpha_chars"], dtype=np.int64)
+        keep = (
+            (n_words >= 20)
+            & (n_words <= 80)
+            & (n_dist * 10 >= n_words * 4)
+            & (alpha * 100 >= n_chars * 82)
+        )
+        k = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(k),
+                "n_words": pa.array(n_words[keep]),
+                "n_distinct_words": pa.array(n_dist[keep]),
+                "alpha_chars": pa.array(alpha[keep]),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def lang_count(sf_dir: str) -> ray.data.Dataset:
     return (
         _docs(sf_dir)
@@ -236,6 +269,45 @@ def doc_token_positions(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+def boilerplate_ngrams(sf_dir: str, min_docs: int = 3) -> ray.data.Dataset:
+    """Cross-document boilerplate: word-5-grams appearing in >= ``min_docs``
+    DISTINCT documents -> (gram, n_docs).  The corpus-level repeated-phrase
+    detector a filtering pipeline runs before training (license headers,
+    navigation chrome, template prose).
+
+    Plan: per-doc DISTINCT grams (each doc lives in one batch, so a
+    per-batch group_by partial-counts docs-per-gram), one skinny global
+    groupby(gram) sum, then the threshold filter.  Gram strings shuffle
+    here for char-exact SQL parity; the at-scale variant ships 8-byte gram
+    hashes instead (rolling_shingle_hashes / fingerprint_counts) — same
+    plan, 1/10 the exchange bytes."""
+
+    def grams_of(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            tk = (t or "").split()
+            out.extend({" ".join(tk[j : j + 5]) for j in range(len(tk) - 4)})
+        part = pa.table(
+            {
+                "gram": pa.array(out, type=pa.string()),
+                "n_docs": pa.array(np.ones(len(out), dtype=np.int64)),
+            }
+        )
+        return (
+            pa.TableGroupBy(part, "gram")
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["gram", "n_docs"])
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(grams_of, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.filter(expr=f"n_docs >= {min_docs}")
 
 
 EDIT_PREFIX_CHARS = 120  # edit-distance pair scoring runs on a bounded
@@ -2032,6 +2104,30 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
         )
 
     return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def nation_customer_names(sf_dir: str) -> ray.data.Dataset:
+    """Ordered string aggregation (collect): per nation, the comma-joined
+    sorted customer-name list plus the count.  Group count is bounded by
+    the nation table (25), so the per-group Python join is a fixed cost —
+    the one groupby shape in this repo where map_groups per KEY is fine by
+    construction (contrast the key%P discipline everywhere cardinality is
+    data-dependent)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_name"]
+    )
+
+    def agg(group: pa.Table) -> pa.Table:
+        names = sorted(group["c_name"].to_pylist())
+        return pa.table(
+            {
+                "c_nationkey": group["c_nationkey"][:1],
+                "n_customers": pa.array([len(names)], type=pa.int64()),
+                "names": pa.array([",".join(names)], type=pa.string()),
+            }
+        )
+
+    return ds.groupby("c_nationkey").map_groups(agg, batch_format="pyarrow")
 
 
 def customers_without_orders_bloom(sf_dir: str) -> ray.data.Dataset:

@@ -58,6 +58,8 @@ ORACLE_QUERIES = [
     "word_jaccard_pairs",
     "edit_distance_pairs",
     "doc_token_positions",
+    "boilerplate_ngrams",
+    "quality_filter",
     "customer_order_ranks",
     "redact_docs",
     "users_with_both",
@@ -83,6 +85,7 @@ ORACLE_QUERIES = [
     "order_customer_nation",
     "customers_without_orders",
     "customers_without_orders_bloom",
+    "nation_customer_names",
     "priority_price_quantiles",
     "repetition_stats",
     "lineitem_rollup",
