@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dupe_clusters_with_spans": q.near_dupe_clusters_with_spans,
         "expand_multi_forms": q.expand_multi_forms,
         "approx_distinct_users_hll": q.approx_distinct_users_hll,
+        "heavy_hitter_tokens": q.heavy_hitter_tokens,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

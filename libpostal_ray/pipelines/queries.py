@@ -949,6 +949,60 @@ def users_without(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def heavy_hitter_tokens(sf_dir: str, k: int = 20, m: int = 256) -> pd.DataFrame:
+    """Approximate top-k tokens by corpus frequency via Misra-Gries
+    (functions/heavyhitters.py): each batch ships <= m counter rows (plus
+    its decrement), one merge task re-prunes — the exchange is O(batches x
+    m), never the vocabulary.  Returns (token, cnt_min, cnt_max): true
+    count is guaranteed inside the range; any token with frequency >
+    N/(m+1) is guaranteed present.  Rows-only (approximate by design; the
+    guarantee is pytest-covered against exact counts)."""
+    from libpostal_ray.functions.heavyhitters import mg_merge, mg_prune
+
+    ERR_TOKEN = "\x00__mg_err__"
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(batch["text"])
+        lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        t = pa.table({"token": flat})
+        g = pa.TableGroupBy(t, "token").aggregate([([], "count_all")])
+        toks = np.asarray(g["token"].to_pylist(), dtype=object)
+        cnts = g.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        items, counts, dec = mg_prune(toks, cnts, m)
+        out_t = list(items) + [ERR_TOKEN]
+        out_c = list(counts) + [dec]
+        return pa.table(
+            {
+                "token": pa.array(out_t, type=pa.string()),
+                "cnt": pa.array(np.asarray(out_c, dtype=np.int64)),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .map_batches(summarize, batch_format="pyarrow")
+        .to_pandas()  # <= (m+1) x batches rows — the summaries, not the data
+    )
+    err_rows = rows.token == ERR_TOKEN
+    batch_err = int(rows.cnt[err_rows].sum())
+    rows = rows[~err_rows]
+    items, counts, merge_dec = mg_merge(
+        [(rows.token.to_numpy(), rows.cnt.to_numpy())], m
+    )
+    total_err = batch_err + merge_dec
+    top = np.argsort(counts)[::-1][:k]
+    return pd.DataFrame(
+        {
+            "token": items[top],
+            "cnt_min": counts[top],
+            "cnt_max": counts[top] + total_err,
+        }
+    )
+
+
 def approx_distinct_users_hll(sf_dir: str) -> ray.data.Dataset:
     """Approximate count-distinct per event_type via HyperLogLog
     (functions/hll.py): each batch ships ONE 4 KB register row per type,

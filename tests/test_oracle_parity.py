@@ -133,6 +133,7 @@ ROWS_ONLY = [
     "near_dupe_clusters_with_spans",
     "expand_multi_forms",
     "approx_distinct_users_hll",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -655,3 +655,53 @@ class TestBloom:
         assert out.dense_rank.tolist() == [1, 1, 2, 2, 2]
         # n=5, B=3 -> sizes [2,2,1]
         assert out.ntile.tolist() == [1, 1, 2, 2, 3]
+
+
+class TestHeavyHitters:
+    def test_mg_guarantee_zipf(self):
+        import numpy as np
+
+        from libpostal_ray.functions.heavyhitters import mg_merge, mg_prune
+
+        rng = np.random.default_rng(3)
+        # zipfian stream over 5000 items
+        stream = rng.zipf(1.3, size=200_000) % 5000
+        items, exact = np.unique(stream, return_counts=True)
+        m = 256
+        # shard into 9, prune each, merge — the distributed path
+        shards, errs = [], 0
+        for s in np.array_split(stream, 9):
+            it, ct = np.unique(s, return_counts=True)
+            it2, ct2, dec = mg_prune(it, ct, m)
+            shards.append((it2, ct2))
+            errs += dec
+        mi, mc, mdec = mg_merge(shards, m)
+        errs += mdec
+        reported = dict(zip(mi.tolist(), mc.tolist()))
+        n = stream.shape[0]
+        for it, ex in zip(items, exact):
+            if ex > n // (m + 1):  # guaranteed survivors
+                assert it in reported, (it, ex)
+            if it in reported:
+                lo = reported[it]
+                assert lo <= ex <= lo + errs, (it, ex, lo, errs)
+
+    def test_query_top_tokens_match_exact(self, ray_session):
+        import duckdb
+
+        from libpostal_ray.pipelines.queries import heavy_hitter_tokens
+
+        df = heavy_hitter_tokens("/root/testdata/sf0.001", k=10)
+        con = duckdb.connect()
+        exact = dict(
+            con.sql(
+                """SELECT w, count(*) FROM (SELECT unnest(
+                     regexp_split_to_array(trim(text), '\\s+')) AS w
+                   FROM '/root/testdata/sf0.001/documents.parquet')
+                   GROUP BY w ORDER BY count(*) DESC"""
+            ).fetchall()
+        )
+        top_exact = sorted(exact, key=exact.get, reverse=True)[:10]
+        assert set(df.token) == set(top_exact)
+        for t, lo, hi in df.itertuples(index=False):
+            assert lo <= exact[t] <= hi, (t, lo, exact[t], hi)
