@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": q.boilerplate_ngrams,
         "quality_filter": q.quality_filter,
         "customer_order_ranks": q.customer_order_ranks,
+        "event_value_histogram": q.event_value_histogram,
+        "orders_by_month": q.orders_by_month,
+        "props_key_stats": q.props_key_stats,
         "redact_docs": q.redact_docs,
         "users_with_both": q.users_with_both,
         "user_event_pivot": q.user_event_pivot,
@@ -231,6 +234,24 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id FROM events
             WHERE event_type = 'error' AND value >= 95.0
+        """,
+        "event_value_histogram": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "orders_by_month": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                   CAST(month(o_orderdate) AS BIGINT) AS month,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents
+            FROM orders GROUP BY 1, 2
+        """,
+        "props_key_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "redact_docs": """
             SELECT doc_id,

@@ -176,6 +176,15 @@ def run_bench() -> dict:
     timed("order_customer_nation", q.order_customer_nation)
     timed("priority_price_quantiles", q.priority_price_quantiles)
     timed("repetition_stats", q.repetition_stats)
+    timed("customer_order_ranks", q.customer_order_ranks)
+    timed("redact_docs", q.redact_docs)
+    timed("doc_token_positions", q.doc_token_positions)
+    timed("boilerplate_ngrams", q.boilerplate_ngrams)
+    timed("user_event_pivot", q.user_event_pivot)
+    timed(
+        "heavy_hitter_tokens",
+        lambda d: __import__("ray").data.from_pandas(q.heavy_hitter_tokens(d)),
+    )
 
     ray.shutdown()
     return {

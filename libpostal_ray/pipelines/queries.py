@@ -377,6 +377,109 @@ def edit_distance_pairs(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+def event_value_histogram(sf_dir: str, width: float = 25.0) -> ray.data.Dataset:
+    """Fixed-width histogram of event values: (bucket, n).  The profiling
+    primitive — one vectorized floor-divide per batch, partial pre-agg,
+    one tiny groupby (bucket count is bounded by the value range, not the
+    data)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / width).astype(np.int64)
+        t = pa.table(
+            {
+                "bucket": pa.array(b),
+                "n": pa.array(np.ones(b.shape[0], dtype=np.int64)),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, "bucket")
+            .aggregate([("n", "sum")])
+            .rename_columns(["bucket", "n"])
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def orders_by_month(sf_dir: str) -> ray.data.Dataset:
+    """Temporal rollup by calendar parts: (year, month, n, price_cents).
+    Arrow's year()/month() kernels on the timestamp column — the date_part
+    scalar family, partial pre-agg as everywhere."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["o_orderdate"]).cast(pa.int64())
+        m = pc.month(batch["o_orderdate"]).cast(pa.int64())
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "year": y,
+                "month": m,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "price_cents": pa.array(cents),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["year", "month"])
+            .aggregate([("n", "sum"), ("price_cents", "sum")])
+            .rename_columns(["year", "month", "n", "price_cents"])
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["year", "month"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("price_cents", alias_name="price_cents")
+        )
+    )
+
+
+def props_key_stats(sf_dir: str) -> ray.data.Dataset:
+    """JSON field extraction + aggregate: per event_type, count / sum / max
+    of the integer ``k`` in the props JSON.  Extraction is one vectorized
+    RE2 pass (pc.extract_regex) — the semi-structured-column pattern; the
+    oracle uses DuckDB's json_extract on the same rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_k": k,
+                "max_k": k,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, "event_type")
+            .aggregate([("n", "sum"), ("sum_k", "sum"), ("max_k", "max")])
+            .rename_columns(["event_type", "n", "sum_k", "max_k"])
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
 def customer_order_ranks(sf_dir: str) -> ray.data.Dataset:
     """Window functions over orders: per customer in (o_orderdate,
     o_orderkey) order — row_number, competition rank by price DESC,

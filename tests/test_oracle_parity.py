@@ -61,6 +61,9 @@ ORACLE_QUERIES = [
     "boilerplate_ngrams",
     "quality_filter",
     "customer_order_ranks",
+    "event_value_histogram",
+    "orders_by_month",
+    "props_key_stats",
     "redact_docs",
     "users_with_both",
     "user_event_pivot",
