@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q.customers_without_orders,
         "customers_without_orders_bloom": q.customers_without_orders_bloom,
         "nation_customer_names": q.nation_customer_names,
+        "all_party_names": q.all_party_names,
+        "customers_with_big_order": q.customers_with_big_order,
         "priority_price_quantiles": q.priority_price_quantiles,
         "repetition_stats": q.repetition_stats,
         "lineitem_rollup": q.lineitem_rollup,
@@ -499,6 +501,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+            )
+        """,
+        "all_party_names": """
+            SELECT c_name AS name FROM customer
+            UNION
+            SELECT s_name AS name FROM supplier
+        """,
+        "customers_with_big_order": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 450000.0
             )
         """,
         "nation_customer_names": """

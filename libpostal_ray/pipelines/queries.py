@@ -2263,6 +2263,96 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     return cust.map_batches(anti, batch_format="pyarrow")
 
 
+def all_party_names(sf_dir: str) -> ray.data.Dataset:
+    """UNION (distinct) across two tables: customer and supplier names as
+    one deduplicated name column — Dataset.union + the exact-dedup groupby
+    (completes the set-op family: union / intersect / except)."""
+    c = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
+    ).map_batches(
+        lambda b: pa.table({"name": b["c_name"]}), batch_format="pyarrow"
+    )
+    s = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_name"]
+    ).map_batches(
+        lambda b: pa.table({"name": b["s_name"]}), batch_format="pyarrow"
+    )
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return batch.group_by("name").aggregate([])
+
+    return (
+        c.union(s)
+        .map_batches(uniq, batch_format="pyarrow")  # partial distinct
+        .groupby("name")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: pa.table({"name": b["name"]}), batch_format="pyarrow"
+        )
+    )
+
+
+def customers_with_big_order(
+    sf_dir: str, min_price: float = 450000.0
+) -> ray.data.Dataset:
+    """Semi-join (EXISTS): customers having at least one order with
+    totalprice >= ``min_price`` — the qualifying-key set is pre-aggregated
+    (distinct) on the order side, broadcast, and the customer stream keeps
+    members; the dual of the anti-join, same no-big-side-shuffle plan."""
+    import ray as _ray
+
+    okeys_ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .filter(expr=f"o_totalprice >= {min_price}")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    @_ray.remote
+    def build(*blocks):
+        blocks = [
+            b for b in blocks if b.num_rows > 0 and "o_custkey" in b.column_names
+        ]
+        if not blocks:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(
+            np.concatenate(
+                [
+                    b.column("o_custkey").to_numpy(zero_copy_only=False)
+                    for b in blocks
+                ]
+            ).astype(np.int64)
+        )
+
+    ref = build.remote(*okeys_ds.materialize().to_arrow_refs())
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        have = _ray.get(ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if have.shape[0] == 0:
+            hit = np.zeros(ck.shape[0], dtype=bool)
+        else:
+            pos = np.searchsorted(have, ck)
+            posc = np.clip(pos, 0, have.shape[0] - 1)
+            hit = (pos < have.shape[0]) & (have[posc] == ck)
+        keep = pa.array(hit)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].filter(keep),
+                "c_name": batch["c_name"].filter(keep),
+            }
+        )
+
+    return cust.map_batches(semi, batch_format="pyarrow")
+
+
 def nation_customer_names(sf_dir: str) -> ray.data.Dataset:
     """Ordered string aggregation (collect): per nation, the comma-joined
     sorted customer-name list plus the count.  Group count is bounded by

@@ -89,6 +89,8 @@ ORACLE_QUERIES = [
     "customers_without_orders",
     "customers_without_orders_bloom",
     "nation_customer_names",
+    "all_party_names",
+    "customers_with_big_order",
     "priority_price_quantiles",
     "repetition_stats",
     "lineitem_rollup",

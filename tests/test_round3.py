@@ -705,3 +705,48 @@ class TestHeavyHitters:
         assert set(df.token) == set(top_exact)
         for t, lo, hi in df.itertuples(index=False):
             assert lo <= exact[t] <= hi, (t, lo, exact[t], hi)
+
+
+class TestEmptyInputRobustness:
+    def test_window_empty(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.window import window_over_key
+
+        t = pa.table(
+            {
+                "k": pa.array([], type=pa.int64()),
+                "o": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+        out = window_over_key(
+            ray.data.from_arrow(t), key="k", order_cols=["o"], value="v"
+        ).to_pandas()
+        assert len(out) == 0
+
+    def test_redact_empty_and_null(self):
+        import pyarrow as pa
+
+        from libpostal_ray.functions.redact import PII_PATTERNS, redact_column
+
+        red, n = redact_column(pa.array(["", "x"]), PII_PATTERNS)
+        assert red.to_pylist() == ["", "x"]
+        assert n.to_pylist() == [0, 0]
+
+    def test_mg_prune_small(self):
+        import numpy as np
+
+        from libpostal_ray.functions.heavyhitters import mg_prune
+
+        it, ct, dec = mg_prune(np.array(["a"]), np.array([5]), 10)
+        assert list(it) == ["a"] and list(ct) == [5] and dec == 0
+
+    def test_bloom_empty(self):
+        import numpy as np
+
+        from libpostal_ray.functions.bloom import bloom_build, bloom_contains
+
+        b = bloom_build(np.empty(0, dtype=np.int64), 64)
+        assert not bloom_contains(b, np.array([1, 2], dtype=np.int64)).any()
