@@ -22,6 +22,12 @@ def entry() -> Any:
     return near_dupe_clusters("/root/testdata/sf0.001")
 
 
+def _prepare_training_corpus(sf_dir: str):
+    from libpostal_ray.pipelines.prepare import prepare_training_corpus
+
+    return prepare_training_corpus(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpostal_ray.pipelines import queries as q
 
@@ -91,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expand_multi_forms": q.expand_multi_forms,
         "approx_distinct_users_hll": q.approx_distinct_users_hll,
         "heavy_hitter_tokens": q.heavy_hitter_tokens,
+        "prepare_training_corpus": _prepare_training_corpus,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

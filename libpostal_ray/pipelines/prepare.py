@@ -1,0 +1,115 @@
+"""prepare_training_corpus — the composed end-to-end data-prep pipeline.
+
+What a user of this engine actually runs before training: near-dup
+deduplication (the flagship), a document quality gate, and PII/canary
+redaction, composed as ONE streaming pass over the corpus plus the
+flagship's own exchange:
+
+  1. `dedup_report` (pipelines/near_dupe.py) clusters the corpus and
+     decides keep/drop per doc — all the heavy lifting (signatures, LSH
+     exchange, verify, CC) happens here, content never enters a shuffle;
+  2. the keep-set (one int64 id per KEPT doc) is built in a remote task
+     from the report blocks and broadcast once (ray.put semantics via an
+     ObjectRef closure — same discipline as every small side in this repo);
+  3. one final map_batches over the corpus applies, per batch: keep-set
+     membership (searchsorted), the integer quality gate
+     (quality_filter's thresholds), and vectorized RE2 redaction — and
+     emits the clean rows (doc_id, text, n_masked).
+
+Row count out <= row count in; the only shuffle is the flagship's 24 B/row
+band-key exchange.  At 100 TB the keep-set broadcast is the one piece that
+grows with corpus size (8 B per kept doc) — above the broadcast budget the
+same final map becomes a hash semi-join on doc_id (the
+customers_without_orders join-fallback pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from libpostal_ray.config import PipelineConfig
+from libpostal_ray.functions.redact import (
+    PII_PATTERNS,
+    mask_terms_pattern,
+    redact_column,
+)
+from libpostal_ray.functions.textstats import quality_features
+from libpostal_ray.pipelines.near_dupe import dedup_report
+from libpostal_ray.sources.readers import read_documents_corpus
+
+QUALITY_WORDS = (20, 80)      # n_words band (quality_filter parity)
+QUALITY_DISTINCT = (4, 10)    # n_distinct*10 >= n_words*4
+QUALITY_ALPHA = (82, 100)     # alpha*100 >= n_chars*82
+MASK_TERMS = ["spark", "window"]
+
+
+def prepare_training_corpus(
+    sf_dir: str, cfg: PipelineConfig | None = None
+) -> ray.data.Dataset:
+    """Dedup + quality-gate + redact the documents table; returns the clean
+    training rows (doc_id, text, n_masked)."""
+    cfg = cfg or PipelineConfig()
+    corpus = read_documents_corpus(sf_dir)
+    report = dedup_report(corpus, cfg)
+
+    @ray.remote
+    def build_keep(*blocks):
+        ids = [
+            b.column("doc_id").filter(b.column("keep")).to_numpy(
+                zero_copy_only=False
+            )
+            for b in blocks
+            if b.num_rows > 0 and "doc_id" in b.column_names
+        ]
+        if not ids:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(ids).astype(np.int64))
+
+    keep_ref = build_keep.remote(*report.materialize().to_arrow_refs())
+
+    patterns = PII_PATTERNS + [(mask_terms_pattern(MASK_TERMS), "<MASK>")]
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep_ids = ray.get(keep_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if keep_ids.shape[0]:
+            pos = np.searchsorted(keep_ids, ids)
+            posc = np.clip(pos, 0, keep_ids.shape[0] - 1)
+            kept = (pos < keep_ids.shape[0]) & (keep_ids[posc] == ids)
+        else:
+            kept = np.zeros(ids.shape[0], dtype=bool)
+        texts = batch["content"].to_pylist()
+        feats = quality_features(texts)
+        n_words = np.asarray(feats["n_words"], dtype=np.int64)
+        n_dist = np.asarray(feats["n_distinct_words"], dtype=np.int64)
+        n_chars = np.asarray(feats["n_chars"], dtype=np.int64)
+        alpha = np.asarray(feats["alpha_chars"], dtype=np.int64)
+        lo, hi = QUALITY_WORDS
+        dnum, dden = QUALITY_DISTINCT
+        anum, aden = QUALITY_ALPHA
+        good = (
+            kept
+            & (n_words >= lo)
+            & (n_words <= hi)
+            & (n_dist * dden >= n_words * dnum)
+            & (alpha * aden >= n_chars * anum)
+        )
+        mask = pa.array(good)
+        sub = pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(mask),
+                "text": pa.array(
+                    [t for t, g in zip(texts, good) if g], type=pa.string()
+                ),
+            }
+        )
+        red, n_masked = redact_column(sub["text"], patterns)
+        return pa.table(
+            {"doc_id": sub["doc_id"], "text": red, "n_masked": n_masked}
+        )
+
+    return corpus.map_batches(finalize, batch_format="pyarrow")

@@ -139,6 +139,7 @@ ROWS_ONLY = [
     "expand_multi_forms",
     "approx_distinct_users_hll",
     "heavy_hitter_tokens",
+    "prepare_training_corpus",
 ]
 
 

@@ -750,3 +750,32 @@ class TestEmptyInputRobustness:
 
         b = bloom_build(np.empty(0, dtype=np.int64), 64)
         assert not bloom_contains(b, np.array([1, 2], dtype=np.int64)).any()
+
+
+class TestPrepareTrainingCorpus:
+    def test_invariants(self, ray_session):
+        import duckdb
+
+        from libpostal_ray.pipelines.prepare import prepare_training_corpus
+
+        sf = "/root/testdata/sf0.001"
+        out = prepare_training_corpus(sf).to_pandas()
+        con = duckdb.connect()
+        n_docs = con.sql(
+            f"select count(*) from '{sf}/documents.parquet'"
+        ).fetchone()[0]
+        # fewer rows than the corpus (both the gate and dedup bite)
+        assert 0 < len(out) < n_docs
+        assert out.doc_id.is_unique
+        # every kept doc passes the quality gate (165 quality survivors is
+        # the oracle-checked number; dedup can only shrink further)
+        assert len(out) <= 165
+        # canary masking applied
+        assert not out.text.str.contains(r"\bspark\b", regex=True).any()
+        assert (out.n_masked >= 0).all()
+        # no two kept docs share identical ORIGINAL content: fetch originals
+        orig = con.sql(
+            f"select doc_id, text from '{sf}/documents.parquet'"
+        ).df()
+        kept_orig = orig[orig.doc_id.isin(set(out.doc_id))]
+        assert kept_orig.text.is_unique
