@@ -63,12 +63,20 @@ def _synth_corpus_path(n_files: int | None = None) -> str:
 def run_bench() -> dict:
     import ray
 
+    # quiet worker-side ray.data console warnings (benign schema-hash /
+    # empty-bundle notes) — custom logging config shipped to every worker
+    log_cfg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "libpostal_ray", "state", "ray_data_logging.yaml",
+    )
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = log_cfg
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"env_vars": {"RAY_DATA_LOGGING_CONFIG": log_cfg}},
     )
     from ray.data import DataContext
 

@@ -23,6 +23,22 @@ through a single exchange whose fan-in is ``P`` groups; skewed keys cost
 one partition, not an all-to-all, and ``P`` is a knob.  The sliding window
 pre-aggregates per batch BEFORE fanning out window replicas, so the
 shuffle carries ``O(buckets x window/slide)`` rows, not ``O(events)``.
+
+Hybrid crossover (same discipline as ``sig_broadcast_max`` in the
+flagship): when one side is small — the usual shape for point-in-time
+feature joins (big event stream x bounded dimension history) — the
+exchange is the wrong plan: Ray's sort-based groupby has a multi-second
+fixed cost that dwarfs the kernel on anything that fits in one worker's
+heap.  Below ``broadcast_max`` rows the small side is packed ONCE into a
+sorted composite-rank index in a remote task, ``ray.put``-broadcast, and
+the big side streams through a stateless ``map_batches`` doing one
+``searchsorted`` per batch — no shuffle at all, and the big side never
+materializes.  Above the threshold the exchange plan runs unchanged.
+The composite trick: rank-compress (key, ts) into ``kid * span + rank``
+(both ranks bounded by small-side row count, so the product cannot
+overflow int64); one sorted int64 array then answers every "latest row
+<= t for key k" / "rows of key k in (a, b]" question with a single
+vectorized ``searchsorted``.
 """
 
 from __future__ import annotations
@@ -44,6 +60,12 @@ _T = "__t"
 _T2 = "__t2"
 _SIDE = "__side"
 _TB = "__tb"
+
+# small-side row-count crossovers for the broadcast plans.  2M rows of
+# (key, ts, tie, payload) int64s ~= 64 MB of broadcast state — comfortably
+# inside one worker heap; raise/lower per cluster like sig_broadcast_max.
+ASOF_BROADCAST_MAX = 2_000_000
+INTERVAL_BROADCAST_MAX = 2_000_000
 
 
 def _ts_to_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -70,6 +92,7 @@ def asof_join(
     tie_break: str | None = None,
     how: str = "inner",
     num_partitions: int = 32,
+    broadcast_max: int = ASOF_BROADCAST_MAX,
 ) -> ray.data.Dataset:
     """As-of join: for each left row, the right row of the same key with
     the greatest ``right_ts <= left_ts`` (backward, exact matches allowed
@@ -83,11 +106,15 @@ def asof_join(
     Timestamp columns come back as int64 epoch µs (``left_ts`` under its
     own name, the matched right ts as ``<right_ts>_matched``).
 
-    Physical plan: tag each side, union, ONE groupby on ``key % P``; the
-    per-partition kernel is a single lexsort + ``maximum.accumulate`` of
-    right-row indices (the classic vectorized as-of merge) — no per-key
-    calls, no global sort.  Payload gathers use Arrow ``take`` so any
-    column type (incl. list/binary) rides along zero-conversion.
+    Physical plan: right side under ``broadcast_max`` rows -> broadcast
+    composite-rank index + stateless left-side ``map_batches`` (no
+    shuffle; the left side streams).  Otherwise: tag each side, union,
+    ONE groupby on ``key % P``; the per-partition kernel is a single
+    lexsort + ``maximum.accumulate`` of right-row indices (the classic
+    vectorized as-of merge) — no per-key calls, no global sort.  Payload
+    gathers use Arrow ``take`` so any column type (incl. list/binary)
+    rides along zero-conversion.  ``broadcast_max=0`` forces the exchange
+    plan (both-sides-huge shape; also how the equivalence tests pin it).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}")
@@ -99,6 +126,13 @@ def asof_join(
     clash = set(lpay) & set(rpay)
     if clash:
         raise ValueError(f"payload column collision: {sorted(clash)}")
+    if broadcast_max:
+        right = right.materialize()
+        if right.count() <= broadcast_max:
+            return _asof_broadcast(
+                left, right, lk=lk, rk=rk, lt=lt, rt=rt,
+                tie_break=tie_break, how=how, rs=rs, lpay=lpay, rpay=rpay,
+            )
     P = num_partitions
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -185,6 +219,104 @@ def asof_join(
     return lu.union(ru).groupby(_PART).map_groups(kernel, batch_format="pyarrow")
 
 
+def _asof_broadcast(
+    left: ray.data.Dataset,
+    right_mat: ray.data.Dataset,
+    *,
+    lk: str,
+    rk: str,
+    lt: str,
+    rt: str,
+    tie_break: str | None,
+    how: str,
+    rs: pa.Schema,
+    lpay: list[str],
+    rpay: list[str],
+) -> ray.data.Dataset:
+    """Broadcast as-of plan: pack the (small) right side into one sorted
+    composite-rank index in a remote task; the left side streams through a
+    stateless lookup — one ``searchsorted`` per batch, no shuffle.
+
+    Index: rows lexsorted by (key, ts, tie); ``comp = kid*span + rank(ts)``
+    with ``kid`` the key's index in the sorted unique keys, ``rank(ts)``
+    its 1-based rank among unique right timestamps, ``span = |uts|+1``.
+    ``comp`` is non-decreasing, so "latest right row <= t for key k" is
+    ``searchsorted(comp, kid*span + rank(t), "right") - 1`` — monotone
+    ranks guarantee the hit's ts <= t, and equal (key, ts) ties resolve to
+    the max ``tie_break`` because the lexsort put it last."""
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        tabs = [b for b in blocks if b.num_rows > 0]
+        if not tabs:
+            return None
+        t = pa.concat_tables(tabs, promote_options="default")
+        k = t[rk].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        ts_ = _ts_to_us(t[rt])
+        tb = (
+            t[tie_break].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+            if tie_break
+            else np.zeros(k.shape[0], np.int64)
+        )
+        order = np.lexsort((tb, ts_, k))
+        ks, tss = k[order], ts_[order]
+        uk, ut = np.unique(ks), np.unique(tss)
+        span = np.int64(ut.shape[0] + 1)
+        # both ranks bounded by the broadcast row count -> no overflow
+        assert int(uk.shape[0]) * int(span) < 2**62
+        comp = (
+            np.searchsorted(uk, ks).astype(np.int64) * span
+            + np.searchsorted(ut, tss, side="right").astype(np.int64)
+        )
+        pay = (
+            t.select(rpay).take(pa.array(order, type=pa.int64())) if rpay else None
+        )
+        return {"uk": uk, "ut": ut, "span": span, "comp": comp, "ts": tss, "pay": pay}
+
+    state_ref = build.remote(*right_mat.to_arrow_refs())
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        n = batch.num_rows
+        k = batch[lk].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        t = _ts_to_us(batch[lt])
+        if st is None:
+            matched = np.zeros(n, bool)
+            pos = np.full(n, -1, np.int64)
+        else:
+            uk, ut, span, comp = st["uk"], st["ut"], st["span"], st["comp"]
+            kid = np.searchsorted(uk, k)
+            kidc = np.clip(kid, 0, uk.shape[0] - 1).astype(np.int64)
+            key_ok = (kid < uk.shape[0]) & (uk[kidc] == k)
+            comp_l = kidc * span + np.searchsorted(ut, t, side="right").astype(np.int64)
+            pos = np.searchsorted(comp, comp_l, side="right") - 1
+            matched = key_ok & (pos >= 0)
+            if matched.any():
+                matched[matched] &= (comp[pos[matched]] // span) == kidc[matched]
+        keep = matched if how == "inner" else np.ones(n, bool)
+        li = np.flatnonzero(keep)
+        take_l = pa.array(li, type=pa.int64())
+        out = {
+            lk: pa.array(k[li], type=pa.int64()),
+            lt: pa.array(t[li], type=pa.int64()),
+        }
+        for m in lpay:
+            out[m] = batch[m].take(take_l)
+        if st is None:
+            out[rt + "_matched"] = pa.nulls(li.shape[0], pa.int64())
+            for m in rpay:
+                out[m] = pa.nulls(li.shape[0], rs.field(m).type)
+        else:
+            rpos = np.where(matched[li], pos[li], -1)
+            rtake = pa.array(rpos, type=pa.int64(), mask=rpos < 0)
+            out[rt + "_matched"] = pa.array(st["ts"], type=pa.int64()).take(rtake)
+            for m in rpay:
+                out[m] = st["pay"][m].take(rtake)
+        return pa.table(out)
+
+    return left.map_batches(lookup, batch_format="pyarrow")
+
+
 def interval_count_join(
     points: ray.data.Dataset,
     intervals: ray.data.Dataset,
@@ -196,6 +328,7 @@ def interval_count_join(
     window_us: int,
     closed: str = "right",
     num_partitions: int = 32,
+    broadcast_max: int = INTERVAL_BROADCAST_MAX,
 ) -> ray.data.Dataset:
     """Range join, count form: for each interval row (anchor ts, window
     ``window_us``), count the points of the same key inside the window and
@@ -218,6 +351,16 @@ def interval_count_join(
         raise ValueError(f"closed={closed!r}")
     ischema = intervals.schema().base_schema
     ipay = [n for n in ischema.names if n != interval_key and n != interval_ts]
+    if broadcast_max:
+        points = points.materialize()
+        if points.count() <= broadcast_max:
+            return _interval_broadcast(
+                points, intervals,
+                point_key=point_key, point_ts=point_ts,
+                interval_key=interval_key, interval_ts=interval_ts,
+                window_us=window_us, closed=closed,
+                ischema=ischema, ipay=ipay,
+            )
     P = num_partitions
 
     def tag_points(batch: pa.Table) -> pa.Table:
@@ -299,6 +442,96 @@ def interval_count_join(
     pu = points.map_batches(tag_points, batch_format="pyarrow")
     iu = intervals.map_batches(tag_intervals, batch_format="pyarrow")
     return pu.union(iu).groupby(_PART).map_groups(kernel, batch_format="pyarrow")
+
+
+def _interval_broadcast(
+    points_mat: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    point_key: str,
+    point_ts: str,
+    interval_key: str,
+    interval_ts: str,
+    window_us: int,
+    closed: str,
+    ischema: pa.Schema,
+    ipay: list[str],
+) -> ray.data.Dataset:
+    """Broadcast range-join plan: the (small) points side becomes one
+    sorted composite-rank index; the intervals side streams through a
+    stateless two-``searchsorted`` probe per batch — no shuffle, pairs
+    never materialized (same answer-per-interval contract as the exchange
+    kernel).  Bound semantics: ``(a, a+w]`` excludes points with ts <= a
+    via the right-side rank of ``a``; ``[a, a+w]`` excludes only ts < a
+    via its left-side rank."""
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        tabs = [b for b in blocks if b.num_rows > 0]
+        if not tabs:
+            return None
+        t = pa.concat_tables(tabs, promote_options="default")
+        k = t[point_key].cast(pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        ts_ = _ts_to_us(t[point_ts])
+        order = np.lexsort((ts_, k))
+        ks, tss = k[order], ts_[order]
+        uk, ut = np.unique(ks), np.unique(tss)
+        span = np.int64(ut.shape[0] + 1)
+        assert int(uk.shape[0]) * int(span) < 2**62
+        comp = (
+            np.searchsorted(uk, ks).astype(np.int64) * span
+            + np.searchsorted(ut, tss, side="right").astype(np.int64)
+        )
+        return {"uk": uk, "ut": ut, "span": span, "comp": comp, "ts": tss}
+
+    state_ref = build.remote(*points_mat.to_arrow_refs())
+    lo_side = "right" if closed == "right" else "left"
+
+    def _empty_out() -> pa.Table:
+        cols = {m: pa.nulls(0, ischema.field(m).type) for m in ipay}
+        cols[interval_key] = pa.nulls(0, pa.int64())
+        cols["n_points"] = pa.nulls(0, pa.int64())
+        cols["first_point_us"] = pa.nulls(0, pa.int64())
+        return pa.table(cols)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        if st is None or batch.num_rows == 0:
+            return _empty_out()
+        ik = batch[interval_key].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        it = _ts_to_us(batch[interval_ts])
+        uk, ut, span, comp = st["uk"], st["ut"], st["span"], st["comp"]
+        kid = np.searchsorted(uk, ik)
+        kidc = np.clip(kid, 0, uk.shape[0] - 1).astype(np.int64)
+        key_ok = (kid < uk.shape[0]) & (uk[kidc] == ik)
+        base = kidc * span
+        lo = np.searchsorted(
+            comp, base + np.searchsorted(ut, it, side=lo_side).astype(np.int64),
+            side="right",
+        )
+        hi = np.searchsorted(
+            comp,
+            base
+            + np.searchsorted(ut, it + np.int64(window_us), side="right").astype(
+                np.int64
+            ),
+            side="right",
+        )
+        cnt = np.where(key_ok, hi - lo, 0).astype(np.int64)
+        has = cnt > 0
+        first = np.zeros(ik.shape[0], dtype=np.int64)
+        first[has] = st["ts"][lo[has]]
+        keep = np.flatnonzero(has)
+        take = pa.array(keep, type=pa.int64())
+        out = {m: batch[m].take(take) for m in ipay}
+        out[interval_key] = pa.array(ik[keep], type=pa.int64())
+        out["n_points"] = pa.array(cnt[keep], type=pa.int64())
+        out["first_point_us"] = pa.array(first[keep], type=pa.int64())
+        return pa.table(out)
+
+    return intervals.map_batches(lookup, batch_format="pyarrow")
 
 
 def sliding_window_count_sum(

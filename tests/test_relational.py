@@ -24,8 +24,12 @@ def _ds(**cols):
     return ray.data.from_arrow(pa.table(cols))
 
 
+BOTH_PLANS = [2_000_000, 0]  # default broadcast crossover vs forced exchange
+
+
 class TestAsofJoin:
-    def test_backward_exact(self, ray_session):
+    @pytest.mark.parametrize("bmax", BOTH_PLANS)
+    def test_backward_exact(self, ray_session, bmax):
         left = _ds(
             k=pa.array([1, 1, 1, 2], type=pa.int64()),
             t=pa.array([10, 20, 5, 10], type=pa.int64()),
@@ -37,14 +41,16 @@ class TestAsofJoin:
             rv=pa.array([100, 200, 300, 400], type=pa.int64()),
         )
         out = asof_join(
-            left, right, on=("k", "rk"), ts=("t", "rt"), how="inner"
+            left, right, on=("k", "rk"), ts=("t", "rt"), how="inner",
+            broadcast_max=bmax,
         ).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
         # k=1 t=5: no right <= 5 -> dropped.  t=10: exact match rt=10 (rv=100).
         # t=20: most recent rt=15 (rv=200).  k=2 t=10: rt=99 > 10 -> dropped.
         assert out[["k", "t", "rv"]].values.tolist() == [[1, 10, 100], [1, 20, 200]]
         assert out["rt_matched"].tolist() == [10, 15]
 
-    def test_left_join_nulls(self, ray_session):
+    @pytest.mark.parametrize("bmax", BOTH_PLANS)
+    def test_left_join_nulls(self, ray_session, bmax):
         left = _ds(k=pa.array([7], type=pa.int64()), t=pa.array([1], type=pa.int64()))
         right = _ds(
             rk=pa.array([7], type=pa.int64()),
@@ -52,11 +58,13 @@ class TestAsofJoin:
             rv=pa.array([9], type=pa.int64()),
         )
         out = asof_join(
-            left, right, on=("k", "rk"), ts=("t", "rt"), how="left"
+            left, right, on=("k", "rk"), ts=("t", "rt"), how="left",
+            broadcast_max=bmax,
         ).to_pandas()
         assert len(out) == 1 and out["rv"].isna().all()
 
-    def test_tie_break_max_wins(self, ray_session):
+    @pytest.mark.parametrize("bmax", BOTH_PLANS)
+    def test_tie_break_max_wins(self, ray_session, bmax):
         left = _ds(k=pa.array([1], type=pa.int64()), t=pa.array([50], type=pa.int64()))
         right = _ds(
             rk=pa.array([1, 1, 1], type=pa.int64()),
@@ -65,7 +73,7 @@ class TestAsofJoin:
         )
         out = asof_join(
             left, right, on=("k", "rk"), ts=("t", "rt"),
-            tie_break="rid", how="inner",
+            tie_break="rid", how="inner", broadcast_max=bmax,
         ).to_pandas()
         assert out["rid"].tolist() == [9]
 
@@ -79,7 +87,8 @@ class TestAsofJoin:
 
 
 class TestIntervalCountJoin:
-    def test_open_closed_window(self, ray_session):
+    @pytest.mark.parametrize("bmax", BOTH_PLANS)
+    def test_open_closed_window(self, ray_session, bmax):
         # interval at t=10, window 5 -> (10, 15]: points 10 excluded,
         # 11 and 15 counted, 16 excluded
         points = _ds(
@@ -94,22 +103,26 @@ class TestIntervalCountJoin:
         out = interval_count_join(
             points, ivals, point_key="pk", point_ts="pt",
             interval_key="ik", interval_ts="it", window_us=5,
+            broadcast_max=bmax,
         ).to_pandas()
         assert len(out) == 1  # ik=2 has no points at all
         assert out.iloc[0]["tag"] == "x"
         assert out.iloc[0]["n_points"] == 2
         assert out.iloc[0]["first_point_us"] == 11
 
-    def test_closed_both_includes_anchor(self, ray_session):
+    @pytest.mark.parametrize("bmax", BOTH_PLANS)
+    def test_closed_both_includes_anchor(self, ray_session, bmax):
         points = _ds(pk=pa.array([1], type=pa.int64()), pt=pa.array([10], type=pa.int64()))
         ivals = _ds(ik=pa.array([1], type=pa.int64()), it=pa.array([10], type=pa.int64()))
         out = interval_count_join(
             points, ivals, point_key="pk", point_ts="pt",
             interval_key="ik", interval_ts="it", window_us=5, closed="both",
+            broadcast_max=bmax,
         ).to_pandas()
         assert out["n_points"].tolist() == [1]
 
-    def test_matches_bruteforce_random(self, ray_session):
+    @pytest.mark.parametrize("bmax", BOTH_PLANS)
+    def test_matches_bruteforce_random(self, ray_session, bmax):
         rng = np.random.default_rng(7)
         n_p, n_i, W = 300, 80, 1000
         pk = rng.integers(0, 5, n_p).astype(np.int64)
@@ -122,6 +135,7 @@ class TestIntervalCountJoin:
             _ds(ik=pa.array(ik), it=pa.array(it), iid=pa.array(iid)),
             point_key="pk", point_ts="pt",
             interval_key="ik", interval_ts="it", window_us=W,
+            broadcast_max=bmax,
         ).to_pandas().set_index("iid")
         for j in range(n_i):
             m = (pk == ik[j]) & (pt > it[j]) & (pt <= it[j] + W)
@@ -164,3 +178,102 @@ class TestSlidingWindow:
             sliding_window_count_sum(
                 ds, ts_col="ts", value_col="value", window_us=20, slide_us=10
             )
+
+
+class TestBroadcastPlanEquivalence:
+    """The broadcast composite-rank plan and the key%P exchange plan must
+    be output-identical — same discipline as
+    test_join_verify_path_matches_broadcast for the flagship."""
+
+    def _norm(self, ds, cols):
+        return ds.to_pandas().sort_values(cols).reset_index(drop=True)
+
+    def test_asof_plans_agree_at_corpus_scale(self, ray_session):
+        import pandas as pd
+
+        from libpostal_ray.pipelines.queries import _strip_meta
+
+        sf = "/root/testdata/sf0.001"
+        def sides():
+            ev = ray.data.read_parquet(
+                f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+            ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+            od = ray.data.read_parquet(
+                f"{sf}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+            return ev, od
+
+        outs = []
+        for bmax in (2_000_000, 0):
+            ev, od = sides()
+            outs.append(self._norm(
+                asof_join(
+                    ev, od, on=("user_id", "o_custkey"), ts=("ts", "o_orderdate"),
+                    tie_break="o_orderkey", how="inner", broadcast_max=bmax,
+                ),
+                ["event_id"],
+            ))
+        assert len(outs[0]) > 0
+        pd.testing.assert_frame_equal(outs[0], outs[1][outs[0].columns])
+
+    def test_interval_plans_agree_at_corpus_scale(self, ray_session):
+        import pandas as pd
+
+        from libpostal_ray.pipelines.queries import _strip_meta
+
+        sf = "/root/testdata/sf0.001"
+        def sides():
+            ev = f"{sf}/events.parquet"
+            clicks = (
+                ray.data.read_parquet(
+                    ev, columns=["event_id", "user_id", "ts", "event_type"]
+                )
+                .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+                .filter(expr="event_type == 'click'")
+                .drop_columns(["event_type"])
+            )
+            purch = (
+                ray.data.read_parquet(ev, columns=["user_id", "ts", "event_type"])
+                .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+                .filter(expr="event_type == 'purchase'")
+                .drop_columns(["event_type"])
+            )
+            return purch, clicks
+
+        outs = []
+        for bmax in (2_000_000, 0):
+            purch, clicks = sides()
+            outs.append(self._norm(
+                interval_count_join(
+                    purch, clicks, point_key="user_id", point_ts="ts",
+                    interval_key="user_id", interval_ts="ts",
+                    window_us=6 * 3600 * 1_000_000, broadcast_max=bmax,
+                ),
+                ["event_id"],
+            ))
+        assert len(outs[0]) > 0
+        pd.testing.assert_frame_equal(outs[0], outs[1][outs[0].columns])
+
+    def test_asof_broadcast_empty_right(self, ray_session):
+        left = _ds(k=pa.array([1], type=pa.int64()), t=pa.array([5], type=pa.int64()))
+        right = _ds(
+            rk=pa.array([], type=pa.int64()),
+            rt=pa.array([], type=pa.int64()),
+            rv=pa.array([], type=pa.int64()),
+        )
+        inner = asof_join(left, right, on=("k", "rk"), ts=("t", "rt")).to_pandas()
+        assert len(inner) == 0
+        lo = asof_join(
+            left, right, on=("k", "rk"), ts=("t", "rt"), how="left"
+        ).to_pandas()
+        assert len(lo) == 1 and lo["rv"].isna().all()
+
+    def test_interval_broadcast_empty_points(self, ray_session):
+        points = _ds(pk=pa.array([], type=pa.int64()), pt=pa.array([], type=pa.int64()))
+        ivals = _ds(ik=pa.array([1], type=pa.int64()), it=pa.array([1], type=pa.int64()))
+        out = interval_count_join(
+            points, ivals, point_key="pk", point_ts="pt",
+            interval_key="ik", interval_ts="it", window_us=10,
+        ).to_pandas()
+        assert len(out) == 0
