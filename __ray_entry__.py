@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.repetition_stats,
         "lineitem_rollup": q.lineitem_rollup,
         "orders_cube": q.orders_cube,
+        "contamination_flags": q.contamination_flags,
+        "contamination_ngram": q.contamination_ngram,
+        "stratified_sample": q.stratified_sample,
+        "orders_above_customer_avg": q.orders_above_customer_avg,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -552,5 +556,50 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 4) DESC,
                      vec_id
             LIMIT 10
+        """,
+        "contamination_flags": """
+            WITH phrases AS (
+                SELECT DISTINCT substr(text, 1, 40) AS phrase FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 40
+            )
+            SELECT doc_id, n_hits FROM (
+                SELECT d.doc_id,
+                       CAST((SELECT count(*) FROM phrases p
+                             WHERE contains(d.text, p.phrase)) AS BIGINT) AS n_hits
+                FROM documents d
+            ) WHERE n_hits >= 1
+        """,
+        "contamination_ngram": """
+            WITH phrases AS (
+                SELECT DISTINCT substr(text, 1, 40) AS phrase FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 40
+            )
+            SELECT doc_id, n_hits FROM (
+                SELECT d.doc_id,
+                       CAST((SELECT count(*) FROM phrases p
+                             WHERE contains(d.text, p.phrase)) AS BIGINT) AS n_hits
+                FROM documents d
+            ) WHERE n_hits >= 1
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, rn FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 48271) % 2147483647, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 25
+        """,
+        "orders_above_customer_avg": """
+            WITH a AS (
+                SELECT o_custkey, count(*) AS n,
+                       SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS s
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS price_cents
+            FROM orders o JOIN a USING (o_custkey)
+            WHERE CAST(floor(o.o_totalprice * 100.0) AS BIGINT) * a.n > a.s
         """,
     }

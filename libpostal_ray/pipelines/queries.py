@@ -2490,3 +2490,299 @@ def priority_price_quantiles(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.groupby("o_orderpriority").map_groups(quant, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- decontamination
+# The benchmark-overlap ("decontamination") stage of a training-data
+# pipeline: drop/flag documents that contain any benchmark phrase so eval
+# sets don't leak into training data.  Two plans over the same contract
+# (count of DISTINCT benchmark phrases contained per doc, docs with >= 1
+# hit emit):
+#   * contamination_flags — literal substring scan, one vectorized
+#     pc.match_substring pass per phrase.  Exact; right when the
+#     benchmark set is small (100s of phrases).
+#   * contamination_ngram — hashed fixed-width byte-window membership:
+#     ONE rolling-hash pass per batch (the signature-stage kernel) + a
+#     searchsorted against the broadcast sorted benchmark-hash array.
+#     Scales to millions of benchmark n-grams where per-phrase scans
+#     can't; exact up to 64-bit hash collisions (~(windows x |B|)/2^64).
+# The benchmark set here is a deterministic slice of the corpus itself
+# (doc_id % 97 == 0 -> first-40-char phrase) so a DuckDB oracle can
+# reproduce it from the same table; a real pipeline passes its own list.
+
+_CONTAM_K = 40        # phrase length, chars == bytes on this corpus
+_CONTAM_SLICE = 97    # benchmark slice: doc_id % _CONTAM_SLICE == 0
+
+
+def _contam_phrases_ref(mat: ray.data.Dataset):
+    """Distinct benchmark phrases from the corpus slice, built in a remote
+    task from the materialized corpus blocks; returns an ObjectRef to a
+    sorted list (broadcast once, read by every flag task)."""
+
+    @ray.remote
+    def build(*blocks: pa.Table):
+        ph = set()
+        for b in blocks:
+            if b.num_rows == 0 or "doc_id" not in b.column_names:
+                continue
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.flatnonzero(ids % _CONTAM_SLICE == 0)
+            if not sel.shape[0]:
+                continue
+            for t in b["text"].take(pa.array(sel, type=pa.int64())).to_pylist():
+                if t and len(t) >= _CONTAM_K:
+                    ph.add(t[:_CONTAM_K])
+        return sorted(ph)
+
+    return build.remote(*mat.to_arrow_refs())
+
+
+def contamination_flags(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_hits): docs containing >= 1 benchmark phrase, with the
+    count of distinct phrases contained.  Literal-scan plan."""
+    mat = _docs(sf_dir).materialize()
+    phrases_ref = _contam_phrases_ref(mat)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        phrases = ray.get(phrases_ref)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for p in phrases:
+            m = pc.fill_null(pc.match_substring(text, p), False)
+            hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hits >= 1
+        k = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()).filter(k),
+                "n_hits": pa.array(hits[keep]),
+            }
+        )
+
+    return mat.map_batches(flag, batch_format="pyarrow")
+
+
+def contamination_ngram(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_hits): same contract as contamination_flags via hashed
+    40-byte-window membership — the plan that scales to millions of
+    benchmark n-grams.  One rolling-hash pass over each batch's
+    concatenated value buffer (row-crossing windows masked by offset
+    arithmetic), one searchsorted against the broadcast sorted benchmark
+    hashes, distinct-per-row via a tiny sort over the (few) hit rows."""
+    from libpostal_ray.functions.canonicalize import large_string_view
+    from libpostal_ray.functions.hashing import rolling_shingle_hashes
+
+    mat = _docs(sf_dir).materialize()
+    phrases_ref = _contam_phrases_ref(mat)
+
+    @ray.remote
+    def build_hashes(phrases: list[str]) -> np.ndarray:
+        hs = set()
+        for p in phrases:
+            h = rolling_shingle_hashes(p.encode("utf-8"), _CONTAM_K)
+            if h.shape[0]:
+                hs.add(int(h[0]))
+        return np.sort(np.array(sorted(hs), dtype=np.uint64))
+
+    bench_ref = build_hashes.remote(phrases_ref)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        n = batch.num_rows
+        text = batch["text"].cast(pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        data, off = large_string_view(text)
+        h_all = rolling_shingle_hashes(data, _CONTAM_K)
+        n_hits = np.zeros(n, dtype=np.int64)
+        if h_all.shape[0] and bench.shape[0]:
+            pos = np.searchsorted(bench, h_all)
+            posc = np.clip(pos, 0, bench.shape[0] - 1)
+            hit = bench[posc] == h_all
+            # valid (non-row-crossing) window range per row
+            lens = np.diff(off)
+            counts = np.maximum(0, lens - (_CONTAM_K - 1))
+            starts = np.minimum(off[:-1], h_all.shape[0])
+            stops = np.minimum(starts + counts, h_all.shape[0])
+            hp = np.flatnonzero(hit)
+            if hp.shape[0]:
+                # row of each hit position; drop hits past its row's count
+                row = np.searchsorted(off[1:], hp, side="right")
+                ok = hp < stops[row]
+                pairs = np.stack(
+                    [row[ok], posc[hp[ok]].astype(np.int64)], axis=1
+                )
+                if pairs.shape[0]:
+                    uniq = np.unique(pairs, axis=0)
+                    np.add.at(n_hits, uniq[:, 0], 1)
+        keep = n_hits >= 1
+        k = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()).filter(k),
+                "n_hits": pa.array(n_hits[keep]),
+            }
+        )
+
+    return mat.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------- stratified hash sample
+def stratified_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
+    """Deterministic per-language sample: the k docs with the smallest
+    Lehmer hash (doc_id * 48271 mod 2^31-1) per lang — the auditable
+    per-group cap every training mix needs (per-domain/per-language
+    quotas), reproducible across runs and engines.
+
+    Physical plan: per-batch PARTIAL top-k per group (vectorized lexsort +
+    segment head), so the exchange carries <= k rows per (group, batch) —
+    never the corpus; one tiny groupby finishes.  Output (lang, doc_id,
+    rn) with rn the 1-based rank in (hash, doc_id) order — byte-equal to
+    SQL row_number() OVER (PARTITION BY lang ORDER BY hash, doc_id)."""
+    M = np.int64(2147483647)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        h = (ids * np.int64(48271)) % M
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        gid = pc.dictionary_encode(lang)
+        codes = gid.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h, codes))
+        gs, hs, is_ = codes[order], h[order], ids[order]
+        new = np.concatenate(([True], gs[1:] != gs[:-1]))
+        seg_start = np.repeat(np.flatnonzero(new), np.diff(np.concatenate((np.flatnonzero(new), [gs.shape[0]]))))
+        rank_in_seg = np.arange(gs.shape[0], dtype=np.int64) - seg_start
+        keep = rank_in_seg < k
+        take = pa.array(order[keep], type=pa.int64())
+        return pa.table(
+            {
+                "lang": lang.take(take),
+                "doc_id": pa.array(is_[keep], type=pa.int64()),
+                "h": pa.array(hs[keep], type=pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return pa.table(
+                {
+                    "lang": pa.nulls(0, pa.string()),
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "rn": pa.nulls(0, pa.int64()),
+                }
+            )
+        h = group["h"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        take = pa.array(order, type=pa.int64())
+        return pa.table(
+            {
+                "lang": group["lang"].take(take),
+                "doc_id": group["doc_id"].take(take),
+                "rn": pa.array(
+                    np.arange(1, order.shape[0] + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# ------------------------------- correlated subquery (decorrelated plan)
+def orders_above_customer_avg(sf_dir: str) -> ray.data.Dataset:
+    """Orders priced above their own customer's average order price — the
+    canonical correlated subquery, decorrelated the way a distributed
+    engine must: ONE partial-aggregate pass builds (custkey -> n, sum)
+    [bounded by customer count, not order count], broadcast once, then the
+    orders stream filters against it.  All-integer comparison
+    (price_cents * n > sum_cents) so the oracle row is exact.  Output
+    (o_orderkey, o_custkey, price_cents)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cents_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            batch["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        uc, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uc, type=pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "s": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        orders.map_batches(cents_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .materialize()
+    )
+
+    @ray.remote
+    def pack(*blocks: pa.Table):
+        ks, ns, ss = [], [], []
+        for b in blocks:
+            if b.num_rows == 0 or "o_custkey" not in b.column_names:
+                continue
+            ks.append(b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+            ns.append(b["n"].to_numpy(zero_copy_only=False).astype(np.int64))
+            ss.append(b["s"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if not ks:
+            return None
+        k = np.concatenate(ks)
+        order = np.argsort(k, kind="stable")
+        return (
+            k[order],
+            np.concatenate(ns)[order],
+            np.concatenate(ss)[order],
+        )
+
+    state_ref = pack.remote(*agg.to_arrow_refs())
+
+    def above(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        ck = batch["o_custkey"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            batch["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        if st is None:
+            keep = np.zeros(batch.num_rows, dtype=bool)
+        else:
+            k, n, s = st
+            pos = np.searchsorted(k, ck)
+            posc = np.clip(pos, 0, k.shape[0] - 1)
+            # every order's custkey is in the agg by construction
+            keep = cents * n[posc] > s[posc]
+        kk = pa.array(keep)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()).filter(kk),
+                "o_custkey": pa.array(ck[keep], type=pa.int64()),
+                "price_cents": pa.array(cents[keep]),
+            }
+        )
+
+    return orders.map_batches(above, batch_format="pyarrow")

@@ -95,6 +95,10 @@ ORACLE_QUERIES = [
     "repetition_stats",
     "lineitem_rollup",
     "orders_cube",
+    "contamination_flags",
+    "contamination_ngram",
+    "stratified_sample",
+    "orders_above_customer_avg",
 ]
 
 

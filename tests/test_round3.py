@@ -779,3 +779,72 @@ class TestPrepareTrainingCorpus:
         ).df()
         kept_orig = orig[orig.doc_id.isin(set(out.doc_id))]
         assert kept_orig.text.is_unique
+
+
+class TestDecontamination:
+    @pytest.fixture(scope="class")
+    def planted_dir(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("contam")
+        phrase = "the quick brown fox jumps over the lazy dog ok"[:40]
+        assert len(phrase) == 40
+        rows = {
+            # doc 0: benchmark slice member (0 % 97 == 0) -> its prefix is
+            # the benchmark phrase (and it trivially contains itself)
+            "doc_id": pa.array([0, 5, 6, 7], type=pa.int64()),
+            "text": pa.array(
+                [
+                    phrase + " plus trailing content here",
+                    "leaked copy >> " + phrase + " << inside a training doc",
+                    "a clean document with nothing from any benchmark in it",
+                    "short",
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+        }
+        pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+        return str(d)
+
+    def test_planted_leak_found_both_plans(self, ray_session, planted_dir):
+        from libpostal_ray.pipelines.queries import (
+            contamination_flags,
+            contamination_ngram,
+        )
+
+        for fn in (contamination_flags, contamination_ngram):
+            out = fn(planted_dir).to_pandas().sort_values("doc_id")
+            assert out.doc_id.tolist() == [0, 5], fn.__name__
+            assert out.n_hits.tolist() == [1, 1], fn.__name__
+
+    def test_plans_agree_on_corpus(self, ray_session):
+        from libpostal_ray.pipelines.queries import (
+            contamination_flags,
+            contamination_ngram,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = contamination_flags(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = contamination_ngram(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_capped(self, ray_session):
+        from libpostal_ray.pipelines.queries import stratified_sample
+
+        sf = "/root/testdata/sf0.001"
+        a = stratified_sample(sf).to_pandas().sort_values(["lang", "rn"]).reset_index(drop=True)
+        b = stratified_sample(sf).to_pandas().sort_values(["lang", "rn"]).reset_index(drop=True)
+        assert a.equals(b)
+        per = a.groupby("lang").size()
+        assert (per <= 25).all()
+        # rn is 1..k contiguous per group
+        for _, g in a.groupby("lang"):
+            assert g.rn.tolist() == list(range(1, len(g) + 1))
+
+    def test_small_k(self, ray_session):
+        from libpostal_ray.pipelines.queries import stratified_sample
+
+        out = stratified_sample("/root/testdata/sf0.001", k=3).to_pandas()
+        assert (out.groupby("lang").size() <= 3).all()
