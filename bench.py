@@ -193,6 +193,16 @@ def run_bench() -> dict:
         "heavy_hitter_tokens",
         lambda d: __import__("ray").data.from_pandas(q.heavy_hitter_tokens(d)),
     )
+    timed("contamination_ngram", q.contamination_ngram)
+    timed("stratified_sample", q.stratified_sample)
+    timed("orders_above_customer_avg", q.orders_above_customer_avg)
+
+    def _prepare(d):
+        from libpostal_ray.pipelines.prepare import prepare_training_corpus
+
+        return prepare_training_corpus(d)
+
+    timed("prepare_training_corpus", _prepare)
 
     ray.shutdown()
     return {
