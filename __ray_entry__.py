@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_hll": q.approx_distinct_users_hll,
         "heavy_hitter_tokens": q.heavy_hitter_tokens,
         "prepare_training_corpus": _prepare_training_corpus,
+        "incremental_dedup": q.incremental_dedup,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

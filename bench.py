@@ -203,6 +203,7 @@ def run_bench() -> dict:
         return prepare_training_corpus(d)
 
     timed("prepare_training_corpus", _prepare)
+    timed("incremental_dedup", q.incremental_dedup)
 
     ray.shutdown()
     return {

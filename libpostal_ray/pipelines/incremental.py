@@ -1,0 +1,181 @@
+"""Incremental (delta) deduplication: dedupe a NEW batch of documents
+against an existing corpus — the daily-ingest shape of a training-data
+pipeline, where re-clustering the full corpus per delivery is the wrong
+plan.
+
+The reference library is one-shot (`libpostal_near_dupe_hashes` has no
+index persistence, near_dupe.c:643-1216); this operator exists because a
+100 TB corpus is APPEND-ONLY in practice and the engine must answer "which
+of today's N documents are already in (or duplicated within) the corpus"
+without touching corpus content again.
+
+Physical plan — ONE exchange over both corpora, no special-cased index:
+
+  1. ``signatures(corpus.union(new))`` — the same stateless
+     canonicalize->sketch stages as the flagship; content is dropped
+     before anything shuffles.  The corpus side's signatures can come
+     from a checkpoint (state/checkpoint.py) so corpus content is read
+     ZERO times on the steady path.
+  2. ``candidate_edges`` — the flagship's band-key exchange + fused
+     verify; cross-side and within-batch pairs fall out of the same
+     bucket groupby at no extra cost.
+  3. classify: the NEW side's doc-id set is broadcast (the delta is the
+     small side by definition); each >= LIKELY edge classifies its
+     new-side endpoint(s) — ``dup_of_corpus`` wins over
+     ``dup_in_batch`` (matched to the smallest corpus id for a
+     deterministic report); a batch-internal edge marks only the LARGER
+     id a dup, so one representative per within-batch pair chain
+     survives (edge-local rule: full transitive closure is the
+     re-cluster pipeline's job, documented trade-off).
+  4. a final ``map_batches`` over the new batch joins the (small)
+     verdict map back — every new doc gets a row:
+     (doc_id, verdict, match_id), match_id = -1 for keeps.
+
+Scale: the only all-to-all is the flagship's 24 B/row band-key exchange
+over corpus+delta signatures; the verdict map is O(delta).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from libpostal_ray.config import PipelineConfig
+from libpostal_ray.pipelines.near_dupe import candidate_edges, signatures
+from libpostal_ray.stages.verify import STATUS_LIKELY
+
+VERDICT_KEEP = "keep"
+VERDICT_DUP_CORPUS = "dup_of_corpus"
+VERDICT_DUP_BATCH = "dup_in_batch"
+
+
+def _ids_of(ds: ray.data.Dataset) -> "ray.ObjectRef":
+    """Sorted unique int64 doc_id array of a dataset, built off-driver."""
+
+    @ray.remote
+    def gather(*blocks: pa.Table) -> np.ndarray:
+        parts = [
+            b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in blocks
+            if b.num_rows > 0 and "doc_id" in b.column_names
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    return gather.remote(
+        *ds.select_columns(["doc_id"]).materialize().to_arrow_refs()
+    )
+
+
+def dedup_against_corpus(
+    new_docs: ray.data.Dataset,
+    corpus: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    *,
+    corpus_sigs: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, verdict, match_id) for every row of ``new_docs``.
+
+    ``corpus_sigs``: pass the corpus' signature table (e.g. loaded from a
+    flagship-run checkpoint) to skip re-reading corpus content entirely.
+    Both corpora must use the canonical corpus schema (sources/readers)
+    and disjoint doc ids (readers derive collision-free 63-bit ids).
+    """
+    cfg = cfg or PipelineConfig()
+    new_ids_ref = _ids_of(new_docs)
+
+    sig_new = signatures(new_docs, cfg)
+    sig_corpus = corpus_sigs if corpus_sigs is not None else signatures(corpus, cfg)
+    edges = candidate_edges(sig_corpus.union(sig_new), cfg)
+
+    @ray.remote
+    def classify(new_ids: np.ndarray, *blocks: pa.Table):
+        """Edge blocks -> (new_doc -> (verdict_rank, match_id)) arrays.
+        Corpus match beats batch match; smallest match id wins for
+        determinism."""
+        flag_doc, flag_match, flag_corp = [], [], []
+        for b in blocks:
+            if b.num_rows == 0 or "src" not in b.column_names:
+                continue
+            st = b.column("status").to_numpy(zero_copy_only=False)
+            keep = st >= STATUS_LIKELY
+            if not keep.any():
+                continue
+            src = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+            dst = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+            s_new = np.isin(src, new_ids, assume_unique=False)
+            d_new = np.isin(dst, new_ids, assume_unique=False)
+            # cross-side edges: the new endpoint matched a corpus doc
+            for a, bb, a_new, b_new in ((src, dst, s_new, d_new), (dst, src, d_new, s_new)):
+                m = a_new & ~b_new
+                if m.any():
+                    flag_doc.append(a[m])
+                    flag_match.append(bb[m])
+                    flag_corp.append(np.ones(int(m.sum()), dtype=bool))
+            # batch-internal edges: only the LARGER id is a dup
+            m = s_new & d_new
+            if m.any():
+                hi = np.maximum(src[m], dst[m])
+                lo = np.minimum(src[m], dst[m])
+                flag_doc.append(hi)
+                flag_match.append(lo)
+                flag_corp.append(np.zeros(int(m.sum()), dtype=bool))
+        if not flag_doc:
+            return None
+        doc = np.concatenate(flag_doc)
+        match = np.concatenate(flag_match)
+        corp = np.concatenate(flag_corp)
+        # per doc: corpus verdict first, then smallest match id
+        order = np.lexsort((match, ~corp, doc))
+        doc, match, corp = doc[order], match[order], corp[order]
+        first = np.concatenate(([True], doc[1:] != doc[:-1]))
+        doc, match, corp = doc[first], match[first], corp[first]
+        # path-compress verdict chains: sha-collapse star pairing emits
+        # exact-group edges through ONE representative, so a delta doc
+        # equal to corpus content may reach the corpus only via another
+        # delta doc.  Follow match pointers to their fixpoint (batch
+        # matches strictly decrease, corpus matches are terminal — no
+        # cycles); a hop onto a corpus-flagged doc promotes the verdict.
+        while doc.shape[0]:
+            pos = np.searchsorted(doc, match)
+            posc = np.clip(pos, 0, doc.shape[0] - 1)
+            hit = (pos < doc.shape[0]) & (doc[posc] == match)
+            nm = np.where(hit, match[posc], match)
+            nc = corp | (hit & corp[posc])
+            if (nm == match).all() and (nc == corp).all():
+                break
+            match, corp = nm, nc
+        return doc, match, corp
+
+    verdict_ref = classify.remote(new_ids_ref, *edges.materialize().to_arrow_refs())
+
+    def report(batch: pa.Table) -> pa.Table:
+        st = ray.get(verdict_ref)
+        ids = batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n = ids.shape[0]
+        verdict = np.full(n, VERDICT_KEEP, dtype=object)
+        match = np.full(n, -1, dtype=np.int64)
+        if st is not None:
+            doc, m, corp = st
+            pos = np.searchsorted(doc, ids)
+            posc = np.clip(pos, 0, doc.shape[0] - 1)
+            hit = (pos < doc.shape[0]) & (doc[posc] == ids)
+            match[hit] = m[posc[hit]]
+            verdict[hit] = np.where(
+                corp[posc[hit]], VERDICT_DUP_CORPUS, VERDICT_DUP_BATCH
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "verdict": pa.array(verdict.tolist(), type=pa.string()),
+                "match_id": pa.array(match, type=pa.int64()),
+            }
+        )
+
+    return new_docs.map_batches(report, batch_format="pyarrow")

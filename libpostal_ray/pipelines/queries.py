@@ -2831,3 +2831,27 @@ def orders_above_customer_avg(sf_dir: str) -> ray.data.Dataset:
         )
 
     return orders.map_batches(above, batch_format="pyarrow")
+
+
+# --------------------------------------------------- incremental dedup
+def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Delta-vs-corpus dedup report: treat docs with doc_id % 5 == 0 as
+    today's delivery and the rest as the standing corpus; every delta doc
+    gets (doc_id, verdict in {keep, dup_of_corpus, dup_in_batch},
+    match_id).  One flagship exchange over both sides; see
+    pipelines/incremental.py."""
+    from libpostal_ray.pipelines.incremental import dedup_against_corpus
+
+    def side(is_delta: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            return batch.filter(pa.array((ids % 5 == 0) == is_delta))
+
+        return f
+
+    docs = read_documents_corpus(sf_dir)
+    corpus = docs.map_batches(side(False), batch_format="pyarrow")
+    new = docs.map_batches(side(True), batch_format="pyarrow")
+    return dedup_against_corpus(new, corpus, PipelineConfig())

@@ -144,6 +144,7 @@ ROWS_ONLY = [
     "approx_distinct_users_hll",
     "heavy_hitter_tokens",
     "prepare_training_corpus",
+    "incremental_dedup",
 ]
 
 

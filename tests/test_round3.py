@@ -848,3 +848,90 @@ class TestStratifiedSample:
 
         out = stratified_sample("/root/testdata/sf0.001", k=3).to_pandas()
         assert (out.groupby("lang").size() <= 3).all()
+
+
+class TestIncrementalDedup:
+    def _corpus(self, rows):
+        from libpostal_ray.sources.readers import from_arrow_corpus
+
+        n = len(rows)
+        return from_arrow_corpus(
+            pa.table(
+                {
+                    "repo": pa.array([r[0] for r in rows]),
+                    "path": pa.array([f"f{i}.txt" for i in range(n)]),
+                    "commit": pa.array(["c0"] * n),
+                    "lang": pa.array(["en"] * n),
+                    "content": pa.array([r[1] for r in rows]),
+                }
+            )
+        )
+
+    def test_planted_delta(self, ray_session):
+        from libpostal_ray.functions.hashing import stable_doc_id
+        from libpostal_ray.pipelines.incremental import dedup_against_corpus
+
+        base = (
+            "the corpus document about distributed deduplication pipelines "
+            "explains minhash signatures band keys and verification tiers "
+            "in enough words that shingle sketches are stable and dense"
+        )
+        fresh = (
+            "a completely different delta document discussing orchard "
+            "irrigation schedules crop rotation and frost windows with no "
+            "overlap whatsoever to anything inside the standing corpus"
+        )
+        twin = (
+            "identical twin delta rows share every single shingle so the "
+            "exact tier must collapse them and keep only the smaller id of "
+            "the pair while the larger one is reported as an in batch dup"
+        )
+        corpus = self._corpus([("corp", base), ("corp", base + " tail.")])
+        new = self._corpus(
+            [("new", base), ("new", fresh), ("new", twin), ("new", twin)]
+        )
+        out = (
+            dedup_against_corpus(new, corpus)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        ids = stable_doc_id(
+            ["new"] * 4, [f"f{i}.txt" for i in range(4)], ["c0"] * 4
+        )
+        copy_id, fresh_id, t0, t1 = (int(i) for i in ids)
+        assert len(out) == 4
+        assert out.loc[copy_id, "verdict"] == "dup_of_corpus"
+        assert out.loc[fresh_id, "verdict"] == "keep"
+        assert out.loc[fresh_id, "match_id"] == -1
+        tw = sorted([t0, t1])
+        assert out.loc[tw[0], "verdict"] == "keep"
+        assert out.loc[tw[1], "verdict"] == "dup_in_batch"
+        assert out.loc[tw[1], "match_id"] == tw[0]
+
+    def test_empty_delta_and_corpus_sigs_path(self, ray_session):
+        from libpostal_ray.pipelines.incremental import dedup_against_corpus
+        from libpostal_ray.pipelines.near_dupe import signatures
+        from libpostal_ray.config import PipelineConfig
+
+        doc = (
+            "a standing corpus row long enough to sketch with plenty of "
+            "words so the signature stage emits its usual band keys here"
+        )
+        corpus = self._corpus([("c", doc)])
+        new = self._corpus([("n", doc), ("n", doc + " suffix words.")])
+        cfg = PipelineConfig()
+        # precomputed corpus signatures (the checkpoint steady path)
+        sigs = signatures(corpus, cfg).materialize()
+        out = dedup_against_corpus(new, corpus, cfg, corpus_sigs=sigs).to_pandas()
+        assert len(out) == 2
+        assert (out.verdict == "dup_of_corpus").all()
+
+    def test_query_runs(self, ray_session):
+        from libpostal_ray.pipelines.queries import incremental_dedup
+
+        out = incremental_dedup("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 100  # doc_id % 5 == 0 slice of 500 docs
+        assert set(out.verdict) <= {"keep", "dup_of_corpus", "dup_in_batch"}
+        # the documents table plants near-dup families, so some delta doc
+        # must match the corpus
+        assert (out.verdict == "dup_of_corpus").any()
