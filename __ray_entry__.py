@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": q.heavy_hitter_tokens,
         "prepare_training_corpus": _prepare_training_corpus,
         "incremental_dedup": q.incremental_dedup,
+        "approx_price_quantiles": q.approx_price_quantiles,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

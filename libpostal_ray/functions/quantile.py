@@ -1,0 +1,129 @@
+"""Mergeable quantile sketch (MRL/KLL-family, deterministic compaction).
+
+Completes the §2.5 sketch family (bloom membership, HLL cardinality,
+Misra-Gries heavy hitters, MinHash/SimHash similarity) with the rank
+member: approximate quantiles whose state is O(k log n) floats, built per
+batch and merged associatively — at 100 TB the exchange carries one
+~k·log(n)·8 B sketch row per (batch, group) instead of every value, where
+exact quantiles need a full sort or per-group value gather
+(priority_price_quantiles is the exact counterpart).
+
+Structure (Manku-Rajagopalan-Lindsay compaction, the KLL shape without
+randomized samplers): level i holds at most ``k`` values of weight 2^i;
+a full level sorts and keeps every other element (alternating offset per
+compaction count — deterministic, and the classic trick that cancels
+rank bias pairwise), pushing the survivors up one level.  Odd leftovers
+stay behind so total weight is EXACTLY the number of inserted values.
+Merging concatenates per-level arrays and re-compacts — associative up
+to compaction order, with the same rank-error bound either way
+(~levels/(2k) relative rank error; k=256 over 1e6 values ≈ 1.5%,
+pytest-checked against exact ranks).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+K_DEFAULT = 256
+
+
+class QuantileSketch:
+    """Mergeable rank/quantile sketch over float64 values."""
+
+    def __init__(self, k: int = K_DEFAULT):
+        if k < 8:
+            raise ValueError("k too small")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.compactions: list[int] = [0]
+
+    # ------------------------------------------------------------- build
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(values, dtype=np.float64).ravel()
+        v = v[~np.isnan(v)]
+        if v.shape[0]:
+            self.levels[0] = np.concatenate((self.levels[0], v))
+            self._compress()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.compactions.append(0)
+        for i, lv in enumerate(other.levels):
+            if lv.shape[0]:
+                self.levels[i] = np.concatenate((self.levels[i], lv))
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            lv = self.levels[i]
+            if lv.shape[0] > self.k:
+                s = np.sort(lv, kind="stable")
+                m = (s.shape[0] // 2) * 2
+                off = self.compactions[i] & 1
+                kept = s[off:m:2]
+                self.compactions[i] += 1
+                self.levels[i] = s[m:]  # odd leftover keeps exact weight
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                    self.compactions.append(0)
+                self.levels[i + 1] = np.concatenate((self.levels[i + 1], kept))
+            i += 1
+
+    # ------------------------------------------------------------- query
+    @property
+    def total_weight(self) -> int:
+        return int(sum(lv.shape[0] << i for i, lv in enumerate(self.levels)))
+
+    def quantiles(self, qs: list[float]) -> np.ndarray:
+        """Smallest sketch value whose cumulative weight reaches
+        ceil(q * W) — the quantile_disc index rule, so estimates line up
+        with the exact operator's convention."""
+        vals = np.concatenate([lv for lv in self.levels]) if self.levels else np.empty(0)
+        if vals.shape[0] == 0:
+            return np.full(len(qs), np.nan)
+        w = np.concatenate(
+            [
+                np.full(lv.shape[0], 1 << i, dtype=np.int64)
+                for i, lv in enumerate(self.levels)
+            ]
+        )
+        order = np.argsort(vals, kind="stable")
+        sv, cw = vals[order], np.cumsum(w[order])
+        W = cw[-1]
+        out = np.empty(len(qs), dtype=np.float64)
+        for j, q in enumerate(qs):
+            target = max(1, int(np.ceil(q * W)))
+            out[j] = sv[np.searchsorted(cw, target)]
+        return out
+
+    # --------------------------------------------------------- serialize
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<II", self.k, len(self.levels))
+        counts = struct.pack(
+            f"<{len(self.levels)}I", *(lv.shape[0] for lv in self.levels)
+        )
+        comps = struct.pack(f"<{len(self.levels)}I", *self.compactions)
+        return head + counts + comps + b"".join(
+            lv.astype(np.float64).tobytes() for lv in self.levels
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "QuantileSketch":
+        k, nl = struct.unpack_from("<II", data, 0)
+        counts = struct.unpack_from(f"<{nl}I", data, 8)
+        comps = struct.unpack_from(f"<{nl}I", data, 8 + 4 * nl)
+        sk = cls(k)
+        sk.levels, sk.compactions = [], list(comps)
+        off = 8 + 8 * nl
+        for c in counts:
+            sk.levels.append(
+                np.frombuffer(data, dtype=np.float64, count=c, offset=off).copy()
+            )
+            off += 8 * c
+        return sk

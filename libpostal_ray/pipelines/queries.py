@@ -2855,3 +2855,54 @@ def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
     corpus = docs.map_batches(side(False), batch_format="pyarrow")
     new = docs.map_batches(side(True), batch_format="pyarrow")
     return dedup_against_corpus(new, corpus, PipelineConfig())
+
+
+# ---------------------------------------------- approx quantile sketch
+def approx_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Approximate p50/p90/p99 of l_extendedprice cents via the mergeable
+    MRL/KLL sketch (functions/quantile.py): each batch ships ONE
+    O(k log n)-byte sketch row; merging is associative — at 100 TB the
+    exchange is sketches, not values (exact counterpart:
+    priority_price_quantiles).  Rows-only (approximate by design); the
+    rank-error bound is pytest-covered against exact quantiles."""
+    from libpostal_ray.functions.quantile import QuantileSketch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100.0
+        )
+        sk = QuantileSketch().add(cents)
+        return pa.table({"sketch": pa.array([sk.to_bytes()], type=pa.binary())})
+
+    @ray.remote
+    def combine(*blocks: pa.Table):
+        sk = None
+        for b in blocks:
+            if b.num_rows == 0 or "sketch" not in b.column_names:
+                continue
+            for payload in b["sketch"].to_pylist():
+                s = QuantileSketch.from_bytes(payload)
+                sk = s if sk is None else sk.merge(s)
+        return sk
+
+    sk = ray.get(
+        combine.remote(
+            *ds.map_batches(sketch, batch_format="pyarrow").materialize().to_arrow_refs()
+        )
+    )
+    if sk is None:
+        return pd.DataFrame({"q": [], "price_cents": [], "n_values": []})
+    qs = [0.5, 0.9, 0.99]
+    est = sk.quantiles(qs)
+    return pd.DataFrame(
+        {
+            "q": qs,
+            "price_cents": est.astype(np.int64),
+            "n_values": np.full(len(qs), sk.total_weight, dtype=np.int64),
+        }
+    )

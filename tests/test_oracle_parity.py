@@ -145,6 +145,7 @@ ROWS_ONLY = [
     "heavy_hitter_tokens",
     "prepare_training_corpus",
     "incremental_dedup",
+    "approx_price_quantiles",
 ]
 
 

@@ -935,3 +935,54 @@ class TestIncrementalDedup:
         # the documents table plants near-dup families, so some delta doc
         # must match the corpus
         assert (out.verdict == "dup_of_corpus").any()
+
+
+class TestQuantileSketch:
+    def test_rank_error_bound(self):
+        from libpostal_ray.functions.quantile import QuantileSketch
+
+        rng = np.random.default_rng(11)
+        vals = rng.lognormal(3.0, 1.5, 200_000)
+        sk = QuantileSketch()
+        # feed in uneven chunks, merging serialized halves like the query
+        mid = QuantileSketch()
+        for i in range(0, 100_000, 7_777):
+            sk.add(vals[i : min(i + 7_777, 100_000)])
+        for i in range(100_000, 200_000, 13_131):
+            mid.add(vals[i : min(i + 13_131, 200_000)])
+        sk = QuantileSketch.from_bytes(sk.to_bytes()).merge(
+            QuantileSketch.from_bytes(mid.to_bytes())
+        )
+        assert sk.total_weight == 200_000
+        sv = np.sort(vals)
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            est = sk.quantiles([q])[0]
+            rank = np.searchsorted(sv, est, side="right") / 200_000
+            assert abs(rank - q) < 0.03, (q, rank)
+
+    def test_exact_when_small(self):
+        from libpostal_ray.functions.quantile import QuantileSketch
+
+        vals = np.arange(1, 101, dtype=np.float64)
+        sk = QuantileSketch().add(vals)
+        # under one compaction the sketch is lossless: quantile_disc rule
+        assert sk.quantiles([0.5])[0] == 50.0
+        assert sk.quantiles([0.9])[0] == 90.0
+
+    def test_query_vs_exact(self, ray_session):
+        import duckdb
+
+        from libpostal_ray.pipelines.queries import approx_price_quantiles
+
+        sf = "/root/testdata/sf0.01"
+        out = approx_price_quantiles(sf).set_index("q")
+        con = duckdb.connect()
+        cents = con.sql(
+            f"SELECT CAST(floor(l_extendedprice*100) AS BIGINT) c FROM '{sf}/lineitem.parquet' ORDER BY c"
+        ).df()["c"].to_numpy()
+        n = cents.shape[0]
+        assert int(out.n_values.iloc[0]) == n
+        for q in (0.5, 0.9, 0.99):
+            est = out.loc[q, "price_cents"]
+            rank = np.searchsorted(cents, est, side="right") / n
+            assert abs(rank - q) < 0.03, (q, rank)
