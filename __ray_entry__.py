@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_ngram": q.contamination_ngram,
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
+        "lineitem_unpivot": q.lineitem_unpivot,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_corpus": _prepare_training_corpus,
         "incremental_dedup": q.incremental_dedup,
         "approx_price_quantiles": q.approx_price_quantiles,
+        "media_feature_extract": q.media_feature_extract,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),
@@ -592,6 +594,23 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 25
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+                   CAST(floor(l_quantity * 1000.0) AS BIGINT) AS milli
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'extendedprice',
+                   CAST(floor(l_extendedprice * 1000.0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount',
+                   CAST(floor(l_discount * 1000.0) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax',
+                   CAST(floor(l_tax * 1000.0) AS BIGINT)
+            FROM lineitem
         """,
         "orders_above_customer_avg": """
             WITH a AS (

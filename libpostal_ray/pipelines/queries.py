@@ -2906,3 +2906,100 @@ def approx_price_quantiles(sf_dir: str) -> pd.DataFrame:
             "n_values": np.full(len(qs), sk.total_weight, dtype=np.int64),
         }
     )
+
+
+# ----------------------------------------------------------- UNPIVOT
+_UNPIVOT_MEASURES = [
+    ("l_quantity", "quantity"),
+    ("l_extendedprice", "extendedprice"),
+    ("l_discount", "discount"),
+    ("l_tax", "tax"),
+]
+
+
+def lineitem_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT (wide -> long), the inverse of user_event_pivot: each
+    lineitem row becomes one row per measure (l_orderkey, l_linenumber,
+    measure, milli).  Pure per-batch reshaping — four vectorized column
+    stacks, zero shuffle, output exactly 4x input rows; values integerized
+    (floor(x*1000)) so the oracle row is exact."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"] + [c for c, _ in _UNPIVOT_MEASURES],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def long_form(batch: pa.Table) -> pa.Table:
+        parts = []
+        for col, name in _UNPIVOT_MEASURES:
+            milli = np.floor(
+                batch[col].combine_chunks().to_numpy(zero_copy_only=False) * 1000.0
+            ).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                        "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+                        "measure": pa.array(
+                            np.full(batch.num_rows, name, dtype=object).tolist(),
+                            type=pa.string(),
+                        ),
+                        "milli": pa.array(milli),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(long_form, batch_format="pyarrow")
+
+
+# --------------------------------------------------- multimodal plumbing
+def media_feature_extract(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal decode/feature plumbing as a first-class query: the
+    documents table stands in as an opaque-binary media corpus (payload =
+    utf-8 bytes, media_type round-robin image/audio/video), streamed
+    through the byte-budgeted MediaFeatureStage actor pool with the
+    deterministic fake decoder (real decode stubbed: no media libs in this
+    environment — stages/multimodal.py).  Output (media_id, media_type,
+    payload_bytes, feat_norm_millis): the feature vector collapses to its
+    L2-norm so the row is compact and deterministic."""
+    from libpostal_ray.stages.multimodal import fake_decode, media_features
+
+    types = ["image", "audio", "video"]
+
+    def as_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "media_type": pa.array(
+                    [types[int(i) % 3] for i in ids], type=pa.string()
+                ),
+                "payload": batch["text"].cast(pa.large_binary()),
+                "width": pa.array(np.full(n, 64, dtype=np.int32)),
+                "height": pa.array(np.full(n, 64, dtype=np.int32)),
+                "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    media = _docs(sf_dir).map_batches(as_media, batch_format="pyarrow")
+    feats = media_features(media, decode_fn=fake_decode, concurrency=(1, 4))
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        f = batch["feature"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        vals = f.flatten().to_numpy(zero_copy_only=False).reshape(batch.num_rows, -1)
+        norm = np.floor(np.sqrt((vals.astype(np.float64) ** 2).sum(axis=1)) * 1000.0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload_bytes": batch["payload_bytes"],
+                "feat_norm_millis": pa.array(norm.astype(np.int64)),
+            }
+        )
+
+    return feats.map_batches(collapse, batch_format="pyarrow")

@@ -99,6 +99,7 @@ ORACLE_QUERIES = [
     "contamination_ngram",
     "stratified_sample",
     "orders_above_customer_avg",
+    "lineitem_unpivot",
 ]
 
 
@@ -146,6 +147,7 @@ ROWS_ONLY = [
     "prepare_training_corpus",
     "incremental_dedup",
     "approx_price_quantiles",
+    "media_feature_extract",
 ]
 
 
