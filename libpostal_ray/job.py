@@ -41,21 +41,25 @@ import sys
 import time
 
 
-def _read_corpus(args):
+def _read_any(path: str, fmt: str):
     from libpostal_ray.sources.readers import (
         read_code_corpus,
         read_documents_corpus,
         read_tsv_corpus,
     )
 
-    if args.input_format == "code":
-        return read_code_corpus(args.input)
-    if args.input_format == "documents":
+    if fmt == "code":
+        return read_code_corpus(path)
+    if fmt == "documents":
         # read_documents_corpus takes the sf-dir containing documents.parquet
-        return read_documents_corpus(args.input)
-    if args.input_format == "tsv":
-        return read_tsv_corpus(args.input)
-    raise SystemExit(f"unknown --input-format {args.input_format!r}")
+        return read_documents_corpus(path)
+    if fmt == "tsv":
+        return read_tsv_corpus(path)
+    raise SystemExit(f"unknown input format {fmt!r}")
+
+
+def _read_corpus(args):
+    return _read_any(args.input, args.input_format)
 
 
 def _rows_written(path: str) -> int:
@@ -147,6 +151,57 @@ def run_job(args) -> dict:
     return manifest
 
 
+def run_incremental(args) -> dict:
+    """--mode incremental: dedupe the --input delivery against a standing
+    corpus (--against parquet, or --against-sigs: a signature table
+    written by a prior run's checkpoint — corpus content read ZERO times).
+    Writes verdicts/ (doc_id, verdict, match_id) + manifest.json."""
+    import ray
+    import ray.data
+
+    from libpostal_ray.pipelines.incremental import dedup_against_corpus
+    from libpostal_ray.pipelines.near_dupe import signatures
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    if not args.against and not args.against_sigs:
+        raise SystemExit("--mode incremental requires --against or --against-sigs")
+    cfg = build_config(args.config)
+    t0 = time.time()
+    new_docs = _read_corpus(args)
+    corpus = _read_any(args.against, args.against_format) if args.against else None
+    corpus_sigs = (
+        ray.data.read_parquet(args.against_sigs) if args.against_sigs else None
+    )
+    verdicts = dedup_against_corpus(new_docs, corpus, cfg, corpus_sigs=corpus_sigs)
+    os.makedirs(args.output, exist_ok=True)
+    verdicts.write_parquet(os.path.join(args.output, "verdicts"))
+    if args.write_sigs:
+        # persist THIS delivery's signatures so the next delta can run
+        # --against-sigs and never re-read today's content either
+        signatures(new_docs, cfg).write_parquet(
+            os.path.join(args.output, "signatures")
+        )
+
+    manifest = {
+        "mode": "incremental",
+        "config_fingerprint": config_fingerprint(cfg),
+        "input": args.input,
+        "against": args.against,
+        "against_sigs": args.against_sigs,
+        "wall_seconds": round(time.time() - t0, 3),
+        "rows": {"verdicts": _rows_written(os.path.join(args.output, "verdicts"))},
+        "ray": {
+            "nodes": len(ray.nodes()),
+            "cpus": int(ray.cluster_resources().get("CPU", 0)),
+        },
+    }
+    tmp = os.path.join(args.output, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(args.output, "manifest.json"))
+    return manifest
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m libpostal_ray.job",
@@ -159,6 +214,12 @@ def main(argv=None) -> int:
     p.add_argument("--config", default=None, help="PipelineConfig overrides: JSON string or path to a JSON file")
     p.add_argument("--report", action="store_true", help="also write the keep/drop dedup report")
     p.add_argument("--write-edges", action="store_true", help="also write verified pair edges")
+    p.add_argument("--mode", default="cluster", choices=["cluster", "incremental"],
+                   help="cluster: flagship near-dup clustering of --input; incremental: dedupe --input against a standing corpus")
+    p.add_argument("--against", default=None, help="incremental: standing-corpus parquet")
+    p.add_argument("--against-format", default="code", choices=["code", "documents", "tsv"])
+    p.add_argument("--against-sigs", default=None, help="incremental: precomputed signature parquet of the standing corpus (content never re-read)")
+    p.add_argument("--write-sigs", action="store_true", help="incremental: persist this delivery's signatures for the next delta")
     p.add_argument("--ray-address", default=None, help="ray.init address if Ray is not already initialised (ray job submit drivers are)")
     p.add_argument("--num-cpus", type=int, default=None, help="only with --ray-address local: CPU count for the local session")
     args = p.parse_args(argv)
@@ -174,7 +235,7 @@ def main(argv=None) -> int:
             include_dashboard=False,
             **kw,
         )
-    manifest = run_job(args)
+    manifest = run_incremental(args) if args.mode == "incremental" else run_job(args)
     json.dump(
         {"status": "ok", "output": args.output, "rows": manifest["rows"],
          "wall_seconds": manifest["wall_seconds"]},

@@ -73,7 +73,7 @@ def _ids_of(ds: ray.data.Dataset) -> "ray.ObjectRef":
 
 def dedup_against_corpus(
     new_docs: ray.data.Dataset,
-    corpus: ray.data.Dataset,
+    corpus: ray.data.Dataset | None,
     cfg: PipelineConfig | None = None,
     *,
     corpus_sigs: ray.data.Dataset | None = None,

@@ -121,3 +121,92 @@ def test_job_config_overrides(job_corpus, tmp_path):
     man = json.load(open(os.path.join(out, "manifest.json")))
     assert man["config"]["bands"] == 8
     assert man["config"]["transliterate"] is True
+
+
+def test_job_incremental_mode(tmp_path):
+    from libpostal_ray.synth import write_synth_corpus
+
+    # delta = 40 corpus rows re-delivered under a new repo/path namespace
+    # (new doc ids, byte-identical content -> dup_of_corpus) + 40 rows
+    # from an unrelated seed (fresh -> keep, modulo their own families).
+    corpus_path = str(tmp_path / "standing.parquet")
+    write_synth_corpus(corpus_path, n_files=300, seed=21)
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(corpus_path)
+    # delta: first 40 rows re-delivered under a new repo/path namespace
+    # (same content -> must be dup_of_corpus) + 40 rows of a different
+    # seed (fresh -> keep)
+    fresh_path = str(tmp_path / "freshsrc.parquet")
+    write_synth_corpus(fresh_path, n_files=100, seed=77)
+    f = pq.read_table(fresh_path).slice(0, 40)
+    redeliver = t.slice(0, 40)
+    delta = pa.table(
+        {
+            "repo": pa.array(
+                ["redelivery"] * 40 + f["repo"].to_pylist(), type=pa.string()
+            ),
+            "path": pa.array(
+                [f"re/{i}.txt" for i in range(40)] + f["path"].to_pylist()
+            ),
+            "commit": pa.array(["d1"] * 80),
+            "lang": pa.array(
+                redeliver["lang"].to_pylist() + f["lang"].to_pylist()
+            ),
+            "content": pa.array(
+                redeliver["content"].to_pylist() + f["content"].to_pylist(),
+                type=t.schema.field("content").type,
+            ),
+        }
+    )
+    delta_path = str(tmp_path / "delta.parquet")
+    pq.write_table(delta, delta_path)
+
+    out = str(tmp_path / "incr")
+    r = _run_job(
+        "--mode", "incremental",
+        "--input", delta_path,
+        "--against", corpus_path,
+        "--output", out,
+        "--write-sigs",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["mode"] == "incremental" and man["rows"]["verdicts"] == 80
+    v = (
+        pds.dataset(os.path.join(out, "verdicts"), format="parquet")
+        .to_table()
+        .to_pandas()
+    )
+    counts = v.verdict.value_counts().to_dict()
+    # every redelivered row is flagged against the corpus; fresh rows may
+    # contain planted dup families of their own (dup_in_batch)
+    assert counts.get("dup_of_corpus", 0) >= 40, counts
+    assert counts.get("keep", 0) >= 1
+
+    # chain: a SECOND delivery (same content, new namespace -> new ids)
+    # runs --against-sigs of the first delivery: content never re-read,
+    # and every row must match the prior delivery
+    delta2 = delta.set_column(
+        delta.schema.get_field_index("repo"),
+        "repo",
+        pa.array(["redelivery2"] * 80, type=pa.string()),
+    )
+    delta2_path = str(tmp_path / "delta2.parquet")
+    pq.write_table(delta2, delta2_path)
+    out2 = str(tmp_path / "incr2")
+    r2 = _run_job(
+        "--mode", "incremental",
+        "--input", delta2_path,
+        "--against-sigs", os.path.join(out, "signatures"),
+        "--output", out2,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    v2 = (
+        pds.dataset(os.path.join(out2, "verdicts"), format="parquet")
+        .to_table()
+        .to_pandas()
+    )
+    assert (v2.verdict == "dup_of_corpus").all()
