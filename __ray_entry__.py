@@ -28,6 +28,12 @@ def _prepare_training_corpus(sf_dir: str):
     return prepare_training_corpus(sf_dir)
 
 
+def _train_code_lang(sf_dir: str):
+    from libpostal_ray.pipelines.train import train_code_lang
+
+    return train_code_lang(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpostal_ray.pipelines import queries as q
 
@@ -106,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q.incremental_dedup,
         "approx_price_quantiles": q.approx_price_quantiles,
         "media_feature_extract": q.media_feature_extract,
+        "train_code_lang": _train_code_lang,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

@@ -148,6 +148,7 @@ ROWS_ONLY = [
     "incremental_dedup",
     "approx_price_quantiles",
     "media_feature_extract",
+    "train_code_lang",
 ]
 
 

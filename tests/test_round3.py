@@ -986,3 +986,33 @@ class TestQuantileSketch:
             est = out.loc[q, "price_cents"]
             rank = np.searchsorted(cents, est, side="right") / n
             assert abs(rank - q) < 0.03, (q, rank)
+
+
+class TestTrainingLoop:
+    def test_code_lang_learns(self, ray_session):
+        from libpostal_ray.pipelines.train import train_code_lang
+
+        df = train_code_lang("/root/testdata/sf0.001")
+        acc = df.accuracy_milli.to_numpy() / 1000.0
+        assert len(df) == 8 and (df.n_docs == 1000).all()
+        # majority baseline on the synth corpus is ~0.25; the loop must
+        # clearly learn (parameter mixing converges slower than the
+        # sequential perceptron, hence the generous-but-meaningful bars)
+        assert acc.max() >= 0.70, acc
+        assert acc[-3:].max() > acc[0] + 0.10, acc
+
+    def test_unlearnable_labels_hit_bayes_limit(self, ray_session):
+        # the documents table's lang column is label noise w.r.t. text:
+        # the trainer must NOT hallucinate accuracy above majority share
+        import duckdb
+
+        import ray.data
+        from libpostal_ray.pipelines.train import train_classifier
+
+        sf = "/root/testdata/sf0.001"
+        ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text", "lang"])
+        df = train_classifier(ds, text_col="text", label_col="lang", epochs=2)
+        maj = duckdb.sql(
+            f"select max(c) * 1.0 / sum(c) from (select count(*) c from '{sf}/documents.parquet' group by lang)"
+        ).fetchone()[0]
+        assert df.accuracy_milli.max() / 1000.0 <= maj + 0.08
