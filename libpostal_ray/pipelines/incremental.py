@@ -102,11 +102,15 @@ def dedup_against_corpus(
             if b.num_rows == 0 or "src" not in b.column_names:
                 continue
             st = b.column("status").to_numpy(zero_copy_only=False)
-            keep = st >= STATUS_LIKELY
+            src = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            # src==dst edges only arise when the two corpora share a doc id
+            # (a documented contract violation) — never let one mark a doc
+            # a duplicate of itself
+            keep = (st >= STATUS_LIKELY) & (src != dst)
             if not keep.any():
                 continue
-            src = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-            dst = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+            src, dst = src[keep], dst[keep]
             s_new = np.isin(src, new_ids, assume_unique=False)
             d_new = np.isin(dst, new_ids, assume_unique=False)
             # cross-side edges: the new endpoint matched a corpus doc
