@@ -18,9 +18,11 @@ flagship's own exchange:
 
 Row count out <= row count in; the only shuffle is the flagship's 24 B/row
 band-key exchange.  At 100 TB the keep-set broadcast is the one piece that
-grows with corpus size (8 B per kept doc) — above the broadcast budget the
-same final map becomes a hash semi-join on doc_id (the
-customers_without_orders join-fallback pattern).
+grows with corpus size (8 B per kept doc) — above ``keep_broadcast_max``
+ids the plan switches automatically to a hash semi-join on doc_id
+(``Dataset.join``, inner, skinny keep side) and the same final map applies
+the gate + redaction without the membership probe.  Both plans are
+output-identical (tested).
 """
 
 from __future__ import annotations
@@ -46,15 +48,27 @@ QUALITY_DISTINCT = (4, 10)    # n_distinct*10 >= n_words*4
 QUALITY_ALPHA = (82, 100)     # alpha*100 >= n_chars*82
 MASK_TERMS = ["spark", "window"]
 
+# keep-set ids above this count stop broadcasting (8 B/id -> ~400 MB of
+# per-worker state at the cap) and the plan becomes a hash semi-join
+KEEP_BROADCAST_MAX = 50_000_000
+
 
 def prepare_training_corpus(
-    sf_dir: str, cfg: PipelineConfig | None = None
+    sf_dir: str,
+    cfg: PipelineConfig | None = None,
+    *,
+    keep_broadcast_max: int = KEEP_BROADCAST_MAX,
 ) -> ray.data.Dataset:
     """Dedup + quality-gate + redact the documents table; returns the clean
-    training rows (doc_id, text, n_masked)."""
+    training rows (doc_id, text, n_masked).  ``keep_broadcast_max=0``
+    forces the semi-join plan (how the equivalence test pins it)."""
     cfg = cfg or PipelineConfig()
     corpus = read_documents_corpus(sf_dir)
-    report = dedup_report(corpus, cfg)
+    report = dedup_report(corpus, cfg).materialize()
+    n_keep = report.count()  # report is skinny (ids + flags); corpus is not pinned
+
+    if n_keep > keep_broadcast_max:
+        return _prepare_join_plan(corpus, report, cfg)
 
     @ray.remote
     def build_keep(*blocks):
@@ -69,7 +83,7 @@ def prepare_training_corpus(
             return np.empty(0, dtype=np.int64)
         return np.sort(np.concatenate(ids).astype(np.int64))
 
-    keep_ref = build_keep.remote(*report.materialize().to_arrow_refs())
+    keep_ref = build_keep.remote(*report.to_arrow_refs())
 
     patterns = PII_PATTERNS + [(mask_terms_pattern(MASK_TERMS), "<MASK>")]
 
@@ -83,33 +97,70 @@ def prepare_training_corpus(
         else:
             kept = np.zeros(ids.shape[0], dtype=bool)
         texts = batch["content"].to_pylist()
-        feats = quality_features(texts)
-        n_words = np.asarray(feats["n_words"], dtype=np.int64)
-        n_dist = np.asarray(feats["n_distinct_words"], dtype=np.int64)
-        n_chars = np.asarray(feats["n_chars"], dtype=np.int64)
-        alpha = np.asarray(feats["alpha_chars"], dtype=np.int64)
-        lo, hi = QUALITY_WORDS
-        dnum, dden = QUALITY_DISTINCT
-        anum, aden = QUALITY_ALPHA
-        good = (
-            kept
-            & (n_words >= lo)
-            & (n_words <= hi)
-            & (n_dist * dden >= n_words * dnum)
-            & (alpha * aden >= n_chars * anum)
-        )
-        mask = pa.array(good)
-        sub = pa.table(
-            {
-                "doc_id": batch["doc_id"].filter(mask),
-                "text": pa.array(
-                    [t for t, g in zip(texts, good) if g], type=pa.string()
-                ),
-            }
-        )
-        red, n_masked = redact_column(sub["text"], patterns)
-        return pa.table(
-            {"doc_id": sub["doc_id"], "text": red, "n_masked": n_masked}
-        )
+        return _gate_and_redact(batch["doc_id"], texts, kept, patterns)
 
     return corpus.map_batches(finalize, batch_format="pyarrow")
+
+
+def _quality_mask(texts: list[str]) -> np.ndarray:
+    feats = quality_features(texts)
+    n_words = np.asarray(feats["n_words"], dtype=np.int64)
+    n_dist = np.asarray(feats["n_distinct_words"], dtype=np.int64)
+    n_chars = np.asarray(feats["n_chars"], dtype=np.int64)
+    alpha = np.asarray(feats["alpha_chars"], dtype=np.int64)
+    lo, hi = QUALITY_WORDS
+    dnum, dden = QUALITY_DISTINCT
+    anum, aden = QUALITY_ALPHA
+    return (
+        (n_words >= lo)
+        & (n_words <= hi)
+        & (n_dist * dden >= n_words * dnum)
+        & (alpha * aden >= n_chars * anum)
+    )
+
+
+def _gate_and_redact(
+    id_col, texts: list[str], kept: np.ndarray, patterns
+) -> pa.Table:
+    good = kept & _quality_mask(texts)
+    mask = pa.array(good)
+    sub_ids = id_col.filter(mask) if hasattr(id_col, "filter") else id_col
+    red, n_masked = redact_column(
+        pa.array([t for t, g in zip(texts, good) if g], type=pa.string()),
+        patterns,
+    )
+    return pa.table({"doc_id": sub_ids, "text": red, "n_masked": n_masked})
+
+
+def _prepare_join_plan(
+    corpus: ray.data.Dataset, report: ray.data.Dataset, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """Above the broadcast budget: inner hash semi-join corpus x kept ids
+    (both sides stream through the engine exchange), then the same gate +
+    redaction map."""
+    from libpostal_ray.pipelines.cluster import effective_join_partitions
+
+    patterns = PII_PATTERNS + [(mask_terms_pattern(MASK_TERMS), "<MASK>")]
+
+    def kept_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "keep" not in batch.column_names:
+            return pa.table({"doc_id": pa.nulls(0, pa.int64())})
+        return pa.table(
+            {"doc_id": batch["doc_id"].filter(batch["keep"]).cast(pa.int64())}
+        )
+
+    keep_ds = report.map_batches(kept_only, batch_format="pyarrow")
+    slim = corpus.select_columns(["doc_id", "content"])
+    joined = slim.join(
+        keep_ds,
+        join_type="inner",
+        num_partitions=effective_join_partitions(cfg.verify_partitions),
+        on=("doc_id",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        texts = batch["content"].to_pylist()
+        kept = np.ones(batch.num_rows, dtype=bool)
+        return _gate_and_redact(batch["doc_id"], texts, kept, patterns)
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -2559,22 +2559,28 @@ _CONTAM_K = 40        # phrase length, chars == bytes on this corpus
 _CONTAM_SLICE = 97    # benchmark slice: doc_id % _CONTAM_SLICE == 0
 
 
-def _contam_phrases_ref(mat: ray.data.Dataset):
-    """Distinct benchmark phrases from the corpus slice, built in a remote
-    task from the materialized corpus blocks; returns an ObjectRef to a
-    sorted list (broadcast once, read by every flag task)."""
+def _contam_phrases_ref(docs: ray.data.Dataset):
+    """Distinct benchmark phrases from the corpus slice.  The slice filter
+    runs as a streaming map over the corpus FIRST, so only the (tiny)
+    benchmark slice materializes — the corpus itself is never pinned; a
+    real pipeline passes an external benchmark list instead.  Returns an
+    ObjectRef to a sorted phrase list (broadcast once)."""
+
+    def slice_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(ids % _CONTAM_SLICE == 0))
+
+    mat = docs.map_batches(slice_rows, batch_format="pyarrow").materialize()
 
     @ray.remote
     def build(*blocks: pa.Table):
         ph = set()
         for b in blocks:
-            if b.num_rows == 0 or "doc_id" not in b.column_names:
+            if b.num_rows == 0 or "text" not in b.column_names:
                 continue
-            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            sel = np.flatnonzero(ids % _CONTAM_SLICE == 0)
-            if not sel.shape[0]:
-                continue
-            for t in b["text"].take(pa.array(sel, type=pa.int64())).to_pylist():
+            for t in b["text"].to_pylist():
                 if t and len(t) >= _CONTAM_K:
                     ph.add(t[:_CONTAM_K])
         return sorted(ph)
@@ -2585,8 +2591,8 @@ def _contam_phrases_ref(mat: ray.data.Dataset):
 def contamination_flags(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_hits): docs containing >= 1 benchmark phrase, with the
     count of distinct phrases contained.  Literal-scan plan."""
-    mat = _docs(sf_dir).materialize()
-    phrases_ref = _contam_phrases_ref(mat)
+    docs = _docs(sf_dir)
+    phrases_ref = _contam_phrases_ref(docs)
 
     def flag(batch: pa.Table) -> pa.Table:
         phrases = ray.get(phrases_ref)
@@ -2606,7 +2612,7 @@ def contamination_flags(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return mat.map_batches(flag, batch_format="pyarrow")
+    return docs.map_batches(flag, batch_format="pyarrow")
 
 
 def contamination_ngram(sf_dir: str) -> ray.data.Dataset:
@@ -2619,8 +2625,8 @@ def contamination_ngram(sf_dir: str) -> ray.data.Dataset:
     from libpostal_ray.functions.canonicalize import large_string_view
     from libpostal_ray.functions.hashing import rolling_shingle_hashes
 
-    mat = _docs(sf_dir).materialize()
-    phrases_ref = _contam_phrases_ref(mat)
+    docs = _docs(sf_dir)
+    phrases_ref = _contam_phrases_ref(docs)
 
     @ray.remote
     def build_hashes(phrases: list[str]) -> np.ndarray:
@@ -2671,7 +2677,7 @@ def contamination_ngram(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return mat.map_batches(flag, batch_format="pyarrow")
+    return docs.map_batches(flag, batch_format="pyarrow")
 
 
 # ------------------------------------------------- stratified hash sample
@@ -2683,10 +2689,34 @@ def stratified_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
 
     Physical plan: per-batch PARTIAL top-k per group (vectorized lexsort +
     segment head), so the exchange carries <= k rows per (group, batch) —
-    never the corpus; one tiny groupby finishes.  Output (lang, doc_id,
+    never the corpus; the finish groups by crc32(group) % P (million-group
+    corpora — per-DOMAIN quotas — get P kernel calls, not one per group)
+    and recovers group segments vectorized inside.  Output (lang, doc_id,
     rn) with rn the 1-based rank in (hash, doc_id) order — byte-equal to
     SQL row_number() OVER (PARTITION BY lang ORDER BY hash, doc_id)."""
+    import zlib
+
     M = np.int64(2147483647)
+    P = 32
+
+    def _group_topk(lang: pa.Array, ids: np.ndarray, h: np.ndarray, cap: int):
+        """Indices of the per-group (hash, doc_id)-smallest <= cap rows,
+        plus each kept row's 0-based rank in its group."""
+        codes = (
+            pc.dictionary_encode(lang)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.lexsort((ids, h, codes))
+        gs = codes[order]
+        new = np.concatenate(([True], gs[1:] != gs[:-1]))
+        starts = np.flatnonzero(new)
+        seg_start = np.repeat(
+            starts, np.diff(np.concatenate((starts, [gs.shape[0]])))
+        )
+        rank = np.arange(gs.shape[0], dtype=np.int64) - seg_start
+        keep = rank < cap
+        return order[keep], rank[keep]
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(
@@ -2696,20 +2726,19 @@ def stratified_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
         lang = batch["lang"]
         if isinstance(lang, pa.ChunkedArray):
             lang = lang.combine_chunks()
-        gid = pc.dictionary_encode(lang)
-        codes = gid.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, h, codes))
-        gs, hs, is_ = codes[order], h[order], ids[order]
-        new = np.concatenate(([True], gs[1:] != gs[:-1]))
-        seg_start = np.repeat(np.flatnonzero(new), np.diff(np.concatenate((np.flatnonzero(new), [gs.shape[0]]))))
-        rank_in_seg = np.arange(gs.shape[0], dtype=np.int64) - seg_start
-        keep = rank_in_seg < k
-        take = pa.array(order[keep], type=pa.int64())
+        take, _ = _group_topk(lang, ids, h, k)
+        kept_lang = lang.take(pa.array(take, type=pa.int64()))
+        part = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in kept_lang.to_pylist()),
+            dtype=np.int64,
+            count=len(kept_lang),
+        ) % P
         return pa.table(
             {
-                "lang": lang.take(take),
-                "doc_id": pa.array(is_[keep], type=pa.int64()),
-                "h": pa.array(hs[keep], type=pa.int64()),
+                "lang": kept_lang,
+                "doc_id": pa.array(ids[take], type=pa.int64()),
+                "h": pa.array(h[take], type=pa.int64()),
+                "part": pa.array(part),
             }
         )
 
@@ -2722,24 +2751,25 @@ def stratified_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
                     "rn": pa.nulls(0, pa.int64()),
                 }
             )
-        h = group["h"].to_numpy(zero_copy_only=False)
+        lang = group["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))[:k]
-        take = pa.array(order, type=pa.int64())
+        h = group["h"].to_numpy(zero_copy_only=False)
+        take, rank = _group_topk(lang, ids, h, k)
+        arr = pa.array(take, type=pa.int64())
         return pa.table(
             {
-                "lang": group["lang"].take(take),
-                "doc_id": group["doc_id"].take(take),
-                "rn": pa.array(
-                    np.arange(1, order.shape[0] + 1, dtype=np.int64)
-                ),
+                "lang": lang.take(arr),
+                "doc_id": group["doc_id"].take(arr),
+                "rn": pa.array(rank + 1),
             }
         )
 
     return (
         _docs(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
+        .groupby("part")
         .map_groups(final, batch_format="pyarrow")
     )
 

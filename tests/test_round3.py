@@ -1016,3 +1016,24 @@ class TestTrainingLoop:
             f"select max(c) * 1.0 / sum(c) from (select count(*) c from '{sf}/documents.parquet' group by lang)"
         ).fetchone()[0]
         assert df.accuracy_milli.max() / 1000.0 <= maj + 0.08
+
+
+class TestPrepareJoinPlan:
+    def test_plans_agree(self, ray_session):
+        from libpostal_ray.pipelines.prepare import prepare_training_corpus
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            prepare_training_corpus(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            prepare_training_corpus(sf, keep_broadcast_max=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        assert a.equals(b[a.columns])
