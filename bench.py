@@ -221,7 +221,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def fresh(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SCALING="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_SCALING="1",
+            GRAFT_SKIP_BW="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -313,11 +318,14 @@ def _host_bandwidth_gbps(procs: int = 8, copies: int = 4) -> float:
 
 
 if __name__ == "__main__":
-    bw = _host_bandwidth_gbps()
+    # scaling children skip the probes (the parent brackets the suite)
+    probe = os.environ.get("GRAFT_SKIP_BW") != "1"
+    bw = _host_bandwidth_gbps() if probe else None
     if "--scaling" in sys.argv:
         res = run_scaling()
     else:
         res = run_bench()
-    res["host_bandwidth_gbps"] = bw
-    res["host_bandwidth_gbps_after"] = _host_bandwidth_gbps()
+    if probe:
+        res["host_bandwidth_gbps"] = bw
+        res["host_bandwidth_gbps_after"] = _host_bandwidth_gbps()
     print(json.dumps(res))
