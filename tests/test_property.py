@@ -1,0 +1,151 @@
+"""Hypothesis property tests for the pure kernels behind the temporal
+joins and the quantile sketch — brute-force reference semantics on random
+inputs.  Ray-free: the composite-rank lookup logic is exercised directly
+(the Ray plumbing around it is covered by the plan-equivalence tests in
+test_relational.py)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+keys = st.integers(min_value=0, max_value=6)
+tss = st.integers(min_value=-1000, max_value=1000)
+
+
+def _asof_composite(lk, lt, rk, rt, rtb):
+    """The broadcast-plan kernel, extracted: for each (lk, lt) the right
+    row with same key, greatest rt <= lt, max tie among equals; -1 else."""
+    rk = np.asarray(rk, dtype=np.int64)
+    rt = np.asarray(rt, dtype=np.int64)
+    rtb = np.asarray(rtb, dtype=np.int64)
+    lk = np.asarray(lk, dtype=np.int64)
+    lt = np.asarray(lt, dtype=np.int64)
+    if rk.shape[0] == 0:
+        return np.full(lk.shape[0], -1, dtype=np.int64)
+    order = np.lexsort((rtb, rt, rk))
+    ks, ts_ = rk[order], rt[order]
+    uk, ut = np.unique(ks), np.unique(ts_)
+    span = np.int64(ut.shape[0] + 1)
+    comp = (
+        np.searchsorted(uk, ks).astype(np.int64) * span
+        + np.searchsorted(ut, ts_, side="right").astype(np.int64)
+    )
+    kid = np.searchsorted(uk, lk)
+    kidc = np.clip(kid, 0, uk.shape[0] - 1).astype(np.int64)
+    key_ok = (kid < uk.shape[0]) & (uk[kidc] == lk)
+    comp_l = kidc * span + np.searchsorted(ut, lt, side="right").astype(np.int64)
+    pos = np.searchsorted(comp, comp_l, side="right") - 1
+    matched = key_ok & (pos >= 0)
+    if matched.any():
+        matched[matched] &= (comp[pos[matched]] // span) == kidc[matched]
+    out = np.full(lk.shape[0], -1, dtype=np.int64)
+    out[matched] = order[pos[matched]]
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    right=st.lists(st.tuples(keys, tss, tss), max_size=40),
+    left=st.lists(st.tuples(keys, tss), max_size=30),
+)
+def test_asof_composite_matches_bruteforce(right, left):
+    rk = [r[0] for r in right]
+    rt = [r[1] for r in right]
+    rtb = [r[2] for r in right]
+    lk = [l[0] for l in left]
+    lt = [l[1] for l in left]
+    got = _asof_composite(lk, lt, rk, rt, rtb)
+    for i, (k, t) in enumerate(zip(lk, lt)):
+        cands = [
+            j for j in range(len(rk)) if rk[j] == k and rt[j] <= t
+        ]
+        if not cands:
+            assert got[i] == -1
+        else:
+            best_t = max(rt[j] for j in cands)
+            ties = [j for j in cands if rt[j] == best_t]
+            best = max(ties, key=lambda j: (rtb[j], j))
+            # any row with the same (key, ts, tie) triple is equivalent
+            g = got[i]
+            assert g >= 0
+            assert (rk[g], rt[g], rtb[g]) == (rk[best], rt[best], rtb[best])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=3000,
+    ),
+    chunks=st.integers(min_value=1, max_value=7),
+    q=st.floats(min_value=0.01, max_value=0.99),
+)
+def test_quantile_sketch_rank_bound(vals, chunks, q):
+    from libpostal_ray.functions.quantile import QuantileSketch
+
+    v = np.asarray(vals, dtype=np.float64)
+    sks = []
+    for part in np.array_split(v, chunks):
+        sks.append(QuantileSketch(k=64).add(part))
+    sk = sks[0]
+    for other in sks[1:]:
+        sk = sk.merge(QuantileSketch.from_bytes(other.to_bytes()))
+    assert sk.total_weight == v.shape[0]
+    est = sk.quantiles([q])[0]
+    sv = np.sort(v)
+    lo = np.searchsorted(sv, est, side="left") / v.shape[0]
+    hi = np.searchsorted(sv, est, side="right") / v.shape[0]
+    # rank error bound: generous 3x the asymptotic levels/(2k) (k=64,
+    # <=3000 values -> ~6 levels -> eps ~ 0.05); small-n is exact
+    eps = max(0.15, 1.0 / v.shape[0])
+    assert lo - eps <= q <= hi + eps, (q, lo, hi, est)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    points=st.lists(st.tuples(keys, tss), max_size=50),
+    anchors=st.lists(st.tuples(keys, tss), max_size=30),
+    window=st.integers(min_value=1, max_value=200),
+)
+def test_interval_count_composite_matches_bruteforce(points, anchors, window):
+    pk = np.asarray([p[0] for p in points], dtype=np.int64)
+    pt = np.asarray([p[1] for p in points], dtype=np.int64)
+    ik = np.asarray([a[0] for a in anchors], dtype=np.int64)
+    it = np.asarray([a[1] for a in anchors], dtype=np.int64)
+    # the broadcast-plan probe, extracted
+    if pk.shape[0] == 0:
+        got = np.zeros(ik.shape[0], dtype=np.int64)
+    else:
+        order = np.lexsort((pt, pk))
+        ks, ts_ = pk[order], pt[order]
+        uk, ut = np.unique(ks), np.unique(ts_)
+        span = np.int64(ut.shape[0] + 1)
+        comp = (
+            np.searchsorted(uk, ks).astype(np.int64) * span
+            + np.searchsorted(ut, ts_, side="right").astype(np.int64)
+        )
+        kid = np.searchsorted(uk, ik)
+        kidc = np.clip(kid, 0, uk.shape[0] - 1).astype(np.int64)
+        key_ok = (kid < uk.shape[0]) & (uk[kidc] == ik)
+        base = kidc * span
+        lo = np.searchsorted(
+            comp, base + np.searchsorted(ut, it, side="right").astype(np.int64),
+            side="right",
+        )
+        hi = np.searchsorted(
+            comp,
+            base
+            + np.searchsorted(ut, it + np.int64(window), side="right").astype(
+                np.int64
+            ),
+            side="right",
+        )
+        got = np.where(key_ok, hi - lo, 0).astype(np.int64)
+    for j in range(ik.shape[0]):
+        want = int(
+            ((pk == ik[j]) & (pt > it[j]) & (pt <= it[j] + window)).sum()
+        )
+        assert got[j] == want
