@@ -830,6 +830,19 @@ def ann_topk_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return res[["vec_id", "cos_sim", "rank"]].sort_values("rank").reset_index(drop=True)
 
 
+def semantic_dedup(sf_dir: str, eps: float = 0.4, n_clusters: int = 8) -> pd.DataFrame:
+    """SemDeDup verdicts over the embeddings table: k-means partition, then
+    within-cluster cosine dup groups keep one representative (lowest
+    centroid_sim).  Not SQL-expressible (iterative k-means) — rows-only;
+    the kernel itself is fixture-tested in tests/test_semdedup.py.
+    eps=0.4 sits just under the synthetic corpus's max pairwise cosine
+    (~0.48) so the verdict table exercises real dup groups."""
+    from libpostal_ray.pipelines.semdedup import semantic_dedup as _sem
+
+    res = _sem(_embeddings(sf_dir), eps=eps, n_clusters=n_clusters).to_pandas()
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
 def fingerprint_counts(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_fingerprints): winnowed rolling-hash fingerprint counts."""
     return (
