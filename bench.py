@@ -284,37 +284,14 @@ def _synth_corpus_path_warm(ncpu: int) -> None:
                    cwd=os.path.dirname(os.path.abspath(__file__)))
 
 
-def _host_bandwidth_gbps(procs: int = 8, copies: int = 4) -> float:
-    """Aggregate multi-process memcpy bandwidth (GB/s).  THE context number
-    for every timing in this file: this host's DRAM is shared with
-    invisible neighbors and swings 5.5 -> 0.3 GB/s on multi-minute
-    timescales (BENCH/BASELINE.md session-5 section); single-threaded
-    probes read normal even while 32-way work is throttled 5x."""
-    import multiprocessing as mp
-    import time as _t
+def _host_bandwidth_gbps() -> float:
+    """Aggregate multi-process memcpy bandwidth (GB/s) — THE context number
+    for every timing in this file; one shared implementation with
+    BENCH/probe_bandwidth.py so the bench JSON and the manual gate read
+    the SAME probe (libpostal_ray/state/bwprobe.py has the rationale)."""
+    from libpostal_ray.state.bwprobe import aggregate_bandwidth_gbps
 
-    import numpy as np
-
-    def worker(q):
-        a = np.empty(2**25, dtype=np.uint8)
-        a[:] = 1
-        t0 = _t.perf_counter()
-        for _ in range(copies):
-            a.copy()
-        q.put(_t.perf_counter() - t0)
-
-    ctx = mp.get_context("fork")
-    q = ctx.Queue()
-    ps = [ctx.Process(target=worker, args=(q,)) for _ in range(procs)]
-    t0 = _t.perf_counter()
-    for p in ps:
-        p.start()
-    for _ in ps:
-        q.get()
-    for p in ps:
-        p.join()
-    wall = _t.perf_counter() - t0
-    return round(procs * copies * (2**25) * 2 / 1e9 / wall, 2)
+    return aggregate_bandwidth_gbps()[0]
 
 
 if __name__ == "__main__":

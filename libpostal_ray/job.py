@@ -172,15 +172,19 @@ def run_incremental(args) -> dict:
     corpus_sigs = (
         ray.data.read_parquet(args.against_sigs) if args.against_sigs else None
     )
-    verdicts = dedup_against_corpus(new_docs, corpus, cfg, corpus_sigs=corpus_sigs)
+    # when persisting the delivery's signatures, sketch ONCE and feed the
+    # same materialized table into the verdict DAG — the signature pass is
+    # the expensive stage of the run, never pay it twice
+    new_sigs = signatures(new_docs, cfg).materialize() if args.write_sigs else None
+    verdicts = dedup_against_corpus(
+        new_docs, corpus, cfg, corpus_sigs=corpus_sigs, new_sigs=new_sigs
+    )
     os.makedirs(args.output, exist_ok=True)
     verdicts.write_parquet(os.path.join(args.output, "verdicts"))
-    if args.write_sigs:
-        # persist THIS delivery's signatures so the next delta can run
-        # --against-sigs and never re-read today's content either
-        signatures(new_docs, cfg).write_parquet(
-            os.path.join(args.output, "signatures")
-        )
+    if new_sigs is not None:
+        # so the next delta can run --against-sigs and never re-read
+        # today's content either
+        new_sigs.write_parquet(os.path.join(args.output, "signatures"))
 
     manifest = {
         "mode": "incremental",

@@ -32,7 +32,10 @@ Physical plan — ONE exchange over both corpora, no special-cased index:
      (doc_id, verdict, match_id), match_id = -1 for keeps.
 
 Scale: the only all-to-all is the flagship's 24 B/row band-key exchange
-over corpus+delta signatures; the verdict map is O(delta).
+over corpus+delta signatures; corpus-internal edges are dropped
+distributively against the broadcast delta-id set before the verdict
+gather, so the single classify task and the verdict map are both
+O(delta-touching edges), never O(corpus).
 """
 
 from __future__ import annotations
@@ -77,20 +80,44 @@ def dedup_against_corpus(
     cfg: PipelineConfig | None = None,
     *,
     corpus_sigs: ray.data.Dataset | None = None,
+    new_sigs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, verdict, match_id) for every row of ``new_docs``.
 
     ``corpus_sigs``: pass the corpus' signature table (e.g. loaded from a
     flagship-run checkpoint) to skip re-reading corpus content entirely.
+    ``new_sigs``: pass the delta's own (materialized) signature table when
+    the caller also persists it — avoids sketching the delivery twice.
     Both corpora must use the canonical corpus schema (sources/readers)
     and disjoint doc ids (readers derive collision-free 63-bit ids).
     """
     cfg = cfg or PipelineConfig()
+    if corpus is None and corpus_sigs is None:
+        raise ValueError("dedup_against_corpus needs corpus or corpus_sigs")
     new_ids_ref = _ids_of(new_docs)
 
-    sig_new = signatures(new_docs, cfg)
+    sig_new = new_sigs if new_sigs is not None else signatures(new_docs, cfg)
     sig_corpus = corpus_sigs if corpus_sigs is not None else signatures(corpus, cfg)
-    edges = candidate_edges(sig_corpus.union(sig_new), cfg)
+    all_edges = candidate_edges(sig_corpus.union(sig_new), cfg)
+
+    # a standing corpus emits mostly corpus-internal near-dup edges, which
+    # are irrelevant to the delta verdict (corpus matches are terminal in
+    # the compression below) — drop them DISTRIBUTIVELY against the
+    # broadcast delta-id set so the single classify gather only ever sees
+    # O(delta-touching) edges, not O(corpus-internal) ones
+    def delta_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return batch
+        new_ids = ray.get(new_ids_ref)
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        st = batch.column("status").to_numpy(zero_copy_only=False)
+        touches = np.isin(src, new_ids, assume_unique=False) | np.isin(
+            dst, new_ids, assume_unique=False
+        )
+        return batch.filter(pa.array((st >= STATUS_LIKELY) & touches))
+
+    edges = all_edges.map_batches(delta_only, batch_format="pyarrow")
 
     @ray.remote
     def classify(new_ids: np.ndarray, *blocks: pa.Table):

@@ -65,7 +65,19 @@ def prepare_training_corpus(
     cfg = cfg or PipelineConfig()
     corpus = read_documents_corpus(sf_dir)
     report = dedup_report(corpus, cfg).materialize()
-    n_keep = report.count()  # report is skinny (ids + flags); corpus is not pinned
+
+    # the broadcast budget is defined over KEPT ids (8 B each), not report
+    # rows: a 60M-doc corpus keeping 1M ids is still a tiny broadcast — one
+    # cheap pass over the already-materialized skinny report counts them
+    def _kept_count(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.sum(batch["keep"]).as_py() if "keep" in batch.column_names else 0
+        return pa.table({"n": pa.array([int(n or 0)], type=pa.int64())})
+
+    n_keep = int(
+        report.map_batches(_kept_count, batch_format="pyarrow").sum("n") or 0
+    )
 
     if n_keep > keep_broadcast_max:
         return _prepare_join_plan(corpus, report, cfg)
@@ -124,7 +136,7 @@ def _gate_and_redact(
 ) -> pa.Table:
     good = kept & _quality_mask(texts)
     mask = pa.array(good)
-    sub_ids = id_col.filter(mask) if hasattr(id_col, "filter") else id_col
+    sub_ids = id_col.filter(mask)
     red, n_masked = redact_column(
         pa.array([t for t, g in zip(texts, good) if g], type=pa.string()),
         patterns,

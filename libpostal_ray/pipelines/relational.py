@@ -127,8 +127,12 @@ def asof_join(
     if clash:
         raise ValueError(f"payload column collision: {sorted(clash)}")
     if broadcast_max:
-        right = right.materialize()
-        if right.count() <= broadcast_max:
+        # bounded plan probe: limit().count() streams with early stop, so a
+        # both-sides-huge right never gets pinned in the object store just
+        # to learn it exceeds the budget; only a small side (which the
+        # broadcast build consumes anyway) is materialized
+        if right.limit(broadcast_max + 1).count() <= broadcast_max:
+            right = right.materialize()
             return _asof_broadcast(
                 left, right, lk=lk, rk=rk, lt=lt, rt=rt,
                 tie_break=tie_break, how=how, rs=rs, lpay=lpay, rpay=rpay,
@@ -217,6 +221,82 @@ def asof_join(
     lu = left.map_batches(tag_left, batch_format="pyarrow")
     ru = right.map_batches(tag_right, batch_format="pyarrow")
     return lu.union(ru).groupby(_PART).map_groups(kernel, batch_format="pyarrow")
+
+
+def composite_rank_index(
+    k: np.ndarray, ts_: np.ndarray, tb: np.ndarray | None = None
+) -> dict:
+    """The PURE index-build kernel shared by both broadcast plans (and
+    bound directly by the hypothesis property tests, so production code is
+    what the 300-example suites exercise): rows lexsorted by
+    (key, ts[, tie]); ``comp = kid*span + rank(ts)`` with ``kid`` the key's
+    index in the sorted unique keys, ``rank(ts)`` its 1-based right-rank
+    among unique timestamps, ``span = |uts|+1``.  ``comp`` is
+    non-decreasing and key-blocked, so range/as-of probes are single
+    ``searchsorted`` calls.  Returns ``order`` so callers can gather
+    payload columns in index order."""
+    order = (
+        np.lexsort((tb, ts_, k)) if tb is not None else np.lexsort((ts_, k))
+    )
+    ks, tss = k[order], ts_[order]
+    uk, ut = np.unique(ks), np.unique(tss)
+    span = np.int64(ut.shape[0] + 1)
+    # both ranks bounded by the broadcast row count -> no overflow
+    assert int(uk.shape[0]) * int(span) < 2**62
+    comp = (
+        np.searchsorted(uk, ks).astype(np.int64) * span
+        + np.searchsorted(ut, tss, side="right").astype(np.int64)
+    )
+    return {"uk": uk, "ut": ut, "span": span, "comp": comp, "ts": tss, "order": order}
+
+
+def asof_probe(st: dict, k: np.ndarray, t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pure as-of probe against a composite_rank_index: (matched, pos)
+    where pos indexes the index's sorted rows (latest right row with
+    ts <= t for the same key; equal-(key,ts) ties resolved to the max
+    tie_break because the lexsort put it last)."""
+    uk, ut, span, comp = st["uk"], st["ut"], st["span"], st["comp"]
+    kid = np.searchsorted(uk, k)
+    kidc = np.clip(kid, 0, uk.shape[0] - 1).astype(np.int64)
+    key_ok = (kid < uk.shape[0]) & (uk[kidc] == k)
+    comp_l = kidc * span + np.searchsorted(ut, t, side="right").astype(np.int64)
+    pos = np.searchsorted(comp, comp_l, side="right") - 1
+    matched = key_ok & (pos >= 0)
+    if matched.any():
+        matched[matched] &= (comp[pos[matched]] // span) == kidc[matched]
+    return matched, pos
+
+
+def interval_count_probe(
+    st: dict,
+    ik: np.ndarray,
+    it: np.ndarray,
+    window_us: int,
+    lo_side: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure interval-count probe against a composite_rank_index:
+    (cnt, first_ts) per interval — two searchsorted calls, pairs never
+    materialized.  ``lo_side="right"`` gives ``(a, a+w]``; ``"left"``
+    gives ``[a, a+w]``."""
+    uk, ut, span, comp = st["uk"], st["ut"], st["span"], st["comp"]
+    kid = np.searchsorted(uk, ik)
+    kidc = np.clip(kid, 0, uk.shape[0] - 1).astype(np.int64)
+    key_ok = (kid < uk.shape[0]) & (uk[kidc] == ik)
+    base = kidc * span
+    lo = np.searchsorted(
+        comp, base + np.searchsorted(ut, it, side=lo_side).astype(np.int64),
+        side="right",
+    )
+    hi = np.searchsorted(
+        comp,
+        base + np.searchsorted(ut, it + np.int64(window_us), side="right").astype(np.int64),
+        side="right",
+    )
+    cnt = np.where(key_ok, hi - lo, 0).astype(np.int64)
+    has = cnt > 0
+    first = np.zeros(ik.shape[0], dtype=np.int64)
+    first[has] = st["ts"][lo[has]]
+    return cnt, first
 
 
 def _asof_broadcast(
@@ -352,8 +432,10 @@ def interval_count_join(
     ischema = intervals.schema().base_schema
     ipay = [n for n in ischema.names if n != interval_key and n != interval_ts]
     if broadcast_max:
-        points = points.materialize()
-        if points.count() <= broadcast_max:
+        # bounded plan probe (see asof_join): never pin a huge point stream
+        # just to discover it exceeds the broadcast budget
+        if points.limit(broadcast_max + 1).count() <= broadcast_max:
+            points = points.materialize()
             return _interval_broadcast(
                 points, intervals,
                 point_key=point_key, point_ts=point_ts,
