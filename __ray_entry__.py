@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
         "lineitem_unpivot": q.lineitem_unpivot,
+        "tpch_q5_local_revenue": q.tpch_q5_local_revenue,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -630,5 +631,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS price_cents
             FROM orders o JOIN a USING (o_custkey)
             WHERE CAST(floor(o.o_totalprice * 100.0) AS BIGINT) * a.n > a.s
+        """,
+        "tpch_q5_local_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM region, nation, customer, orders, lineitem, supplier
+            WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+              AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+              AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
         """,
     }

@@ -3046,3 +3046,200 @@ def media_feature_extract(sf_dir: str) -> ray.data.Dataset:
         )
 
     return feats.map_batches(collapse, batch_format="pyarrow")
+
+
+def tpch_q5_local_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape — "local supplier volume": revenue per nation from
+    orders placed in ``[date_lo, date_hi)`` by customers of ``region``
+    whose line items were supplied FROM THE CUSTOMER'S OWN NATION
+    (s_nationkey = c_nationkey).  Six tables: region, nation, customer,
+    supplier, orders, lineitem -> (n_name, revenue_cents).
+
+    Physical plan (the star-join shape this engine uses everywhere):
+
+      * region/nation/supplier/customer are DIMENSIONS — loaded once on
+        the driver as sorted key->attr arrays and broadcast via one
+        ``ray.put`` (supplier maps suppkey->nationkey; customer maps
+        custkey->nationkey; nation gates on the region and names the
+        output).  At 100-TB scale customer outgrows a broadcast
+        (~1 B/row as a dense array); past that budget the custkey lookup
+        becomes a pre-join of orders against customer on the SAME
+        orderkey-free custkey%P exchange this file uses elsewhere — the
+        fact-fact spine below is unchanged.
+      * orders reads ONLY (o_orderkey, o_custkey) with the date predicate
+        pushed into the parquet scan (row-group pruning — the
+        date-restricted year is a fraction of the table and never leaves
+        storage), then maps to a skinny (orderkey, c_nat) stream gated on
+        the region.
+      * lineitem reads ONLY (l_orderkey, l_suppkey, l_extendedprice,
+        l_discount), integerizes revenue per row (floor cents — oracle
+        float-parity contract, module docstring) and maps to a skinny
+        (orderkey, s_nat, cents) stream gated on the region.
+      * ONE exchange: both skinny streams union-tagged and hash-partitioned
+        on orderkey % P; the per-partition kernel joins them with a single
+        searchsorted (orderkey is unique on the orders side), applies the
+        local-supplier gate c_nat == s_nat, and pre-aggregates to at most
+        25 (nation, cents) partials — the only all-to-all carries 3
+        int64s/row and the engine groupby that follows sees P*25 rows.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    P = 32
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        k
+        for k, n in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        )
+        if n == region
+    }
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = np.asarray(nat["n_nationkey"].to_pylist(), dtype=np.int64)
+    nr = np.asarray(nat["n_regionkey"].to_pylist(), dtype=np.int64)
+    nn = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    no = np.argsort(nk)
+    nk, nr, nn = nk[no], nr[no], nn[no]
+    in_region = np.isin(nr, np.fromiter(rkeys, dtype=np.int64, count=len(rkeys)))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck)
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    dims = _ray.put(
+        {
+            "ck": ck[co], "cn": cn[co], "sk": sk[so], "sn": sn[so],
+            "nk": nk, "nn": nn, "in_region": in_region,
+        }
+    )
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"), type=pa.timestamp("us"))
+    date_filter = (pads.field("o_orderdate") >= lo) & (
+        pads.field("o_orderdate") < hi
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=date_filter,
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        st = _ray.get(dims)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cust_k = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_nat = st["cn"][np.searchsorted(st["ck"], cust_k)]
+        keep = st["in_region"][np.searchsorted(st["nk"], c_nat)]
+        okey, c_nat = okey[keep], c_nat[keep]
+        z = np.zeros(okey.shape[0], dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(okey % P),
+                "kind": pa.array(z),
+                "okey": pa.array(okey),
+                "nat": pa.array(c_nat),
+                "cents": pa.array(z),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        st = _ray.get(dims)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp_k = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = st["sn"][np.searchsorted(st["sk"], supp_k)]
+        keep = st["in_region"][np.searchsorted(st["nk"], s_nat)]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        okey, s_nat, cents = okey[keep], s_nat[keep], cents[keep]
+        return pa.table(
+            {
+                "part": pa.array(okey % P),
+                "kind": pa.array(np.ones(okey.shape[0], dtype=np.int64)),
+                "okey": pa.array(okey),
+                "nat": pa.array(s_nat),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_nationkey": pa.nulls(0, pa.int64()),
+                "cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "kind" not in group.column_names:
+            return empty
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        okey = group["okey"].to_numpy(zero_copy_only=False)
+        nat_ = group["nat"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        om = kind == 0
+        o_key, o_nat = okey[om], nat_[om]
+        l_key, l_nat, l_cents = okey[~om], nat_[~om], cents[~om]
+        if o_key.shape[0] == 0 or l_key.shape[0] == 0:
+            return empty
+        oo = np.argsort(o_key)
+        o_key, o_nat = o_key[oo], o_nat[oo]
+        idx = np.searchsorted(o_key, l_key)
+        idxc = np.clip(idx, 0, o_key.shape[0] - 1)
+        hit = (idx < o_key.shape[0]) & (o_key[idxc] == l_key)
+        local = hit & (o_nat[idxc] == l_nat)
+        if not local.any():
+            return empty
+        # int64 scatter-add (not a float-weighted bincount): cents stay
+        # exact integers all the way through, per the oracle contract
+        nat_hit = l_nat[local].astype(np.int64)
+        part = np.zeros(int(nat_hit.max()) + 1, dtype=np.int64)
+        np.add.at(part, nat_hit, l_cents[local].astype(np.int64))
+        nz = np.nonzero(part)[0]
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nz.astype(np.int64)),
+                "cents": pa.array(part[nz]),
+            }
+        )
+
+    partials = (
+        orders.map_batches(order_side, batch_format="pyarrow")
+        .union(lineitem.map_batches(line_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+    def name_of(batch: pa.Table) -> pa.Table:
+        st = _ray.get(dims)
+        keys = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = st["nn"][np.searchsorted(st["nk"], keys)]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "revenue_cents": batch["revenue_cents"],
+            }
+        )
+
+    return partials.map_batches(name_of, batch_format="pyarrow")

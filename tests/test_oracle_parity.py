@@ -12,7 +12,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -99,6 +99,7 @@ ORACLE_QUERIES = [
     "contamination_ngram",
     "stratified_sample",
     "orders_above_customer_avg",
+    "tpch_q5_local_revenue",
     "lineitem_unpivot",
 ]
 
