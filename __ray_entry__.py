@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": q.orders_above_customer_avg,
         "lineitem_unpivot": q.lineitem_unpivot,
         "tpch_q5_local_revenue": q.tpch_q5_local_revenue,
+        "export_training_shards": q.export_shards_summary,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -645,5 +646,11 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "export_training_shards": """
+            SELECT ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents GROUP BY 1
         """,
     }

@@ -176,3 +176,114 @@ def _prepare_join_plan(
         return _gate_and_redact(batch["doc_id"], texts, kept, patterns)
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# export_training_shards — the deterministic shuffled SINK at the end of the
+# prep pipeline: what the trainer actually consumes.
+
+SHARD_MULT = 2654435761   # Knuth multiplicative hash (hash_sample family)
+SHARD_MOD = 2**32
+ORDER_MULT = 48271        # Lehmer generator (stratified_sample family)
+ORDER_MOD = 2147483647
+
+
+def export_training_shards(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    *,
+    n_shards: int = 64,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic seeded global shuffle + sharded parquet export — the
+    last stage of a training-data pipeline (the trainer streams shard
+    files; reproducibility requires the same doc -> shard assignment AND
+    the same within-shard order on every run, machine count, and block
+    layout).
+
+    Both are pure functions of (doc_id, seed) — never of Ray's
+    nondeterministic block order (``random_shuffle`` gives balance but not
+    reproducibility):
+
+      shard      = ((doc_id XOR seed) * 2654435761) mod 2^32 mod n_shards
+      sort order = ((doc_id XOR seed) * 48271) mod 2147483647, doc_id ASC
+
+    Independent multipliers decorrelate shard choice from within-shard
+    position.  Both are SQL-expressible (the summary below is an oracle
+    row), with the engine-wide caveat that doc_id * MULT must stay under
+    2^63 — true for the readers' 63-bit ids only after the XOR-fold; at
+    trillion-doc scale swap in splitmix64 on both sides and keep the plan.
+
+    Physical plan: one stateless map assigns (shard, _okey), ONE exchange
+    on shard (the unavoidable all-to-all any global shuffle pays — but
+    carrying each row exactly once, no extra copy), a vectorized
+    within-shard lexsort, and a partitioned parquet write (shard=K/
+    directories): a failed run resumes by skipping finished shard dirs,
+    and the trainer addresses shards by path.  Returns the per-shard
+    summary (shard, n_docs, id_sum) READ BACK from the written files, so
+    consumers (and the oracle check) see what actually landed on disk.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards}")
+    mseed = np.int64(seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        folded = ids ^ mseed
+        h = (folded * np.int64(SHARD_MULT)) % np.int64(SHARD_MOD)
+        okey = (folded * np.int64(ORDER_MULT)) % np.int64(ORDER_MOD)
+        batch = batch.append_column(
+            "shard", pa.array((h % np.int64(n_shards)).astype(np.int64))
+        )
+        return batch.append_column("_okey", pa.array(okey))
+
+    def order_within(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "_okey" not in group.column_names:
+            return group.drop_columns(
+                [c for c in ("_okey",) if c in group.column_names]
+            )
+        okey = group["_okey"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        return group.take(np.lexsort((ids, okey))).drop_columns(["_okey"])
+
+    (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order_within, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )
+
+    written = ray.data.read_parquet(out_dir)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "shard" not in batch.column_names:
+            return pa.table(
+                {
+                    "shard": pa.nulls(0, pa.int64()),
+                    "n_docs": pa.nulls(0, pa.int64()),
+                    "id_sum": pa.nulls(0, pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "shard": batch["shard"].cast(pa.int64()),
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "id_sum": batch["doc_id"].cast(pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, "shard")
+            .aggregate([("n_docs", "sum"), ("id_sum", "sum")])
+            .rename_columns(["shard", "n_docs", "id_sum"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        written.map_batches(summarize, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("id_sum", alias_name="id_sum"),
+        )
+    )

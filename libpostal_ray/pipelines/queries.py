@@ -3243,3 +3243,19 @@ def tpch_q5_local_revenue(
         )
 
     return partials.map_batches(name_of, batch_format="pyarrow")
+
+
+def export_shards_summary(sf_dir: str, n_shards: int = 8) -> ray.data.Dataset:
+    """Registry wrapper for pipelines/prepare.export_training_shards: shard
+    the documents table into /tmp and return the per-shard summary read
+    back from the written files — an oracle-checked SINK (the write path
+    itself is under the correctness gate, not just the transform)."""
+    import os
+    import shutil
+
+    from libpostal_ray.pipelines.prepare import export_training_shards
+
+    out = f"/tmp/lpr_shards_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)  # write_parquet appends to
+    # existing dirs; the wrapper's contract is a fresh export
+    return export_training_shards(_docs(sf_dir), out, n_shards=n_shards, seed=0)

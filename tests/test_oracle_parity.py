@@ -100,6 +100,7 @@ ORACLE_QUERIES = [
     "stratified_sample",
     "orders_above_customer_avg",
     "tpch_q5_local_revenue",
+    "export_training_shards",
     "lineitem_unpivot",
 ]
 

@@ -1037,3 +1037,86 @@ class TestPrepareJoinPlan:
         )
         assert len(a) > 0
         assert a.equals(b[a.columns])
+
+
+class TestExportTrainingShards:
+    """Deterministic shuffled shard export: same assignment + within-shard
+    order on every run, regardless of block layout; files actually land
+    partitioned on disk."""
+
+    def _read_shards(self, out):
+        import collections
+
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(out, partitioning="hive").to_table()
+        by = collections.defaultdict(list)
+        d = t.to_pydict()
+        for s, i in zip(d["shard"], d["doc_id"]):
+            by[int(s)].append(int(i))
+        return t, by
+
+    def test_deterministic_and_ordered(self, ray_session, tmp_path):
+        import os
+
+        import ray as _ray
+
+        from libpostal_ray.pipelines.prepare import (
+            ORDER_MOD,
+            ORDER_MULT,
+            export_training_shards,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = _ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        outs = [str(tmp_path / "a"), str(tmp_path / "b")]
+        summaries = []
+        for out, blocks in zip(outs, (2, 7)):  # different block layouts
+            s = export_training_shards(
+                docs.repartition(blocks), out, n_shards=8, seed=42
+            )
+            summaries.append(
+                s.to_pandas().sort_values("shard").reset_index(drop=True)
+            )
+        assert summaries[0].equals(summaries[1])
+        assert summaries[0]["n_docs"].sum() == 500
+        assert len(summaries[0]) == 8  # every shard non-empty at 500 docs
+
+        ta, by_a = self._read_shards(outs[0])
+        _, by_b = self._read_shards(outs[1])
+        assert by_a == by_b  # identical assignment AND within-shard order
+        # the on-disk layout is one directory per shard (resumable sink)
+        dirs = sorted(
+            d for d in os.listdir(outs[0]) if d.startswith("shard=")
+        )
+        assert len(dirs) == 8
+        # within-shard order is the documented Lehmer order
+        for s, ids in by_a.items():
+            import numpy as np
+
+            arr = np.asarray(ids, dtype=np.int64)
+            okey = ((arr ^ np.int64(42)) * np.int64(ORDER_MULT)) % np.int64(
+                ORDER_MOD
+            )
+            assert np.lexsort((arr, okey)).tolist() == list(range(len(arr)))
+
+    def test_seed_changes_assignment(self, ray_session, tmp_path):
+        import ray as _ray
+
+        from libpostal_ray.pipelines.prepare import export_training_shards
+
+        sf = "/root/testdata/sf0.001"
+        docs = _ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id"]
+        )
+        a = export_training_shards(
+            docs, str(tmp_path / "s0"), n_shards=8, seed=0
+        ).to_pandas()
+        b = export_training_shards(
+            docs, str(tmp_path / "s1"), n_shards=8, seed=99
+        ).to_pandas()
+        assert not a.sort_values("shard").reset_index(drop=True).equals(
+            b.sort_values("shard").reset_index(drop=True)
+        )
