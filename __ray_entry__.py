@@ -308,6 +308,12 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS date_ntile,
                    coalesce(lag(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER w,
                             -1) AS prev_price_cents,
+                   percent_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(floor(o_totalprice * 100.0) AS BIGINT) DESC
+                               ) AS price_pct_rank,
+                   cume_dist() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(floor(o_totalprice * 100.0) AS BIGINT) DESC
+                               ) AS price_cume_dist,
                    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
                         OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate, o_orderkey

@@ -549,6 +549,8 @@ def customer_order_ranks(sf_dir: str) -> ray.data.Dataset:
                 "date_ntile": batch["ntile"],
                 "prev_price_cents": batch["prev_value"],
                 "cum_price_cents": batch["cum_value"],
+                "price_pct_rank": batch["percent_rank"],
+                "price_cume_dist": batch["cume_dist"],
             }
         )
 

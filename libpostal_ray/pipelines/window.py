@@ -87,6 +87,8 @@ def window_over_key(
                 "cum_value",
             ):
                 empty[c] = pa.array([], type=pa.int64())
+            for c in ("percent_rank", "cume_dist"):
+                empty[c] = pa.array([], type=pa.float64())
             return pa.table(empty)
         k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
         v = group[value].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -128,6 +130,19 @@ def window_over_key(
         drank = np.empty(n, dtype=np.int64)
         drank[order2] = runs_cum - runs_cum[_seg_offset(new_seg2)] + 1
         drank = drank[order]
+        # percent_rank / cume_dist over the same value-DESC window as
+        # value_rank.  Both are single divisions of small exact integers,
+        # so the float64 results are bit-identical across engines (IEEE
+        # division is exactly specified — the module's float-parity rule).
+        #   percent_rank = (rank - 1) / (seg_size - 1)      (0.0 when n=1)
+        #   cume_dist    = (last row index of the tie run - seg start + 1)
+        #                  / seg_size
+        run_starts2 = np.flatnonzero(new_run)
+        run_lens2 = np.diff(np.concatenate((run_starts2, [n])))
+        run_last2 = np.repeat(run_starts2 + run_lens2 - 1, run_lens2)
+        cd_cnt = np.empty(n, dtype=np.int64)
+        cd_cnt[order2] = run_last2 - off2 + 1
+        cd_cnt = cd_cnt[order]
         # ntile over the rn order — exact SQL semantics: with q = n//B and
         # r = n%B, the FIRST r buckets take q+1 rows, the rest take q
         # (cross-checked vs DuckDB in the oracle row)
@@ -151,6 +166,11 @@ def window_over_key(
         cols["ntile"] = pa.array(ntile, type=pa.int64())
         cols["prev_value"] = pa.array(prev, type=pa.int64())
         cols["cum_value"] = pa.array(cum_value, type=pa.int64())
+        seg_len_f = seg_size.astype(np.float64)
+        cols["percent_rank"] = pa.array(
+            np.where(seg_size > 1, (rank - 1) / np.maximum(seg_len_f - 1.0, 1.0), 0.0)
+        )
+        cols["cume_dist"] = pa.array(cd_cnt / seg_len_f)
         return pa.table(cols)
 
     return (
