@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": q.lineitem_unpivot,
         "tpch_q5_local_revenue": q.tpch_q5_local_revenue,
         "export_training_shards": q.export_shards_summary,
+        "doc_rarity_score": q.doc_rarity_score,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -658,5 +659,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM documents GROUP BY 1
+        """,
+        "doc_rarity_score": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, t, count(*) AS c FROM tok
+                WHERE t <> '' GROUP BY doc_id, t
+            ), tot AS (
+                SELECT t, CAST(sum(c) AS BIGINT) AS total FROM tf GROUP BY t
+            )
+            SELECT tf.doc_id,
+                   CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+                   CAST(sum(tf.c * tot.total) AS BIGINT) AS freq_sum
+            FROM tf JOIN tot USING (t)
+            GROUP BY tf.doc_id
         """,
     }

@@ -3261,3 +3261,109 @@ def export_shards_summary(sf_dir: str, n_shards: int = 8) -> ray.data.Dataset:
     shutil.rmtree(out, ignore_errors=True)  # write_parquet appends to
     # existing dirs; the wrapper's contract is a fresh export
     return export_training_shards(_docs(sf_dir), out, n_shards=n_shards, seed=0)
+
+
+def doc_rarity_score(sf_dir: str) -> ray.data.Dataset:
+    """Corpus unigram-frequency document scoring — the integer-exact core
+    of unigram-LM quality scoring (docs made of corpus-rare tokens score
+    low; the float logprob variant is this same plan with ln(total/N)):
+
+        (doc_id, n_tokens, freq_sum)
+        freq_sum = sum over the doc's token OCCURRENCES of that token's
+                   corpus-WIDE occurrence count.
+
+    Physical plan — a self-join by CO-PARTITIONING, no join operator and
+    no broadcast vocabulary (the weakness of a DF broadcast at 100 TB is
+    unbounded vocab; here vocab never leaves its partition):
+
+      1. one tokenize pass emits (doc_id, term, tf) with
+         part = crc32(term) % P (int64 key — engine-wide rule);
+      2. ONE exchange on part: every occurrence of a term lands in the
+         same partition, so the partition-local total per term IS its
+         corpus-wide total — the kernel computes totals and the per-doc
+         partial (sum tf, sum tf*total) with two np.unique passes, no
+         second shuffle of content;
+      3. each partition emits <= n_docs skinny partials (3 int64s);
+         a tiny groupby(doc_id) sums them.
+    """
+    import zlib
+
+    P = 32
+    docs = _docs(sf_dir)
+
+    def tok_tf(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_term, out_tf = [], [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            # split(' ') == SQL string_split(text, ' ') with empties dropped
+            terms = [t for t in (text or "").split(" ") if t]
+            if not terms:
+                continue
+            ut, tf = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+            out_doc.append(np.full(ut.shape[0], did, dtype=np.int64))
+            out_term.append(ut)
+            out_tf.append(tf.astype(np.int64))
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int64()),
+                }
+            )
+        doc = np.concatenate(out_doc)
+        term = np.concatenate(out_term)
+        part = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in term),
+            dtype=np.int64,
+            count=term.shape[0],
+        ) % P
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "term": pa.array(term, type=pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), type=pa.int64()),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.nulls(0, pa.int64()),
+                "n_tokens": pa.nulls(0, pa.int64()),
+                "freq_sum": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "term" not in group.column_names:
+            return empty
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(terms, return_inverse=True)
+        totals = np.bincount(inv, weights=tf.astype(np.float64)).astype(np.int64)
+        contrib = tf * totals[inv]
+        udoc, dinv = np.unique(doc, return_inverse=True)
+        n_tok = np.zeros(udoc.shape[0], dtype=np.int64)
+        fsum = np.zeros(udoc.shape[0], dtype=np.int64)
+        np.add.at(n_tok, dinv, tf)
+        np.add.at(fsum, dinv, contrib)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc),
+                "n_tokens": pa.array(n_tok),
+                "freq_sum": pa.array(fsum),
+            }
+        )
+
+    return (
+        docs.map_batches(tok_tf, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("freq_sum", alias_name="freq_sum"),
+        )
+    )

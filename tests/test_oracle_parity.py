@@ -101,6 +101,7 @@ ORACLE_QUERIES = [
     "orders_above_customer_avg",
     "tpch_q5_local_revenue",
     "export_training_shards",
+    "doc_rarity_score",
     "lineitem_unpivot",
 ]
 
