@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_revenue": q.tpch_q5_local_revenue,
         "export_training_shards": q.export_shards_summary,
         "doc_rarity_score": q.doc_rarity_score,
+        "label_centroids": q.label_centroids,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -675,5 +676,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(tf.c * tot.total) AS BIGINT) AS freq_sum
             FROM tf JOIN tot USING (t)
             GROUP BY tf.doc_id
+        """,
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label, unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS BIGINT)
+                       AS sum_micro,
+                   count(*) AS n
+            FROM ex GROUP BY 1, 2
         """,
     }

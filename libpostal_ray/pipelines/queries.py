@@ -3367,3 +3367,75 @@ def doc_rarity_score(sf_dir: str) -> ray.data.Dataset:
             Sum("freq_sum", alias_name="freq_sum"),
         )
     )
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label embedding centroid components — the grouped VECTOR
+    aggregate behind class prototypes / SemDeDup cluster centers /
+    IVF refitting: (label, dim, sum_micro, n) where sum_micro sums
+    floor(v * 1e6) per element (integerized per the oracle float-parity
+    contract; consumers divide sum_micro/n for the centroid).
+
+    Physical plan: each batch reshapes its fixed-size-list column to an
+    (n, d) float matrix ZERO-COPY and scatter-adds into an (n_labels, d)
+    int64 partial — so a batch of any size leaves only n_labels*d skinny
+    rows; the engine groupby that follows sees n_batches*n_labels*d rows,
+    independent of corpus size.  This is the same partial-aggregate shape
+    as kmeans_fit (pipelines/ann.py) with labels instead of assignments.
+    """
+    emb = _embeddings(sf_dir, columns=("label", "embedding"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.nulls(0, pa.int64()),
+                "dim": pa.nulls(0, pa.int64()),
+                "sum_micro": pa.nulls(0, pa.int64()),
+                "n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        d = vals.shape[0] // batch.num_rows
+        micro = np.floor(
+            vals.astype(np.float64).reshape(batch.num_rows, d) * 1_000_000.0
+        ).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((ul.shape[0], d), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), ul.shape[0])),
+                "sum_micro": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(
+            lambda g: (
+                pa.TableGroupBy(g, ["label", "dim"])
+                .aggregate([("sum_micro", "sum"), ("n", "sum")])
+                .rename_columns(["label", "dim", "sum_micro", "n"])
+                if g.num_rows and "dim" in g.column_names
+                else pa.table(
+                    {
+                        "label": pa.nulls(0, pa.int64()),
+                        "dim": pa.nulls(0, pa.int64()),
+                        "sum_micro": pa.nulls(0, pa.int64()),
+                        "n": pa.nulls(0, pa.int64()),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -102,6 +102,7 @@ ORACLE_QUERIES = [
     "tpch_q5_local_revenue",
     "export_training_shards",
     "doc_rarity_score",
+    "label_centroids",
     "lineitem_unpivot",
 ]
 
