@@ -204,6 +204,10 @@ def run_bench() -> dict:
 
     timed("prepare_training_corpus", _prepare)
     timed("incremental_dedup", q.incremental_dedup)
+    timed("tpch_q5_local_revenue", q.tpch_q5_local_revenue)
+    timed("doc_rarity_score", q.doc_rarity_score)
+    timed("label_centroids", q.label_centroids)
+    timed("export_training_shards", q.export_shards_summary)
 
     ray.shutdown()
     return {
