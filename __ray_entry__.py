@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_training_shards": q.export_shards_summary,
         "doc_rarity_score": q.doc_rarity_score,
         "label_centroids": q.label_centroids,
+        "user_funnel": q.user_funnel,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -689,5 +690,39 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_micro,
                    count(*) AS n
             FROM ex GROUP BY 1, 2
+        """,
+    "user_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS t
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ), u AS (
+                SELECT DISTINCT user_id FROM e
+            ), v AS (
+                SELECT user_id, min(t) AS t FROM e
+                WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, min(e.t) AS t
+                FROM e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > v.t
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.t) AS t
+                FROM e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.t > c.t
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CASE WHEN p.t IS NOT NULL THEN 3
+                        WHEN c.t IS NOT NULL THEN 2
+                        WHEN v.t IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+                   coalesce(v.t, -1) AS view_ts_us,
+                   coalesce(c.t, -1) AS click_ts_us,
+                   coalesce(p.t, -1) AS purchase_ts_us
+            FROM u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
         """,
     }

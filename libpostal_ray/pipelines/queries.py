@@ -3439,3 +3439,102 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def user_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Funnel analysis — the sequential-pattern operator of event
+    analytics: per user, the earliest strictly-ordered view -> click ->
+    purchase chain:
+
+        (user_id, stage_reached, view_ts_us, click_ts_us, purchase_ts_us)
+
+    stage_reached in 0..3; unreached stage timestamps are -1 (sentinel,
+    not NULL — cross-engine NULL handling stays out of the hash).  Chain
+    semantics: view = min view ts; click = min click ts STRICTLY after
+    that view; purchase = min purchase ts strictly after that click (the
+    standard "first conversion path" definition — a purchase before the
+    first qualifying click does not count).
+
+    Physical plan: prune to the three funnel event types at the scan, ONE
+    user%P exchange of (user, stage, ts) triples, then a vectorized
+    per-partition kernel: lexsort by (user, ts) and three masked
+    minimum.reduceat passes (one per stage, each gated on the previous
+    stage's per-user timestamp broadcast back to rows).  No per-user
+    Python, no joins — the three-way self-join the SQL expresses is three
+    segment reductions over one sorted array."""
+    P = 32
+    STAGE = {"view": 0, "click": 1, "purchase": 2}
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pandas()
+        stage = et.map(STAGE).to_numpy()
+        keep = ~pd.isna(stage)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "stage": pa.array(stage[keep].astype(np.int64)),
+                "ts": pa.array(ts),
+                "part": pa.array(uid % P),
+            }
+        )
+
+    BIG = np.int64(2**62)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "stage_reached": pa.nulls(0, pa.int64()),
+                "view_ts_us": pa.nulls(0, pa.int64()),
+                "click_ts_us": pa.nulls(0, pa.int64()),
+                "purchase_ts_us": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "stage" not in group.column_names:
+            return empty
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = group["stage"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, st, ts = uid[order], st[order], ts[order]
+        seg = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(seg)
+        lens = np.diff(np.concatenate((starts, [uid.shape[0]])))
+        users = uid[starts]
+
+        def masked_min_after(stage_id: int, after_row: np.ndarray) -> np.ndarray:
+            val = np.where((st == stage_id) & (ts > after_row), ts, BIG)
+            return np.minimum.reduceat(val, starts)
+
+        never = np.full(uid.shape[0], np.int64(-1))
+        v = masked_min_after(0, never)
+        v_row = np.repeat(np.where(v < BIG, v, BIG), lens)
+        c = masked_min_after(1, v_row)
+        c_row = np.repeat(np.where(c < BIG, c, BIG), lens)
+        p = masked_min_after(2, c_row)
+        stage_reached = (
+            (v < BIG).astype(np.int64)
+            + (c < BIG).astype(np.int64)
+            + (p < BIG).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "stage_reached": pa.array(stage_reached),
+                "view_ts_us": pa.array(np.where(v < BIG, v, -1)),
+                "click_ts_us": pa.array(np.where(c < BIG, c, -1)),
+                "purchase_ts_us": pa.array(np.where(p < BIG, p, -1)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -103,6 +103,7 @@ ORACLE_QUERIES = [
     "export_training_shards",
     "doc_rarity_score",
     "label_centroids",
+    "user_funnel",
     "lineitem_unpivot",
 ]
 
