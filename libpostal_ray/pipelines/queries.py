@@ -3055,6 +3055,7 @@ def tpch_q5_local_revenue(
     region: str = "ASIA",
     date_lo: str = "1997-01-01",
     date_hi: str = "1998-01-01",
+    broadcast_max: int = 5_000_000,
 ) -> ray.data.Dataset:
     """TPC-H Q5 shape — "local supplier volume": revenue per nation from
     orders placed in ``[date_lo, date_hi)`` by customers of ``region``
@@ -3082,9 +3083,18 @@ def tpch_q5_local_revenue(
         l_discount), integerizes revenue per row (floor cents — oracle
         float-parity contract, module docstring) and maps to a skinny
         (orderkey, s_nat, cents) stream gated on the region.
-      * ONE exchange: both skinny streams union-tagged and hash-partitioned
-        on orderkey % P; the per-partition kernel joins them with a single
-        searchsorted (orderkey is unique on the orders side), applies the
+      * the orders<->lineitem join picks between two plans: when the
+        date+region-filtered orders stream holds <= ``broadcast_max``
+        rows (a ``limit().count()`` probe — streams with early stop), its
+        (orderkey, c_nat) pairs are assembled into sorted arrays in a
+        REMOTE task (never concatenated on the driver) and broadcast, and
+        lineitem resolves the join per batch with one searchsorted —
+        ZERO all-to-all, each batch leaving only <= 25 (nation, cents)
+        partials.  Above the budget (both-sides-huge; also how the
+        plan-equivalence test pins the exchange): both skinny streams
+        union-tagged and hash-partitioned on orderkey % P; the
+        per-partition kernel joins them with a single searchsorted
+        (orderkey is unique on the orders side), applies the
         local-supplier gate c_nat == s_nat, and pre-aggregates to at most
         25 (nation, cents) partials — the only all-to-all carries 3
         int64s/row and the engine groupby that follows sees P*25 rows.
@@ -3165,7 +3175,8 @@ def tpch_q5_local_revenue(
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
-    def line_side(batch: pa.Table) -> pa.Table:
+    def _line_gated(batch: pa.Table):
+        """Shared lineitem prep: region-gated (okey, s_nat, cents)."""
         st = _ray.get(dims)
         okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         supp_k = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3174,7 +3185,10 @@ def tpch_q5_local_revenue(
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
-        okey, s_nat, cents = okey[keep], s_nat[keep], cents[keep]
+        return okey[keep], s_nat[keep], cents[keep]
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        okey, s_nat, cents = _line_gated(batch)
         return pa.table(
             {
                 "part": pa.array(okey % P),
@@ -3182,6 +3196,24 @@ def tpch_q5_local_revenue(
                 "okey": pa.array(okey),
                 "nat": pa.array(s_nat),
                 "cents": pa.array(cents),
+            }
+        )
+
+    def _nation_partial(nat_ok: np.ndarray, cents_ok: np.ndarray) -> pa.Table:
+        if nat_ok.shape[0] == 0:
+            return pa.table(
+                {
+                    "n_nationkey": pa.nulls(0, pa.int64()),
+                    "cents": pa.nulls(0, pa.int64()),
+                }
+            )
+        acc = np.zeros(int(nat_ok.max()) + 1, dtype=np.int64)
+        np.add.at(acc, nat_ok, cents_ok)
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nz.astype(np.int64)),
+                "cents": pa.array(acc[nz]),
             }
         )
 
@@ -3213,25 +3245,68 @@ def tpch_q5_local_revenue(
             return empty
         # int64 scatter-add (not a float-weighted bincount): cents stay
         # exact integers all the way through, per the oracle contract
-        nat_hit = l_nat[local].astype(np.int64)
-        part = np.zeros(int(nat_hit.max()) + 1, dtype=np.int64)
-        np.add.at(part, nat_hit, l_cents[local].astype(np.int64))
-        nz = np.nonzero(part)[0]
-        return pa.table(
-            {
-                "n_nationkey": pa.array(nz.astype(np.int64)),
-                "cents": pa.array(part[nz]),
-            }
+        return _nation_partial(
+            l_nat[local].astype(np.int64), l_cents[local].astype(np.int64)
         )
 
-    partials = (
-        orders.map_batches(order_side, batch_format="pyarrow")
-        .union(lineitem.map_batches(line_side, batch_format="pyarrow"))
-        .groupby("part")
-        .map_groups(kernel, batch_format="pyarrow")
-        .groupby("n_nationkey")
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-    )
+    # plan probe: limit().count() streams with early stop — a huge
+    # filtered-orders stream never materializes just to learn it exceeds
+    # the broadcast budget
+    if broadcast_max and (
+        orders.limit(broadcast_max + 1).count() <= broadcast_max
+    ):
+        order_pairs = orders.map_batches(
+            order_side, batch_format="pyarrow"
+        ).materialize()
+
+        @_ray.remote
+        def _build_order_state(*blocks):
+            blocks = [
+                b for b in blocks if b.num_rows and "okey" in b.column_names
+            ]
+            if not blocks:
+                return {
+                    "okey": np.empty(0, dtype=np.int64),
+                    "nat": np.empty(0, dtype=np.int64),
+                }
+            okey = np.concatenate(
+                [b["okey"].to_numpy(zero_copy_only=False) for b in blocks]
+            ).astype(np.int64)
+            nat_ = np.concatenate(
+                [b["nat"].to_numpy(zero_copy_only=False) for b in blocks]
+            ).astype(np.int64)
+            o = np.argsort(okey)
+            return {"okey": okey[o], "nat": nat_[o]}
+
+        state_ref = _build_order_state.remote(*order_pairs.to_arrow_refs())
+
+        def line_probe(batch: pa.Table) -> pa.Table:
+            st = _ray.get(state_ref)
+            okey, s_nat, cents = _line_gated(batch)
+            if st["okey"].shape[0] == 0 or okey.shape[0] == 0:
+                return _nation_partial(
+                    np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+                )
+            idx = np.searchsorted(st["okey"], okey)
+            idxc = np.clip(idx, 0, st["okey"].shape[0] - 1)
+            hit = (idx < st["okey"].shape[0]) & (st["okey"][idxc] == okey)
+            local = hit & (st["nat"][idxc] == s_nat)
+            return _nation_partial(s_nat[local], cents[local])
+
+        partials = (
+            lineitem.map_batches(line_probe, batch_format="pyarrow")
+            .groupby("n_nationkey")
+            .aggregate(Sum("cents", alias_name="revenue_cents"))
+        )
+    else:
+        partials = (
+            orders.map_batches(order_side, batch_format="pyarrow")
+            .union(lineitem.map_batches(line_side, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .groupby("n_nationkey")
+            .aggregate(Sum("cents", alias_name="revenue_cents"))
+        )
 
     def name_of(batch: pa.Table) -> pa.Table:
         st = _ray.get(dims)

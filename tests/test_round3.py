@@ -1120,3 +1120,25 @@ class TestExportTrainingShards:
         assert not a.sort_values("shard").reset_index(drop=True).equals(
             b.sort_values("shard").reset_index(drop=True)
         )
+
+
+def test_tpch_q5_plans_agree(ray_session):
+    """Broadcast (filtered-orders small side) and exchange (both-sides-huge)
+    Q5 plans must be output-identical."""
+    from libpostal_ray.pipelines.queries import tpch_q5_local_revenue
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        tpch_q5_local_revenue(sf)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    b = (
+        tpch_q5_local_revenue(sf, broadcast_max=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b[a.columns])
