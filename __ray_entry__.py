@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity_score": q.doc_rarity_score,
         "label_centroids": q.label_centroids,
         "user_funnel": q.user_funnel,
+        "documents_upsert": q.documents_upsert,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -724,5 +725,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN v USING (user_id)
             LEFT JOIN c USING (user_id)
             LEFT JOIN p USING (user_id)
+        """,
+    "documents_upsert": """
+            SELECT doc_id, text, lang, source
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id, upper(text) AS text, lang, source
+            FROM documents WHERE doc_id % 10 = 0
         """,
     }

@@ -210,3 +210,45 @@ def dedup_against_corpus(
         )
 
     return new_docs.map_batches(report, batch_format="pyarrow")
+
+
+def corpus_upsert(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    *,
+    key: str = "doc_id",
+) -> ray.data.Dataset:
+    """SCD-1 upsert: the merged corpus where every ``key`` present in
+    ``delta`` takes the delta row and every other base row passes through
+    — the periodic-refresh primitive (yesterday's corpus + today's
+    re-crawl) upstream of incremental dedup.
+
+    Physical plan: the delta KEY SET (8 B/id, built off-driver by
+    ``_ids_of``) broadcasts once; the base streams through a searchsorted
+    anti-filter (the repo-wide anti-join discipline — the big side never
+    shuffles, there is no join operator) and the delta unions in behind
+    it.  Columns must match; output row count =
+    |base| - |base ∩ delta| + |delta|.  At a delta too large for an id
+    broadcast, chunk the delta and fold this same upsert per chunk —
+    NOT a hash join of the full base: a re-crawl delta is orders of
+    magnitude smaller than the corpus by construction."""
+    delta_ids_ref = _ids_of(delta)
+
+    base_names = list(base.schema().base_schema.names)
+    delta_names = list(delta.schema().base_schema.names)
+    if base_names != delta_names:
+        raise ValueError(f"schema mismatch: {base_names} vs {delta_names}")
+
+    def anti(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = ray.get(delta_ids_ref)
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.shape[0] == 0:
+            return batch
+        pos = np.searchsorted(ids, k)
+        posc = np.clip(pos, 0, ids.shape[0] - 1)
+        replaced = (pos < ids.shape[0]) & (ids[posc] == k)
+        return batch.filter(pa.array(~replaced))
+
+    return base.map_batches(anti, batch_format="pyarrow").union(delta)

@@ -3613,3 +3613,34 @@ def user_funnel(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def documents_upsert(sf_dir: str) -> ray.data.Dataset:
+    """Registry row for pipelines/incremental.corpus_upsert: base = the
+    documents table; delta = a derived re-crawl (every doc_id % 10 == 0,
+    text uppercased) read as a SEPARATE dataset, so the upsert runs the
+    real two-dataset plan (broadcast delta-id set + anti-filter + union),
+    not a per-batch rewrite."""
+    from libpostal_ray.pipelines.incremental import corpus_upsert
+
+    cols = ["doc_id", "text", "lang", "source"]
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=cols
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(ids % 10 == 0)
+        sub = batch.filter(keep)
+        return sub.set_column(
+            sub.schema.get_field_index("text"),
+            "text",
+            pc.utf8_upper(sub["text"]),
+        )
+
+    delta = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(recrawl, batch_format="pyarrow")
+    )
+    return corpus_upsert(base, delta)

@@ -94,3 +94,33 @@ def from_arrow_corpus(table: pa.Table) -> ray.data.Dataset:
     cols = [c for c in CODE_COLUMNS if c in table.column_names]
     ds = ray.data.from_arrow(table.select(cols))
     return ds.map_batches(_code_ids, batch_format="pyarrow")
+
+
+def read_jsonl_corpus(path: str, *, field_map: dict | None = None) -> ray.data.Dataset:
+    """JSONL ingest — the de-facto interchange format of LLM training
+    corpora (one JSON object per line).  ``field_map`` renames source
+    fields onto the code-corpus schema, e.g. ``{"content": "text",
+    "repo": "source"}`` reads ``text`` as content; unmapped/missing
+    fields default to "" so heterogeneous dumps still ingest.  Derived
+    deterministic doc_id, same as every reader here.
+
+    Uses ``ray.data.read_json`` (pyarrow JSON reader under it), so the
+    scan is distributed and streaming like every other source — one task
+    per file chunk, no driver-side parsing."""
+    fmap = {c: c for c in CODE_COLUMNS}
+    fmap.update(field_map or {})
+
+    ds = ray.data.read_json(path)
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for canon in CODE_COLUMNS:
+            src = fmap[canon]
+            if src in batch.column_names:
+                cols[canon] = batch[src].cast(pa.string())
+            else:
+                cols[canon] = pa.array([""] * n, type=pa.string())
+        return _code_ids(pa.table(cols))
+
+    return ds.map_batches(adapt, batch_format="pyarrow")

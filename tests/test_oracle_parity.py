@@ -104,6 +104,7 @@ ORACLE_QUERIES = [
     "doc_rarity_score",
     "label_centroids",
     "user_funnel",
+    "documents_upsert",
     "lineitem_unpivot",
 ]
 

@@ -1142,3 +1142,29 @@ def test_tpch_q5_plans_agree(ray_session):
     )
     assert len(a) > 0
     assert a.equals(b[a.columns])
+
+
+def test_jsonl_reader(ray_session, tmp_path):
+    import json
+
+    from libpostal_ray.sources.readers import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"source": "repoA", "file": "a.py", "text": "def f():\n    return 1\n"},
+        {"source": "repoA", "file": "b.py", "text": "def g():\n    return 2\n"},
+        {"source": "repoB", "file": "c.py", "text": "x = 1\n"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    ds = read_jsonl_corpus(
+        str(p), field_map={"content": "text", "repo": "source", "path": "file"}
+    )
+    df = ds.to_pandas().sort_values("path").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "repo", "path", "lang", "content"]
+    assert df.content.tolist() == [rows[0]["text"], rows[1]["text"], rows[2]["text"]]
+    assert df.doc_id.nunique() == 3 and (df.doc_id >= 0).all()
+    # deterministic ids: re-read gives identical ids
+    df2 = read_jsonl_corpus(
+        str(p), field_map={"content": "text", "repo": "source", "path": "file"}
+    ).to_pandas().sort_values("path").reset_index(drop=True)
+    assert df.doc_id.tolist() == df2.doc_id.tolist()
