@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q.label_centroids,
         "user_funnel": q.user_funnel,
         "documents_upsert": q.documents_upsert,
+        "brand_type_margin": q.brand_type_margin,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -732,5 +733,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, upper(text) AS text, lang, source
             FROM documents WHERE doc_id % 10 = 0
+        """,
+    "brand_type_margin": """
+            SELECT p_brand, p_type, count(*) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS sold_cents,
+                   CAST(SUM(CAST(FLOOR(l_quantity * p_retailprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS catalog_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_type
         """,
     }

@@ -3644,3 +3644,105 @@ def documents_upsert(sf_dir: str) -> ray.data.Dataset:
         .map_batches(recrawl, batch_format="pyarrow")
     )
     return corpus_upsert(base, delta)
+
+
+def brand_type_margin(sf_dir: str) -> ray.data.Dataset:
+    """Part-dimension join (completes the test-table coverage — part was
+    the one unread table): per (p_brand, p_type), lineitem sales volume
+    vs catalog price:
+
+        (p_brand, p_type, n_items, sold_cents, catalog_cents)
+
+    sold_cents integerizes l_extendedprice*(1-l_discount) per row;
+    catalog_cents integerizes l_quantity * p_retailprice per row (both
+    floor-cents — module float-parity contract).
+
+    Physical plan: part is a DIMENSION — (partkey -> brand/type id,
+    retailprice) sorted arrays broadcast once; lineitem streams through
+    one map with an int64 scatter-add partial per (brand, type) cell, so
+    each batch emits <= 25*6 skinny rows into a tiny engine groupby.
+    The fact side never shuffles (order_customer_nation discipline)."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_retailprice"],
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    types_ = np.asarray(part["p_type"].to_pylist(), dtype=object)
+    price = part["p_retailprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ub = np.unique(brands)
+    ut = np.unique(types_)
+    bid = np.searchsorted(ub, brands)
+    tid = np.searchsorted(ut, types_)
+    cell = bid * ut.shape[0] + tid  # dense (brand, type) cell id
+    po = np.argsort(pk)
+    dims = _ray.put(
+        {
+            "pk": pk[po], "cell": cell[po].astype(np.int64),
+            "price": price[po], "ub": ub, "ut": ut, "nt": ut.shape[0],
+        }
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = _ray.get(dims)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(st["pk"], lpk)
+        idxc = np.clip(idx, 0, st["pk"].shape[0] - 1)
+        hit = (idx < st["pk"].shape[0]) & (st["pk"][idxc] == lpk)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        sold = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        catalog = np.floor(qty * st["price"][idxc] * 100.0).astype(np.int64)
+        cells = st["cell"][idxc]
+        n_cells = st["ub"].shape[0] * st["nt"]
+        acc_n = np.zeros(n_cells, dtype=np.int64)
+        acc_s = np.zeros(n_cells, dtype=np.int64)
+        acc_c = np.zeros(n_cells, dtype=np.int64)
+        h = np.flatnonzero(hit)
+        np.add.at(acc_n, cells[h], 1)
+        np.add.at(acc_s, cells[h], sold[h])
+        np.add.at(acc_c, cells[h], catalog[h])
+        nz = np.flatnonzero(acc_n)
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64)),
+                "n_items": pa.array(acc_n[nz]),
+                "sold_cents": pa.array(acc_s[nz]),
+                "catalog_cents": pa.array(acc_c[nz]),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sold_cents", alias_name="sold_cents"),
+            Sum("catalog_cents", alias_name="catalog_cents"),
+        )
+    )
+
+    def name_cells(batch: pa.Table) -> pa.Table:
+        st = _ray.get(dims)
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": pa.array(st["ub"][c // st["nt"]], type=pa.string()),
+                "p_type": pa.array(st["ut"][c % st["nt"]], type=pa.string()),
+                "n_items": batch["n_items"],
+                "sold_cents": batch["sold_cents"],
+                "catalog_cents": batch["catalog_cents"],
+            }
+        )
+
+    return agg.map_batches(name_cells, batch_format="pyarrow")

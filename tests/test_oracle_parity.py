@@ -105,6 +105,7 @@ ORACLE_QUERIES = [
     "label_centroids",
     "user_funnel",
     "documents_upsert",
+    "brand_type_margin",
     "lineitem_unpivot",
 ]
 
