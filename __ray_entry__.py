@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": q.user_funnel,
         "documents_upsert": q.documents_upsert,
         "brand_type_margin": q.brand_type_margin,
+        "event_debounce": q.event_debounce,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -743,5 +744,18 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS catalog_cents
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand, p_type
+        """,
+    "event_debounce": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS t,
+                       lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS prev_t
+                FROM events
+            )
+            SELECT event_id, user_id, event_type, t AS ts_us
+            FROM w WHERE prev_t IS NULL OR t - prev_t > 300000000
         """,
     }

@@ -3746,3 +3746,80 @@ def brand_type_margin(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(name_cells, batch_format="pyarrow")
+
+
+def event_debounce(sf_dir: str, min_gap_us: int = 300_000_000) -> ray.data.Dataset:
+    """Debounce / rate-limit dedup — the streaming-dedup primitive that
+    drops rapid-fire repeats of the same (user, event_type): keep an
+    event iff it is the key's first or arrives more than ``min_gap_us``
+    after the key's PREVIOUS event (lag semantics, exactly SQL's
+    ``lag() OVER``; the keep-chain variant — gap measured from the last
+    KEPT event — is the same kernel with a segment scan instead of a
+    shift, deliberately not the oracle because no window function
+    expresses it).
+
+    Output: (event_id, user_id, event_type, ts_us).
+
+    Physical plan: composite int64 key = user_id * 8 + event_type_id
+    (non-negative, engine-wide key rule), ONE key%P exchange of 4-column
+    skinny rows, per-partition lexsort by (key, ts, event_id) and a
+    vectorized shift — no per-key Python, row count out <= in."""
+    P = 32
+    ET = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_pandas().map(ET).to_numpy().astype(np.int64)
+        key = uid * 8 + et
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "key": pa.array(key),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "et": pa.array(et),
+                "part": pa.array(key % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.nulls(0, pa.int64()),
+                "user_id": pa.nulls(0, pa.int64()),
+                "event_type": pa.nulls(0, pa.string()),
+                "ts_us": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return empty
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        et = group["et"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, key))
+        eid, key, ts, et = eid[order], key[order], ts[order], et[order]
+        first = np.concatenate(([True], key[1:] != key[:-1]))
+        prev = np.empty(ts.shape[0], dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = ts[:-1]
+        keep = first | (ts - prev > np.int64(min_gap_us))
+        names = np.asarray(sorted(ET, key=ET.get), dtype=object)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep]),
+                "user_id": pa.array(key[keep] // 8),
+                "event_type": pa.array(names[et[keep]], type=pa.string()),
+                "ts_us": pa.array(ts[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

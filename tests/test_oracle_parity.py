@@ -106,6 +106,7 @@ ORACLE_QUERIES = [
     "user_funnel",
     "documents_upsert",
     "brand_type_margin",
+    "event_debounce",
     "lineitem_unpivot",
 ]
 
