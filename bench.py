@@ -208,6 +208,10 @@ def run_bench() -> dict:
     timed("doc_rarity_score", q.doc_rarity_score)
     timed("label_centroids", q.label_centroids)
     timed("export_training_shards", q.export_shards_summary)
+    timed("user_funnel", q.user_funnel)
+    timed("documents_upsert", q.documents_upsert)
+    timed("brand_type_margin", q.brand_type_margin)
+    timed("event_debounce", q.event_debounce)
 
     ray.shutdown()
     return {

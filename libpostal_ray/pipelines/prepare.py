@@ -287,3 +287,33 @@ def export_training_shards(
             Sum("id_sum", alias_name="id_sum"),
         )
     )
+
+
+def compact_parquet(
+    in_path: str,
+    out_dir: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-files compaction — the maintenance pass every long-running
+    sink needs (a day of incremental deliveries leaves thousands of tiny
+    files; readers then pay per-file open cost and tiny row groups).
+
+    Reads the tree, repartitions to ceil(rows / target) blocks (count
+    comes from parquet METADATA via Ray's read planning — no data pass),
+    and writes one file per block.  Row-preserving, order-free; returns
+    {n_rows, n_files_out}.  At 100 TB run it per PARTITION DIRECTORY
+    (shard=K/ from export_training_shards), never over the whole tree —
+    each directory compacts independently and resumably."""
+    import math
+
+    ds = ray.data.read_parquet(in_path)
+    n = ds.count()  # parquet metadata path, not a scan
+    blocks = max(1, math.ceil(n / target_rows_per_file))
+    ds.repartition(blocks).write_parquet(out_dir)
+    import os
+
+    n_files = sum(
+        1 for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    return {"n_rows": n, "n_files_out": n_files}

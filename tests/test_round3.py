@@ -1168,3 +1168,32 @@ def test_jsonl_reader(ray_session, tmp_path):
         str(p), field_map={"content": "text", "repo": "source", "path": "file"}
     ).to_pandas().sort_values("path").reset_index(drop=True)
     assert df.doc_id.tolist() == df2.doc_id.tolist()
+
+
+def test_compact_parquet(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+
+    from libpostal_ray.pipelines.prepare import compact_parquet
+
+    src = tmp_path / "many"
+    src.mkdir()
+    # 40 tiny files
+    for i in range(40):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(i * 25, (i + 1) * 25, dtype=np.int64)
+                    ),
+                    "text": [f"doc {j}" for j in range(i * 25, (i + 1) * 25)],
+                }
+            ),
+            str(src / f"part_{i:03d}.parquet"),
+        )
+    out = tmp_path / "compacted"
+    res = compact_parquet(str(src), str(out), target_rows_per_file=500)
+    assert res["n_rows"] == 1000
+    assert res["n_files_out"] <= 4  # 2 target blocks (+ slack), not 40
+    a = pads.dataset(str(src)).to_table().sort_by("doc_id")
+    b = pads.dataset(str(out)).to_table().sort_by("doc_id")
+    assert a.equals(b)  # content byte-identical, just re-packed
