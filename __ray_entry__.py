@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_upsert": q.documents_upsert,
         "brand_type_margin": q.brand_type_margin,
         "event_debounce": q.event_debounce,
+        "events_value_p99_outliers": q.events_value_p99_outliers,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -757,5 +758,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, event_type, t AS ts_us
             FROM w WHERE prev_t IS NULL OR t - prev_t > 300000000
+        """,
+    "events_value_p99_outliers": """
+            SELECT event_id,
+                   CAST(floor(value * 1000.0) AS BIGINT) AS value_milli
+            FROM events
+            WHERE value > (SELECT quantile_disc(value, 0.99) FROM events)
         """,
     }

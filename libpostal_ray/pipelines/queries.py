@@ -3823,3 +3823,32 @@ def event_debounce(sf_dir: str, min_gap_us: int = 300_000_000) -> ray.data.Datas
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def events_value_p99_outliers(sf_dir: str, q: float = 0.99) -> ray.data.Dataset:
+    """Global-quantile outlier filter: events whose value exceeds the
+    EXACT q-quantile of the whole value column — the two-pass shape of
+    every "drop the extreme tail" cleaning rule.  The threshold comes
+    from functions/quantile.exact_global_quantile (4 radix-refinement
+    scans, no sort, O(2^16)-row exchanges); the filter is then one
+    streaming pass.  Output (event_id, value_milli)."""
+    from libpostal_ray.functions.quantile import exact_global_quantile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    thr = exact_global_quantile(ev, "value", q)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        keep = v > thr
+        return pa.table(
+            {
+                "event_id": batch["event_id"].filter(pa.array(keep)).cast(pa.int64()),
+                "value_milli": pa.array(
+                    np.floor(v[keep] * 1000.0).astype(np.int64)
+                ),
+            }
+        )
+
+    return ev.map_batches(flt, batch_format="pyarrow")

@@ -107,6 +107,7 @@ ORACLE_QUERIES = [
     "documents_upsert",
     "brand_type_margin",
     "event_debounce",
+    "events_value_p99_outliers",
     "lineitem_unpivot",
 ]
 

@@ -1197,3 +1197,27 @@ def test_compact_parquet(ray_session, tmp_path):
     a = pads.dataset(str(src)).to_table().sort_by("doc_id")
     b = pads.dataset(str(out)).to_table().sort_by("doc_id")
     assert a.equals(b)  # content byte-identical, just re-packed
+
+
+def test_exact_global_quantile_matches_numpy(ray_session):
+    import ray.data
+
+    from libpostal_ray.functions.quantile import exact_global_quantile
+
+    rng = np.random.default_rng(11)
+    # mixed signs, duplicates, several blocks
+    v = np.concatenate(
+        [
+            rng.standard_normal(5000) * 100,
+            np.full(500, 3.25),
+            -rng.exponential(10, 2000),
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(v)})
+    ).repartition(7)
+    sv = np.sort(v)
+    for q in (0.01, 0.5, 0.9, 0.99, 1.0):
+        want = sv[int(np.ceil(q * v.shape[0])) - 1]  # quantile_disc rule
+        got = exact_global_quantile(ds, "value", q)
+        assert got == want, (q, got, want)
