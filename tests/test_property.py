@@ -149,3 +149,33 @@ def test_interval_count_composite_matches_bruteforce(points, anchors, window):
             ((pk == ik[j]) & (pt > it[j]) & (pt <= it[j] + window)).sum()
         )
         assert got[j] == want
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64),
+        min_size=2,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_float_order_key_is_order_isomorphic(vals):
+    """float_order_key preserves IEEE order (incl. +-inf, -0.0, subnormals)
+    and key_to_float inverts it — the two pure kernels under
+    exact_global_quantile's radix walk."""
+    from libpostal_ray.functions.quantile import float_order_key, key_to_float
+
+    v = np.asarray(vals, dtype=np.float64)
+    k = float_order_key(v)
+    order_v = np.argsort(v, kind="stable")
+    # keys sorted must give exactly the value-sorted sequence (diff-based
+    # checks break on inf - inf = nan).  Key order REFINES value order:
+    # -0.0 < +0.0 by key while == by value, so key-monotonicity is only
+    # asserted on strictly-increasing value steps.
+    assert np.array_equal(v[np.argsort(k, kind="stable")], np.sort(v))
+    vv, kk = v[order_v], k[order_v]
+    strict = vv[:-1] < vv[1:]
+    assert bool((kk[:-1][strict] < kk[1:][strict]).all())
+    for x, kk in zip(v, k):
+        back = key_to_float(int(kk))
+        assert back == x or (back == 0.0 and x == 0.0)  # -0.0 == 0.0
