@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_type_margin": q.brand_type_margin,
         "event_debounce": q.event_debounce,
         "events_value_p99_outliers": q.events_value_p99_outliers,
+        "events_value_mad": q.events_value_mad,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -764,5 +765,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(value * 1000.0) AS BIGINT) AS value_milli
             FROM events
             WHERE value > (SELECT quantile_disc(value, 0.99) FROM events)
+        """,
+    "events_value_mad": """
+            WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events)
+            SELECT CAST(floor(m.med * 1000.0) AS BIGINT) AS median_milli,
+                   CAST(floor(
+                       (SELECT quantile_disc(abs(value - m.med), 0.5)
+                        FROM events) * 1000.0
+                   ) AS BIGINT) AS mad_milli
+            FROM m
         """,
     }

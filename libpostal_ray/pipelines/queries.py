@@ -3852,3 +3852,41 @@ def events_value_p99_outliers(sf_dir: str, q: float = 0.99) -> ray.data.Dataset:
         )
 
     return ev.map_batches(flt, batch_format="pyarrow")
+
+
+def events_value_mad(sf_dir: str) -> ray.data.Dataset:
+    """Robust dispersion — median absolute deviation of the event value
+    column, the outlier-insensitive sibling of stddev every data-quality
+    monitor wants: (median_milli, mad_milli), one row.
+
+    Two compositions of functions/quantile.exact_global_quantile (4 radix
+    scans each, constant-size exchanges): median of value, then median of
+    |value - median| over a derived streaming column.  Exactness carries
+    through because both engines pick REAL data elements (quantile_disc)
+    and |x - m| is a single IEEE operation."""
+    from libpostal_ray.functions.quantile import exact_global_quantile
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    med = exact_global_quantile(ev, "value", 0.5)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"dev": pa.array(np.abs(v - med))})
+
+    mad = exact_global_quantile(
+        ev.map_batches(absdev, batch_format="pyarrow"), "dev", 0.5
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "median_milli": pa.array(
+                    [int(np.floor(med * 1000.0))], type=pa.int64()
+                ),
+                "mad_milli": pa.array(
+                    [int(np.floor(mad * 1000.0))], type=pa.int64()
+                ),
+            }
+        )
+    )

@@ -108,6 +108,7 @@ ORACLE_QUERIES = [
     "brand_type_margin",
     "event_debounce",
     "events_value_p99_outliers",
+    "events_value_mad",
     "lineitem_unpivot",
 ]
 
