@@ -1,0 +1,151 @@
+"""Iterative graph analytics over the near-dup edge set.
+
+The flagship emits an undirected similarity graph (edges = verified
+near-dup pairs); connected components (pipelines/cluster.py) answers
+"which docs are the same"; PageRank here answers "which doc is the most
+CENTRAL member" — a principled representative choice for keep/drop
+reports (the highest-rank member of a cluster is the one most other
+members point at through high-similarity paths), and the second member of
+the iterative-algorithm family (pipelines/train.py holds the first).
+
+Physical plan per iteration (no edge shuffle at all):
+
+  * node state (sorted node ids, out-degrees, current ranks) is built
+    OFF-DRIVER in a remote task and broadcast by ref — 16 B/node, the
+    same keep-set budget discipline as prepare.py (document: node state
+    is the broadcast bound; past ~1e9 nodes the update becomes a
+    rank-join, the edge side of the plan is unchanged);
+  * edge blocks stream through a stateless map: contribution of edge
+    (u, v) is rank(u)/deg(u) credited to v (and symmetrically u, the
+    graph being undirected) — scatter-added into per-batch partials, so
+    a batch of any size emits <= its distinct-dst count of skinny
+    (node, contrib) rows;
+  * ONE engine groupby(node) sums partials; the new rank vector is
+    gathered off-driver and becomes the next broadcast.
+
+Edges are read once and materialized; iterations reuse the blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+@ray.remote
+def _node_state(*blocks: pa.Table) -> dict:
+    """Sorted node ids + degrees from symmetrized edge blocks."""
+    srcs = [
+        b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in blocks
+        if b.num_rows > 0 and "src" in b.column_names
+    ]
+    dsts = [
+        b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        for b in blocks
+        if b.num_rows > 0 and "dst" in b.column_names
+    ]
+    if not srcs:
+        return {"nodes": np.empty(0, dtype=np.int64), "deg": np.empty(0, dtype=np.int64)}
+    allv = np.concatenate(srcs + dsts)
+    nodes, counts = np.unique(allv, return_counts=True)
+    # symmetrized multiplicity == undirected degree
+    return {"nodes": nodes, "deg": counts}
+
+
+@ray.remote
+def _gather_ranks(nodes: np.ndarray, *blocks: pa.Table) -> np.ndarray:
+    out = np.zeros(nodes.shape[0], dtype=np.float64)
+    for b in blocks:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            continue
+        n = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("contrib").to_numpy(zero_copy_only=False)
+        out[np.searchsorted(nodes, n)] += c
+    return out
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> ray.data.Dataset:
+    """PageRank over an UNDIRECTED edge list (src, dst) — each edge
+    counts both ways, so there are no dangling nodes by construction.
+    Returns (doc_id, rank) summing to 1.0 over the graph's nodes;
+    isolated docs (no edges) are not in the graph and score 0 by
+    convention.  Deterministic: fixed iteration count, vectorized
+    float64 updates in a fixed reduction order per block set."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    edge_refs = edges.to_arrow_refs()
+    state = ray.get(_node_state.remote(*edge_refs))
+    nodes, deg = state["nodes"], state["deg"]
+    n = nodes.shape[0]
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "rank": pa.nulls(0, pa.float64()),
+                }
+            )
+        )
+    nodes_ref = ray.put(nodes)
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+
+    for _ in range(iters):
+        share_ref = ray.put(ranks / deg)  # per-node outgoing share
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "node": pa.nulls(0, pa.int64()),
+                    "contrib": pa.nulls(0, pa.float64()),
+                }
+            )
+            if batch.num_rows == 0 or "src" not in batch.column_names:
+                return empty
+            nd = ray.get(nodes_ref)
+            sh = ray.get(share_ref)
+            s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            si = np.searchsorted(nd, s)
+            di = np.searchsorted(nd, d)
+            # undirected: each endpoint credits the other
+            touched = np.concatenate((di, si))
+            credit = np.concatenate((sh[si], sh[di]))
+            u, inv = np.unique(touched, return_inverse=True)
+            acc = np.zeros(u.shape[0], dtype=np.float64)
+            np.add.at(acc, inv, credit)
+            return pa.table(
+                {
+                    "node": pa.array(nd[u]),
+                    "contrib": pa.array(acc),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        summed = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+            .materialize()
+        )
+        gathered = ray.get(
+            _gather_ranks.remote(nodes_ref, *summed.to_arrow_refs())
+        )
+        ranks = (1.0 - damping) / n + damping * gathered
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "rank": pa.array(ranks),
+            }
+        )
+    )

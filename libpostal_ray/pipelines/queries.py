@@ -3890,3 +3890,17 @@ def events_value_mad(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def near_dupe_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Composition row: PageRank centrality over the flagship's verified
+    near-dup edge graph (pipelines/graph.py) — the principled
+    representative score for keep/drop decisions (the highest-rank member
+    of a cluster is the most-central, not just min(sha))."""
+    from libpostal_ray.config import PipelineConfig
+    from libpostal_ray.pipelines.graph import pagerank
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+
+    corpus = read_documents_corpus(sf_dir)
+    out = near_dupe_pipeline(corpus, PipelineConfig())
+    return pagerank(out["edges"], iters=10)

@@ -159,6 +159,7 @@ ROWS_ONLY = [
     "approx_price_quantiles",
     "media_feature_extract",
     "train_code_lang",
+    "near_dupe_pagerank",
 ]
 
 

@@ -1221,3 +1221,56 @@ def test_exact_global_quantile_matches_numpy(ray_session):
         want = sv[int(np.ceil(q * v.shape[0])) - 1]  # quantile_disc rule
         got = exact_global_quantile(ds, "value", q)
         assert got == want, (q, got, want)
+
+
+class TestPageRank:
+    def _np_pagerank(self, pairs, iters=10, d=0.85):
+        nodes = sorted({x for p in pairs for x in p})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n))
+        for a, b in pairs:
+            A[idx[b], idx[a]] += 1
+            A[idx[a], idx[b]] += 1
+        deg = A.sum(axis=0)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            r = (1 - d) / n + d * (A @ (r / deg))
+        return nodes, r
+
+    def test_matches_dense_power_iteration(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import pagerank
+
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11)]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], type=pa.int64()),
+                }
+            )
+        ).repartition(3)
+        out = pagerank(edges, iters=10).to_pandas().sort_values("doc_id")
+        nodes, want = self._np_pagerank(pairs, iters=10)
+        assert out.doc_id.tolist() == nodes
+        assert np.allclose(out["rank"].to_numpy(), want, atol=1e-12)
+        # a hub (node 3, degree 3) outranks leaves in its component
+        r = dict(zip(out.doc_id, out["rank"]))
+        assert r[3] > r[1] and r[3] > r[5]
+
+    def test_empty_edges(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import pagerank
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], type=pa.int64()),
+                    "dst": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        assert pagerank(edges, iters=2).count() == 0
