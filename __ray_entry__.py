@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": q.event_debounce,
         "events_value_p99_outliers": q.events_value_p99_outliers,
         "events_value_mad": q.events_value_mad,
+        "embedding_quantize_int8": q.embedding_quantize_int8,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -775,5 +776,21 @@ def oracle_sql() -> dict[str, str]:
                         FROM events) * 1000.0
                    ) AS BIGINT) AS mad_milli
             FROM m
+        """,
+    "embedding_quantize_int8": """
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS dim,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE))
+                       )) AS scale
+                FROM embeddings
+            )
+            SELECT vec_id, dim,
+                   CAST(floor(CAST(v AS DOUBLE) / scale * 127.0) AS BIGINT)
+                       AS qval,
+                   CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro
+            FROM ex WHERE scale > 0
         """,
     }

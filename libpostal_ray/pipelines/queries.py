@@ -3904,3 +3904,60 @@ def near_dupe_pagerank(sf_dir: str) -> ray.data.Dataset:
     corpus = read_documents_corpus(sf_dir)
     out = near_dupe_pipeline(corpus, PipelineConfig())
     return pagerank(out["edges"], iters=10)
+
+
+def embedding_quantize_int8(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric per-vector int8 quantization — the ANN-prep export that
+    cuts an embedding store 4x (FAISS/ScaNN SQ8 shape): per vector,
+    scale = max|v_i| and q_i = floor((v_i / scale) * 127); long-form
+    output (vec_id, dim, qval, scale_micro) so the oracle can check every
+    element (the production sink would keep the packed fixed_size_list +
+    one scale column — same kernel, different layout).
+
+    Stateless per-batch kernel: zero-copy (n, d) reshape, row-max via one
+    reduction, broadcasted divide — no shuffle anywhere.  All arithmetic
+    in float64 on BOTH engines (the FLOAT-multiplies-in-float32 DuckDB
+    gotcha, build notes)."""
+    emb = _embeddings(sf_dir, columns=("vec_id", "embedding"))
+
+    def quant(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.nulls(0, pa.int64()),
+                "dim": pa.nulls(0, pa.int64()),
+                "qval": pa.nulls(0, pa.int64()),
+                "scale_micro": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        d = vals.shape[0] // n
+        v = vals.astype(np.float64).reshape(n, d)
+        scale = np.abs(v).max(axis=1)
+        keep = scale > 0
+        if not keep.any():
+            return empty
+        v, scale = v[keep], scale[keep]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        q = np.floor((v / scale[:, None]) * 127.0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), ids.shape[0])
+                ),
+                "qval": pa.array(q.reshape(-1)),
+                "scale_micro": pa.array(
+                    np.repeat(
+                        np.floor(scale * 1_000_000.0).astype(np.int64), d
+                    )
+                ),
+            }
+        )
+
+    return emb.map_batches(quant, batch_format="pyarrow")

@@ -109,6 +109,7 @@ ORACLE_QUERIES = [
     "event_debounce",
     "events_value_p99_outliers",
     "events_value_mad",
+    "embedding_quantize_int8",
     "lineitem_unpivot",
 ]
 
