@@ -212,6 +212,8 @@ def run_bench() -> dict:
     timed("documents_upsert", q.documents_upsert)
     timed("brand_type_margin", q.brand_type_margin)
     timed("event_debounce", q.event_debounce)
+    timed("events_value_p99_outliers", q.events_value_p99_outliers)
+    timed("embedding_quantize_int8", q.embedding_quantize_int8)
 
     ray.shutdown()
     return {
