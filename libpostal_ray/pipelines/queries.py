@@ -3308,18 +3308,37 @@ def tpch_q5_local_revenue(
             .aggregate(Sum("cents", alias_name="revenue_cents"))
         )
 
-    def name_of(batch: pa.Table) -> pa.Table:
-        st = _ray.get(dims)
-        keys = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        names = st["nn"][np.searchsorted(st["nk"], keys)]
-        return pa.table(
+    # finish the naming from the GATHERED aggregate (result is bounded by
+    # 25 nations): a no-match run otherwise leaves zero-column empty
+    # blocks that Ray's map_batches passes through WITHOUT calling the
+    # UDF, so no in-stream guard can re-type them and to_pandas returns a
+    # column-less frame (build-notes gotcha, measured)
+    blocks = [
+        b
+        for b in _ray.get(partials.to_arrow_refs())
+        if b.num_rows and "n_nationkey" in b.column_names
+    ]
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.nulls(0, pa.string()),
+                    "revenue_cents": pa.nulls(0, pa.int64()),
+                }
+            )
+        )
+    agg = pa.concat_tables(blocks)
+    st = _ray.get(dims)
+    keys = agg["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = st["nn"][np.searchsorted(st["nk"], keys)]
+    return ray.data.from_arrow(
+        pa.table(
             {
                 "n_name": pa.array(names, type=pa.string()),
-                "revenue_cents": batch["revenue_cents"],
+                "revenue_cents": agg["revenue_cents"],
             }
         )
-
-    return partials.map_batches(name_of, batch_format="pyarrow")
+    )
 
 
 def export_shards_summary(sf_dir: str, n_shards: int = 8) -> ray.data.Dataset:

@@ -1274,3 +1274,61 @@ class TestPageRank:
             )
         )
         assert pagerank(edges, iters=2).count() == 0
+
+
+def test_tpch_q5_empty_date_range(ray_session):
+    """A date range matching nothing must yield 0 rows (typed schema kept,
+    no crash) on BOTH plans — the empty-blocks-lose-schema gotcha."""
+    from libpostal_ray.pipelines.queries import tpch_q5_local_revenue
+
+    sf = "/root/testdata/sf0.001"
+    for bmax in (5_000_000, 0):
+        out = tpch_q5_local_revenue(
+            sf, date_lo="1971-01-01", date_hi="1971-01-02", broadcast_max=bmax
+        )
+        assert out.count() == 0
+        # Dataset-level schema survives (NOTE: ray's to_pandas() drops
+        # columns on ANY zero-row dataset, even typed — assert on the
+        # schema, the contract this engine owns)
+        assert set(out.schema().names) == {"n_name", "revenue_cents"}
+
+
+def test_export_single_shard(ray_session, tmp_path):
+    import ray as _ray
+
+    from libpostal_ray.pipelines.prepare import export_training_shards
+
+    docs = _ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    s = export_training_shards(
+        docs, str(tmp_path / "one"), n_shards=1, seed=5
+    ).to_pandas()
+    assert len(s) == 1 and int(s.n_docs.iloc[0]) == 500
+
+
+def test_doc_rarity_handles_empty_text(ray_session, tmp_path):
+    import ray  # noqa: F401
+
+    from libpostal_ray.pipelines.queries import doc_rarity_score
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": ["alpha beta alpha", "", "beta"],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": pa.array([16, 0, 4], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    df = doc_rarity_score(str(d)).to_pandas().set_index("doc_id")
+    # doc 2 (empty) contributes no tokens and is absent — SQL semantics
+    assert sorted(df.index) == [1, 3]
+    # alpha:2 beta:2 corpus-wide; doc1 = 2*2 + 1*2 = 6 over 3 tokens
+    assert int(df.loc[1, "n_tokens"]) == 3 and int(df.loc[1, "freq_sum"]) == 6
+    assert int(df.loc[3, "n_tokens"]) == 1 and int(df.loc[3, "freq_sum"]) == 2
