@@ -666,7 +666,8 @@ def oracle_sql() -> dict[str, str]:
         "export_training_shards": """
             SELECT ((doc_id * 2654435761) % 4294967296) % 8 AS shard,
                    count(*) AS n_docs,
-                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+                   CAST(sum(doc_id % 1099511627776) % 1099511627776
+                        AS BIGINT) AS id_check
             FROM documents GROUP BY 1
         """,
         "doc_rarity_score": """

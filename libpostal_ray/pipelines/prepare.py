@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -186,6 +187,8 @@ SHARD_MULT = 2654435761   # Knuth multiplicative hash (hash_sample family)
 SHARD_MOD = 2**32
 ORDER_MULT = 48271        # Lehmer generator (stratified_sample family)
 ORDER_MOD = 2147483647
+CHECK_MOD = 2**40         # id_check modulus: power of 2 so mod == bitmask;
+CHECK_MASK = CHECK_MOD - 1  # partials stay exact in int64 up to 2^23 rows
 
 
 def export_training_shards(
@@ -220,7 +223,7 @@ def export_training_shards(
     within-shard lexsort, and a partitioned parquet write (shard=K/
     directories): a failed run resumes by skipping finished shard dirs,
     and the trainer addresses shards by path.  Returns the per-shard
-    summary (shard, n_docs, id_sum) READ BACK from the written files, so
+    summary (shard, n_docs, id_check) READ BACK from the written files, so
     consumers (and the oracle check) see what actually landed on disk.
     """
     if n_shards < 1:
@@ -261,32 +264,57 @@ def export_training_shards(
                 {
                     "shard": pa.nulls(0, pa.int64()),
                     "n_docs": pa.nulls(0, pa.int64()),
-                    "id_sum": pa.nulls(0, pa.int64()),
+                    "id_check": pa.nulls(0, pa.int64()),
                 }
             )
         t = pa.table(
             {
                 "shard": batch["shard"].cast(pa.int64()),
                 "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-                "id_sum": batch["doc_id"].cast(pa.int64()),
+                # MODULAR checksum, not a raw sum: 63-bit reader-derived
+                # ids overflow int64 within one shard (measured at 1M
+                # files) and the Sum degrades to a pickled-object column;
+                # sum(id %% M) %% M == sum(id) %% M and every partial stays
+                # exact in int64 up to 2^23 batches per shard
+                "id_check": pc.bit_wise_and(
+                    batch["doc_id"].cast(pa.int64()), CHECK_MASK
+                ),
             }
         )
-        return (
+        g = (
             pa.TableGroupBy(t, "shard")
-            .aggregate([("n_docs", "sum"), ("id_sum", "sum")])
-            .rename_columns(["shard", "n_docs", "id_sum"])
+            .aggregate([("n_docs", "sum"), ("id_check", "sum")])
+            .rename_columns(["shard", "n_docs", "id_check"])
+        )
+        # re-fold: a per-batch partial of b rows is bounded by b * 2^40 —
+        # mask here so EVERY row entering the engine Sum is < 2^40
+        return g.set_column(
+            g.schema.get_field_index("id_check"),
+            "id_check",
+            pc.bit_wise_and(g["id_check"], CHECK_MASK),
         )
 
     from ray.data.aggregate import Sum
 
-    return (
+    out = (
         written.map_batches(summarize, batch_format="pyarrow")
         .groupby("shard")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
-            Sum("id_sum", alias_name="id_sum"),
+            Sum("id_check", alias_name="id_check"),
         )
     )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id_check" not in batch.column_names:
+            return batch
+        return batch.set_column(
+            batch.schema.get_field_index("id_check"),
+            "id_check",
+            pc.bit_wise_and(batch["id_check"], CHECK_MASK),
+        )
+
+    return out.map_batches(fold, batch_format="pyarrow")
 
 
 def compact_parquet(
