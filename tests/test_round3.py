@@ -1332,3 +1332,52 @@ def test_doc_rarity_handles_empty_text(ray_session, tmp_path):
     # alpha:2 beta:2 corpus-wide; doc1 = 2*2 + 1*2 = 6 over 3 tokens
     assert int(df.loc[1, "n_tokens"]) == 3 and int(df.loc[1, "freq_sum"]) == 6
     assert int(df.loc[3, "n_tokens"]) == 1 and int(df.loc[3, "freq_sum"]) == 2
+
+
+def test_corpus_upsert_inserts_and_replaces(ray_session):
+    import ray.data
+
+    from libpostal_ray.pipelines.incremental import corpus_upsert
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+
+    base = ray.data.from_arrow(tbl([(1, "a"), (2, "b"), (3, "c")]))
+    delta = ray.data.from_arrow(tbl([(3, "C2"), (4, "d")]))  # replace + insert
+    out = corpus_upsert(base, delta).to_pandas().sort_values("doc_id")
+    assert out.doc_id.tolist() == [1, 2, 3, 4]
+    assert dict(zip(out.doc_id, out.text)) == {1: "a", 2: "b", 3: "C2", 4: "d"}
+
+
+def test_no_ray_init_in_library_code():
+    """Driver contract: the library and __ray_entry__ must never call
+    ray.init/ray.shutdown — only bench.py, CLI mains, and the test
+    fixture own a Ray session."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    files = list((root / "libpostal_ray").rglob("*.py")) + [
+        root / "__ray_entry__.py"
+    ]
+    for f in files:
+        # job.py's CLI main is the documented exception: it IS a driver
+        # entry point, and it guards with is_initialized()
+        if f.name == "job.py":
+            continue
+        for node in ast.walk(ast.parse(f.read_text())):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("init", "shutdown")
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "ray"
+            ):
+                offenders.append(f"{f.name}:{node.lineno}")
+    assert not offenders, offenders
