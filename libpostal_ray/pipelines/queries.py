@@ -3563,10 +3563,15 @@ def user_funnel(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
+    stage_order = pa.array(
+        sorted(STAGE, key=STAGE.get), type=pa.string()
+    )
+
     def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_pandas()
-        stage = et.map(STAGE).to_numpy()
-        keep = ~pd.isna(stage)
+        # Arrow-native label -> stage id (null = not a funnel event)
+        idx = pc.index_in(batch["event_type"], value_set=stage_order)
+        keep = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        stage = idx.to_numpy(zero_copy_only=False).astype(np.float64)
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
         return pa.table(
@@ -3791,9 +3796,15 @@ def event_debounce(sf_dir: str, min_gap_us: int = 300_000_000) -> ray.data.Datas
         columns=["event_id", "user_id", "ts", "event_type"],
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
+    et_order = pa.array(sorted(ET, key=ET.get), type=pa.string())
+
     def prep(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        et = batch["event_type"].to_pandas().map(ET).to_numpy().astype(np.int64)
+        et = (
+            pc.index_in(batch["event_type"], value_set=et_order)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         key = uid * 8 + et
         return pa.table(
             {
