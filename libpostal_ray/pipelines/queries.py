@@ -3386,39 +3386,48 @@ def doc_rarity_score(sf_dir: str) -> ray.data.Dataset:
     docs = _docs(sf_dir)
 
     def tok_tf(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc, out_term, out_tf = [], [], []
-        for did, text in zip(ids, batch["text"].to_pylist()):
-            # split(' ') == SQL string_split(text, ' ') with empties dropped
-            terms = [t for t in (text or "").split(" ") if t]
-            if not terms:
-                continue
-            ut, tf = np.unique(np.asarray(terms, dtype=object), return_counts=True)
-            out_doc.append(np.full(ut.shape[0], did, dtype=np.int64))
-            out_term.append(ut)
-            out_tf.append(tf.astype(np.int64))
-        if not out_doc:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "term": pa.array([], type=pa.string()),
-                    "tf": pa.array([], type=pa.int64()),
-                    "part": pa.array([], type=pa.int64()),
-                }
-            )
-        doc = np.concatenate(out_doc)
-        term = np.concatenate(out_term)
-        part = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) for t in term),
+        """Fully vectorized (doc, term, tf): Arrow split (== SQL
+        string_split on ' ', empties dropped) -> dictionary-encode ->
+        one np.unique over packed (doc, code) keys; the only Python loop
+        is crc32 over the BATCH-LOCAL VOCAB, not over occurrences."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        V = np.int64(len(vocab))
+        keys = parent[keep].astype(np.int64) * V + codes[keep]
+        uk, tf = np.unique(keys, return_counts=True)
+        doc = ids[(uk // V)]
+        code = uk % V
+        crc_vocab = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in vocab.to_pylist()),
             dtype=np.int64,
-            count=term.shape[0],
+            count=int(V),
         ) % P
         return pa.table(
             {
                 "doc_id": pa.array(doc, type=pa.int64()),
-                "term": pa.array(term, type=pa.string()),
-                "tf": pa.array(np.concatenate(out_tf), type=pa.int64()),
-                "part": pa.array(part, type=pa.int64()),
+                "term": vocab.take(pa.array(code)),
+                "tf": pa.array(tf.astype(np.int64)),
+                "part": pa.array(crc_vocab[code]),
             }
         )
 
