@@ -2005,31 +2005,43 @@ def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     tok_re = _re.compile(r"[^a-z0-9]+")
 
     def term_tf(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc, out_term, out_tf = [], [], []
-        for did, text in zip(ids, batch["text"].to_pylist()):
-            terms = [t for t in tok_re.split((text or "").lower()) if t]
-            if not terms:
-                continue
-            ut, tf = np.unique(np.asarray(terms, dtype=object), return_counts=True)
-            out_doc.append(np.full(ut.shape[0], did, dtype=np.int64))
-            out_term.append(ut)
-            out_tf.append(tf.astype(np.int64))
-        if not out_doc:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "term": pa.array([], type=pa.string()),
-                    "tf": pa.array([], type=pa.int64()),
-                    "part": pa.array([], type=pa.int64()),
-                }
-            )
-        doc = np.concatenate(out_doc)
+        """Vectorized (doc, term, tf): Arrow lower + regex split ->
+        dictionary-encode -> one np.unique over packed (doc, code) keys
+        (same shape as doc_rarity_score's pass; no per-row Python)."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern=tok_re.pattern
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        V = np.int64(len(vocab))
+        keys = parent[keep].astype(np.int64) * V + codes[keep]
+        uk, tf = np.unique(keys, return_counts=True)
+        doc = ids[(uk // V)]
+        code = uk % V
         return pa.table(
             {
                 "doc_id": pa.array(doc, type=pa.int64()),
-                "term": pa.array(np.concatenate(out_term), type=pa.string()),
-                "tf": pa.array(np.concatenate(out_tf), type=pa.int64()),
+                "term": vocab.take(pa.array(code)),
+                "tf": pa.array(tf.astype(np.int64)),
                 "part": pa.array(doc % P, type=pa.int64()),
             }
         )
