@@ -206,6 +206,48 @@ def run_incremental(args) -> dict:
     return manifest
 
 
+def run_export(args) -> dict:
+    """--mode export: deterministic seeded shuffle + sharded parquet
+    export of the --input corpus (pipelines/prepare.export_training_shards
+    — the trainer-facing sink).  Writes shards/shard=K/ + manifest.json
+    with the per-shard summary read back from disk."""
+    import ray
+
+    from libpostal_ray.pipelines.prepare import export_training_shards
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    cfg = build_config(args.config)
+    t0 = time.time()
+    docs = _read_corpus(args)
+    out = os.path.join(args.output, "shards")
+    summary = export_training_shards(
+        docs, out, n_shards=args.n_shards, seed=args.shard_seed
+    ).to_pandas()
+    manifest = {
+        "mode": "export",
+        "config_fingerprint": config_fingerprint(cfg),
+        "input": args.input,
+        "n_shards": args.n_shards,
+        "seed": args.shard_seed,
+        "wall_seconds": round(time.time() - t0, 3),
+        "rows": {"exported": int(summary.n_docs.sum())},
+        "shards": {
+            int(r.shard): {"n_docs": int(r.n_docs), "id_check": int(r.id_check)}
+            for r in summary.itertuples()
+        },
+        "ray": {
+            "nodes": len(ray.nodes()),
+            "cpus": int(ray.cluster_resources().get("CPU", 0)),
+        },
+    }
+    os.makedirs(args.output, exist_ok=True)
+    tmp = os.path.join(args.output, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(args.output, "manifest.json"))
+    return manifest
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m libpostal_ray.job",
@@ -218,9 +260,11 @@ def main(argv=None) -> int:
     p.add_argument("--config", default=None, help="PipelineConfig overrides: JSON string or path to a JSON file")
     p.add_argument("--report", action="store_true", help="also write the keep/drop dedup report")
     p.add_argument("--write-edges", action="store_true", help="also write verified pair edges")
-    p.add_argument("--mode", default="cluster", choices=["cluster", "incremental"],
+    p.add_argument("--mode", default="cluster", choices=["cluster", "incremental", "export"],
                    help="cluster: flagship near-dup clustering of --input; incremental: dedupe --input against a standing corpus")
     p.add_argument("--against", default=None, help="incremental: standing-corpus parquet")
+    p.add_argument("--n-shards", type=int, default=64, help="export: shard count")
+    p.add_argument("--shard-seed", type=int, default=0, help="export: shuffle seed")
     p.add_argument("--against-format", default="code", choices=["code", "documents", "tsv"])
     p.add_argument("--against-sigs", default=None, help="incremental: precomputed signature parquet of the standing corpus (content never re-read)")
     p.add_argument("--write-sigs", action="store_true", help="incremental: persist this delivery's signatures for the next delta")
@@ -239,7 +283,11 @@ def main(argv=None) -> int:
             include_dashboard=False,
             **kw,
         )
-    manifest = run_incremental(args) if args.mode == "incremental" else run_job(args)
+    manifest = (
+        run_incremental(args)
+        if args.mode == "incremental"
+        else run_export(args) if args.mode == "export" else run_job(args)
+    )
     json.dump(
         {"status": "ok", "output": args.output, "rows": manifest["rows"],
          "wall_seconds": manifest["wall_seconds"]},

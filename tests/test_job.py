@@ -210,3 +210,34 @@ def test_job_incremental_mode(tmp_path):
         .to_pandas()
     )
     assert (v2.verdict == "dup_of_corpus").all()
+
+
+def test_job_export_mode(tmp_path):
+    """--mode export end-to-end in a fresh subprocess: sharded output +
+    manifest with per-shard checksums."""
+    import json
+    import subprocess
+    import sys
+
+    from libpostal_ray.synth import write_synth_corpus
+
+    corpus = str(tmp_path / "corpus.parquet")
+    write_synth_corpus(corpus, n_files=300, seed=9)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "libpostal_ray.job",
+            "--input", corpus, "--output", out,
+            "--mode", "export", "--n-shards", "4", "--shard-seed", "7",
+            "--ray-address", "local", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["mode"] == "export" and man["rows"]["exported"] == 300
+    assert len(man["shards"]) == 4
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{out}/shards", partitioning="hive").to_table()
+    assert t.num_rows == 300
