@@ -1381,3 +1381,24 @@ def test_no_ray_init_in_library_code():
             ):
                 offenders.append(f"{f.name}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_coverage_map_names_real_queries():
+    """Doc-code sync guard: every `queries.<name>` reference in COVERAGE.md
+    must exist in the __ray_entry__ registry (catches doc rot and renames)."""
+    import pathlib
+    import re
+
+    import __ray_entry__ as entrymod
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    txt = (root / "COVERAGE.md").read_text()
+    referenced = set(re.findall(r"`queries\.(\w+)`", txt))
+    assert referenced, "no query references found — pattern drift?"
+    registry = set(entrymod.queries())
+    # export_shards_summary is registered under the operator name
+    alias = {"export_shards_summary": "export_training_shards"}
+    missing = {
+        n for n in referenced if n not in registry and alias.get(n) not in registry
+    }
+    assert not missing, f"COVERAGE.md references unknown queries: {sorted(missing)}"
