@@ -3826,6 +3826,10 @@ def event_debounce(sf_dir: str, min_gap_us: int = 300_000_000) -> ray.data.Datas
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
+        # composite key must stay a non-negative int64: loud failure
+        # beats silent overflow if ids ever become reader-derived 63-bit
+        if uid.shape[0] and int(uid.max()) >= 2**59:
+            raise ValueError("user_id too large for the uid*8+type key")
         key = uid * 8 + et
         return pa.table(
             {
