@@ -14,7 +14,6 @@ code tables; the given int64 id for the documents table).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray.data
 
