@@ -161,6 +161,8 @@ ROWS_ONLY = [
     "media_feature_extract",
     "train_code_lang",
     "near_dupe_pagerank",
+    "embedding_dups_bucketed",
+    "semantic_dedup",
 ]
 
 
