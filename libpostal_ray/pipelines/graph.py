@@ -128,17 +128,19 @@ def pagerank(
                 }
             )
 
-        from ray.data.aggregate import Sum
-
-        summed = (
+        # no engine groupby: _gather_ranks scatter-adds every block's
+        # partials into the rank vector directly, so an extra sort-based
+        # aggregate barrier per iteration buys nothing (the per-batch
+        # partials are already deduplicated within a batch; across-batch
+        # duplicates are just additional += terms).  At cluster scale the
+        # single gather task becomes a tree reduce — same associativity
+        # note as exact_global_quantile's histogram merge.
+        partial_blocks = (
             edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Sum("contrib", alias_name="contrib"))
             .materialize()
+            .to_arrow_refs()
         )
-        gathered = ray.get(
-            _gather_ranks.remote(nodes_ref, *summed.to_arrow_refs())
-        )
+        gathered = ray.get(_gather_ranks.remote(nodes_ref, *partial_blocks))
         ranks = (1.0 - damping) / n + damping * gathered
 
     return ray.data.from_arrow(
