@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p99_outliers": q.events_value_p99_outliers,
         "events_value_mad": q.events_value_mad,
         "embedding_quantize_int8": q.embedding_quantize_int8,
+        "user_order_full_outer": q.user_order_full_outer,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -793,5 +794,18 @@ def oracle_sql() -> dict[str, str]:
                        AS qval,
                    CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro
             FROM ex WHERE scale > 0
+        """,
+    "user_order_full_outer": """
+            WITH l AS (
+                SELECT user_id AS k, count(*) AS n_purchases FROM events
+                WHERE event_type = 'purchase' GROUP BY 1
+            ), r AS (
+                SELECT o_custkey AS k, count(*) AS n_f_orders FROM orders
+                WHERE o_orderstatus = 'F' GROUP BY 1
+            )
+            SELECT coalesce(l.k, r.k) AS k,
+                   coalesce(l.n_purchases, -1) AS n_purchases,
+                   coalesce(r.n_f_orders, -1) AS n_f_orders
+            FROM l FULL OUTER JOIN r ON l.k = r.k
         """,
     }

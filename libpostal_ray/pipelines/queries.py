@@ -4016,3 +4016,87 @@ def embedding_quantize_int8(sf_dir: str) -> ray.data.Dataset:
         )
 
     return emb.map_batches(quant, batch_format="pyarrow")
+
+
+def user_order_full_outer(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join — completes the join family (inner/left/semi/anti/
+    asof/range/broadcast/big-big all exist): purchase counts per user
+    FULL OUTER F-order counts per customer key,
+
+        (k, n_purchases, n_f_orders)   missing side = -1 (no NULLs in
+                                       the hash — engine-wide contract).
+
+    Physical plan: each side pre-aggregates per batch (vectorized
+    np.unique partials — only distinct keys leave a batch), both skinny
+    tagged streams meet in ONE k%P exchange, and the per-partition kernel
+    is a three-way np.unique merge (union of keys, scatter both counts,
+    -1 fills).  No engine join operator; padding rows never exist."""
+    P = 32
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _partial(keys: np.ndarray, side: int) -> pa.Table:
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(u.astype(np.int64)),
+                "cnt": pa.array(c.astype(np.int64)),
+                "side": pa.array(np.full(u.shape[0], side, dtype=np.int64)),
+                "part": pa.array(u.astype(np.int64) % P),
+            }
+        )
+
+    def left_partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        k = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return _partial(k, 0)
+
+    def right_partial(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["o_orderstatus"], "F").to_numpy(zero_copy_only=False)
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return _partial(k, 1)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.nulls(0, pa.int64()),
+                "n_purchases": pa.nulls(0, pa.int64()),
+                "n_f_orders": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "side" not in group.column_names:
+            return empty
+        k = group["k"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        lcnt = np.zeros(uk.shape[0], dtype=np.int64)
+        rcnt = np.zeros(uk.shape[0], dtype=np.int64)
+        lm = side == 0
+        np.add.at(lcnt, inv[lm], cnt[lm])
+        np.add.at(rcnt, inv[~lm], cnt[~lm])
+        lseen = np.zeros(uk.shape[0], dtype=bool)
+        rseen = np.zeros(uk.shape[0], dtype=bool)
+        lseen[inv[lm]] = True
+        rseen[inv[~lm]] = True
+        return pa.table(
+            {
+                "k": pa.array(uk.astype(np.int64)),
+                "n_purchases": pa.array(np.where(lseen, lcnt, -1)),
+                "n_f_orders": pa.array(np.where(rseen, rcnt, -1)),
+            }
+        )
+
+    return (
+        ev.map_batches(left_partial, batch_format="pyarrow")
+        .union(orders.map_batches(right_partial, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

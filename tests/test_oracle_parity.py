@@ -110,6 +110,7 @@ ORACLE_QUERIES = [
     "events_value_p99_outliers",
     "events_value_mad",
     "embedding_quantize_int8",
+    "user_order_full_outer",
     "lineitem_unpivot",
 ]
 
