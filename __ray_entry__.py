@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": q.events_value_mad,
         "embedding_quantize_int8": q.embedding_quantize_int8,
         "user_order_full_outer": q.user_order_full_outer,
+        "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
@@ -807,5 +808,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.n_purchases, -1) AS n_purchases,
                    coalesce(r.n_f_orders, -1) AS n_f_orders
             FROM l FULL OUTER JOIN r ON l.k = r.k
+        """,
+    "global_event_ranks": """
+            SELECT event_id,
+                   CAST(floor(value * 1000.0) AS BIGINT) AS value_milli,
+                   row_number() OVER (ORDER BY value DESC, event_id)
+                       AS global_rank
+            FROM events
         """,
     }

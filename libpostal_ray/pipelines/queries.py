@@ -4100,3 +4100,147 @@ def user_order_full_outer(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def global_event_ranks(sf_dir: str) -> ray.data.Dataset:
+    """Global total-order rank — the distributed ORDER BY:
+    (event_id, value_milli, global_rank) with rank 1 = highest value,
+    ties broken by event_id ASC (a deterministic total order, the
+    precondition for reproducible top-N exports).
+
+    Physical plan is the canonical range-partitioned sort, built from
+    this repo's radix machinery instead of the engine's sort:
+
+      1. one scan histograms the 16-bit prefix of the DESCENDING
+         order-preserving key (functions/quantile.float_order_key,
+         inverted) — <= 65536 skinny rows leave any batch, merged in one
+         remote task (tree reduce at cluster scale);
+      2. the cumulative histogram gives every bucket its global rank
+         OFFSET — no coordination, no sampling error (vs sample-based
+         range partitioning);
+      3. pass 2 exchanges rows keyed by bucket; each partition kernel
+         lexsorts its bucket run and assigns offset + local position.
+
+    Skew note: identical values land in one bucket; continuous doubles
+    spread uniformly over prefixes.  A pathological constant column
+    degrades to one partition carrying its duplicates — loud in the
+    histogram, not silent."""
+    from libpostal_ray.functions.quantile import float_order_key
+
+    import ray as _ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.nulls(0, pa.int64()),
+                "cnt": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = ~float_order_key(v)  # bit-inverted => DESCENDING value order
+        digit = (key >> np.uint64(48)).astype(np.int64)
+        u, c = np.unique(digit, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(u),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    @_ray.remote
+    def merge_hist(*blocks):
+        counts = np.zeros(65536, dtype=np.int64)
+        for b in blocks:
+            if b.num_rows == 0 or "bucket" not in b.column_names:
+                continue
+            np.add.at(
+                counts,
+                b.column("bucket").to_numpy(zero_copy_only=False),
+                b.column("cnt").to_numpy(zero_copy_only=False),
+            )
+        return counts
+
+    hist_blocks = (
+        ev.map_batches(hist, batch_format="pyarrow").materialize().to_arrow_refs()
+    )
+    counts = _ray.get(merge_hist.remote(*hist_blocks))
+    offsets_ref = _ray.put(
+        np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+                "key": pa.nulls(0, pa.int64()),
+                "event_id": pa.nulls(0, pa.int64()),
+                "value_milli": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = ~float_order_key(v)
+        bucket = (key >> np.uint64(48)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                # one Python group call per PARTITION, never per bucket
+                # (the repo-wide key%P rule); complete buckets colocate
+                "part": pa.array(bucket % 32),
+                # 63-bit view is order-preserving WITHIN a bucket (the top
+                # 16 bits are constant there), and int64 keeps the engine
+                # exchange fast (non-negative int64 key rule)
+                "key": pa.array((key & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "value_milli": pa.array(np.floor(v * 1000.0).astype(np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.nulls(0, pa.int64()),
+                "value_milli": pa.nulls(0, pa.int64()),
+                "global_rank": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "bucket" not in group.column_names:
+            return empty
+        offs = _ray.get(offsets_ref)
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        vm = group["value_milli"].to_numpy(zero_copy_only=False)
+        # a partition holds many buckets: process each bucket's run
+        # independently (sorted by bucket first)
+        border = np.lexsort((eid, key, bucket))
+        bucket, key, eid, vm = bucket[border], key[border], eid[border], vm[border]
+        starts = np.flatnonzero(
+            np.concatenate(([True], bucket[1:] != bucket[:-1]))
+        )
+        lens = np.diff(np.concatenate((starts, [bucket.shape[0]])))
+        local = np.arange(bucket.shape[0], dtype=np.int64) - np.repeat(
+            starts, lens
+        )
+        rank = offs[bucket] + local + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "value_milli": pa.array(vm),
+                "global_rank": pa.array(rank),
+            }
+        )
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

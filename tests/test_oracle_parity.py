@@ -111,6 +111,7 @@ ORACLE_QUERIES = [
     "events_value_mad",
     "embedding_quantize_int8",
     "user_order_full_outer",
+    "global_event_ranks",
     "lineitem_unpivot",
 ]
 
