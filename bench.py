@@ -214,6 +214,8 @@ def run_bench() -> dict:
     timed("event_debounce", q.event_debounce)
     timed("events_value_p99_outliers", q.events_value_p99_outliers)
     timed("embedding_quantize_int8", q.embedding_quantize_int8)
+    timed("user_order_full_outer", q.user_order_full_outer)
+    timed("global_event_ranks", q.global_event_ranks)
 
     ray.shutdown()
     return {
