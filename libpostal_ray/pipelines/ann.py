@@ -245,6 +245,9 @@ def _score_and_merge(
 # ---------------------------------------------------------------------------
 
 
+_KMEANS_SCALE = 1 << 30  # per-row integerization scale (see partial())
+
+
 def kmeans_fit(
     embeddings: ray.data.Dataset,
     k: int,
@@ -294,13 +297,20 @@ def kmeans_fit(
             m = _emb_matrix(batch, "embedding")
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             assign = np.argmax(m @ c.T, axis=1)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, m)
+            # per-ROW integerized partials (unit vectors scaled by 2^30):
+            # integer addition is associative, so the fit is bit-identical
+            # under ANY block layout — float partial sums made c1 != c2
+            # whenever Ray split the input differently (measured flake).
+            # Bound: |sum per centroid| <= n_rows * 2^30 -> exact in int64
+            # up to ~8.6e9 rows per centroid.
+            mi = np.round(m * float(_KMEANS_SCALE)).astype(np.int64)
+            sums = np.zeros((c.shape[0], m.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, mi)
             counts = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
             return pa.table(
                 {
                     "cid": pa.array(np.arange(c.shape[0], dtype=np.int64)),
-                    "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "vsum": pa.array(list(sums), type=pa.list_(pa.int64())),
                     "cnt": pa.array(counts),
                 }
             )
@@ -315,9 +325,10 @@ def kmeans_fit(
         )
         cid = parts["cid"].to_numpy(zero_copy_only=False)
         cnt = parts["cnt"].to_numpy(zero_copy_only=False)
-        vs = np.array(parts["vsum"].to_pylist(), dtype=np.float64)
-        sums = np.zeros_like(cents)
-        np.add.at(sums, cid, vs)
+        vs = np.array(parts["vsum"].to_pylist(), dtype=np.int64)
+        isums = np.zeros((cents.shape[0], cents.shape[1]), dtype=np.int64)
+        np.add.at(isums, cid, vs)
+        sums = isums.astype(np.float64) / float(_KMEANS_SCALE)
         counts = np.zeros(cents.shape[0], dtype=np.int64)
         np.add.at(counts, cid, cnt)
         nonzero = counts > 0

@@ -1402,3 +1402,22 @@ def test_coverage_map_names_real_queries():
         n for n in referenced if n not in registry and alias.get(n) not in registry
     }
     assert not missing, f"COVERAGE.md references unknown queries: {sorted(missing)}"
+
+
+def test_kmeans_blocking_independent(ray_session):
+    """kmeans_fit must be BIT-identical under any block layout: float
+    partial sums made two fits differ in the last ulp whenever Ray split
+    the input differently (a measured suite flake); per-row integerized
+    partials make the reduction associative."""
+    import ray.data
+
+    from libpostal_ray.pipelines.ann import kmeans_fit
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c1 = kmeans_fit(emb, 8, iters=4)
+    c2 = kmeans_fit(emb.repartition(7), 8, iters=4)
+    c3 = kmeans_fit(emb.repartition(2), 8, iters=4)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
