@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": q.boilerplate_ngrams,
         "quality_filter": q.quality_filter,
         "customer_order_ranks": q.customer_order_ranks,
+        "customer_order_frames": q.customer_order_frames,
         "event_value_histogram": q.event_value_histogram,
         "orders_by_month": q.orders_by_month,
         "props_key_stats": q.props_key_stats,
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": q.events_value_mad,
         "embedding_quantize_int8": q.embedding_quantize_int8,
         "user_order_full_outer": q.user_order_full_outer,
+        "documents_snapshot_diff": q.documents_snapshot_diff,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -331,6 +333,35 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY o_orderdate, o_orderkey
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_price_cents
             FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "customer_order_frames": """
+            WITH o AS (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(price_cents) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum3,
+                   CAST(sum(price_cents) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / (count(*) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg3,
+                   first_value(price_cents) OVER w AS first_price,
+                   last_value(price_cents) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS last_price,
+                   coalesce(lead(price_cents) OVER w, -1) AS next_price,
+                   coalesce(nth_value(price_cents, 2) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ), -1) AS second_price
+            FROM o
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "lineitem_agg": """
@@ -815,5 +846,24 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY value DESC, event_id)
                        AS global_rank
             FROM events
+        """,
+    "documents_snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, text FROM documents
+            ), new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 19 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
         """,
     }

@@ -557,6 +557,111 @@ def customer_order_ranks(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def customer_order_frames(sf_dir: str) -> ray.data.Dataset:
+    """Window FRAME functions over orders: per customer in (o_orderdate,
+    o_orderkey) order — 3-row moving sum/avg, first/last/nth_value(2) over
+    the partition, lead(price).  Same one-exchange plan as
+    customer_order_ranks (pipelines/window.py: frames_over_key)."""
+    from libpostal_ray.pipelines.window import frames_over_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "date_us": batch["o_orderdate"].cast(pa.int64()),
+                "price_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    out = frames_over_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="o_custkey",
+        order_cols=["date_us", "o_orderkey"],
+        value="price_cents",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "mov_sum3": batch["mov_sum"],
+                "mov_avg3": batch["mov_avg"],
+                "first_price": batch["first_val"],
+                "last_price": batch["last_val"],
+                "next_price": batch["next_val"],
+                "second_price": batch["nth2_val"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def documents_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """Snapshot diff (CDC) over the documents table vs a deterministically
+    derived NEW snapshot: doc_id%17==0 deleted, doc_id%13==0 edited
+    (text || ' v2'), doc_id%19==0 re-inserted at doc_id+10_000_000.
+    Output (doc_id, status in added/removed/changed) — unchanged rows
+    never leave the exchange.  pipelines/diff.py: one 32 B/row key%P
+    exchange; content stays in its batch."""
+    from libpostal_ray.pipelines.diff import snapshot_diff
+
+    old = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    new_src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def derive_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = batch.filter(pa.array(ids % 17 != 0))
+        kids = kept["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ktext = kept["text"].combine_chunks() if kept.num_rows else pa.array([], type=pa.string())
+        edited = pc.if_else(
+            pa.array(kids % 13 == 0),
+            pc.binary_join_element_wise(ktext, " v2", ""),
+            ktext,
+        )
+        ins = batch.filter(pa.array(ids % 19 == 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        (
+                            kids,
+                            ins["doc_id"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                            + 10_000_000,
+                        )
+                    )
+                ),
+                "text": pa.concat_arrays(
+                    [edited, ins["text"].combine_chunks()]
+                    if ins.num_rows
+                    else [edited]
+                ),
+            }
+        )
+
+    new = new_src.map_batches(derive_new, batch_format="pyarrow")
+    out = snapshot_diff(old, new, key="doc_id", text_col="text")
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "status"]),
+        batch_format="pyarrow",
+    )
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -178,3 +178,99 @@ def window_over_key(
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def frames_over_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    *,
+    preceding: int = 2,
+    fill: int = -1,
+    partitions: int = WINDOW_PARTITIONS,
+) -> ray.data.Dataset:
+    """Window FRAME functions per ``key`` group, in (order_cols) order.
+
+    The frame family complements ``window_over_key`` (rank family):
+
+      mov_sum     SUM  over ROWS ``preceding`` PRECEDING .. CURRENT ROW
+      mov_avg     that sum / rows actually in the frame (exact int
+                  division -> bit-identical float64 across engines)
+      first_val   first_value over the partition
+      last_val    last_value over ROWS UNBOUNDED PRECEDING .. UNBOUNDED
+                  FOLLOWING (the full partition — SQL's default
+                  last_value frame is a footgun; we use the full one)
+      next_val    lead(1) within the partition (``fill`` on the last row)
+      nth2_val    nth_value(2) over the full partition (``fill`` if the
+                  partition has < 2 rows)
+
+    Same physical plan as window_over_key: ONE key%P hash exchange, then
+    every function is a vectorized segment kernel (cumsum differences
+    with frame-clamped lower bounds; no per-key Python calls).  At 100 TB
+    the exchange ships only (key, order, value) and P scales with the
+    cluster.
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "part", pa.array(k % partitions, type=pa.int64())
+        )
+
+    int_cols = ("mov_sum", "first_val", "last_val", "next_val", "nth2_val")
+
+    def kernel(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            empty = {key: pa.array([], type=pa.int64())}
+            for c in order_cols:
+                empty[c] = pa.array([], type=pa.int64())
+            for c in int_cols:
+                empty[c] = pa.array([], type=pa.int64())
+            empty["mov_avg"] = pa.array([], type=pa.float64())
+            return pa.table(empty)
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = [
+            group[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in order_cols
+        ]
+        order = np.lexsort(tuple(reversed(ords)) + (k,))
+        ks, vs = k[order], v[order]
+        new_seg = _segment_starts(ks)
+        off = _seg_offset(new_seg)
+        idx = np.arange(n, dtype=np.int64)
+        # frame lower bound: max(i - preceding, segment start)
+        lo = np.maximum(idx - preceding, off)
+        cs = np.cumsum(vs)
+        base = np.where(lo > 0, cs[lo - 1], 0)
+        mov_sum = cs - base
+        in_frame = idx - lo + 1
+        mov_avg = mov_sum / in_frame.astype(np.float64)
+        first_val = vs[off]
+        seg_lens = np.diff(np.concatenate((np.flatnonzero(new_seg), [n])))
+        seg_size = np.repeat(seg_lens, seg_lens)
+        last_idx = off + seg_size - 1
+        last_val = vs[last_idx]
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = vs[1:]
+        nxt[-1] = fill
+        nxt[last_idx] = fill
+        nth2 = np.where(seg_size >= 2, vs[np.minimum(off + 1, n - 1)], fill)
+
+        cols = {key: pa.array(ks, type=pa.int64())}
+        for c, arr in zip(order_cols, ords):
+            cols[c] = pa.array(arr[order], type=pa.int64())
+        for c, arr in zip(
+            int_cols, (mov_sum, first_val, last_val, nxt, nth2)
+        ):
+            cols[c] = pa.array(arr, type=pa.int64())
+        cols["mov_avg"] = pa.array(mov_avg, type=pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -61,6 +61,7 @@ ORACLE_QUERIES = [
     "boilerplate_ngrams",
     "quality_filter",
     "customer_order_ranks",
+    "customer_order_frames",
     "event_value_histogram",
     "orders_by_month",
     "props_key_stats",
@@ -111,6 +112,7 @@ ORACLE_QUERIES = [
     "events_value_mad",
     "embedding_quantize_int8",
     "user_order_full_outer",
+    "documents_snapshot_diff",
     "global_event_ranks",
     "lineitem_unpivot",
 ]

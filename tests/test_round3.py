@@ -1421,3 +1421,107 @@ def test_kmeans_blocking_independent(ray_session):
     c2 = kmeans_fit(emb.repartition(7), 8, iters=4)
     c3 = kmeans_fit(emb.repartition(2), 8, iters=4)
     assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+
+
+class TestFramesOverKey:
+    def test_known_small(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.window import frames_over_key
+
+        # key 1: values 50, 30, 20, 10 in order o=0..3; key 2: single row
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+                "o": pa.array([0, 1, 2, 3, 0], type=pa.int64()),
+                "v": pa.array([50, 30, 20, 10, 7], type=pa.int64()),
+            }
+        )
+        out = (
+            frames_over_key(
+                ray.data.from_arrow(t), key="k", order_cols=["o"], value="v"
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        # ROWS 2 PRECEDING..CURRENT: 50, 80, 100, 60; single row: 7
+        assert out.mov_sum.tolist() == [50, 80, 100, 60, 7]
+        assert out.mov_avg.tolist() == [50.0, 40.0, 100 / 3, 20.0, 7.0]
+        assert out.first_val.tolist() == [50, 50, 50, 50, 7]
+        assert out.last_val.tolist() == [10, 10, 10, 10, 7]
+        assert out.next_val.tolist() == [30, 20, 10, -1, -1]
+        # nth_value(2) over the full partition; fill when < 2 rows
+        assert out.nth2_val.tolist() == [30, 30, 30, 30, -1]
+
+    def test_frame_never_crosses_segment(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.window import frames_over_key
+
+        # adjacent keys after the partition sort: frame must reset at the
+        # key boundary even when rows are contiguous in the sorted array
+        t = pa.table(
+            {
+                "k": pa.array([3, 35, 67], type=pa.int64()),  # same part (%32)
+                "o": pa.array([0, 0, 0], type=pa.int64()),
+                "v": pa.array([100, 200, 300], type=pa.int64()),
+            }
+        )
+        out = (
+            frames_over_key(
+                ray.data.from_arrow(t), key="k", order_cols=["o"], value="v"
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out.mov_sum.tolist() == [100, 200, 300]
+        assert out.next_val.tolist() == [-1, -1, -1]
+
+
+class TestSnapshotDiff:
+    def _diff(self, old_rows, new_rows, ray_session=None):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.diff import snapshot_diff
+
+        def tbl(rows):
+            return pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            )
+
+        ds = snapshot_diff(
+            ray.data.from_arrow(tbl(old_rows)),
+            ray.data.from_arrow(tbl(new_rows)),
+            key="k",
+            text_col="text",
+        )
+        # zero-row datasets lose columns in to_pandas (engine gotcha);
+        # assert on the typed schema instead
+        assert set(ds.schema().names) == {"k", "status"}
+        out = ds.to_pandas()
+        if len(out) == 0:
+            return {}
+        return dict(zip(out.k.tolist(), out.status.tolist()))
+
+    def test_classification(self, ray_session):
+        got = self._diff(
+            [(1, "a"), (2, "b"), (3, "c")],
+            [(2, "b"), (3, "c2"), (4, "d")],
+        )
+        assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    def test_unchanged_rows_dropped_and_empty_diff(self, ray_session):
+        assert self._diff([(1, "a")], [(1, "a")]) == {}
+
+    def test_one_side_empty(self, ray_session):
+        assert self._diff([], [(9, "x")]) == {9: "added"}
+        assert self._diff([(9, "x")], []) == {9: "removed"}
