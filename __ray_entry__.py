@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_int8": q.embedding_quantize_int8,
         "user_order_full_outer": q.user_order_full_outer,
         "documents_snapshot_diff": q.documents_snapshot_diff,
+        "user_activity_histogram": q.user_activity_histogram,
+        "documents_profile": q.documents_profile,
+        "priority_price_iqr": q.priority_price_iqr,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -846,6 +849,48 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY value DESC, event_id)
                        AS global_rank
             FROM events
+        """,
+    "documents_profile": """
+            SELECT 'text' AS "column", count(*) AS n_rows,
+                   count(*) - count(text) AS n_null,
+                   count(DISTINCT text) AS n_distinct,
+                   CAST(min(strlen(text)) AS BIGINT) AS min_len,
+                   CAST(max(strlen(text)) AS BIGINT) AS max_len,
+                   CAST(sum(strlen(text)) AS BIGINT) AS sum_len
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang),
+                   CAST(min(strlen(lang)) AS BIGINT),
+                   CAST(max(strlen(lang)) AS BIGINT),
+                   CAST(sum(strlen(lang)) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source),
+                   CAST(min(strlen(source)) AS BIGINT),
+                   CAST(max(strlen(source)) AS BIGINT),
+                   CAST(sum(strlen(source)) AS BIGINT)
+            FROM documents
+        """,
+    "priority_price_iqr": """
+            WITH o AS (
+                SELECT o_orderpriority,
+                       CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                            AS DOUBLE) AS cents
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   quantile_cont(cents, 0.25) AS q1_cents,
+                   quantile_cont(cents, 0.5) AS median_cents,
+                   quantile_cont(cents, 0.75) AS q3_cents,
+                   count(*) AS n_orders
+            FROM o GROUP BY o_orderpriority
+        """,
+    "user_activity_histogram": """
+            SELECT cnt AS n_events, count(*) AS n_users
+            FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+            GROUP BY cnt
         """,
     "documents_snapshot_diff": """
             WITH old AS (

@@ -662,6 +662,151 @@ def documents_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def user_activity_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Aggregate-of-aggregate (count-of-counts): how many users produced
+    exactly n events, for every observed n — the key-skew profile a 100 TB
+    pipeline inspects before choosing a partitioning key.
+
+    Plan: per-batch np.unique partial counts -> ONE user%P exchange where
+    the kernel finalizes per-user counts AND folds them into a partial
+    histogram (distinct-n rows only leave the kernel) -> second exchange
+    on n%8 merges the tiny partials vectorized.  The second shuffle's
+    volume is O(P x distinct activity levels), independent of user count."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    P = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "cnt": pa.array(c.astype(np.int64)),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def per_user_then_hist(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_events": pa.nulls(0, pa.int64()),
+                "n_users_partial": pa.nulls(0, pa.int64()),
+                "part2": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return empty
+        u = group["u"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        tot = np.zeros(uu.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, c)
+        lvls, nus = np.unique(tot, return_counts=True)
+        return pa.table(
+            {
+                "n_events": pa.array(lvls.astype(np.int64)),
+                "n_users_partial": pa.array(nus.astype(np.int64)),
+                "part2": pa.array(lvls.astype(np.int64) % 8),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_events": pa.nulls(0, pa.int64()),
+                "n_users": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "n_events" not in group.column_names:
+            return empty
+        lv = group["n_events"].to_numpy(zero_copy_only=False)
+        pn = group["n_users_partial"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(lv, return_inverse=True)
+        tot = np.zeros(uu.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, pn)
+        return pa.table(
+            {
+                "n_events": pa.array(uu.astype(np.int64)),
+                "n_users": pa.array(tot),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_user_then_hist, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def documents_profile(sf_dir: str) -> ray.data.Dataset:
+    """Column profile of the documents string columns: row/null counts,
+    EXACT distributed distinct (hash-partitioned value space — partition
+    unique counts sum to the global count), byte-length min/max/sum from
+    the Arrow offsets buffer.  pipelines/profile.py."""
+    from libpostal_ray.pipelines.profile import column_profile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "source"]
+    )
+    return column_profile(ds, ["text", "lang", "source"])
+
+
+def priority_price_iqr(sf_dir: str) -> ray.data.Dataset:
+    """Interpolated per-group quantiles (percentile_cont semantics):
+    q1/median/q3 of order price cents per o_orderpriority.  Quantiles at
+    exact binary fractions (q in {.25,.5,.75}) make every interpolation
+    step IEEE-exact (frac in {0,.25,.5,.75}; products/sums of
+    quarter-integers below 2^53 are exactly representable), so the float64
+    outputs are bit-identical across engines — the module's float-parity
+    rule.  Same co-located-group plan as priority_price_quantiles."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def quant(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "o_orderpriority" not in group.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.nulls(0, pa.string()),
+                    "q1_cents": pa.nulls(0, pa.float64()),
+                    "median_cents": pa.nulls(0, pa.float64()),
+                    "q3_cents": pa.nulls(0, pa.float64()),
+                    "n_orders": pa.nulls(0, pa.int64()),
+                }
+            )
+        cents = np.sort(
+            np.floor(
+                group["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+        ).astype(np.float64)
+        n = cents.shape[0]
+
+        def pcont(q: float) -> float:
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            frac = h - lo
+            return float(cents[lo] + frac * (cents[hi] - cents[lo]))
+
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [group["o_orderpriority"][0].as_py()], type=pa.string()
+                ),
+                "q1_cents": pa.array([pcont(0.25)], type=pa.float64()),
+                "median_cents": pa.array([pcont(0.5)], type=pa.float64()),
+                "q3_cents": pa.array([pcont(0.75)], type=pa.float64()),
+                "n_orders": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(quant, batch_format="pyarrow")
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

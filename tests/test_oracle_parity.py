@@ -113,6 +113,9 @@ ORACLE_QUERIES = [
     "embedding_quantize_int8",
     "user_order_full_outer",
     "documents_snapshot_diff",
+    "user_activity_histogram",
+    "documents_profile",
+    "priority_price_iqr",
     "global_event_ranks",
     "lineitem_unpivot",
 ]

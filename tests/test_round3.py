@@ -1525,3 +1525,72 @@ class TestSnapshotDiff:
     def test_one_side_empty(self, ray_session):
         assert self._diff([], [(9, "x")]) == {9: "added"}
         assert self._diff([(9, "x")], []) == {9: "removed"}
+
+
+class TestColumnProfile:
+    def test_nulls_and_distinct(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.profile import column_profile
+
+        t = pa.table(
+            {
+                "s": pa.array(["aa", None, "b", "aa", "ccc", None], type=pa.string()),
+            }
+        )
+        out = (
+            column_profile(ray.data.from_arrow(t), ["s"])
+            .to_pandas()
+            .set_index("column")
+        )
+        row = out.loc["s"]
+        assert row.n_rows == 6
+        assert row.n_null == 2
+        assert row.n_distinct == 3  # aa, b, ccc — nulls don't count
+        assert row.min_len == 1 and row.max_len == 3
+        assert row.sum_len == 2 + 1 + 2 + 3  # null rows contribute 0
+
+    def test_distinct_sums_across_partitions(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.profile import column_profile
+
+        # 200 distinct values spread over many blocks: partition-local
+        # unique counts must SUM to the exact global distinct count
+        vals = [f"v{i}" for i in range(200)] * 3
+        t = pa.table({"s": pa.array(vals, type=pa.string())})
+        out = (
+            column_profile(ray.data.from_arrow(t).repartition(7), ["s"])
+            .to_pandas()
+            .set_index("column")
+        )
+        assert out.loc["s"].n_distinct == 200
+        assert out.loc["s"].n_rows == 600
+
+
+class TestPercentileCont:
+    def test_matches_duckdb_interpolation(self, ray_session):
+        """The q in {.25,.5,.75} interpolation must be bit-identical to
+        DuckDB's quantile_cont on the same integers (every step exact)."""
+        import duckdb
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        for n in (1, 2, 3, 4, 5, 17, 100):
+            cents = np.sort(rng.randint(0, 10**7, size=n).astype(np.int64)).astype(
+                np.float64
+            )
+
+            def pcont(q):
+                h = q * (n - 1)
+                lo = int(np.floor(h))
+                hi = min(lo + 1, n - 1)
+                return float(cents[lo] + (h - lo) * (cents[hi] - cents[lo]))
+
+            con = duckdb.connect()
+            con.register("t", __import__("pandas").DataFrame({"v": cents}))
+            for q in (0.25, 0.5, 0.75):
+                got = con.sql(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+                assert pcont(q) == got, (n, q, pcont(q), got)
