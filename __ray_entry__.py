@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_histogram": q.user_activity_histogram,
         "documents_profile": q.documents_profile,
         "priority_price_iqr": q.priority_price_iqr,
+        "documents_scd2": q.documents_scd2,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -849,6 +850,28 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY value DESC, event_id)
                        AS global_rank
             FROM events
+        """,
+    "documents_scd2": """
+            WITH delta AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 20 = 0 THEN upper(text)
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 25 = 0
+            ), base AS (SELECT doc_id, text FROM documents)
+            SELECT b.doc_id, b.text,
+                   0 AS valid_from, 100 AS valid_to, 0 AS is_current
+            FROM base b JOIN delta d USING (doc_id) WHERE b.text <> d.text
+            UNION ALL
+            SELECT b.doc_id, b.text, 0, 9999, 1
+            FROM base b LEFT JOIN delta d USING (doc_id)
+            WHERE d.doc_id IS NULL OR b.text = d.text
+            UNION ALL
+            SELECT d.doc_id, d.text, 100, 9999, 1
+            FROM delta d LEFT JOIN base b USING (doc_id)
+            WHERE b.doc_id IS NULL OR b.text <> d.text
         """,
     "documents_profile": """
             SELECT 'text' AS "column", count(*) AS n_rows,

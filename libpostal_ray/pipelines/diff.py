@@ -72,12 +72,18 @@ def snapshot_diff(
     key: str,
     text_col: str,
     partitions: int = DIFF_PARTITIONS,
+    statuses: tuple[str, ...] = (STATUS_ADDED, STATUS_REMOVED, STATUS_CHANGED),
 ) -> ray.data.Dataset:
     """Diff two snapshots -> (key, status) for every non-unchanged key.
 
     ``key`` must be unique per snapshot (a key appearing twice on one
     side is classified by its LAST digest in partition order — snapshot
     semantics assume upstream dedup, as documents_upsert guarantees).
+
+    ``statuses`` restricts what the kernel emits.  SCD-2 callers pass
+    ("added", "changed"): with a small re-crawl delta, 'removed' covers
+    ~all of the base, and dropping it in-kernel keeps the verdict stream
+    O(|delta|) instead of O(|base|).
     """
 
     def side_map(side: int):
@@ -129,6 +135,12 @@ def snapshot_diff(
         added = ~oldseen & newseen
         removed = oldseen & ~newseen
         changed = oldseen & newseen & ((oh0 != nh0) | (oh1 != nh1))
+        if STATUS_ADDED not in statuses:
+            added[:] = False
+        if STATUS_REMOVED not in statuses:
+            removed[:] = False
+        if STATUS_CHANGED not in statuses:
+            changed[:] = False
         keep = added | removed | changed
         status = np.where(
             added[keep],

@@ -252,3 +252,106 @@ def corpus_upsert(
         return batch.filter(pa.array(~replaced))
 
     return base.map_batches(anti, batch_format="pyarrow").union(delta)
+
+
+def corpus_upsert_scd2(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    *,
+    key: str = "doc_id",
+    text_col: str = "text",
+    base_from: int = 0,
+    as_of: int = 100,
+    forever: int = 9999,
+) -> ray.data.Dataset:
+    """SCD-2 (history-keeping) upsert: like ``corpus_upsert`` but changed
+    rows are VERSIONED instead of replaced — the old row closes at
+    ``as_of`` (is_current=0) and the delta row opens there; identical
+    delta rows add no version; delta-only keys open new current rows.
+    Output columns: key, text_col, valid_from, valid_to, is_current.
+
+    Physical plan — composition over snapshot_diff (the CDC operator):
+
+      1. snapshot_diff(base, delta, statuses=("added","changed")) — ONE
+         32 B/row digest exchange classifies every key; 'removed' is
+         dropped in-kernel so the verdict stream is O(|delta|).
+      2. the verdict gathers off-driver into two sorted id arrays
+         (close = changed; emit = changed + added), broadcast once.
+      3. base streams through a searchsorted lookup emitting one row per
+         input row (closed or still-current); delta streams through the
+         emit-set filter.  Neither corpus ever shuffles content.
+    """
+    from libpostal_ray.pipelines.diff import (
+        STATUS_CHANGED,
+        snapshot_diff,
+    )
+
+    verdicts = snapshot_diff(
+        base, delta, key=key, text_col=text_col, statuses=("added", "changed")
+    )
+
+    @ray.remote
+    def gather(*blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ks: list[np.ndarray] = []
+        ch: list[np.ndarray] = []
+        for b in blocks:
+            if b.num_rows == 0 or "k" not in b.column_names:
+                continue
+            k = b.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+            st = b.column("status").to_pylist()
+            ks.append(k)
+            ch.append(np.asarray([s == STATUS_CHANGED for s in st], dtype=bool))
+        if not ks:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        allk = np.concatenate(ks)
+        allch = np.concatenate(ch)
+        return np.sort(allk[allch]), np.sort(allk)
+
+    sets_ref = gather.remote(*verdicts.materialize().to_arrow_refs())
+
+    def _member(ids: np.ndarray, k: np.ndarray) -> np.ndarray:
+        if ids.shape[0] == 0:
+            return np.zeros(k.shape[0], dtype=bool)
+        pos = np.searchsorted(ids, k)
+        posc = np.clip(pos, 0, ids.shape[0] - 1)
+        return (pos < ids.shape[0]) & (ids[posc] == k)
+
+    def base_pass(batch: pa.Table) -> pa.Table:
+        close_ids, _ = ray.get(sets_ref)
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        closed = _member(close_ids, k)
+        return pa.table(
+            {
+                key: pa.array(k),
+                text_col: batch[text_col],
+                "valid_from": pa.array(
+                    np.full(k.shape[0], base_from, dtype=np.int64)
+                ),
+                "valid_to": pa.array(
+                    np.where(closed, as_of, forever).astype(np.int64)
+                ),
+                "is_current": pa.array((~closed).astype(np.int64)),
+            }
+        )
+
+    def delta_pass(batch: pa.Table) -> pa.Table:
+        _, emit_ids = ray.get(sets_ref)
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _member(emit_ids, k)
+        sub = batch.filter(pa.array(m))
+        n = sub.num_rows
+        ksub = k[m]
+        return pa.table(
+            {
+                key: pa.array(ksub),
+                text_col: sub[text_col],
+                "valid_from": pa.array(np.full(n, as_of, dtype=np.int64)),
+                "valid_to": pa.array(np.full(n, forever, dtype=np.int64)),
+                "is_current": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    return base.map_batches(base_pass, batch_format="pyarrow").union(
+        delta.map_batches(delta_pass, batch_format="pyarrow")
+    )

@@ -807,6 +807,61 @@ def priority_price_iqr(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("o_orderpriority").map_groups(quant, batch_format="pyarrow")
 
 
+def documents_scd2(sf_dir: str) -> ray.data.Dataset:
+    """SCD-2 versioned upsert over documents: delta = re-crawl of every
+    doc_id%10==0 row (text uppercased only when doc_id%20==0, so half the
+    delta is byte-identical and must add NO version) + inserts
+    (doc_id%25==0 re-keyed at +10M).  Output = full version history
+    (valid_from, valid_to, is_current).  pipelines/incremental.py:
+    corpus_upsert_scd2 — snapshot_diff verdict exchange + two streaming
+    passes; content never shuffles."""
+    from libpostal_ray.pipelines.incremental import corpus_upsert_scd2
+
+    cols = ["doc_id", "text"]
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=cols
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = batch.filter(pa.array(ids % 10 == 0))
+        sids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = (
+            sub["text"].combine_chunks()
+            if sub.num_rows
+            else pa.array([], type=pa.string())
+        )
+        text = pc.if_else(pa.array(sids % 20 == 0), pc.utf8_upper(text), text)
+        ins = batch.filter(pa.array(ids % 25 == 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        (
+                            sids,
+                            ins["doc_id"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                            + 10_000_000,
+                        )
+                    )
+                ),
+                "text": pa.concat_arrays(
+                    [text, ins["text"].combine_chunks()]
+                    if ins.num_rows
+                    else [text]
+                ),
+            }
+        )
+
+    delta = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(recrawl, batch_format="pyarrow")
+    )
+    return corpus_upsert_scd2(base, delta)
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -116,6 +116,7 @@ ORACLE_QUERIES = [
     "user_activity_histogram",
     "documents_profile",
     "priority_price_iqr",
+    "documents_scd2",
     "global_event_ranks",
     "lineitem_unpivot",
 ]

@@ -1594,3 +1594,49 @@ class TestPercentileCont:
             for q in (0.25, 0.5, 0.75):
                 got = con.sql(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
                 assert pcont(q) == got, (n, q, pcont(q), got)
+
+
+class TestScd2Upsert:
+    def test_all_branches(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.incremental import corpus_upsert_scd2
+
+        base = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["a", "b", "c"]),
+            }
+        )
+        # 1 untouched; 2 re-crawled identical (NO new version); 3 changed;
+        # 4 brand new
+        delta = pa.table(
+            {
+                "doc_id": pa.array([2, 3, 4], type=pa.int64()),
+                "text": pa.array(["b", "c2", "d"]),
+            }
+        )
+        out = (
+            corpus_upsert_scd2(
+                ray.data.from_arrow(base), ray.data.from_arrow(delta)
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "valid_from"])
+            .reset_index(drop=True)
+        )
+        rows = [
+            (r.doc_id, r.text, r.valid_from, r.valid_to, r.is_current)
+            for r in out.itertuples()
+        ]
+        assert rows == [
+            (1, "a", 0, 9999, 1),
+            (2, "b", 0, 9999, 1),
+            (3, "c", 0, 100, 0),
+            (3, "c2", 100, 9999, 1),
+            (4, "d", 100, 9999, 1),
+        ]
+        # exactly one current row per key; closed rows end where the
+        # successor begins
+        cur = out[out.is_current == 1]
+        assert sorted(cur.doc_id.tolist()) == [1, 2, 3, 4]
