@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_code_lang": _train_code_lang,
         "semantic_dedup": q.semantic_dedup,
         "near_dupe_pagerank": q.near_dupe_pagerank,
+        "doc_lm_perplexity": q.doc_lm_perplexity,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

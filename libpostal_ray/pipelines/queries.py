@@ -862,6 +862,21 @@ def documents_scd2(sf_dir: str) -> ray.data.Dataset:
     return corpus_upsert_scd2(base, delta)
 
 
+def doc_lm_perplexity(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style LM quality signal: train a byte-trigram LM on the
+    corpus in one bounded-vocabulary counting pass, broadcast it, score
+    every doc's bits-per-char (mean -log2 p(c|prefix)).  Rows-only (log
+    floats are not SQL-hash-stable); pipelines/lm.py carries the
+    numpy-reference exactness + blocking-independence tests."""
+    from libpostal_ray.pipelines.lm import perplexity_scores, train_char_lm
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    model = train_char_lm(ds)
+    return perplexity_scores(ds, model)
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -169,6 +169,7 @@ ROWS_ONLY = [
     "media_feature_extract",
     "train_code_lang",
     "near_dupe_pagerank",
+    "doc_lm_perplexity",
     "embedding_dups_bucketed",
     "semantic_dedup",
 ]

@@ -1640,3 +1640,117 @@ class TestScd2Upsert:
         # successor begins
         cur = out[out.is_current == 1]
         assert sorted(cur.doc_id.tolist()) == [1, 2, 3, 4]
+
+
+class TestCharLM:
+    def _brute(self, texts, alpha=0.5):
+        import collections
+        import numpy as np
+
+        tri = collections.Counter()
+        bi = collections.Counter()
+        for t in texts:
+            b = t.encode()
+            for i in range(len(b) - 2):
+                tri[b[i : i + 3]] += 1
+            for i in range(len(b) - 1):
+                bi[b[i : i + 2]] += 1
+        out = []
+        for t in texts:
+            b = t.encode()
+            if len(b) < 3:
+                out.append((0, -1.0))
+                continue
+            bits = [
+                -np.log2(
+                    (tri[b[i : i + 3]] + alpha) / (bi[b[i : i + 2]] + alpha * 256)
+                )
+                for i in range(len(b) - 2)
+            ]
+            out.append((len(bits), float(np.mean(bits))))
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.lm import perplexity_scores, train_char_lm
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat sat",
+            "zq",                     # too short: no trigram
+            "xyzzy plugh xyzzy",
+            "aaaaaaaaaaaa",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        model = train_char_lm(ds)
+        got = (
+            perplexity_scores(ds, model)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(texts)
+        assert got.n_trigrams.tolist() == [w[0] for w in want]
+        for g, (_, w) in zip(got.bits_per_char.tolist(), want):
+            assert abs(g - w) < 1e-12, (g, w)
+
+    def test_gibberish_scores_higher(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.lm import perplexity_scores, train_char_lm
+
+        normal = ["the quick brown fox jumps over the lazy dog"] * 50
+        gibberish = ["qzxjvkp wmfyg bqzxj vkpwm"]
+        texts = normal + gibberish
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        df = (
+            perplexity_scores(ds, train_char_lm(ds))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert df.loc[50].bits_per_char > 2 * df.loc[0].bits_per_char
+
+    def test_blocking_independent(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.lm import perplexity_scores, train_char_lm
+
+        texts = [f"doc number {i} with some shared words" for i in range(60)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(60)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        a = ray.data.from_arrow(t)
+        b = ray.data.from_arrow(t).repartition(7)
+        da = (
+            perplexity_scores(a, train_char_lm(a))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        db = (
+            perplexity_scores(b, train_char_lm(b))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert da.bits_per_char.tolist() == db.bits_per_char.tolist()
