@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_profile": q.documents_profile,
         "priority_price_iqr": q.priority_price_iqr,
         "documents_scd2": q.documents_scd2,
+        "embedding_covariance": q.embedding_covariance,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q.semantic_dedup,
         "near_dupe_pagerank": q.near_dupe_pagerank,
         "doc_lm_perplexity": q.doc_lm_perplexity,
+        "embedding_pca2": q.embedding_pca2,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),
@@ -873,6 +875,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, 100, 9999, 1
             FROM delta d LEFT JOIN base b USING (doc_id)
             WHERE b.doc_id IS NULL OR b.text <> d.text
+        """,
+    "embedding_covariance": """
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(range(1, 9)) AS i,
+                       unnest(list_transform(
+                           embedding[1:8], x -> CAST(x AS DOUBLE)
+                       )) AS vi
+                FROM embeddings
+            )
+            SELECT a.i - 1 AS i, b.i - 1 AS j,
+                   CAST(sum(CAST(floor(a.vi * b.vi * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS m_micro
+            FROM ex a JOIN ex b USING (vec_id)
+            WHERE a.i <= b.i
+            GROUP BY 1, 2
         """,
     "documents_profile": """
             SELECT 'text' AS "column", count(*) AS n_rows,

@@ -877,6 +877,43 @@ def doc_lm_perplexity(sf_dir: str) -> ray.data.Dataset:
     return perplexity_scores(ds, model)
 
 
+def embedding_covariance(sf_dir: str) -> pa.Table:
+    """Exact distributed second moments of the embedding corpus
+    (pipelines/pca.py): per-row integerized outer products summed as
+    int64 — associative, block-layout-independent.  Oracle row emits the
+    upper triangle of the leading 8x8 corner (the full d x d matrix is
+    computed; the slice keeps the SQL unnest-join oracle cheap)."""
+    from libpostal_ray.pipelines.pca import second_moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n, s, m = ray.get(second_moments(ds))
+    ii, jj = np.triu_indices(8)
+    return pa.table(
+        {
+            "i": pa.array(ii.astype(np.int64)),
+            "j": pa.array(jj.astype(np.int64)),
+            "m_micro": pa.array(m[ii, jj].astype(np.int64)),
+        }
+    )
+
+
+def embedding_pca2(sf_dir: str) -> ray.data.Dataset:
+    """PCA projection to 2 components: exact-moment fit (one O(d^2)
+    partial per batch, driver-free gather), sign-stabilized eigh, then a
+    stateless broadcast-matmul projection pass.  Rows-only (BLAS matmul
+    float order is not cross-engine stable)."""
+    from libpostal_ray.pipelines.pca import pca_fit, pca_project, second_moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mom = second_moments(ds)
+    comps = pca_fit(mom, 2)
+    return pca_project(ds, comps, mom)
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -117,6 +117,7 @@ ORACLE_QUERIES = [
     "documents_profile",
     "priority_price_iqr",
     "documents_scd2",
+    "embedding_covariance",
     "global_event_ranks",
     "lineitem_unpivot",
 ]
@@ -170,6 +171,7 @@ ROWS_ONLY = [
     "train_code_lang",
     "near_dupe_pagerank",
     "doc_lm_perplexity",
+    "embedding_pca2",
     "embedding_dups_bucketed",
     "semantic_dedup",
 ]

@@ -1754,3 +1754,61 @@ class TestCharLM:
             .reset_index(drop=True)
         )
         assert da.bits_per_char.tolist() == db.bits_per_char.tolist()
+
+
+class TestPCA:
+    def _ds(self, e, ray_session=None):
+        import pyarrow as pa
+        import ray
+
+        t = pa.table(
+            {
+                "vec_id": pa.array(list(range(e.shape[0])), type=pa.int64()),
+                "embedding": pa.array(
+                    [row.astype("float32").tolist() for row in e],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    def test_moments_exact_and_blocking_independent(self, ray_session):
+        import numpy as np
+        import ray
+
+        from libpostal_ray.pipelines.pca import second_moments
+
+        rng = np.random.RandomState(0)
+        e = rng.randn(300, 6)
+        e32 = e.astype(np.float32).astype(np.float64)
+        want = np.floor(
+            (e32[:, :, None] * e32[:, None, :]) * 1e6
+        ).astype(np.int64).sum(axis=0)
+        n1, s1, m1 = ray.get(second_moments(self._ds(e)))
+        n2, s2, m2 = ray.get(second_moments(self._ds(e).repartition(7)))
+        assert n1 == n2 == 300
+        assert np.array_equal(m1, want) and np.array_equal(m2, want)
+        assert np.array_equal(s1, s2)
+
+    def test_planted_principal_direction(self, ray_session):
+        import numpy as np
+        import ray
+
+        from libpostal_ray.pipelines.pca import pca_fit, pca_project, second_moments
+
+        rng = np.random.RandomState(1)
+        d = 8
+        direction = np.zeros(d)
+        direction[3] = 1.0
+        e = rng.randn(500, d) * 0.05 + rng.randn(500, 1) * 5.0 * direction
+        ds = self._ds(e)
+        mom = second_moments(ds)
+        comps = ray.get(pca_fit(mom, 2))
+        # top component must align with the planted axis (sign-fixed +)
+        assert abs(comps[3, 0]) > 0.99 and comps[3, 0] > 0
+        proj = (
+            pca_project(ds, pca_fit(mom, 2), mom)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert proj.pc_0.var() > 50 * proj.pc_1.var()
