@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_iqr": q.priority_price_iqr,
         "documents_scd2": q.documents_scd2,
         "embedding_covariance": q.embedding_covariance,
+        "source_top_lang": q.source_top_lang,
+        "event_type_distinct_users": q.event_type_distinct_users,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -875,6 +877,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, 100, 9999, 1
             FROM delta d LEFT JOIN base b USING (doc_id)
             WHERE b.doc_id IS NULL OR b.text <> d.text
+        """,
+    "source_top_lang": """
+            SELECT source, lang AS top_lang, n FROM (
+                SELECT source, lang, count(*) AS n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY count(*) DESC, lang) AS rn
+                FROM documents GROUP BY source, lang
+            ) WHERE rn = 1
+        """,
+    "event_type_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
     "embedding_covariance": """
             WITH ex AS (

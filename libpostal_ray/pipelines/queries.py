@@ -914,6 +914,168 @@ def embedding_pca2(sf_dir: str) -> ray.data.Dataset:
     return pca_project(ds, comps, mom)
 
 
+def source_top_lang(sf_dir: str) -> ray.data.Dataset:
+    """MODE per group (argmax-of-count): the most frequent lang per
+    source, ties broken by lang ascending (the deterministic SQL
+    row_number rule).  Per-batch (source, lang) partial counts -> one
+    crc32(source)%P exchange -> per-partition vectorized sum + argmax.
+    The exchange ships distinct pairs per batch, never rows."""
+    import zlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    P = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        lang = batch["lang"].to_pylist()
+        from collections import Counter
+
+        cnt = Counter(zip(src, lang))
+        ss = [k[0] for k in cnt]
+        return pa.table(
+            {
+                "source": pa.array(ss, type=pa.string()),
+                "lang": pa.array([k[1] for k in cnt], type=pa.string()),
+                "n": pa.array(list(cnt.values()), type=pa.int64()),
+                "part": pa.array(
+                    np.fromiter(
+                        (zlib.crc32(s.encode()) for s in ss), dtype=np.int64
+                    )
+                    % P
+                ),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.nulls(0, pa.string()),
+                "top_lang": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "source" not in group.column_names:
+            return empty
+        src = np.asarray(group["source"].to_pylist(), dtype=object)
+        lang = np.asarray(group["lang"].to_pylist(), dtype=object)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        pairs = np.char.add(
+            np.char.add(src.astype(str), "\x01"), lang.astype(str)
+        )
+        up, inv = np.unique(pairs, return_inverse=True)
+        tot = np.zeros(up.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        usrc = np.asarray([p.split("\x01")[0] for p in up], dtype=object)
+        ulang = np.asarray([p.split("\x01")[1] for p in up], dtype=object)
+        # rows are sorted by (source, lang) via np.unique; stable argmax
+        # with lang-ascending tie-break = first index of the max count
+        # within each source segment
+        new_seg = np.concatenate(([True], usrc[1:] != usrc[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        nseg = int(seg_id[-1]) + 1
+        best = np.full(nseg, -1, dtype=np.int64)
+        bestn = np.zeros(nseg, dtype=np.int64)
+        for i in range(up.shape[0]):  # O(distinct pairs) per partition
+            s = seg_id[i]
+            if tot[i] > bestn[s]:
+                bestn[s] = tot[i]
+                best[s] = i
+        return pa.table(
+            {
+                "source": pa.array(list(usrc[best]), type=pa.string()),
+                "top_lang": pa.array(list(ulang[best]), type=pa.string()),
+                "n": pa.array(bestn),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def event_type_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Grouped exact COUNT(DISTINCT): distinct users per event_type.
+    Same partition-the-VALUE trick as column_profile: dedup (type, user)
+    per batch, exchange on user%P — each distinct pair lands in exactly
+    one partition, so per-partition pair counts SUM to the exact global
+    distinct count per type.  No sort, no global set."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    P = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.char.add(
+            np.char.add(et.astype(str), "\x01"), u.astype(str)
+        )
+        _, idx = np.unique(pairs, return_index=True)
+        return pa.table(
+            {
+                "event_type": pa.array(list(et[idx]), type=pa.string()),
+                "u": pa.array(u[idx]),
+                "part": pa.array(u[idx] % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.string()),
+                "n_partial": pa.nulls(0, pa.int64()),
+                "part2": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "event_type" not in group.column_names:
+            return empty
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        u = group["u"].to_numpy(zero_copy_only=False)
+        pairs = np.char.add(np.char.add(et.astype(str), "\x01"), u.astype(str))
+        _, idx = np.unique(pairs, return_index=True)
+        ue, cnt = np.unique(et[idx].astype(str), return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(list(ue), type=pa.string()),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+                "part2": pa.array(np.zeros(ue.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.string()),
+                "n_users": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "event_type" not in group.column_names:
+            return empty
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object).astype(str)
+        n = group["n_partial"].to_numpy(zero_copy_only=False)
+        ue, inv = np.unique(et, return_inverse=True)
+        tot = np.zeros(ue.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table(
+            {
+                "event_type": pa.array(list(ue), type=pa.string()),
+                "n_users": pa.array(tot),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -118,6 +118,8 @@ ORACLE_QUERIES = [
     "priority_price_iqr",
     "documents_scd2",
     "embedding_covariance",
+    "source_top_lang",
+    "event_type_distinct_users",
     "global_event_ranks",
     "lineitem_unpivot",
 ]
