@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q.embedding_covariance,
         "source_top_lang": q.source_top_lang,
         "event_type_distinct_users": q.event_type_distinct_users,
+        "user_value_trend": q.user_value_trend,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -877,6 +878,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, 100, 9999, 1
             FROM delta d LEFT JOIN base b USING (doc_id)
             WHERE b.doc_id IS NULL OR b.text <> d.text
+        """,
+    "user_value_trend": """
+            WITH e AS (
+                SELECT user_id,
+                       (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+                           // 1000000 AS x,
+                       CAST(floor(value * 1000.0) AS BIGINT) AS y
+                FROM events
+            )
+            SELECT user_id, count(*) AS n,
+                   CAST(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT)
+                        AS DOUBLE)
+                 / CAST(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT)
+                        AS DOUBLE) AS slope_milli_per_sec
+            FROM e GROUP BY user_id
+            HAVING count(*) * sum(x*x) - sum(x) * sum(x) > 0
         """,
     "source_top_lang": """
             SELECT source, lang AS top_lang, n FROM (

@@ -1076,6 +1076,92 @@ def event_type_distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def user_value_trend(sf_dir: str) -> ray.data.Dataset:
+    """Grouped OLS regression: per user, the least-squares slope of event
+    value (milli-units) over time (whole seconds since the corpus min).
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with every S an EXACT int64
+    sum, so the single final float division is bit-identical across
+    engines.  Plan: one tiny min(ts) pre-pass (remote merge of per-batch
+    mins), then per-batch (n,Sx,Sy,Sxy,Sxx) partials per user -> one
+    user%P exchange -> vectorized per-user sum + division.  Overflow
+    margin documented: |x| <= corpus time span in seconds; for spans
+    where n*Sxx could exceed int64, center x per group first."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    def batch_min(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(us.min())] if us.size else [], type=pa.int64())})
+
+    mins = ev.map_batches(batch_min, batch_format="pyarrow").to_pandas()
+    min_us = int(mins.m.min())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (us - min_us) // 1_000_000
+        y = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        m = uu.shape[0]
+        out = {
+            "u": uu,
+            "n": np.bincount(inv, minlength=m).astype(np.int64),
+        }
+        for name, arr in (
+            ("sx", x),
+            ("sy", y),
+            ("sxy", x * y),
+            ("sxx", x * x),
+        ):
+            acc = np.zeros(m, dtype=np.int64)
+            np.add.at(acc, inv, arr)
+            out[name] = acc
+        cols = {k: pa.array(v) for k, v in out.items()}
+        cols["part"] = pa.array(uu % P)
+        return pa.table(cols)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "n": pa.nulls(0, pa.int64()),
+                "slope_milli_per_sec": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return empty
+        u = group["u"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        m = uu.shape[0]
+        sums = {}
+        for name in ("n", "sx", "sy", "sxy", "sxx"):
+            acc = np.zeros(m, dtype=np.int64)
+            np.add.at(acc, inv, group[name].to_numpy(zero_copy_only=False))
+            sums[name] = acc
+        num = sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]
+        den = sums["n"] * sums["sxx"] - sums["sx"] * sums["sx"]
+        keep = den > 0
+        return pa.table(
+            {
+                "user_id": pa.array(uu[keep]),
+                "n": pa.array(sums["n"][keep]),
+                "slope_milli_per_sec": pa.array(
+                    num[keep].astype(np.float64) / den[keep].astype(np.float64)
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

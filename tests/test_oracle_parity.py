@@ -120,6 +120,7 @@ ORACLE_QUERIES = [
     "embedding_covariance",
     "source_top_lang",
     "event_type_distinct_users",
+    "user_value_trend",
     "global_event_ranks",
     "lineitem_unpivot",
 ]
