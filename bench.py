@@ -216,6 +216,21 @@ def run_bench() -> dict:
     timed("embedding_quantize_int8", q.embedding_quantize_int8)
     timed("user_order_full_outer", q.user_order_full_outer)
     timed("global_event_ranks", q.global_event_ranks)
+    timed("customer_order_frames", q.customer_order_frames)
+    timed("documents_snapshot_diff", q.documents_snapshot_diff)
+    timed("documents_profile", q.documents_profile)
+    timed("documents_scd2", q.documents_scd2)
+    timed("doc_lm_perplexity", q.doc_lm_perplexity)
+    timed("embedding_pca2", q.embedding_pca2)
+    timed("user_value_trend", q.user_value_trend)
+    timed("source_top_lang", q.source_top_lang)
+    timed("event_type_distinct_users", q.event_type_distinct_users)
+    timed("user_activity_histogram", q.user_activity_histogram)
+    timed("priority_price_iqr", q.priority_price_iqr)
+    timed(
+        "embedding_covariance",
+        lambda d: __import__("ray").data.from_arrow(q.embedding_covariance(d)),
+    )
 
     ray.shutdown()
     return {
