@@ -627,9 +627,15 @@ def documents_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
         kept = batch.filter(pa.array(ids % 17 != 0))
         kids = kept["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ktext = kept["text"].combine_chunks() if kept.num_rows else pa.array([], type=pa.string())
+        # type-match the scalar operands: big blocks arrive as
+        # large_string and binary_join has no mixed-width kernel
         edited = pc.if_else(
             pa.array(kids % 13 == 0),
-            pc.binary_join_element_wise(ktext, " v2", ""),
+            pc.binary_join_element_wise(
+                ktext,
+                pa.scalar(" v2", type=ktext.type),
+                pa.scalar("", type=ktext.type),
+            ),
             ktext,
         )
         ins = batch.filter(pa.array(ids % 19 == 0))
@@ -647,7 +653,7 @@ def documents_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
                     )
                 ),
                 "text": pa.concat_arrays(
-                    [edited, ins["text"].combine_chunks()]
+                    [edited, ins["text"].combine_chunks().cast(edited.type)]
                     if ins.num_rows
                     else [edited]
                 ),
@@ -847,7 +853,7 @@ def documents_scd2(sf_dir: str) -> ray.data.Dataset:
                     )
                 ),
                 "text": pa.concat_arrays(
-                    [text, ins["text"].combine_chunks()]
+                    [text, ins["text"].combine_chunks().cast(text.type)]
                     if ins.num_rows
                     else [text]
                 ),
