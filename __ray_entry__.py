@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_top_lang": q.source_top_lang,
         "event_type_distinct_users": q.event_type_distinct_users,
         "user_value_trend": q.user_value_trend,
+        "segment_revenue_share": q.segment_revenue_share,
+        "events_zorder": q.events_zorder,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -147,7 +149,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Morton-interleave expression for events_zorder, generated rather
+    # than hand-typed (32 exact-integer bit terms)
+    _zx = " + ".join(f"(((x >> {i}) & 1) << {2 * i})" for i in range(16))
+    _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
+    _zexpr = f"({_zx} + {_zy})"
     return {
+        "events_zorder": f"""
+            WITH e AS (
+                SELECT event_id, user_id & 65535 AS x,
+                       CAST(floor(value * 1000.0) AS BIGINT) & 65535 AS y
+                FROM events
+            )
+            SELECT event_id, {_zexpr} AS zkey, {_zexpr} >> 26 AS tile
+            FROM e
+        """,
         "exact_dedup": """
             SELECT md5(text) AS content_md5, count(*) AS n_copies,
                    min(doc_id) AS keep_id
@@ -878,6 +894,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, 100, 9999, 1
             FROM delta d LEFT JOIN base b USING (doc_id)
             WHERE b.doc_id IS NULL OR b.text <> d.text
+        """,
+    "segment_revenue_share": """
+            WITH s AS (
+                SELECT c_mktsegment,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                            AS BIGINT) AS total_cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment
+            )
+            SELECT c_mktsegment, total_cents,
+                   CAST(total_cents AS DOUBLE)
+                     / (SELECT CAST(sum(total_cents) AS DOUBLE) FROM s)
+                       AS revenue_share
+            FROM s
         """,
     "user_value_trend": """
             WITH e AS (

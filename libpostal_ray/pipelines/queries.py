@@ -1168,6 +1168,58 @@ def user_value_trend(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def segment_revenue_share(sf_dir: str) -> pa.Table:
+    """Percent-of-total (ratio-to-report): each market segment's share of
+    total order revenue.  The per-segment aggregate reuses the
+    mktsegment join plan; the grand total is the sum of the <=10 segment
+    partials (driver-side on purpose — it IS the final result), and the
+    share is one float division of exact int64 cents — bit-identical."""
+    seg = mktsegment_order_stats(sf_dir).to_pandas()
+    total = int(seg.total_cents.sum())
+    seg = seg.sort_values("c_mktsegment").reset_index(drop=True)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(seg.c_mktsegment.tolist(), type=pa.string()),
+            "total_cents": pa.array(
+                seg.total_cents.astype("int64").tolist(), type=pa.int64()
+            ),
+            "revenue_share": pa.array(
+                (seg.total_cents.astype("float64") / float(total)).tolist(),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def events_zorder(sf_dir: str) -> ray.data.Dataset:
+    """Z-order layout keys over events: Morton interleave of
+    (user_id low 16 bits, value_milli low 16 bits) + the 64-tile id.
+    Exact integer bit arithmetic, SQL-checkable bit for bit
+    (pipelines/layout.py; the geohash-blocking trick generalized)."""
+    from libpostal_ray.pipelines.layout import zorder_tiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        milli = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "value_milli": pa.array(milli),
+            }
+        )
+
+    out = zorder_tiles(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", "value_milli"
+    )
+    return out.select_columns(["event_id", "zkey", "tile"])
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

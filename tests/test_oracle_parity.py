@@ -121,6 +121,8 @@ ORACLE_QUERIES = [
     "source_top_lang",
     "event_type_distinct_users",
     "user_value_trend",
+    "segment_revenue_share",
+    "events_zorder",
     "global_event_ranks",
     "lineitem_unpivot",
 ]

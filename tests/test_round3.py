@@ -1812,3 +1812,60 @@ class TestPCA:
             .sort_values("vec_id")
         )
         assert proj.pc_0.var() > 50 * proj.pc_1.var()
+
+
+class TestZOrderLayout:
+    def test_key_properties(self, ray_session):
+        import numpy as np
+
+        from libpostal_ray.pipelines.layout import zorder_key
+
+        x = np.array([0, 1, 0, 65535], dtype=np.int64)
+        y = np.array([0, 0, 1, 65535], dtype=np.int64)
+        z = zorder_key(x, y)
+        assert z.tolist() == [0, 1, 2, 2**32 - 1]
+        # interleave is a bijection on the 16-bit grid: spot-check inverse
+        rng = np.random.RandomState(0)
+        xs = rng.randint(0, 65536, 1000).astype(np.int64)
+        ys = rng.randint(0, 65536, 1000).astype(np.int64)
+        zz = zorder_key(xs, ys).astype(np.uint64)
+        # de-interleave even bits -> x
+        def unspread(v):
+            v = v & np.uint64(0x5555555555555555)
+            v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+            v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+            v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+            return v.astype(np.int64)
+        assert np.array_equal(unspread(zz), xs)
+        assert np.array_equal(unspread(zz >> np.uint64(1)), ys)
+
+    def test_range_query_tile_pruning(self, ray_session):
+        """The point of the layout: a small 2-D box touches FEW z-tiles,
+        while the same rows under row-order partitioning touch ~all
+        partitions."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.layout import zorder_tiles
+
+        rng = np.random.RandomState(3)
+        n = 20000
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(rng.randint(0, 65536, n).astype(np.int64)),
+                "y": pa.array(rng.randint(0, 65536, n).astype(np.int64)),
+            }
+        )
+        out = zorder_tiles(ray.data.from_arrow(t), "x", "y").to_pandas()
+        box = out[(out.x < 4096) & (out.y < 4096)]
+        assert len(box) > 10  # the box is populated
+        n_tiles = box.tile.nunique()
+        # 64 tiles cover the 2^32 z-space; a 1/16 x 1/16 box lies in the
+        # z-curve's first 1/256 of the space -> at most a couple of tiles
+        assert n_tiles <= 2, n_tiles
+        # row-order baseline: the same rows spread over ~all row chunks
+        chunk = out.id // (n // 64)
+        assert chunk[box.index].nunique() > 32
