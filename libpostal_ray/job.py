@@ -248,6 +248,64 @@ def run_export(args) -> dict:
     return manifest
 
 
+def _keyed_text(ds):
+    """Normalize a read corpus to the (doc_id, text) diff schema.  Every
+    reader already derives a deterministic int64 doc_id and a canonical
+    ``content`` column, so this is a projection."""
+    import pyarrow as pa
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"], "text": batch["content"]})
+
+    return ds.map_batches(keyed, batch_format="pyarrow")
+
+
+def run_diff(args) -> dict:
+    """--mode diff: CDC audit of the --input snapshot against the
+    --against snapshot (pipelines/diff.snapshot_diff — what did this
+    re-crawl / pipeline release change?).  Writes diff/ parquet
+    (doc_id, status) + manifest.json with per-status counts."""
+    import ray
+
+    from libpostal_ray.pipelines.diff import snapshot_diff
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    if not args.against:
+        raise SystemExit("--mode diff requires --against (the OLD snapshot)")
+    cfg = build_config(args.config)
+    t0 = time.time()
+    old = _keyed_text(_read_any(args.against, args.against_format))
+    new = _keyed_text(_read_corpus(args))
+    out_dir = os.path.join(args.output, "diff")
+    snapshot_diff(old, new, key="doc_id", text_col="text").write_parquet(out_dir)
+    # per-status counts from the written files (file-local scan; the diff
+    # is O(delta), small relative to either snapshot)
+    import pyarrow.dataset as pds
+
+    tbl = pds.dataset(out_dir, format="parquet").to_table(columns=["status"])
+    import collections
+
+    counts = collections.Counter(tbl.column("status").to_pylist())
+    manifest = {
+        "mode": "diff",
+        "config_fingerprint": config_fingerprint(cfg),
+        "input": args.input,
+        "against": args.against,
+        "wall_seconds": round(time.time() - t0, 3),
+        "rows": {k: int(v) for k, v in sorted(counts.items())},
+        "ray": {
+            "nodes": len(ray.nodes()),
+            "cpus": int(ray.cluster_resources().get("CPU", 0)),
+        },
+    }
+    os.makedirs(args.output, exist_ok=True)
+    tmp = os.path.join(args.output, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(args.output, "manifest.json"))
+    return manifest
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m libpostal_ray.job",
@@ -260,8 +318,12 @@ def main(argv=None) -> int:
     p.add_argument("--config", default=None, help="PipelineConfig overrides: JSON string or path to a JSON file")
     p.add_argument("--report", action="store_true", help="also write the keep/drop dedup report")
     p.add_argument("--write-edges", action="store_true", help="also write verified pair edges")
-    p.add_argument("--mode", default="cluster", choices=["cluster", "incremental", "export"],
-                   help="cluster: flagship near-dup clustering of --input; incremental: dedupe --input against a standing corpus")
+    p.add_argument("--mode", default="cluster",
+                   choices=["cluster", "incremental", "export", "diff"],
+                   help="cluster: flagship near-dup clustering of --input; "
+                        "incremental: dedupe --input against a standing corpus; "
+                        "export: seeded sharded training export; "
+                        "diff: CDC audit of --input vs --against")
     p.add_argument("--against", default=None, help="incremental: standing-corpus parquet")
     p.add_argument("--n-shards", type=int, default=64, help="export: shard count")
     p.add_argument("--shard-seed", type=int, default=0, help="export: shuffle seed")
@@ -286,7 +348,9 @@ def main(argv=None) -> int:
     manifest = (
         run_incremental(args)
         if args.mode == "incremental"
-        else run_export(args) if args.mode == "export" else run_job(args)
+        else run_export(args)
+        if args.mode == "export"
+        else run_diff(args) if args.mode == "diff" else run_job(args)
     )
     json.dump(
         {"status": "ok", "output": args.output, "rows": manifest["rows"],

@@ -241,3 +241,36 @@ def test_job_export_mode(tmp_path):
 
     t = pads.dataset(f"{out}/shards", partitioning="hive").to_table()
     assert t.num_rows == 300
+
+
+def test_job_diff_mode(job_corpus, tmp_path):
+    """--mode diff: CDC audit between two code snapshots — edits +
+    deletions must land in the manifest counts exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pds.dataset(job_corpus, format="parquet").to_table()
+    # NEW snapshot: drop the first 20 files, edit the next 10
+    content = t.column("content").to_pylist()
+    for i in range(20, 30):
+        content[i] = content[i] + "\n// edited"
+    new = t.set_column(
+        t.schema.get_field_index("content"),
+        "content",
+        pa.array(content, type=pa.string()),
+    ).slice(20)
+    new_path = str(tmp_path / "new.parquet")
+    pq.write_table(new, new_path)
+
+    out = str(tmp_path / "diffrun")
+    r = _run_job(
+        "--mode", "diff",
+        "--input", new_path,
+        "--against", job_corpus,
+        "--output", out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["rows"] == {"changed": 10, "removed": 20}
+    d = pds.dataset(os.path.join(out, "diff"), format="parquet").to_table()
+    assert d.num_rows == 30
