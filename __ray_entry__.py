@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": q.user_value_trend,
         "segment_revenue_share": q.segment_revenue_share,
         "events_zorder": q.events_zorder,
+        "dedup_eval_prefix_vs_exact": q.dedup_eval_prefix_vs_exact,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -894,6 +895,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, 100, 9999, 1
             FROM delta d LEFT JOIN base b USING (doc_id)
             WHERE b.doc_id IS NULL OR b.text <> d.text
+        """,
+    "dedup_eval_prefix_vs_exact": """
+            WITH gold AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM documents a JOIN documents b
+                  ON a.text = b.text AND a.doc_id < b.doc_id
+            ), pred AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM documents a JOIN documents b
+                  ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+                 AND a.doc_id < b.doc_id
+            ), tpq AS (
+                SELECT count(*) AS tp FROM pred JOIN gold USING (ia, ib)
+            )
+            SELECT (SELECT count(*) FROM pred) AS n_pred,
+                   (SELECT count(*) FROM gold) AS n_gold,
+                   tp,
+                   (SELECT count(*) FROM pred) - tp AS fp,
+                   (SELECT count(*) FROM gold) - tp AS fn,
+                   CASE WHEN (SELECT count(*) FROM pred) = 0 THEN 1.0
+                        ELSE CAST(tp AS DOUBLE)
+                             / (SELECT count(*) FROM pred) END AS precision,
+                   CASE WHEN (SELECT count(*) FROM gold) = 0 THEN 1.0
+                        ELSE CAST(tp AS DOUBLE)
+                             / (SELECT count(*) FROM gold) END AS recall
+            FROM tpq
         """,
     "segment_revenue_share": """
             WITH s AS (

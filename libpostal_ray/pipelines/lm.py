@@ -180,6 +180,43 @@ def _lookup(sorted_keys: np.ndarray, counts: np.ndarray, q: np.ndarray) -> np.nd
     return np.where(hit, counts[posc], 0)
 
 
+def bits_per_char_column(
+    col: pa.ChunkedArray | pa.Array,
+    model,
+    *,
+    alpha: float = 0.5,
+    nrows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_trigrams, bits_per_char) per row of a string column against an
+    already-fetched model tuple.  Rows shorter than 3 bytes score -1 (no
+    trigram evidence).  The shared scoring kernel for perplexity_scores
+    and the prepare-pipeline LM gate."""
+    tri_k, tri_c, bi_k, bi_c = model
+    data, off = _doc_byte_views(col)
+    n = data.shape[0]
+    nrows = len(col) if nrows is None else nrows
+    if n >= 3:
+        m = n - 3 + 1
+        tri = np.zeros(m, dtype=np.int64)
+        for j in range(3):
+            tri = (tri << 8) | data[j : j + m].astype(np.int64)
+        pos = np.arange(m, dtype=np.int64)
+        row = np.searchsorted(off, pos, side="right") - 1
+        valid = pos + 3 <= off[row + 1]
+        tri_v = tri[valid]
+        row_v = row[valid]
+        c3 = _lookup(tri_k, tri_c, tri_v).astype(np.float64)
+        c2 = _lookup(bi_k, bi_c, tri_v >> 8).astype(np.float64)
+        bits = -np.log2((c3 + alpha) / (c2 + alpha * ALPHABET))
+        n_tri = np.bincount(row_v, minlength=nrows).astype(np.int64)
+        sums = np.bincount(row_v, weights=bits, minlength=nrows)
+    else:
+        n_tri = np.zeros(nrows, dtype=np.int64)
+        sums = np.zeros(nrows, dtype=np.float64)
+    bpc = np.where(n_tri > 0, sums / np.maximum(n_tri, 1), -1.0)
+    return n_tri, bpc
+
+
 def perplexity_scores(
     ds: ray.data.Dataset,
     model_ref: "ray.ObjectRef",
@@ -192,33 +229,15 @@ def perplexity_scores(
     3 bytes score bits_per_char = -1 (no trigram evidence)."""
 
     def score(batch: pa.Table) -> pa.Table:
-        tri_k, tri_c, bi_k, bi_c = ray.get(model_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        data, off = _doc_byte_views(batch[text_col])
-        n = data.shape[0]
-        nrows = batch.num_rows
-        if n >= 3:
-            m = n - 3 + 1
-            tri = np.zeros(m, dtype=np.int64)
-            for j in range(3):
-                tri = (tri << 8) | data[j : j + m].astype(np.int64)
-            pos = np.arange(m, dtype=np.int64)
-            row = np.searchsorted(off, pos, side="right") - 1
-            valid = pos + 3 <= off[row + 1]
-            tri_v = tri[valid]
-            row_v = row[valid]
-            c3 = _lookup(tri_k, tri_c, tri_v).astype(np.float64)
-            c2 = _lookup(bi_k, bi_c, tri_v >> 8).astype(np.float64)
-            bits = -np.log2((c3 + alpha) / (c2 + alpha * ALPHABET))
-            n_tri = np.bincount(row_v, minlength=nrows).astype(np.int64)
-            sums = np.bincount(row_v, weights=bits, minlength=nrows)
-        else:
-            n_tri = np.zeros(nrows, dtype=np.int64)
-            sums = np.zeros(nrows, dtype=np.float64)
-        bpc = np.where(n_tri > 0, sums / np.maximum(n_tri, 1), -1.0)
+        model = ray.get(model_ref)
+        n_tri, bpc = bits_per_char_column(
+            batch[text_col], model, alpha=alpha, nrows=batch.num_rows
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids),
+                "doc_id": pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
                 "n_trigrams": pa.array(n_tri),
                 "bits_per_char": pa.array(bpc, type=pa.float64()),
             }

@@ -59,12 +59,24 @@ def prepare_training_corpus(
     cfg: PipelineConfig | None = None,
     *,
     keep_broadcast_max: int = KEEP_BROADCAST_MAX,
+    lm_gate_bits: float | None = None,
 ) -> ray.data.Dataset:
     """Dedup + quality-gate + redact the documents table; returns the clean
     training rows (doc_id, text, n_masked).  ``keep_broadcast_max=0``
-    forces the semi-join plan (how the equivalence test pins it)."""
+    forces the semi-join plan (how the equivalence test pins it).
+
+    ``lm_gate_bits`` optionally adds the CCNet-style perplexity gate
+    (pipelines/lm.py): a byte-trigram LM trains on the corpus in one
+    bounded-vocabulary pass and docs scoring more than ``lm_gate_bits``
+    bits/char are dropped in the SAME final map as the other gates (docs
+    too short for a trigram pass through — no evidence, no verdict)."""
     cfg = cfg or PipelineConfig()
     corpus = read_documents_corpus(sf_dir)
+    lm_ref = None
+    if lm_gate_bits is not None:
+        from libpostal_ray.pipelines.lm import train_char_lm
+
+        lm_ref = train_char_lm(corpus, text_col="content")
     report = dedup_report(corpus, cfg).materialize()
 
     # the broadcast budget is defined over KEPT ids (8 B each), not report
@@ -81,7 +93,9 @@ def prepare_training_corpus(
     )
 
     if n_keep > keep_broadcast_max:
-        return _prepare_join_plan(corpus, report, cfg)
+        return _prepare_join_plan(
+            corpus, report, cfg, lm_ref=lm_ref, lm_gate_bits=lm_gate_bits
+        )
 
     @ray.remote
     def build_keep(*blocks):
@@ -110,7 +124,10 @@ def prepare_training_corpus(
         else:
             kept = np.zeros(ids.shape[0], dtype=bool)
         texts = batch["content"].to_pylist()
-        return _gate_and_redact(batch["doc_id"], texts, kept, patterns)
+        return _gate_and_redact(
+            batch["doc_id"], texts, kept, patterns,
+            lm_col=batch["content"], lm_ref=lm_ref, lm_gate_bits=lm_gate_bits,
+        )
 
     return corpus.map_batches(finalize, batch_format="pyarrow")
 
@@ -133,9 +150,17 @@ def _quality_mask(texts: list[str]) -> np.ndarray:
 
 
 def _gate_and_redact(
-    id_col, texts: list[str], kept: np.ndarray, patterns
+    id_col, texts: list[str], kept: np.ndarray, patterns,
+    *, lm_col=None, lm_ref=None, lm_gate_bits=None,
 ) -> pa.Table:
     good = kept & _quality_mask(texts)
+    if lm_ref is not None and lm_gate_bits is not None:
+        from libpostal_ray.pipelines.lm import bits_per_char_column
+
+        n_tri, bpc = bits_per_char_column(
+            lm_col, ray.get(lm_ref), nrows=len(texts)
+        )
+        good &= (n_tri == 0) | (bpc <= lm_gate_bits)
     mask = pa.array(good)
     sub_ids = id_col.filter(mask)
     red, n_masked = redact_column(
@@ -146,7 +171,12 @@ def _gate_and_redact(
 
 
 def _prepare_join_plan(
-    corpus: ray.data.Dataset, report: ray.data.Dataset, cfg: PipelineConfig
+    corpus: ray.data.Dataset,
+    report: ray.data.Dataset,
+    cfg: PipelineConfig,
+    *,
+    lm_ref=None,
+    lm_gate_bits=None,
 ) -> ray.data.Dataset:
     """Above the broadcast budget: inner hash semi-join corpus x kept ids
     (both sides stream through the engine exchange), then the same gate +
@@ -174,7 +204,10 @@ def _prepare_join_plan(
     def finalize(batch: pa.Table) -> pa.Table:
         texts = batch["content"].to_pylist()
         kept = np.ones(batch.num_rows, dtype=bool)
-        return _gate_and_redact(batch["doc_id"], texts, kept, patterns)
+        return _gate_and_redact(
+            batch["doc_id"], texts, kept, patterns,
+            lm_col=batch["content"], lm_ref=lm_ref, lm_gate_bits=lm_gate_bits,
+        )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
 

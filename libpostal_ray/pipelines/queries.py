@@ -1220,6 +1220,45 @@ def events_zorder(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["event_id", "zkey", "tile"])
 
 
+def dedup_eval_prefix_vs_exact(sf_dir: str) -> pa.Table:
+    """Dedup QA (pipelines/evalmetrics.py): score a cheap blocking
+    predictor (same 40-byte text prefix) against exact-duplicate gold
+    pairs — tp/fp/fn + precision/recall, all from pair-set exchanges that
+    never materialize either set on the driver.  The measurement behind
+    the recall>=0.99 obligation, as a first-class operator."""
+    import hashlib
+
+    from libpostal_ray.pipelines.evalmetrics import pair_set_metrics, pairs_by_key
+
+    def keyed(prefix_len: int | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(
+                            (t if prefix_len is None else t[:prefix_len]).encode()
+                        ).digest()[:8],
+                        "little",
+                    )
+                    & 0x7FFFFFFFFFFFFFFF
+                    for t in batch["text"].to_pylist()
+                ),
+                dtype=np.int64,
+                count=batch.num_rows,
+            )
+            return pa.table({"doc_id": batch["doc_id"], "k": pa.array(keys)})
+
+        return fn
+
+    def side(prefix_len):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(keyed(prefix_len), batch_format="pyarrow")
+        return pairs_by_key(ds, key="k", id_col="doc_id")
+
+    return pair_set_metrics(side(40), side(None))
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

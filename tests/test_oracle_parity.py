@@ -123,6 +123,7 @@ ORACLE_QUERIES = [
     "user_value_trend",
     "segment_revenue_share",
     "events_zorder",
+    "dedup_eval_prefix_vs_exact",
     "global_event_ranks",
     "lineitem_unpivot",
 ]

@@ -1869,3 +1869,59 @@ class TestZOrderLayout:
         # row-order baseline: the same rows spread over ~all row chunks
         chunk = out.id // (n // 64)
         assert chunk[box.index].nunique() > 32
+
+
+class TestLMGateInPrepare:
+    def test_gibberish_dropped_only_with_gate(self, ray_session, tmp_path):
+        """A doc that passes the integer quality gate (enough distinct
+        alphabetic words) but is trigram-gibberish survives without the
+        LM gate and is dropped with it."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from libpostal_ray.pipelines.prepare import prepare_training_corpus
+
+        rng = np.random.RandomState(5)
+        vocab = [
+            "distributed", "processing", "engines", "shuffle", "partitions",
+            "between", "workers", "while", "streaming", "backpressure",
+            "controls", "memory", "pipelines", "materialize", "signatures",
+            "clusters", "documents", "vectorized", "kernels", "exchange",
+            "broadcast", "searchsorted", "deterministic", "checkpoint",
+        ]
+        # words >= 5 letters keep the alpha ratio above the 82% quality
+        # threshold (spaces count against it); 25 words sits in the
+        # n_words band and the vocab keeps the distinct ratio high
+        normal = [
+            " ".join(vocab[(i + j) % len(vocab)] for j in range(24))
+            + f" document{i:04d}"
+            for i in range(40)
+        ]
+        # letters drawn uniformly: passes the same integer gates, fails
+        # any corpus-trained trigram model
+        gib_words = [
+            "".join(rng.choice(list("bcdfghjklmnpqrstvwxz"), 9)) for _ in range(25)
+        ]
+        gibberish = " ".join(gib_words)
+        texts = normal + [gibberish]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+
+        no_gate = prepare_training_corpus(str(d)).to_pandas()
+        gated = prepare_training_corpus(str(d), lm_gate_bits=4.0).to_pandas()
+        gib_id = len(texts) - 1
+        assert gib_id in set(no_gate.doc_id)
+        assert gib_id not in set(gated.doc_id)
+        # the gate must not drop normal kept docs
+        assert set(gated.doc_id) == set(no_gate.doc_id) - {gib_id}
