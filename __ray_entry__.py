@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_share": q.segment_revenue_share,
         "events_zorder": q.events_zorder,
         "dedup_eval_prefix_vs_exact": q.dedup_eval_prefix_vs_exact,
+        "attribution_pairs": q.attribution_pairs,
         "global_event_ranks": q.global_event_ranks,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
@@ -895,6 +896,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, 100, 9999, 1
             FROM delta d LEFT JOIN base b USING (doc_id)
             WHERE b.doc_id IS NULL OR b.text <> d.text
+        """,
+    "attribution_pairs": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 6 HOUR
         """,
     "dedup_eval_prefix_vs_exact": """
             WITH gold AS (

@@ -1259,6 +1259,56 @@ def dedup_eval_prefix_vs_exact(sf_dir: str) -> pa.Table:
     return pair_set_metrics(side(40), side(None))
 
 
+def attribution_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Range join, PAIR form (pipelines/relational.interval_join_pairs):
+    every (click, purchase) pair of the same user with the purchase in
+    (click_ts, click_ts + 6h] — the materializing sibling of
+    click_attribution, blow-up bounded by a per-interval cap (set beyond
+    reach here so the oracle join matches exactly)."""
+    from libpostal_ray.pipelines.relational import interval_join_pairs
+
+    ev = f"{sf_dir}/events.parquet"
+    clicks = (
+        ray.data.read_parquet(ev, columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .filter(expr="event_type == 'click'")
+        .drop_columns(["event_type"])
+    )
+    purchases = (
+        ray.data.read_parquet(ev, columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .filter(expr="event_type == 'purchase'")
+        .drop_columns(["event_type"])
+    )
+    # distinct id names per side (the operator keeps the caller's names)
+    clicks = clicks.map_batches(
+        lambda b: b.rename_columns(
+            ["click_id" if c == "event_id" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = purchases.map_batches(
+        lambda b: b.rename_columns(
+            ["purchase_id" if c == "event_id" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    out = interval_join_pairs(
+        purchases,
+        clicks,
+        point_key="user_id",
+        point_ts="ts",
+        point_id="purchase_id",
+        interval_key="user_id",
+        interval_ts="ts",
+        interval_id="click_id",
+        window_us=ATTRIBUTION_WINDOW_US,
+        closed="right",
+        per_interval_cap=1_000_000,
+    )
+    return out.select_columns(["click_id", "purchase_id", "gap_us"])
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -675,3 +675,126 @@ def sliding_window_count_sum(
             Sum("sum_value_cents", alias_name="sum_value_cents"),
         )
     )
+
+
+def interval_join_pairs(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    point_key: str,
+    point_ts: str,
+    point_id: str,
+    interval_key: str,
+    interval_ts: str,
+    interval_id: str,
+    window_us: int,
+    closed: str = "right",
+    num_partitions: int = 32,
+    per_interval_cap: int = 1000,
+) -> ray.data.Dataset:
+    """Range join, PAIR form: (interval_id, point_id, gap_us) for every
+    point of the same key inside each interval's window — the
+    materializing sibling of interval_count_join for when downstream
+    needs the actual matches, with the blow-up bounded explicitly:
+    each interval emits at most ``per_interval_cap`` EARLIEST points and
+    a ``truncated`` flag marks capped rows (the LSH hot-bucket
+    discipline).  Same one key%P exchange + rank-compressed searchsorted
+    kernel; per-partition work is O((p+i) log p + pairs_out)."""
+    if closed not in ("right", "both"):
+        raise ValueError(f"closed={closed!r}")
+    P = num_partitions
+    _RID = "__rid"
+
+    def tag(side: int, key_c: str, ts_c: str, id_c: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = (
+                batch[key_c]
+                .cast(pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    _PART: pa.array(k % P, type=pa.int64()),
+                    _KEY: pa.array(k, type=pa.int64()),
+                    _T: pa.array(_ts_to_us(batch[ts_c]), type=pa.int64()),
+                    _SIDE: pa.array(np.full(batch.num_rows, side, np.int8)),
+                    _RID: batch[id_c].cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                interval_id: pa.nulls(0, pa.int64()),
+                point_id: pa.nulls(0, pa.int64()),
+                "gap_us": pa.nulls(0, pa.int64()),
+                "truncated": pa.nulls(0, pa.bool_()),
+            }
+        )
+
+    lo_rank_side = "right" if closed == "right" else "left"
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or _KEY not in group.column_names:
+            return _empty()
+        k = group[_KEY].to_numpy(zero_copy_only=False)
+        t = group[_T].to_numpy(zero_copy_only=False)
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        rid = group[_RID].to_numpy(zero_copy_only=False)
+        isp = side == 1
+        pk, pt, pid = k[~isp], t[~isp], rid[~isp]
+        ik, it, iid = k[isp], t[isp], rid[isp]
+        if pk.shape[0] == 0 or ik.shape[0] == 0:
+            return _empty()
+        lo_b, hi_b = it, it + np.int64(window_us)
+        ut = np.unique(np.concatenate((pt, lo_b, hi_b)))
+        span = np.int64(ut.shape[0] + 1)
+        uk = np.unique(np.concatenate((pk, ik)))
+        pkr = np.searchsorted(uk, pk).astype(np.int64)
+        ikr = np.searchsorted(uk, ik).astype(np.int64)
+        enc = pkr * span + np.searchsorted(ut, pt).astype(np.int64)
+        po = np.argsort(enc, kind="stable")
+        enc_s, pt_s, pid_s = enc[po], pt[po], pid[po]
+        lo = np.searchsorted(
+            enc_s,
+            ikr * span
+            + np.searchsorted(ut, lo_b, side=lo_rank_side).astype(np.int64),
+            side="left",
+        )
+        hi = np.searchsorted(
+            enc_s,
+            ikr * span + np.searchsorted(ut, hi_b, side="right").astype(np.int64),
+            side="left",
+        )
+        cnt = (hi - lo).astype(np.int64)
+        emit = np.minimum(cnt, per_interval_cap)
+        total = int(emit.sum())
+        if total == 0:
+            return _empty()
+        # vectorized pair expansion: for interval j, point positions are
+        # lo[j] .. lo[j]+emit[j]-1 in the sorted-point order (earliest
+        # first — points sort by (key, ts) within the encoding)
+        j = np.repeat(np.arange(ik.shape[0], dtype=np.int64), emit)
+        offs = np.concatenate(([0], np.cumsum(emit)[:-1]))
+        pos = lo[j] + (np.arange(total, dtype=np.int64) - offs[j])
+        return pa.table(
+            {
+                interval_id: pa.array(iid[j], type=pa.int64()),
+                point_id: pa.array(pid_s[pos], type=pa.int64()),
+                "gap_us": pa.array(pt_s[pos] - it[j], type=pa.int64()),
+                "truncated": pa.array((cnt > per_interval_cap)[j]),
+            }
+        )
+
+    tagged = points.map_batches(
+        tag(0, point_key, point_ts, point_id), batch_format="pyarrow"
+    ).union(
+        intervals.map_batches(
+            tag(1, interval_key, interval_ts, interval_id),
+            batch_format="pyarrow",
+        )
+    )
+    return tagged.groupby(_PART).map_groups(kernel, batch_format="pyarrow")

@@ -124,6 +124,7 @@ ORACLE_QUERIES = [
     "segment_revenue_share",
     "events_zorder",
     "dedup_eval_prefix_vs_exact",
+    "attribution_pairs",
     "global_event_ranks",
     "lineitem_unpivot",
 ]

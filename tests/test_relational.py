@@ -277,3 +277,52 @@ class TestBroadcastPlanEquivalence:
             interval_key="ik", interval_ts="it", window_us=10,
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestIntervalJoinPairs:
+    def test_pairs_and_cap(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.relational import interval_join_pairs
+
+        # user 1: click at t=0; purchases at 1, 2, 3, 100 (window 10)
+        # user 2: click at t=5; no purchases in window
+        def ds(rows, id_name):
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                        id_name: pa.array([r[2] for r in rows], type=pa.int64()),
+                    }
+                )
+            )
+
+        clicks = ds([(1, 0, 10), (2, 5, 20)], "click_id")
+        purchases = ds(
+            [(1, 1, 101), (1, 2, 102), (1, 3, 103), (1, 100, 104), (2, 50, 201)],
+            "purchase_id",
+        )
+        out = interval_join_pairs(
+            purchases, clicks,
+            point_key="user_id", point_ts="ts", point_id="purchase_id",
+            interval_key="user_id", interval_ts="ts", interval_id="click_id",
+            window_us=10, closed="right",
+        ).to_pandas().sort_values(["click_id", "purchase_id"]).reset_index(drop=True)
+        assert list(zip(out.click_id, out.purchase_id, out.gap_us)) == [
+            (10, 101, 1), (10, 102, 2), (10, 103, 3)
+        ]
+        assert not out.truncated.any()
+
+        capped = interval_join_pairs(
+            purchases, clicks,
+            point_key="user_id", point_ts="ts", point_id="purchase_id",
+            interval_key="user_id", interval_ts="ts", interval_id="click_id",
+            window_us=10, closed="right", per_interval_cap=2,
+        ).to_pandas().sort_values("purchase_id").reset_index(drop=True)
+        # cap keeps the EARLIEST 2 and flags them truncated
+        assert out is not None
+        assert capped.purchase_id.tolist() == [101, 102]
+        assert capped.truncated.all()
