@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dupe_pagerank": q.near_dupe_pagerank,
         "doc_lm_perplexity": q.doc_lm_perplexity,
         "embedding_pca2": q.embedding_pca2,
+        "bpe_train_merges": q.bpe_train_merges,
+        "bpe_compression": q.bpe_compression,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

@@ -1309,6 +1309,31 @@ def attribution_pairs(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["click_id", "purchase_id", "gap_us"])
 
 
+def bpe_train_merges(sf_dir: str) -> pa.Table:
+    """Distributed exact BPE training (pipelines/bpe.py) on the
+    deterministic doc_id%4 sample: top-24 byte-pair merges with counts.
+    Rows-only (iterative training is not SQL); the merge sequence is
+    pinned against a naive single-process reference in tests."""
+    from libpostal_ray.pipelines.bpe import train_bpe
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return train_bpe(ds, n_merges=24, sample_mod=4)
+
+
+def bpe_compression(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer-fit quality measurement: train 12 merges on the doc_id%16
+    sample, apply them corpus-wide -> (doc_id, n_bytes, n_tokens)."""
+    from libpostal_ray.pipelines.bpe import bpe_encode_counts, train_bpe
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = train_bpe(ds, n_merges=12, sample_mod=16)
+    return bpe_encode_counts(ds, merges)
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -179,6 +179,8 @@ ROWS_ONLY = [
     "near_dupe_pagerank",
     "doc_lm_perplexity",
     "embedding_pca2",
+    "bpe_train_merges",
+    "bpe_compression",
     "embedding_dups_bucketed",
     "semantic_dedup",
 ]

@@ -1925,3 +1925,94 @@ class TestLMGateInPrepare:
         assert gib_id not in set(gated.doc_id)
         # the gate must not drop normal kept docs
         assert set(gated.doc_id) == set(no_gate.doc_id) - {gib_id}
+
+
+class TestBPE:
+    @staticmethod
+    def _naive_bpe(texts, n_merges):
+        """Reference: single-process exact BPE with the same tie-break
+        (count DESC, (left,right) ASC) and greedy leftmost application."""
+        import collections
+
+        seqs = [list(t.encode()) for t in texts]
+        merges = []
+        next_id = 256
+        for rank in range(n_merges):
+            cnt = collections.Counter()
+            for s in seqs:
+                for i in range(len(s) - 1):
+                    cnt[(s[i], s[i + 1])] += 1
+            if not cnt:
+                break
+            best = max(cnt.items(), key=lambda kv: (kv[1], (-kv[0][0], -kv[0][1])))
+            (l, r), c = best
+            merges.append((rank, l, r, next_id, c))
+            out_seqs = []
+            for s in seqs:
+                o, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        o.append(next_id)
+                        i += 2
+                    else:
+                        o.append(s[i])
+                        i += 1
+                out_seqs.append(o)
+            seqs = out_seqs
+            next_id += 1
+        return merges, seqs
+
+    def test_matches_naive_reference(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.bpe import bpe_encode_counts, train_bpe
+
+        texts = [
+            "the cat sat on the mat",
+            "the bat sat on the hat",
+            "aaaa bbbb aaaa",
+            "mississippi mississippi",
+            "zz",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        got = train_bpe(ds, n_merges=12).to_pandas()
+        want, want_seqs = self._naive_bpe(texts, 12)
+        got_rows = [
+            (r["rank"], r["left"], r["right"], r["new_id"], r["count"])
+            for _, r in got.iterrows()
+        ]
+        assert got_rows == want, (got_rows, want)
+
+        # corpus-wide application matches the reference token counts
+        enc = (
+            bpe_encode_counts(ds, pa.Table.from_pandas(got))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert enc.n_tokens.tolist() == [len(s) for s in want_seqs]
+
+    def test_blocking_independent(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.bpe import train_bpe
+
+        texts = [f"token stream number {i} flows here" for i in range(50)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(50)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        a = train_bpe(ray.data.from_arrow(t), n_merges=8).to_pandas()
+        b = train_bpe(
+            ray.data.from_arrow(t).repartition(7), n_merges=8
+        ).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
