@@ -179,3 +179,70 @@ def test_float_order_key_is_order_isomorphic(vals):
     for x, kk in zip(v, k):
         back = key_to_float(int(kk))
         assert back == x or (back == 0.0 and x == 0.0)  # -0.0 == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=4),
+)
+def test_bpe_apply_merge_matches_greedy_scan(docs, left, right):
+    """_apply_merge (vectorized, overlap chains by run parity) must equal
+    the textbook greedy leftmost scan on arbitrary token sequences —
+    including the left==right chain case and doc boundaries."""
+    import numpy as np
+
+    from libpostal_ray.pipelines.bpe import _apply_merge
+
+    flat = np.asarray([t for d in docs for t in d], dtype=np.int32)
+    offs = np.concatenate(([0], np.cumsum([len(d) for d in docs]))).astype(np.int64)
+    nf, no = _apply_merge(flat, offs, left, right, 99)
+
+    def naive(seq):
+        o, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                o.append(99)
+                i += 2
+            else:
+                o.append(seq[i])
+                i += 1
+        return o
+
+    want = [naive(d) for d in docs]
+    got = [nf[no[i] : no[i + 1]].tolist() for i in range(len(docs))]
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=50),
+)
+def test_zorder_key_roundtrip(xs, ys):
+    """Morton interleave must be a bijection on the 16-bit grid for any
+    inputs (low 16 bits taken)."""
+    import numpy as np
+
+    from libpostal_ray.pipelines.layout import zorder_key
+
+    n = min(len(xs), len(ys))
+    x = np.asarray(xs[:n], dtype=np.int64)
+    y = np.asarray(ys[:n], dtype=np.int64)
+    z = zorder_key(x, y).astype(np.uint64)
+
+    def unspread(v):
+        v = v & np.uint64(0x5555555555555555)
+        v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+        v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+        return v.astype(np.int64)
+
+    assert np.array_equal(unspread(z), x)
+    assert np.array_equal(unspread(z >> np.uint64(1)), y)
