@@ -895,6 +895,14 @@ def embedding_covariance(sf_dir: str) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     n, s, m = ray.get(second_moments(ds))
+    if n == 0:  # zero-row corpus: no moments, no rows (oracle agrees)
+        return pa.table(
+            {
+                "i": pa.nulls(0, pa.int64()),
+                "j": pa.nulls(0, pa.int64()),
+                "m_micro": pa.nulls(0, pa.int64()),
+            }
+        )
     ii, jj = np.triu_indices(8)
     return pa.table(
         {
@@ -1102,6 +1110,16 @@ def user_value_trend(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"m": pa.array([int(us.min())] if us.size else [], type=pa.int64())})
 
     mins = ev.map_batches(batch_min, batch_format="pyarrow").to_pandas()
+    if len(mins) == 0:  # zero-row corpus: to_pandas loses columns (gotcha)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.nulls(0, pa.int64()),
+                    "n": pa.nulls(0, pa.int64()),
+                    "slope_milli_per_sec": pa.nulls(0, pa.float64()),
+                }
+            )
+        )
     min_us = int(mins.m.min())
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1175,6 +1193,14 @@ def segment_revenue_share(sf_dir: str) -> pa.Table:
     partials (driver-side on purpose — it IS the final result), and the
     share is one float division of exact int64 cents — bit-identical."""
     seg = mktsegment_order_stats(sf_dir).to_pandas()
+    if len(seg) == 0:
+        return pa.table(
+            {
+                "c_mktsegment": pa.nulls(0, pa.string()),
+                "total_cents": pa.nulls(0, pa.int64()),
+                "revenue_share": pa.nulls(0, pa.float64()),
+            }
+        )
     total = int(seg.total_cents.sum())
     seg = seg.sort_values("c_mktsegment").reset_index(drop=True)
     return pa.table(
@@ -2122,6 +2148,18 @@ def mktsegment_order_stats(sf_dir: str) -> ray.data.Dataset:
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    # empty datasets lose their schema inside Dataset.join (engine-wide
+    # gotcha) — parquet row counts are metadata-cheap, so guard the join
+    if orders.count() == 0 or cust.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_mktsegment": pa.nulls(0, pa.string()),
+                    "total_cents": pa.nulls(0, pa.int64()),
+                    "n_orders": pa.nulls(0, pa.int64()),
+                }
+            )
+        )
     j = orders.join(
         cust,
         join_type="inner",

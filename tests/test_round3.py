@@ -2016,3 +2016,67 @@ class TestBPE:
             ray.data.from_arrow(t).repartition(7), n_merges=8
         ).to_pandas()
         assert a.values.tolist() == b.values.tolist()
+
+
+class TestSession7EmptyInputs:
+    """Every session-7 query must survive a zero-row corpus (empty
+    partitions are routine at scale): no crash, zero rows out (or the
+    documented degenerate aggregate), schema intact where defined."""
+
+    @staticmethod
+    def _empty_sf(tmp_path):
+        import pyarrow.parquet as pq
+
+        src = "/root/testdata/sf0.001"
+        d = tmp_path / "sf_empty"
+        d.mkdir()
+        for t in ("documents", "events", "orders", "customer", "embeddings"):
+            schema = pq.read_schema(f"{src}/{t}.parquet")
+            pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+        return str(d)
+
+    def test_all_new_queries_on_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        import __ray_entry__ as entrymod
+
+        sf = self._empty_sf(tmp_path)
+        qs = entrymod.queries()
+        names = [
+            "customer_order_frames",
+            "documents_snapshot_diff",
+            "user_activity_histogram",
+            "documents_profile",
+            "priority_price_iqr",
+            "documents_scd2",
+            "source_top_lang",
+            "event_type_distinct_users",
+            "user_value_trend",
+            "events_zorder",
+            "segment_revenue_share",
+            "embedding_covariance",
+            "doc_lm_perplexity",
+            "embedding_pca2",
+            "dedup_eval_prefix_vs_exact",
+            "attribution_pairs",
+            "bpe_train_merges",
+        ]
+        for name in names:
+            res = qs[name](sf)
+            if isinstance(res, ray.data.Dataset):
+                df = res.to_pandas()
+            elif isinstance(res, pa.Table):
+                df = res.to_pandas()
+            else:
+                df = res
+            assert isinstance(df, pd.DataFrame), name
+            # degenerate aggregates may emit their one summary row;
+            # everything else must be empty — never a crash
+            if name == "dedup_eval_prefix_vs_exact":
+                assert len(df) == 1 and df.tp.iloc[0] == 0, name
+            elif name == "embedding_covariance":
+                assert len(df) in (0, 36), name
+            else:
+                assert len(df) == 0, (name, df.head())
