@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q.user_event_pivot,
         "users_without": q.users_without,
         "lineitem_agg": q.lineitem_agg,
+        "lineitem_q1_full": q.lineitem_q1_full,
         "events_hourly": q.events_hourly,
         "ann_topk": q.ann_topk,
         "top_events_by_value": q.top_events_by_value,
@@ -401,6 +402,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "lineitem_q1_full": """
+            WITH l AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(floor(l_quantity) AS BIGINT) AS qty,
+                       CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS base_c,
+                       CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                            AS BIGINT) AS disc_c,
+                       CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                  * (1.0 + l_tax) * 100.0) AS BIGINT) AS charge_c,
+                       CAST(floor(l_discount * 10000.0) AS BIGINT) AS disc_bp
+                FROM lineitem
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(base_c) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(disc_c) AS BIGINT) AS sum_disc_cents,
+                   CAST(sum(charge_c) AS BIGINT) AS sum_charge_cents,
+                   CAST(sum(disc_bp) AS BIGINT) AS sum_disc_bp,
+                   count(*) AS n,
+                   CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE) / count(*)
+                       AS avg_qty,
+                   CAST(CAST(sum(base_c) AS BIGINT) AS DOUBLE) / count(*)
+                       AS avg_price_cents,
+                   CAST(CAST(sum(disc_bp) AS BIGINT) AS DOUBLE) / count(*)
+                       AS avg_disc_bp
+            FROM l GROUP BY l_returnflag, l_linestatus
         """,
         "events_hourly": """
             SELECT event_type,

@@ -1360,6 +1360,102 @@ def bpe_compression(sf_dir: str) -> ray.data.Dataset:
     return bpe_encode_counts(ds, merges)
 
 
+def lineitem_q1_full(sf_dir: str) -> ray.data.Dataset:
+    """Full TPC-H Q1 shape: per (returnflag, linestatus) the four sums,
+    three averages and count.  Sums are per-row-integerized (cents /
+    units) so they are exact; each average is ONE float division of
+    exact int64s — bit-identical across engines.  Arrow-native partial
+    pre-agg per batch, one skinny groupby."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+        base_c = np.floor(ep * 100.0).astype(np.int64)
+        disc_c = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        charge_c = np.floor(ep * (1.0 - disc) * (1.0 + tax) * 100.0).astype(
+            np.int64
+        )
+        disc_bp = np.floor(disc * 10000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "sum_base_cents": pa.array(base_c),
+                "sum_disc_cents": pa.array(disc_c),
+                "sum_charge_cents": pa.array(charge_c),
+                "sum_disc_bp": pa.array(disc_bp),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_base_cents", "sum"),
+                ("sum_disc_cents", "sum"),
+                ("sum_charge_cents", "sum"),
+                ("sum_disc_bp", "sum"),
+                ("n", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_cents",
+                "sum_disc_cents",
+                "sum_charge_cents",
+                "sum_disc_bp",
+                "n",
+            ]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("sum_charge_cents", alias_name="sum_charge_cents"),
+            Sum("sum_disc_bp", alias_name="sum_disc_bp"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = {c: batch[c] for c in batch.column_names}
+        out["avg_qty"] = pa.array(
+            batch["sum_qty"].to_numpy(zero_copy_only=False) / n
+        )
+        out["avg_price_cents"] = pa.array(
+            batch["sum_base_cents"].to_numpy(zero_copy_only=False) / n
+        )
+        out["avg_disc_bp"] = pa.array(
+            batch["sum_disc_bp"].to_numpy(zero_copy_only=False) / n
+        )
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

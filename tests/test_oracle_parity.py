@@ -70,6 +70,7 @@ ORACLE_QUERIES = [
     "user_event_pivot",
     "users_without",
     "lineitem_agg",
+    "lineitem_q1_full",
     "events_hourly",
     "ann_topk",
     "top_events_by_value",
