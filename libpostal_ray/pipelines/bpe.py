@@ -41,11 +41,14 @@ PAIR_BASE = np.int64(1) << np.int64(21)  # pair key = left * 2^21 + right
 
 
 def _flat_tokens(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
-    """(flat int32 token array, int64 offsets) from a list<int32> column."""
+    """(flat int32 token array, int64 offsets) from a list<int32> column.
+    Offsets are rebased to 0: a SLICED ListArray (Ray re-blocks freely)
+    reports raw offsets into the unsliced child while flatten() returns
+    only this slice's values."""
     arr = batch[col].combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
     offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    return flat, offs
+    return flat, offs - offs[0]
 
 
 def _pair_counts(flat: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -38,12 +38,13 @@ def pairs_by_key(
     key: str,
     id_col: str,
     partitions: int = EVAL_PARTITIONS,
-    group_cap: int = 10_000,
+    group_cap: int = 1_000,
 ) -> ray.data.Dataset:
     """All (id_a < id_b) pairs of rows sharing ``key`` (an int64 block
     key) -> (id_a, id_b).  Groups larger than ``group_cap`` contribute
     only their first ``group_cap`` ids (sorted) — capped with the same
-    truncation discipline as the LSH hot-bucket path."""
+    truncation discipline as the LSH hot-bucket path (the default bounds
+    any one group to ~500k emitted pairs)."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
