@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca2": q.embedding_pca2,
         "bpe_train_merges": q.bpe_train_merges,
         "bpe_compression": q.bpe_compression,
+        "refresh_dedup_cycle": q.refresh_dedup_cycle,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

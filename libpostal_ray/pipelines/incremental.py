@@ -355,3 +355,58 @@ def corpus_upsert_scd2(
     return base.map_batches(base_pass, batch_format="pyarrow").union(
         delta.map_batches(delta_pass, batch_format="pyarrow")
     )
+
+
+def refresh_dedup(
+    corpus: ray.data.Dataset,
+    snapshot: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    *,
+    key: str = "doc_id",
+    text_col: str = "content",
+) -> ray.data.Dataset:
+    """The production refresh loop, composed: diff the new ``snapshot``
+    against the standing ``corpus`` (pipelines/diff — one 32 B/row digest
+    exchange), then run delta-vs-corpus near-dup detection on ONLY the
+    added/changed rows.  Unchanged rows (at a steady-state re-crawl,
+    ~all of them) never enter the sketch stage at all.
+
+    Output: dedup_against_corpus verdicts for the changed+added subset —
+    (doc_id, verdict, match_id).  Both datasets use the canonical corpus
+    schema.  At 100 TB this is the difference between re-sketching the
+    whole crawl and sketching the few percent that moved."""
+    from libpostal_ray.pipelines.diff import snapshot_diff
+
+    verdicts = snapshot_diff(
+        corpus.select_columns([key, text_col]),
+        snapshot.select_columns([key, text_col]),
+        key=key,
+        text_col=text_col,
+        statuses=("added", "changed"),
+    )
+
+    @ray.remote
+    def gather(*blocks) -> np.ndarray:
+        ids = [
+            b.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in blocks
+            if b.num_rows > 0 and "k" in b.column_names
+        ]
+        if not ids:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(ids))
+
+    delta_ids_ref = gather.remote(*verdicts.materialize().to_arrow_refs())
+
+    def delta_only(batch: pa.Table) -> pa.Table:
+        ids = ray.get(delta_ids_ref)
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.shape[0] == 0:
+            return batch.slice(0, 0)
+        pos = np.searchsorted(ids, k)
+        posc = np.clip(pos, 0, ids.shape[0] - 1)
+        hit = (pos < ids.shape[0]) & (ids[posc] == k)
+        return batch.filter(pa.array(hit))
+
+    delta = snapshot.map_batches(delta_only, batch_format="pyarrow")
+    return dedup_against_corpus(delta, corpus, cfg)

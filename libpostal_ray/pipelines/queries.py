@@ -1456,6 +1456,50 @@ def lineitem_q1_full(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def refresh_dedup_cycle(sf_dir: str) -> ray.data.Dataset:
+    """The composed production refresh loop (pipelines/incremental.
+    refresh_dedup): CDC-diff a derived re-crawl against the documents
+    corpus, near-dup-verdict ONLY the moved rows.  Snapshot derivation:
+    doc_id%13==0 edited (' v2' suffix -> near-dup of its old self),
+    doc_id%25==0 re-inserted as exact copies under new ids."""
+    from libpostal_ray.pipelines.incremental import refresh_dedup
+    from libpostal_ray.sources.readers import read_documents_corpus
+
+    corpus = read_documents_corpus(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = batch["content"].combine_chunks()
+        edited = pc.if_else(
+            pa.array(ids % 13 == 0),
+            pc.binary_join_element_wise(
+                text,
+                pa.scalar(" v2", type=text.type),
+                pa.scalar("", type=text.type),
+            ),
+            text,
+        )
+        base = batch.set_column(
+            batch.schema.get_field_index("content"), "content", edited
+        )
+        ins = batch.filter(pa.array(ids % 25 == 0))
+        iid = (
+            ins["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            + 10_000_000
+        )
+        ins = ins.set_column(
+            ins.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(iid, type=pa.int64()),
+        )
+        return pa.concat_tables([base, ins]).combine_chunks()
+
+    snapshot = read_documents_corpus(sf_dir).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    return refresh_dedup(corpus, snapshot)
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

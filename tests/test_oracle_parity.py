@@ -182,6 +182,7 @@ ROWS_ONLY = [
     "embedding_pca2",
     "bpe_train_merges",
     "bpe_compression",
+    "refresh_dedup_cycle",
     "embedding_dups_bucketed",
     "semantic_dedup",
 ]

@@ -2080,3 +2080,44 @@ class TestSession7EmptyInputs:
                 assert len(df) in (0, 36), name
             else:
                 assert len(df) == 0, (name, df.head())
+
+
+class TestRefreshDedup:
+    def test_only_moved_rows_get_verdicts(self, ray_session, tmp_path):
+        """The refresh loop must sketch ONLY added/changed docs: a
+        re-crawl where one doc is edited into a near-dup of a standing
+        corpus doc and one brand-new exact copy arrives."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from libpostal_ray.pipelines.incremental import refresh_dedup
+        from libpostal_ray.sources.readers import read_code_corpus
+        from libpostal_ray.synth import write_synth_corpus
+
+        p = str(tmp_path / "corpus.parquet")
+        write_synth_corpus(p, n_files=200, seed=21)
+        corpus = read_code_corpus(p)
+        rows = corpus.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        # snapshot: identical re-crawl EXCEPT row 0's doc becomes an exact
+        # copy of row 1's content (changed -> should match corpus), plus a
+        # new doc that copies row 2 (added -> dup_of_corpus)
+        snap = rows.copy()
+        snap.loc[0, "content"] = rows.loc[1, "content"]
+        new_row = rows.iloc[[2]].copy()
+        new_row["doc_id"] = 4_000_000_017
+        new_row["path"] = "new/copy.c"
+        snap = __import__("pandas").concat([snap, new_row], ignore_index=True)
+        snap_ds = ray.data.from_arrow(
+            pa.Table.from_pandas(snap, preserve_index=False)
+        )
+
+        out = refresh_dedup(corpus, snap_ds).to_pandas()
+        # exactly the two moved docs get verdicts
+        assert sorted(out.doc_id.tolist()) == sorted(
+            [rows.loc[0, "doc_id"], 4_000_000_017]
+        )
+        byid = out.set_index("doc_id")
+        assert byid.loc[4_000_000_017].verdict.startswith("dup")
+        assert byid.loc[rows.loc[0, "doc_id"]].verdict.startswith("dup")
