@@ -231,6 +231,13 @@ def run_bench() -> dict:
         "embedding_covariance",
         lambda d: __import__("ray").data.from_arrow(q.embedding_covariance(d)),
     )
+    timed("lineitem_q1_full", q.lineitem_q1_full)
+    timed("attribution_pairs", q.attribution_pairs)
+    timed(
+        "dedup_eval_prefix_vs_exact",
+        lambda d: __import__("ray").data.from_arrow(q.dedup_eval_prefix_vs_exact(d)),
+    )
+    timed("refresh_dedup_cycle", q.refresh_dedup_cycle)
 
     ray.shutdown()
     return {
