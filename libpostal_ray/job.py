@@ -306,6 +306,50 @@ def run_diff(args) -> dict:
     return manifest
 
 
+def run_profile(args) -> dict:
+    """--mode profile: column profile of the --input corpus (row/null
+    counts, exact distributed COUNT DISTINCT, byte-length stats) — the
+    first job anyone submits against an unknown corpus.  Writes profile/
+    parquet + manifest.json with the stats inline (they are O(columns))."""
+    import ray
+
+    from libpostal_ray.pipelines.profile import column_profile
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    cfg = build_config(args.config)
+    t0 = time.time()
+    docs = _read_corpus(args)
+    cols = ["repo", "path", "lang", "content"]
+    out_dir = os.path.join(args.output, "profile")
+    prof = column_profile(docs, cols)
+    prof.write_parquet(out_dir)
+    import pyarrow.dataset as pds
+
+    tbl = pds.dataset(out_dir, format="parquet").to_table()
+    stats = {
+        r["column"]: {k: int(v) for k, v in r.items() if k != "column"}
+        for r in tbl.to_pylist()
+    }
+    manifest = {
+        "mode": "profile",
+        "config_fingerprint": config_fingerprint(cfg),
+        "input": args.input,
+        "wall_seconds": round(time.time() - t0, 3),
+        "rows": {"profiled": int(stats.get("content", {}).get("n_rows", 0))},
+        "columns": stats,
+        "ray": {
+            "nodes": len(ray.nodes()),
+            "cpus": int(ray.cluster_resources().get("CPU", 0)),
+        },
+    }
+    os.makedirs(args.output, exist_ok=True)
+    tmp = os.path.join(args.output, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(args.output, "manifest.json"))
+    return manifest
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m libpostal_ray.job",
@@ -319,11 +363,12 @@ def main(argv=None) -> int:
     p.add_argument("--report", action="store_true", help="also write the keep/drop dedup report")
     p.add_argument("--write-edges", action="store_true", help="also write verified pair edges")
     p.add_argument("--mode", default="cluster",
-                   choices=["cluster", "incremental", "export", "diff"],
+                   choices=["cluster", "incremental", "export", "diff", "profile"],
                    help="cluster: flagship near-dup clustering of --input; "
                         "incremental: dedupe --input against a standing corpus; "
                         "export: seeded sharded training export; "
-                        "diff: CDC audit of --input vs --against")
+                        "diff: CDC audit of --input vs --against; "
+                        "profile: column profile of --input")
     p.add_argument("--against", default=None, help="incremental: standing-corpus parquet")
     p.add_argument("--n-shards", type=int, default=64, help="export: shard count")
     p.add_argument("--shard-seed", type=int, default=0, help="export: shuffle seed")
@@ -350,7 +395,9 @@ def main(argv=None) -> int:
         if args.mode == "incremental"
         else run_export(args)
         if args.mode == "export"
-        else run_diff(args) if args.mode == "diff" else run_job(args)
+        else run_diff(args)
+        if args.mode == "diff"
+        else run_profile(args) if args.mode == "profile" else run_job(args)
     )
     json.dump(
         {"status": "ok", "output": args.output, "rows": manifest["rows"],

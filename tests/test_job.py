@@ -274,3 +274,18 @@ def test_job_diff_mode(job_corpus, tmp_path):
     assert man["rows"] == {"changed": 10, "removed": 20}
     d = pds.dataset(os.path.join(out, "diff"), format="parquet").to_table()
     assert d.num_rows == 30
+
+
+def test_job_profile_mode(job_corpus, tmp_path):
+    out = str(tmp_path / "profrun")
+    r = _run_job("--mode", "profile", "--input", job_corpus, "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    n = pds.dataset(job_corpus, format="parquet").count_rows()
+    assert man["rows"]["profiled"] == n
+    cols = man["columns"]
+    assert set(cols) == {"repo", "path", "lang", "content"}
+    # path is unique per file in the synth corpus shape
+    assert cols["path"]["n_rows"] == n
+    assert cols["content"]["n_distinct"] <= n
+    assert cols["content"]["sum_len"] > 0
