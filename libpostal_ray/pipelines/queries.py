@@ -1775,6 +1775,28 @@ def ann_topk_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return res[["vec_id", "cos_sim", "rank"]].sort_values("rank").reset_index(drop=True)
 
 
+def ann_topk_ivf_sq8(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF ANN over an SQ8-compressed index (pipelines/ann.ivf_sq8_topk):
+    1 byte/dim index, float embeddings dropped before the probe — the
+    memory scale path.  Approximate by design; recall-bound tested."""
+    import pyarrow.parquet as pq
+
+    from libpostal_ray.pipelines.ann import ivf_sq8_topk
+
+    emb = _embeddings(sf_dir)
+    qrow = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qm = np.array(qrow["embedding"].to_pylist(), dtype=np.float64)
+    res = ivf_sq8_topk(
+        emb, qm, np.array([0]), k=k, n_centroids=16, nprobe=8
+    ).to_pandas()
+    res["cos_sim"] = res["cos_sim"].round(4)
+    return res[["vec_id", "cos_sim", "rank"]].sort_values("rank").reset_index(drop=True)
+
+
 def semantic_dedup(sf_dir: str, eps: float = 0.4, n_clusters: int = 8) -> pd.DataFrame:
     """SemDeDup verdicts over the embeddings table: k-means partition, then
     within-cluster cosine dup groups keep one representative (lowest

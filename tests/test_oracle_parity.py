@@ -164,6 +164,7 @@ ROWS_ONLY = [
     "substring_spans",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_ivf_sq8",
     "cluster_size_topk",
     "simhash_dup_pairs",
     "hot_buckets",

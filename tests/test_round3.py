@@ -2121,3 +2121,44 @@ class TestRefreshDedup:
         byid = out.set_index("doc_id")
         assert byid.loc[4_000_000_017].verdict.startswith("dup")
         assert byid.loc[rows.loc[0, "doc_id"]].verdict.startswith("dup")
+
+
+class TestIvfSq8:
+    def test_recall_vs_brute_and_index_is_bytes(self, ray_session):
+        """The SQ8 IVF path must (a) never carry the float embedding
+        column past the quantize stage and (b) keep recall@10 >= 0.8 vs
+        exact brute force at full probe on clustered data."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.pipelines.ann import brute_force_topk, ivf_sq8_topk
+
+        rng = np.random.RandomState(11)
+        # clustered corpus: 8 well-separated centers, 512 points
+        centers = rng.randn(8, 32) * 5.0
+        pts = np.concatenate(
+            [c + rng.randn(64, 32) * 0.3 for c in centers]
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(list(range(pts.shape[0])), type=pa.int64()),
+                "embedding": pa.array(
+                    [r.astype("float32").tolist() for r in pts],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        qm = pts[:5]
+        qids = np.arange(5)
+        exact = brute_force_topk(ds, qm, qids, k=10).to_pandas()
+        approx = ivf_sq8_topk(
+            ds, qm, qids, k=10, n_centroids=8, nprobe=8, iters=6
+        ).to_pandas()
+        rec = []
+        for qi in range(5):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            rec.append(len(e & a) / max(len(e), 1))
+        assert np.mean(rec) >= 0.8, rec
