@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q.incremental_dedup,
         "approx_price_quantiles": q.approx_price_quantiles,
         "media_feature_extract": q.media_feature_extract,
+        "media_frame_sample": q.media_frame_sample,
         "train_code_lang": _train_code_lang,
         "semantic_dedup": q.semantic_dedup,
         "near_dupe_pagerank": q.near_dupe_pagerank,

@@ -4039,6 +4039,60 @@ def media_feature_extract(sf_dir: str) -> ray.data.Dataset:
     return feats.map_batches(collapse, batch_format="pyarrow")
 
 
+def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """The 1 -> N multimodal shape: frame-sample the video-typed rows of
+    the stand-in media corpus (1 fps fake extractor, stubbed like decode;
+    stages/multimodal.FrameSampleStage).  Output one row per sampled
+    frame (media_id, frame_idx, t_ms, frame_bytes) — output row count
+    multiplies by frames-per-video, so the actor pool budgets bytes."""
+    from libpostal_ray.stages.multimodal import (
+        fake_extract_frame,
+        sample_video_frames,
+    )
+
+    types = ["image", "audio", "video"]
+
+    def as_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "media_type": pa.array(
+                    [types[int(i) % 3] for i in ids], type=pa.string()
+                ),
+                "payload": batch["text"].cast(pa.large_binary()),
+                "width": pa.array(np.full(n, 64, dtype=np.int32)),
+                "height": pa.array(np.full(n, 64, dtype=np.int32)),
+                # deterministic per-row duration: 2-9 seconds
+                "duration_ms": pa.array(
+                    ((ids % 8) + 2).astype(np.int32) * 1000
+                ),
+            }
+        )
+
+    media = _docs(sf_dir).map_batches(as_media, batch_format="pyarrow")
+    frames = sample_video_frames(media, fake_extract_frame, fps=1.0, max_frames=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        fr = batch["frame"]
+        if isinstance(fr, pa.ChunkedArray):
+            fr = fr.combine_chunks()
+        lens = np.asarray([len(v) for v in fr.to_pylist()], dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "t_ms": batch["t_ms"],
+                "frame_bytes": pa.array(lens),
+            }
+        )
+
+    return frames.map_batches(finish, batch_format="pyarrow")
+
+
 def tpch_q5_local_revenue(
     sf_dir: str,
     region: str = "ASIA",

@@ -113,3 +113,85 @@ def synth_media_table(n: int = 32, seed: int = 7) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+def fake_extract_frame(payload: bytes, t_ms: int) -> bytes:
+    """Deterministic fake frame extractor (stands in for ffmpeg seek):
+    sha256(payload || t_ms) pseudo-JPEG bytes."""
+    h = hashlib.sha256(payload + t_ms.to_bytes(8, "big")).digest()
+    return h * 4  # 128 fake bytes per frame
+
+
+class FrameSampleStage:
+    """Actor: sample frames from video rows — the 1 -> N (flat-map) shape
+    of the multimodal family.  Emits one row per sampled timestamp
+    (media_id, frame_idx, t_ms, frame: binary); non-video rows pass
+    through with zero output rows.  ``extract_fn(payload, t_ms) ->
+    bytes`` loads once per actor; ``extract_fn=None`` is the production
+    stub (ffmpeg is not in this environment) and raises at the call
+    site, exactly like MediaFeatureStage's decode.
+
+    Batch-size discipline: output rows multiply by frames-per-row, so
+    callers budget batch_size DOWN by max_frames (bytes, not rows, is
+    the budget at 100 TB — a 10-minute video at 1 fps emits 600 rows)."""
+
+    def __init__(self, extract_fn=None, fps: float = 1.0, max_frames: int = 16):
+        self.extract_fn = extract_fn
+        self.fps = fps
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.extract_fn is None:
+            raise NotImplementedError(
+                "frame extraction requires a video library not present in "
+                "this environment; pass extract_fn (tests use "
+                "fake_extract_frame)"
+            )
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        kinds = batch["media_type"].to_pylist()
+        durs = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out_id, out_fi, out_t, out_frame = [], [], [], []
+        step = max(int(1000.0 / self.fps), 1)
+        for i in range(batch.num_rows):
+            if kinds[i] != "video":
+                continue
+            times = range(0, int(durs[i]), step)
+            for fi, t in enumerate(times):
+                if fi >= self.max_frames:
+                    break
+                out_id.append(int(ids[i]))
+                out_fi.append(fi)
+                out_t.append(int(t))
+                out_frame.append(self.extract_fn(payloads[i], int(t)))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_fi, type=pa.int64()),
+                "t_ms": pa.array(out_t, type=pa.int64()),
+                "frame": pa.array(out_frame, type=pa.large_binary()),
+            }
+        )
+
+
+def sample_video_frames(
+    media: "ray.data.Dataset",
+    extract_fn=fake_extract_frame,
+    *,
+    fps: float = 1.0,
+    max_frames: int = 16,
+    concurrency: int = 2,
+    batch_size: int = 8,
+):
+    """Actor-pool frame sampling over a MEDIA_SCHEMA dataset."""
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={
+            "extract_fn": extract_fn,
+            "fps": fps,
+            "max_frames": max_frames,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

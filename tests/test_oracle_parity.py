@@ -177,6 +177,7 @@ ROWS_ONLY = [
     "incremental_dedup",
     "approx_price_quantiles",
     "media_feature_extract",
+    "media_frame_sample",
     "train_code_lang",
     "near_dupe_pagerank",
     "doc_lm_perplexity",

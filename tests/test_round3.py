@@ -2162,3 +2162,46 @@ class TestIvfSq8:
             a = set(approx[approx.query_id == qi].vec_id)
             rec.append(len(e & a) / max(len(e), 1))
         assert np.mean(rec) >= 0.8, rec
+
+
+class TestFrameSample:
+    def test_one_to_n_and_stub(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import pytest
+
+        from libpostal_ray.stages.multimodal import (
+            FrameSampleStage,
+            fake_extract_frame,
+            sample_video_frames,
+            synth_media_table,
+        )
+
+        t = synth_media_table(n=12, seed=3)
+        # force deterministic durations + types
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        t = t.set_column(
+            t.schema.get_field_index("duration_ms"),
+            "duration_ms",
+            pa.array(((ids % 4) + 1).astype(np.int32) * 1000),
+        )
+        out = (
+            sample_video_frames(ray.data.from_arrow(t), fake_extract_frame, fps=1.0)
+            .to_pandas()
+            .sort_values(["media_id", "frame_idx"])
+        )
+        kinds = dict(zip(ids.tolist(), t["media_type"].to_pylist()))
+        durs = dict(zip(ids.tolist(), t["duration_ms"].to_numpy(zero_copy_only=False)))
+        # every video row emits exactly duration/1000 frames (<= cap);
+        # non-video rows emit nothing
+        for mid, kind in kinds.items():
+            got = out[out.media_id == mid]
+            if kind == "video":
+                assert len(got) == durs[mid] // 1000, (mid, len(got))
+                assert got.frame_idx.tolist() == list(range(len(got)))
+            else:
+                assert len(got) == 0
+        # production stub raises at the call site
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage()(t)
