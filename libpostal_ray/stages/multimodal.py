@@ -195,3 +195,58 @@ def sample_video_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize (stands in for PIL.Image.resize):
+    sha256(payload || w || h)-seeded bytes, length ~ w*h/64."""
+    h_ = hashlib.sha256(
+        payload + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    ).digest()
+    reps = max((w * h) // (64 * len(h_)), 1)
+    return h_ * reps
+
+
+class MediaResizeStage:
+    """Actor: payload -> payload transform (the resize/transcode shape of
+    the multimodal family).  Image rows are rewritten to ``target`` size
+    with updated width/height metadata; non-image rows pass through
+    untouched.  ``resize_fn(payload, w, h) -> bytes`` loads once per
+    actor; ``resize_fn=None`` is the production stub (no imaging libs in
+    this environment), raising at the call site like decode/extract."""
+
+    def __init__(self, resize_fn=None, target: tuple[int, int] = (32, 32)):
+        self.resize_fn = resize_fn
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.resize_fn is None:
+            raise NotImplementedError(
+                "resize requires an imaging library not present in this "
+                "environment; pass resize_fn (tests use fake_resize)"
+            )
+        w, h = self.target
+        kinds = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            if kinds[i] == "image":
+                out_p.append(self.resize_fn(payloads[i], w, h))
+                out_w.append(w)
+                out_h.append(h)
+            else:
+                out_p.append(payloads[i])
+                out_w.append(int(widths[i]))
+                out_h.append(int(heights[i]))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(out_p, type=pa.large_binary()),
+                "width": pa.array(np.asarray(out_w, dtype=np.int32)),
+                "height": pa.array(np.asarray(out_h, dtype=np.int32)),
+                "duration_ms": batch["duration_ms"],
+            }
+        )

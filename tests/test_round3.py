@@ -2205,3 +2205,39 @@ class TestFrameSample:
         # production stub raises at the call site
         with pytest.raises(NotImplementedError):
             FrameSampleStage()(t)
+
+
+class TestMediaResize:
+    def test_images_resized_others_pass(self, ray_session):
+        import pytest
+        import ray
+
+        from libpostal_ray.stages.multimodal import (
+            MediaResizeStage,
+            fake_resize,
+            synth_media_table,
+        )
+
+        t = synth_media_table(n=9, seed=5)
+        out = (
+            ray.data.from_arrow(t)
+            .map_batches(
+                MediaResizeStage,
+                fn_constructor_kwargs={"resize_fn": fake_resize},
+                batch_format="pyarrow",
+                batch_size=4,
+                concurrency=2,
+            )
+            .to_pandas()
+            .set_index("media_id")
+        )
+        kinds = dict(zip(t["media_id"].to_pylist(), t["media_type"].to_pylist()))
+        orig_w = dict(zip(t["media_id"].to_pylist(), t["width"].to_pylist()))
+        for mid, kind in kinds.items():
+            row = out.loc[mid]
+            if kind == "image":
+                assert row.width == 32 and row.height == 32
+            else:
+                assert row.width == orig_w[mid]
+        with pytest.raises(NotImplementedError):
+            MediaResizeStage()(t)
