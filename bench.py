@@ -238,6 +238,11 @@ def run_bench() -> dict:
         lambda d: __import__("ray").data.from_arrow(q.dedup_eval_prefix_vs_exact(d)),
     )
     timed("refresh_dedup_cycle", q.refresh_dedup_cycle)
+    timed("media_frame_sample", q.media_frame_sample)
+    timed(
+        "ann_topk_ivf_sq8",
+        lambda d: __import__("ray").data.from_pandas(q.ann_topk_ivf_sq8(d)),
+    )
 
     ray.shutdown()
     return {
