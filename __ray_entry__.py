@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": q.user_value_trend,
         "segment_revenue_share": q.segment_revenue_share,
         "events_zorder": q.events_zorder,
+        "cosine_threshold_calibration": q.cosine_threshold_calibration,
         "dedup_eval_prefix_vs_exact": q.dedup_eval_prefix_vs_exact,
         "attribution_pairs": q.attribution_pairs,
         "global_event_ranks": q.global_event_ranks,
@@ -929,6 +930,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text, 100, 9999, 1
             FROM delta d LEFT JOIN base b USING (doc_id)
             WHERE b.doc_id IS NULL OR b.text <> d.text
+        """,
+    "cosine_threshold_calibration": """
+            WITH p AS (
+                SELECT list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]) AS cos
+                FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id % 2 = 0 AND (a.vec_id // 2) % 20 = 0
+            )
+            SELECT CAST(floor(cos * 10.0) AS BIGINT) AS cos_bin,
+                   count(*) AS n_pairs
+            FROM p GROUP BY 1
         """,
     "attribution_pairs": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id,

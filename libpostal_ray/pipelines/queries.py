@@ -1500,6 +1500,99 @@ def refresh_dedup_cycle(sf_dir: str) -> ray.data.Dataset:
     return refresh_dedup(corpus, snapshot)
 
 
+def cosine_threshold_calibration(sf_dir: str) -> ray.data.Dataset:
+    """Threshold calibration: the cosine distribution over a
+    deterministic 5% sample of adjacent-id embedding pairs, binned 0.1
+    wide — the histogram a user reads before choosing an embedding-dup
+    threshold.  One (vec_id//2)%P exchange co-locates each sampled pair
+    (the sample bound makes the vector exchange O(sampled pairs), the
+    100 TB discipline); per-partition cosine + histogram partials, tiny
+    bin merge."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = ids // 2
+        keep = (pk % 20 == 0) & (pk * 2 + 1 >= 0)
+        sub = batch.filter(pa.array(keep))
+        sids = sub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(sids // 2),
+                "vec_id": pa.array(sids),
+                "embedding": sub["embedding"],
+                "part": pa.array((sids // 2) % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cos_bin": pa.nulls(0, pa.int64()),
+                "n_partial": pa.nulls(0, pa.int64()),
+                "part2": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "pk" not in group.column_names:
+            return empty
+        pk = group["pk"].to_numpy(zero_copy_only=False)
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, pk))
+        pks, vids = pk[order], vid[order]
+        arr = group["embedding"].combine_chunks()
+        m = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(group.num_rows, -1)
+            .astype(np.float64)[order]
+        )
+        # adjacent rows with the same pair key AND consecutive ids form
+        # a sampled pair (ids with a missing partner drop out)
+        same = (pks[1:] == pks[:-1]) & (vids[1:] == vids[:-1] + 1)
+        a = m[:-1][same]
+        b = m[1:][same]
+        dot = (a * b).sum(axis=1)
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        cos = dot / np.maximum(na * nb, 1e-300)
+        bins = np.clip(np.floor(cos * 10.0).astype(np.int64), -10, 10)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "cos_bin": pa.array(u),
+                "n_partial": pa.array(c.astype(np.int64)),
+                "part2": pa.array(np.zeros(u.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cos_bin": pa.nulls(0, pa.int64()),
+                "n_pairs": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "cos_bin" not in group.column_names:
+            return empty
+        b = group["cos_bin"].to_numpy(zero_copy_only=False)
+        n = group["n_partial"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(b, return_inverse=True)
+        tot = np.zeros(u.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"cos_bin": pa.array(u), "n_pairs": pa.array(tot)})
+
+    return (
+        emb.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

@@ -124,6 +124,7 @@ ORACLE_QUERIES = [
     "user_value_trend",
     "segment_revenue_share",
     "events_zorder",
+    "cosine_threshold_calibration",
     "dedup_eval_prefix_vs_exact",
     "attribution_pairs",
     "global_event_ranks",
