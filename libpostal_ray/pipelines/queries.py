@@ -942,17 +942,22 @@ def source_top_lang(sf_dir: str) -> ray.data.Dataset:
     P = 32
 
     def partial(batch: pa.Table) -> pa.Table:
-        src = batch["source"].to_pylist()
-        lang = batch["lang"].to_pylist()
-        from collections import Counter
-
-        cnt = Counter(zip(src, lang))
-        ss = [k[0] for k in cnt]
+        # vectorized distinct-pair counting (np.unique over the composite
+        # key — no per-row Python); crc32 only touches DISTINCT sources
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        pairs = np.char.add(
+            np.char.add(src.astype(str), "\x01"), lang.astype(str)
+        )
+        up, cnt = np.unique(pairs, return_counts=True)
+        ss = [p.split("\x01")[0] for p in up]
         return pa.table(
             {
                 "source": pa.array(ss, type=pa.string()),
-                "lang": pa.array([k[1] for k in cnt], type=pa.string()),
-                "n": pa.array(list(cnt.values()), type=pa.int64()),
+                "lang": pa.array(
+                    [p.split("\x01")[1] for p in up], type=pa.string()
+                ),
+                "n": pa.array(cnt.astype(np.int64)),
                 "part": pa.array(
                     np.fromiter(
                         (zlib.crc32(s.encode()) for s in ss), dtype=np.int64
