@@ -246,3 +246,96 @@ def test_zorder_key_roundtrip(xs, ys):
 
     assert np.array_equal(unspread(z), x)
     assert np.array_equal(unspread(z >> np.uint64(1)), y)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), st.text(max_size=4)),
+        max_size=12,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), st.text(max_size=4)),
+        max_size=12,
+        unique_by=lambda kv: kv[0],
+    ),
+)
+def test_snapshot_diff_matches_dict_semantics(ray_session, old_rows, new_rows):
+    """snapshot_diff must equal plain dict set/compare semantics on
+    arbitrary unique-keyed snapshots (including empty sides)."""
+    import pyarrow as pa
+    import ray
+
+    from libpostal_ray.pipelines.diff import snapshot_diff
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+
+    ds = snapshot_diff(
+        ray.data.from_arrow(tbl(old_rows)),
+        ray.data.from_arrow(tbl(new_rows)),
+        key="k",
+        text_col="text",
+    )
+    out = ds.to_pandas()
+    got = dict(zip(out.k, out.status)) if len(out) else {}
+    o, n = dict(old_rows), dict(new_rows)
+    want = {}
+    for k in o.keys() | n.keys():
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        elif o[k] != n[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=50),  # order
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_frames_over_key_matches_pandas(ray_session, rows):
+    """frames_over_key must equal pandas groupby/rolling semantics."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from libpostal_ray.pipelines.window import frames_over_key
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], type=pa.int64()),
+            "o": pa.array([r[1] for r in rows], type=pa.int64()),
+            "v": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    out = (
+        frames_over_key(ray.data.from_arrow(t), key="k", order_cols=["o"], value="v")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows, columns=["k", "o", "v"]).sort_values(["k", "o"])
+    g = df.groupby("k")["v"]
+    want_mov = g.rolling(3, min_periods=1).sum().reset_index(drop=True)
+    assert out.mov_sum.tolist() == [int(x) for x in want_mov]
+    assert out.first_val.tolist() == g.transform("first").tolist()
+    assert out.last_val.tolist() == g.transform("last").tolist()
+    want_next = g.shift(-1).fillna(-1).astype(int).tolist()
+    assert out.next_val.tolist() == want_next
