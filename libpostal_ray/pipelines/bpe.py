@@ -216,13 +216,17 @@ def bpe_encode_counts(
 
     def encode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch[text_col].to_pylist()
-        flat = np.concatenate(
-            [np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32) for t in texts]
-        ) if texts else np.empty(0, np.int32)
-        offs = np.concatenate(
-            ([0], np.cumsum([len(t.encode()) for t in texts]))
-        ).astype(np.int64)
+        raw = [t.encode() for t in batch[text_col].to_pylist()]
+        flat = (
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.uint8).astype(np.int32) for b in raw]
+            )
+            if raw
+            else np.empty(0, np.int32)
+        )
+        offs = np.concatenate(([0], np.cumsum([len(b) for b in raw]))).astype(
+            np.int64
+        )
         n_bytes = np.diff(offs)
         for l_, r_, nid in mlist:
             flat, offs = _apply_merge(flat, offs, l_, r_, nid)
