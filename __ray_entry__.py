@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": q.bpe_train_merges,
         "bpe_compression": q.bpe_compression,
         "refresh_dedup_cycle": q.refresh_dedup_cycle,
+        "user_value_p50_sketch": q.user_value_p50_sketch,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

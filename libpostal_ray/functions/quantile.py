@@ -246,3 +246,97 @@ def exact_global_quantile(ds, col: str, q: float) -> float:
         prefix = prefix | (np.uint64(b) << shift)
 
     return key_to_float(int(prefix))
+
+
+def grouped_sketch_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    k: int = K_DEFAULT,
+    partitions: int = 32,
+):
+    """Approximate per-GROUP quantiles via mergeable sketches — the
+    high-cardinality path the exact operator (priority_price_quantiles)
+    documents: exact grouped quantiles need each group's values
+    co-located, while this exchange carries one O(k log n) sketch per
+    (batch, group) regardless of group size.
+
+    Plan: per batch, one sketch per observed key (np.unique segments,
+    vectorized adds) -> key%P exchange of (key, sketch_bytes) ->
+    per-partition merge per key (Python cost = distinct keys per
+    partition, never rows; sketch merge is O(k log n)).  Output:
+    (key, n, q_... one float64 column per requested quantile), with the
+    module's rank-error guarantee per group."""
+    import pyarrow as pa
+
+    import ray.data  # noqa: F401  (ds is a Dataset)
+
+    qnames = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        ks, vs = keys[order], vals[order]
+        new_seg = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new_seg)
+        ends = np.concatenate((starts[1:], [ks.shape[0]]))
+        out_k, out_b = [], []
+        for s, e in zip(starts, ends):  # per observed KEY, not per row
+            sk = QuantileSketch(k=k).add(vs[s:e])
+            out_k.append(int(ks[s]))
+            out_b.append(sk.to_bytes())
+        return pa.table(
+            {
+                "k": pa.array(out_k, type=pa.int64()),
+                "sk": pa.array(out_b, type=pa.large_binary()),
+                "part": pa.array(
+                    np.asarray(out_k, dtype=np.int64) % partitions
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = {
+            "k": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+        }
+        for qn in qnames:
+            empty[qn] = pa.nulls(0, pa.float64())
+        if group.num_rows == 0 or "k" not in group.column_names:
+            return pa.table(empty)
+        keys = group["k"].to_numpy(zero_copy_only=False)
+        blobs = group["sk"].to_pylist()
+        order = np.argsort(keys, kind="stable")
+        out = {"k": [], "n": []}
+        for qn in qnames:
+            out[qn] = []
+        i = 0
+        idx = order
+        while i < idx.shape[0]:
+            j = i
+            sk = QuantileSketch.from_bytes(blobs[idx[i]])
+            while j + 1 < idx.shape[0] and keys[idx[j + 1]] == keys[idx[i]]:
+                j += 1
+                sk = sk.merge(QuantileSketch.from_bytes(blobs[idx[j]]))
+            res = sk.quantiles(qs)
+            out["k"].append(int(keys[idx[i]]))
+            out["n"].append(int(sk.total_weight))
+            for qn, v in zip(qnames, res):
+                out[qn].append(float(v))
+            i = j + 1
+        cols = {
+            "k": pa.array(out["k"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+        for qn in qnames:
+            cols[qn] = pa.array(out[qn], type=pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -1598,6 +1598,32 @@ def cosine_threshold_calibration(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def user_value_p50_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Approximate per-user median event value via mergeable quantile
+    sketches (functions/quantile.grouped_sketch_quantiles) — the
+    high-cardinality grouped-quantile path: the exchange ships one
+    O(k log n) sketch per (batch, user), never values.  Rows-only; the
+    sketch family's rank-error bound is pytest-checked, and groups
+    smaller than k are EXACT (no compaction ever triggers)."""
+    from libpostal_ray.functions.quantile import grouped_sketch_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sketch_quantiles(ev, "user_id", "value", [0.5])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["k"],
+                "n": batch["n"],
+                "p50_value": batch["q_0_5"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 REDACT_MASK_TERMS = ["spark", "window"]  # stand-in contamination list: the
                                          # synthetic corpus has no PII, so
                                          # the canary-mask family is what

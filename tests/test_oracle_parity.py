@@ -186,6 +186,7 @@ ROWS_ONLY = [
     "bpe_train_merges",
     "bpe_compression",
     "refresh_dedup_cycle",
+    "user_value_p50_sketch",
     "embedding_dups_bucketed",
     "semantic_dedup",
 ]

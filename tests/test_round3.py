@@ -2241,3 +2241,58 @@ class TestMediaResize:
                 assert row.width == orig_w[mid]
         with pytest.raises(NotImplementedError):
             MediaResizeStage()(t)
+
+
+class TestGroupedSketchQuantiles:
+    def test_small_groups_exact_and_blocking_independent(self, ray_session):
+        """Groups smaller than k never compact -> the sketch median IS the
+        exact quantile_disc median, under any block layout."""
+        import math
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.functions.quantile import grouped_sketch_quantiles
+
+        rng = np.random.RandomState(2)
+        keys = np.repeat(np.arange(20, dtype=np.int64), 30)
+        vals = rng.randn(600) * 100
+        t = pa.table({"u": pa.array(keys), "v": pa.array(vals)})
+        for ds in (ray.data.from_arrow(t), ray.data.from_arrow(t).repartition(7)):
+            out = (
+                grouped_sketch_quantiles(ds, "u", "v", [0.5])
+                .to_pandas()
+                .set_index("k")
+            )
+            for u in range(20):
+                g = np.sort(vals[keys == u])
+                exact = g[math.ceil(0.5 * g.shape[0]) - 1]
+                assert out.loc[u].q_0_5 == exact, u
+                assert out.loc[u].n == 30
+
+    def test_large_group_rank_error_bound(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from libpostal_ray.functions.quantile import grouped_sketch_quantiles
+
+        rng = np.random.RandomState(4)
+        n = 20000
+        vals = rng.randn(n)
+        t = pa.table(
+            {
+                "u": pa.array(np.zeros(n, dtype=np.int64)),
+                "v": pa.array(vals),
+            }
+        )
+        out = (
+            grouped_sketch_quantiles(
+                ray.data.from_arrow(t).repartition(9), "u", "v", [0.5], k=128
+            )
+            .to_pandas()
+            .iloc[0]
+        )
+        assert out.n == n
+        rank = (np.sort(vals) <= out.q_0_5).sum()
+        assert abs(rank - n // 2) <= 0.05 * n, rank
