@@ -239,6 +239,8 @@ def run_bench() -> dict:
     )
     timed("refresh_dedup_cycle", q.refresh_dedup_cycle)
     timed("media_frame_sample", q.media_frame_sample)
+    timed("user_value_p50_sketch", q.user_value_p50_sketch)
+    timed("cosine_threshold_calibration", q.cosine_threshold_calibration)
     timed(
         "ann_topk_ivf_sq8",
         lambda d: __import__("ray").data.from_pandas(q.ann_topk_ivf_sq8(d)),

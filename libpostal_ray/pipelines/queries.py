@@ -3626,7 +3626,8 @@ def priority_price_quantiles(sf_dir: str) -> ray.data.Dataset:
     element at index ceil(q*n)-1 of the sorted group (verified against
     DuckDB).  Exact quantiles need the group co-located — fine for a
     low-cardinality group-by key; the 100-TB path for high-cardinality
-    keys is a mergeable sketch (t-digest/KLL), not exact ranks."""
+    keys is the mergeable-sketch operator
+    (functions/quantile.grouped_sketch_quantiles, user_value_p50_sketch)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
