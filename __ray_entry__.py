@@ -38,57 +38,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from libpostal_ray.pipelines import queries as q
 
     return {
-        # oracle-checked (SQL-expressible)
-        "exact_dedup": q.exact_dedup,
-        "canonicalize_basic": q.canonicalize_basic,
-        "token_count": q.token_count,
-        "quality_stats": q.quality_stats,
-        "lang_count": q.lang_count,
-        "ngram_shingles": q.ngram_shingles,
-        "word_jaccard_pairs": q.word_jaccard_pairs,
-        "edit_distance_pairs": q.edit_distance_pairs,
-        "doc_token_positions": q.doc_token_positions,
-        "boilerplate_ngrams": q.boilerplate_ngrams,
-        "quality_filter": q.quality_filter,
-        "customer_order_ranks": q.customer_order_ranks,
-        "customer_order_frames": q.customer_order_frames,
-        "event_value_histogram": q.event_value_histogram,
-        "orders_by_month": q.orders_by_month,
-        "props_key_stats": q.props_key_stats,
-        "redact_docs": q.redact_docs,
-        "users_with_both": q.users_with_both,
-        "user_event_pivot": q.user_event_pivot,
-        "users_without": q.users_without,
-        "lineitem_agg": q.lineitem_agg,
-        "lineitem_q1_full": q.lineitem_q1_full,
-        "events_hourly": q.events_hourly,
-        "ann_topk": q.ann_topk,
-        "top_events_by_value": q.top_events_by_value,
-        "embedding_dups": q.embedding_dups,
-        "distinct_users": q.distinct_users,
-        "mktsegment_order_stats": q.mktsegment_order_stats,
-        "supplier_nation_agg": q.supplier_nation_agg,
-        "bpe_token_count": q.bpe_token_count,
-        "user_sessions": q.user_sessions,
-        "exact_copy_coclustering": q.exact_copy_coclustering,
-        "event_order_asof": q.event_order_asof,
-        "click_attribution": q.click_attribution,
-        "events_sliding": q.events_sliding,
-        "tfidf_top_terms": q.tfidf_top_terms,
-        "hash_sample": q.hash_sample,
-        "lang_top_docs": q.lang_top_docs,
-        "order_customer_nation": q.order_customer_nation,
-        "customers_without_orders": q.customers_without_orders,
-        "customers_without_orders_bloom": q.customers_without_orders_bloom,
-        "nation_customer_names": q.nation_customer_names,
-        "all_party_names": q.all_party_names,
-        "customers_with_big_order": q.customers_with_big_order,
-        "priority_price_quantiles": q.priority_price_quantiles,
-        "repetition_stats": q.repetition_stats,
-        "lineitem_rollup": q.lineitem_rollup,
-        "orders_cube": q.orders_cube,
-        "contamination_flags": q.contamination_flags,
-        "contamination_ngram": q.contamination_ngram,
+        # oracle-checked (SQL-expressible).
+        # ROTATION (round 4): the driver gate verifies the FIRST 50 oracle
+        # entries; rounds 1-3 verified the 50 oldest rows (CORRECTNESS_r03
+        # green 50/50).  The first block below holds the 30 rows that had
+        # never seen a driver check, so across rounds 3+4 every oracle row
+        # is driver-verified.  The second block re-runs a representative
+        # core of already-green rows; the third block is the remainder
+        # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
+        # --- block 1: rows never driver-checked before round 4 (30) ---
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
         "lineitem_unpivot": q.lineitem_unpivot,
@@ -119,6 +77,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_eval_prefix_vs_exact": q.dedup_eval_prefix_vs_exact,
         "attribution_pairs": q.attribution_pairs,
         "global_event_ranks": q.global_event_ranks,
+        # --- block 2: representative core, driver-green in r01-r03 (20) ---
+        "exact_dedup": q.exact_dedup,
+        "canonicalize_basic": q.canonicalize_basic,
+        "token_count": q.token_count,
+        "quality_stats": q.quality_stats,
+        "word_jaccard_pairs": q.word_jaccard_pairs,
+        "edit_distance_pairs": q.edit_distance_pairs,
+        "quality_filter": q.quality_filter,
+        "customer_order_ranks": q.customer_order_ranks,
+        "redact_docs": q.redact_docs,
+        "users_with_both": q.users_with_both,
+        "lineitem_q1_full": q.lineitem_q1_full,
+        "events_hourly": q.events_hourly,
+        "ann_topk": q.ann_topk,
+        "embedding_dups": q.embedding_dups,
+        "supplier_nation_agg": q.supplier_nation_agg,
+        "exact_copy_coclustering": q.exact_copy_coclustering,
+        "event_order_asof": q.event_order_asof,
+        "tfidf_top_terms": q.tfidf_top_terms,
+        "customers_without_orders_bloom": q.customers_without_orders_bloom,
+        "priority_price_quantiles": q.priority_price_quantiles,
+        # --- block 3: driver-green in r01-r03, past the 50-row gate (30) ---
+        "lang_count": q.lang_count,
+        "ngram_shingles": q.ngram_shingles,
+        "doc_token_positions": q.doc_token_positions,
+        "boilerplate_ngrams": q.boilerplate_ngrams,
+        "customer_order_frames": q.customer_order_frames,
+        "event_value_histogram": q.event_value_histogram,
+        "orders_by_month": q.orders_by_month,
+        "props_key_stats": q.props_key_stats,
+        "user_event_pivot": q.user_event_pivot,
+        "users_without": q.users_without,
+        "lineitem_agg": q.lineitem_agg,
+        "top_events_by_value": q.top_events_by_value,
+        "distinct_users": q.distinct_users,
+        "mktsegment_order_stats": q.mktsegment_order_stats,
+        "bpe_token_count": q.bpe_token_count,
+        "user_sessions": q.user_sessions,
+        "click_attribution": q.click_attribution,
+        "events_sliding": q.events_sliding,
+        "hash_sample": q.hash_sample,
+        "lang_top_docs": q.lang_top_docs,
+        "order_customer_nation": q.order_customer_nation,
+        "customers_without_orders": q.customers_without_orders,
+        "nation_customer_names": q.nation_customer_names,
+        "all_party_names": q.all_party_names,
+        "customers_with_big_order": q.customers_with_big_order,
+        "repetition_stats": q.repetition_stats,
+        "lineitem_rollup": q.lineitem_rollup,
+        "orders_cube": q.orders_cube,
+        "contamination_flags": q.contamination_flags,
+        "contamination_ngram": q.contamination_ngram,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "minhash_lsh_edges": q.minhash_lsh_edges,
