@@ -20,7 +20,11 @@ the next round's pair distribution):
     bounded by DISTINCT pairs, never corpus size).
   * merge application: greedy leftmost-non-overlapping replacement,
     vectorized (match run-length parity resolves aaa-style overlap
-    chains); one map_batches over the materialized token sequences.
+    chains).  Chosen merges accumulate in a PENDING list that the
+    counting pass replays in-kernel; the token dataset itself is only
+    re-materialized every BPE_REMAT_EVERY rounds (ceil(R/k)+1 total
+    materializations instead of R), and the list<int32> column is
+    rebuilt with ListArray.from_arrays — no per-row Python loop.
 
 BPE trainers are conventionally fit on a SAMPLE (the merge ranking
 stabilizes long before the full corpus is seen); ``sample_mod`` keeps
@@ -33,11 +37,51 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 PAIR_BASE = np.int64(1) << np.int64(21)  # pair key = left * 2^21 + right
+# Bake pending merges into the stored token dataset only every k rounds:
+# token-dataset materializations per training run = ceil(n_merges / k) + 1
+# (the counting pass re-applies the <= k un-baked merges in-kernel, which
+# is a handful of vectorized passes — far cheaper than a materialize).
+BPE_REMAT_EVERY = 8
+
+
+def _utf8_tokens(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int32 byte-token array, int64 offsets) of a string column.
+    NULL rows tokenize as empty — the same convention as diff.py's
+    _digest_halves (null == empty string), applied consistently here.
+    Fully vectorized: one buffer walk, no per-row encode loop."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    if not chunks:
+        return np.empty(0, np.int32), np.zeros(1, np.int64)
+    # concat_arrays compacts sliced inputs (offset rebased, buffer trimmed)
+    arr = pa.concat_arrays([c.cast(pa.large_string()) for c in chunks])
+    if arr.null_count:
+        arr = pa.concat_arrays([pc.fill_null(arr, "")])
+    n = len(arr)
+    buf = arr.buffers()
+    off = np.frombuffer(
+        buf[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8
+    ).astype(np.int64)
+    data = (
+        np.frombuffer(buf[2], dtype=np.uint8)
+        if buf[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    flat = data[off[0] : off[-1]].astype(np.int32)
+    return flat, off - off[0]
+
+
+def _list_col(flat: np.ndarray, offs: np.ndarray) -> pa.ListArray:
+    """list<int32> column from (flat, offsets) — vectorized, no tolist."""
+    return pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32), type=pa.int32()),
+        pa.array(flat.astype(np.int32), type=pa.int32()),
+    )
 
 
 def _flat_tokens(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -119,17 +163,8 @@ def train_bpe(
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = ids % sample_mod == 0
         sub = batch.filter(pa.array(keep))
-        toks = [
-            np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int32)
-            for t in sub[text_col].to_pylist()
-        ]
-        return pa.table(
-            {
-                "tokens": pa.array(
-                    [t.tolist() for t in toks], type=pa.list_(pa.int32())
-                )
-            }
-        )
+        flat, offs = _utf8_tokens(sub[text_col])
+        return pa.table({"tokens": _list_col(flat, offs)})
 
     tokens = ds.map_batches(to_tokens, batch_format="pyarrow").materialize()
 
@@ -152,10 +187,18 @@ def train_bpe(
         return u, tot
 
     merges: list[tuple[int, int, int, int, int]] = []
+    # merges chosen but not yet baked into the stored token dataset; the
+    # counting pass replays them in-kernel (<= BPE_REMAT_EVERY vectorized
+    # passes per batch) so the dataset re-materializes only every k rounds
+    pending: list[tuple[int, int, int]] = []
     next_id = 256
     for rank in range(n_merges):
-        def partial(batch: pa.Table) -> pa.Table:
+        pend = list(pending)
+
+        def partial(batch: pa.Table, _pend=pend) -> pa.Table:
             flat, offs = _flat_tokens(batch, "tokens")
+            for pl, pr, pn in _pend:
+                flat, offs = _apply_merge(flat, offs, pl, pr, pn)
             u, c = _pair_counts(flat, offs)
             return pa.table({"k": pa.array(u), "c": pa.array(c)})
 
@@ -169,20 +212,22 @@ def train_bpe(
         bk = int(cand.min())
         left, right = bk // int(PAIR_BASE), bk % int(PAIR_BASE)
         merges.append((rank, left, right, next_id, int(best_count)))
-
-        l_, r_, nid = left, right, next_id
-
-        def apply(batch: pa.Table) -> pa.Table:
-            flat, offs = _flat_tokens(batch, "tokens")
-            nf, no = _apply_merge(flat, offs, l_, r_, nid)
-            lens = np.diff(no)
-            out = [
-                nf[no[i] : no[i + 1]].tolist() for i in range(lens.shape[0])
-            ]
-            return pa.table({"tokens": pa.array(out, type=pa.list_(pa.int32()))})
-
-        tokens = tokens.map_batches(apply, batch_format="pyarrow").materialize()
+        pending.append((left, right, next_id))
         next_id += 1
+
+        if len(pending) >= BPE_REMAT_EVERY:
+            bake = list(pending)
+
+            def apply_all(batch: pa.Table, _bake=bake) -> pa.Table:
+                flat, offs = _flat_tokens(batch, "tokens")
+                for pl, pr, pn in _bake:
+                    flat, offs = _apply_merge(flat, offs, pl, pr, pn)
+                return pa.table({"tokens": _list_col(flat, offs)})
+
+            tokens = tokens.map_batches(
+                apply_all, batch_format="pyarrow"
+            ).materialize()
+            pending = []
 
     return pa.table(
         {
@@ -216,17 +261,7 @@ def bpe_encode_counts(
 
     def encode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        raw = [t.encode() for t in batch[text_col].to_pylist()]
-        flat = (
-            np.concatenate(
-                [np.frombuffer(b, dtype=np.uint8).astype(np.int32) for b in raw]
-            )
-            if raw
-            else np.empty(0, np.int32)
-        )
-        offs = np.concatenate(([0], np.cumsum([len(b) for b in raw]))).astype(
-            np.int64
-        )
+        flat, offs = _utf8_tokens(batch[text_col])  # NULL -> empty, like diff
         n_bytes = np.diff(offs)
         for l_, r_, nid in mlist:
             flat, offs = _apply_merge(flat, offs, l_, r_, nid)

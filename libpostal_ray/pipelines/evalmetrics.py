@@ -77,8 +77,12 @@ def pairs_by_key(
         for s, ln in zip(starts, lens):  # per BLOCK, not per row
             if ln < 2:
                 continue
-            ids = isrt[s : s + min(ln, group_cap)]
-            n = ids.shape[0]
+            seg = isrt[s : s + ln]  # sorted by id within the block
+            seg = seg[np.concatenate(([True], seg[1:] != seg[:-1]))]
+            ids = seg[:group_cap]  # dedup BEFORE the cap: no (x,x) or
+            n = ids.shape[0]  # duplicate pairs from repeated ids
+            if n < 2:
+                continue
             iu = np.triu_indices(n, k=1)
             a_out.append(ids[iu[0]])
             b_out.append(ids[iu[1]])
@@ -112,8 +116,15 @@ def pair_set_metrics(
         def fn(batch: pa.Table) -> pa.Table:
             a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
             b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            if a.size and (a.max() >= _ID_LIMIT or b.max() >= _ID_LIMIT):
-                raise ValueError("pair ids must be < 2^31 for the composite key")
+            if a.size and (
+                a.max() >= _ID_LIMIT
+                or b.max() >= _ID_LIMIT
+                or a.min() < 0
+                or b.min() < 0
+            ):
+                raise ValueError(
+                    "pair ids must be in [0, 2^31) for the composite key"
+                )
             key = np.unique(a * _ID_LIMIT + b)
             return pa.table(
                 {

@@ -49,10 +49,13 @@ ALPHABET = 256
 
 def _doc_byte_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """(flat uint8 buffer, int64 offsets) over all rows of a string column."""
-    arr = (
-        pa.concat_arrays([c.cast(pa.large_string()) for c in col.chunks])
+    # concat_arrays compacts (offset rebased to 0, data buffer trimmed) —
+    # required for SLICED inputs whose absolute offsets would otherwise
+    # index bytes before the slice in the rolling-window scan below.
+    arr = pa.concat_arrays(
+        [c.cast(pa.large_string()) for c in col.chunks]
         if isinstance(col, pa.ChunkedArray)
-        else col.cast(pa.large_string())
+        else [col.cast(pa.large_string())]
     )
     n = len(arr)
     buf = arr.buffers()

@@ -197,18 +197,24 @@ def column_profile(
         d = group["d"].to_numpy(zero_copy_only=False)
         e = group["e"].to_numpy(zero_copy_only=False)
         s = kind == 0
+        n_rows = int(a[s].sum())
+        n_null = int(b[s].sum())
+        min_len = int(c[s].min()) if s.any() else 0
+        max_len = int(d[s].max()) if s.any() else 0
+        if n_rows == n_null:
+            # every value null: no batch contributed a real length, so the
+            # empty-batch sentinels (int64 max / -1) would leak through.
+            # Clamp to 0 (SQL's min(length)/max(length) would be NULL).
+            min_len = 0
+            max_len = 0
         return pa.table(
             {
                 "column": pa.array([group["column"][0].as_py()], type=pa.string()),
-                "n_rows": pa.array([int(a[s].sum())], type=pa.int64()),
-                "n_null": pa.array([int(b[s].sum())], type=pa.int64()),
+                "n_rows": pa.array([n_rows], type=pa.int64()),
+                "n_null": pa.array([n_null], type=pa.int64()),
                 "n_distinct": pa.array([int(a[~s].sum())], type=pa.int64()),
-                "min_len": pa.array(
-                    [int(c[s].min()) if s.any() else 0], type=pa.int64()
-                ),
-                "max_len": pa.array(
-                    [int(d[s].max()) if s.any() else 0], type=pa.int64()
-                ),
+                "min_len": pa.array([min_len], type=pa.int64()),
+                "max_len": pa.array([max_len], type=pa.int64()),
                 "sum_len": pa.array([int(e[s].sum())], type=pa.int64()),
             }
         )

@@ -756,7 +756,9 @@ def interval_join_pairs(
         pkr = np.searchsorted(uk, pk).astype(np.int64)
         ikr = np.searchsorted(uk, ik).astype(np.int64)
         enc = pkr * span + np.searchsorted(ut, pt).astype(np.int64)
-        po = np.argsort(enc, kind="stable")
+        # lexsort by (enc, point_id): ties at identical (key, ts) order by
+        # id, so per_interval_cap truncation is input-order-independent
+        po = np.lexsort((pid, enc))
         enc_s, pt_s, pid_s = enc[po], pt[po], pid[po]
         lo = np.searchsorted(
             enc_s,
