@@ -4417,13 +4417,15 @@ def tpch_q5_local_revenue(
             l_nat[local].astype(np.int64), l_cents[local].astype(np.int64)
         )
 
-    # plan probe: limit().count() streams with early stop — a huge
-    # filtered-orders stream never materializes just to learn it exceeds
-    # the broadcast budget
-    if broadcast_max and (
-        orders.limit(broadcast_max + 1).count() <= broadcast_max
-    ):
-        order_pairs = orders.map_batches(
+    # plan probe, ONE read: materialize limit(max+1) (early-stop streaming
+    # pins at most one extra block of a huge filtered-orders stream), count
+    # from block metadata, and reuse the untruncated probe as the broadcast
+    # input instead of re-executing the orders read
+    probe = (
+        orders.limit(broadcast_max + 1).materialize() if broadcast_max else None
+    )
+    if probe is not None and probe.count() <= broadcast_max:
+        order_pairs = probe.map_batches(
             order_side, batch_format="pyarrow"
         ).materialize()
 

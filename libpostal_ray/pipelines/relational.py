@@ -127,14 +127,15 @@ def asof_join(
     if clash:
         raise ValueError(f"payload column collision: {sorted(clash)}")
     if broadcast_max:
-        # bounded plan probe: limit().count() streams with early stop, so a
-        # both-sides-huge right never gets pinned in the object store just
-        # to learn it exceeds the budget; only a small side (which the
-        # broadcast build consumes anyway) is materialized
-        if right.limit(broadcast_max + 1).count() <= broadcast_max:
-            right = right.materialize()
+        # bounded plan probe, ONE read: materialize limit(max+1) (early-stop
+        # streaming pins at most one extra block of a huge right), count from
+        # block metadata (free), and when the limit did NOT truncate the
+        # probe IS the whole right side — reuse it for the broadcast build
+        # instead of re-executing the right-side read
+        probe = right.limit(broadcast_max + 1).materialize()
+        if probe.count() <= broadcast_max:
             return _asof_broadcast(
-                left, right, lk=lk, rk=rk, lt=lt, rt=rt,
+                left, probe, lk=lk, rk=rk, lt=lt, rt=rt,
                 tie_break=tie_break, how=how, rs=rs, lpay=lpay, rpay=rpay,
             )
     P = num_partitions
@@ -432,12 +433,13 @@ def interval_count_join(
     ischema = intervals.schema().base_schema
     ipay = [n for n in ischema.names if n != interval_key and n != interval_ts]
     if broadcast_max:
-        # bounded plan probe (see asof_join): never pin a huge point stream
-        # just to discover it exceeds the broadcast budget
-        if points.limit(broadcast_max + 1).count() <= broadcast_max:
-            points = points.materialize()
+        # bounded plan probe, ONE read (see asof_join): the materialized
+        # limit(max+1) probe doubles as the broadcast input when it did
+        # not truncate
+        probe = points.limit(broadcast_max + 1).materialize()
+        if probe.count() <= broadcast_max:
             return _interval_broadcast(
-                points, intervals,
+                probe, intervals,
                 point_key=point_key, point_ts=point_ts,
                 interval_key=interval_key, interval_ts=interval_ts,
                 window_us=window_us, closed=closed,
