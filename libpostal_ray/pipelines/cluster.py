@@ -505,6 +505,30 @@ def assign_clusters_ref(docs: ray.data.Dataset, labels_ref) -> ray.data.Dataset:
     return docs.map_batches(lookup, batch_format="pyarrow")
 
 
+@ray.remote
+def _build_label_state(*blocks) -> dict:
+    """Sort the (doc_id, cluster_id) label table for searchsorted lookup in
+    a worker, not the driver (the _build_sig_state discipline).  Empty
+    blocks may arrive schema-less (zero-row datasets lose their schema)."""
+    import numpy as np
+
+    parts = [
+        b.select(["doc_id", "cluster_id"])
+        for b in blocks
+        if b.num_rows > 0 and "doc_id" in b.column_names
+    ]
+    if not parts:
+        return {
+            "node": np.empty(0, dtype=np.int64),
+            "lab": np.empty(0, dtype=np.int64),
+        }
+    t = pa.concat_tables(parts)
+    node = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(node, kind="stable")
+    return {"node": node[order], "lab": lab[order]}
+
+
 def assign_clusters(
     docs: ray.data.Dataset,
     labels: ray.data.Dataset,
@@ -519,17 +543,11 @@ def assign_clusters(
     broadcast fall back to the hash-partitioned left join."""
     labels = labels.materialize()
     if labels.count() <= ASSIGN_BROADCAST_MAX:
-        import pyarrow.compute as _pc
-
-        tbl = pa.concat_tables(
-            [b for b in labels.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
-        ) if labels.count() else pa.table(
-            {"doc_id": pa.array([], type=pa.int64()), "cluster_id": pa.array([], type=pa.int64())}
-        )
-        node = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = tbl["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(node, kind="stable")
-        ref = ray.put({"node": node[order], "lab": lab[order]})
+        # the label table (up to ASSIGN_BROADCAST_MAX rows, ~320 MB at the
+        # cap) sorts in a REMOTE task over the label block refs — the same
+        # off-driver build discipline as _build_sig_state; the driver never
+        # concatenates it
+        ref = _build_label_state.remote(*labels.to_arrow_refs())
 
         def lookup(batch: pa.Table) -> pa.Table:
             state = ray.get(ref)

@@ -1328,15 +1328,17 @@ def refine_review_edges(
         sub = batch.filter(pc.equal(batch["status"], STATUS_NEEDS_REVIEW))
         return pa.table({"src": sub["src"], "dst": sub["dst"]})
 
-    review_tbl = pa.concat_tables(
-        [
-            b
-            for b in edges.map_batches(review_only, batch_format="pyarrow")
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        ]
-        or [pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64())})]
+    # gather + cap the review pairs in a WORKER task: the driver receives
+    # only the total count and the (<= 2 * review_pair_cap) affected doc
+    # ids — never the pair table itself (the concat was the last
+    # unbounded driver-side collection, VERDICT r3)
+    review_blocks = edges.map_batches(
+        review_only, batch_format="pyarrow"
+    ).materialize()
+    n_review, needed_ids = ray.get(
+        _review_pairs_task.remote(cfg.review_pair_cap, *review_blocks.to_arrow_refs())
     )
-    if review_tbl.num_rows == 0:
+    if n_review == 0:
         def add_col(batch: pa.Table) -> pa.Table:
             out = batch.append_column(
                 "exact_jaccard",
@@ -1349,31 +1351,18 @@ def refine_review_edges(
 
         return edges.map_batches(add_col, batch_format="pyarrow")
 
-    # BOUND the review tier (a skewed corpus could otherwise make the
-    # broadcast state arbitrarily large): beyond review_pair_cap, the pairs
-    # with smallest (src, dst) are scored and the rest stay NEEDS_REVIEW —
-    # logged, never silent.
-    if review_tbl.num_rows > cfg.review_pair_cap:
+    if n_review > cfg.review_pair_cap:
         import logging
 
         logging.getLogger(__name__).warning(
             "refine_review_edges: %d review pairs exceed review_pair_cap=%d; "
             "scoring the first %d by (src, dst) order, the rest stay "
             "NEEDS_REVIEW",
-            review_tbl.num_rows,
+            n_review,
             cfg.review_pair_cap,
             cfg.review_pair_cap,
         )
-        srt = np.lexsort(
-            (
-                review_tbl["dst"].to_numpy(zero_copy_only=False),
-                review_tbl["src"].to_numpy(zero_copy_only=False),
-            )
-        )[: cfg.review_pair_cap]
-        review_tbl = review_tbl.take(pa.array(np.sort(srt)))
-
-    needed = set(review_tbl["src"].to_pylist()) | set(review_tbl["dst"].to_pylist())
-    needed_arr = pa.array(sorted(needed), type=pa.int64())
+    needed_arr = pa.array(needed_ids, type=pa.int64())
 
     def fetch_content(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["doc_id"], value_set=needed_arr)
@@ -1435,6 +1424,29 @@ def refine_review_edges(
         return out.append_column("fuzzy_sim", pa.array(fz, type=pa.float64()))
 
     return edges.map_batches(refine, batch_format="pyarrow")
+
+
+@ray.remote(num_returns=2)
+def _review_pairs_task(cap: int, *blocks: pa.Table):
+    """Gather the NEEDS_REVIEW (src, dst) pairs in a worker, apply the
+    review_pair_cap (smallest (src, dst) first — deterministic), and return
+    (total_pair_count, sorted unique affected doc ids).  The driver sees
+    only the bounded id array (<= 2 * cap), never the pair table."""
+    import numpy as np
+
+    parts = [
+        b for b in blocks if b.num_rows > 0 and "src" in b.column_names
+    ]
+    if not parts:
+        return 0, np.empty(0, dtype=np.int64)
+    tbl = pa.concat_tables(parts)
+    total = tbl.num_rows
+    src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if total > cap:
+        keep = np.lexsort((dst, src))[:cap]
+        src, dst = src[keep], dst[keep]
+    return total, np.unique(np.concatenate((src, dst)))
 
 
 @ray.remote
