@@ -95,6 +95,24 @@ class PipelineConfig:
                                     # meets "SCHMIDT" pri XMT).  "soundex":
                                     # single classic Soundex code — cheaper,
                                     # coarser
+    acronym_keys: bool = False      # acronym blocking for SHORT rows
+                                    # (near_dupe.c:416-559 key family):
+                                    # multi-token rows emit first-letter
+                                    # band keys (with + without stopwords);
+                                    # single-token rows emit their own token
+                                    # in the same key space, so
+                                    # "international business machines"
+                                    # meets "ibm".  Pairs verify at
+                                    # NEEDS_REVIEW; the refine tier's
+                                    # acronym_alignment check decides
+    acronym_max_tokens: int = 12    # rows with more word tokens (or longer
+                                    # single tokens) emit no acronym key —
+                                    # long acronyms never match real tokens
+                                    # and single-letter buckets are noise
+    acronym_max_chars: int = 64     # acronym keys use their OWN length
+                                    # gate (a spelled-out multi-token name
+                                    # is usually longer than the short-row
+                                    # cutoff that routes SimHash/phonetic)
 
     # --- verification thresholds (dedupe.c status lattice analog,
     #     libpostal.h:218-224 EXACT=9/LIKELY=6/NEEDS_REVIEW=3) ---

@@ -250,6 +250,8 @@ def checkpointed_signatures(
             ("simhash", pa.int64()),
             ("phonetic", pa.int64()),
             ("phonetic2", pa.int64()),
+            ("acronym", pa.int64()),
+            ("acronym2", pa.int64()),
             ("exp4", pa.list_(pa.int64(), 4)),
             ("band_keys", pa.list_(pa.int64())),
         ]
@@ -719,7 +721,8 @@ def _build_sig_state(*blocks) -> dict:
     parts = [
         b.select(
             ["doc_id", "sha256", "minhash8", "simhash", "is_short",
-             "n_shingles", "phonetic", "phonetic2", "exp4"]
+             "n_shingles", "phonetic", "phonetic2", "acronym",
+             "acronym2", "exp4"]
         )
         for b in blocks
         if b.num_rows > 0
@@ -734,6 +737,8 @@ def _build_sig_state(*blocks) -> dict:
             "nsh": np.empty(0, dtype=np.int64),
             "ph": np.empty(0, dtype=np.int64),
             "ph2": np.empty(0, dtype=np.int64),
+            "ac": np.empty(0, dtype=np.int64),
+            "ac2": np.empty(0, dtype=np.int64),
             "exp": np.empty((0, 4), dtype=np.int64),
         }
     t = pa.concat_tables(parts)
@@ -753,12 +758,15 @@ def _build_sig_state(*blocks) -> dict:
     nsh = t["n_shingles"].to_numpy(zero_copy_only=False).astype("int64")[order]
     ph = t["phonetic"].to_numpy(zero_copy_only=False).astype("int64")[order]
     ph2 = t["phonetic2"].to_numpy(zero_copy_only=False).astype("int64")[order]
+    ac = t["acronym"].to_numpy(zero_copy_only=False).astype("int64")[order]
+    ac2 = t["acronym2"].to_numpy(zero_copy_only=False).astype("int64")[order]
     e4 = t["exp4"]
     if isinstance(e4, pa.ChunkedArray):
         e4 = e4.combine_chunks()
     exp = e4.flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
     return {"ids": ids, "sha": sha, "mh": mh, "sim": sim, "short": short,
-            "nsh": nsh, "ph": ph, "ph2": ph2, "exp": exp}
+            "nsh": nsh, "ph": ph, "ph2": ph2, "ac": ac, "ac2": ac2,
+            "exp": exp}
 
 
 def _sig_state_refs(sigs: ray.data.Dataset, n_shards: int | None = None) -> list:
@@ -790,6 +798,8 @@ def _state_gather(states: list, ids) -> tuple:
     nsh = np.zeros(n, dtype=np.int64)
     ph = np.zeros(n, dtype=np.int64)
     ph2 = np.zeros(n, dtype=np.int64)
+    ac = np.zeros(n, dtype=np.int64)
+    ac2 = np.zeros(n, dtype=np.int64)
     exp = np.zeros((n, 4), dtype=np.int64)
     found = np.zeros(n, dtype=bool)
     for st in states:
@@ -809,9 +819,11 @@ def _state_gather(states: list, ids) -> tuple:
         nsh[hit] = st["nsh"][p]
         ph[hit] = st["ph"][p]
         ph2[hit] = st["ph2"][p]
+        ac[hit] = st["ac"][p]
+        ac2[hit] = st["ac2"][p]
         exp[hit] = st["exp"][p]
         found |= hit
-    return mh, sha, sim, short, nsh, ph, ph2, exp
+    return mh, sha, sim, short, nsh, ph, ph2, ac, ac2, exp
 
 
 def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) -> pa.Table:
@@ -821,8 +833,10 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
 
     from libpostal_ray.stages.verify import EDGE_SCHEMA, verify_pair_statuses
 
-    mh_a, sha_a, sim_a, short_a, nsh_a, ph_a, ph2_a, exp_a = _state_gather(states, src)
-    mh_b, sha_b, sim_b, short_b, nsh_b, ph_b, ph2_b, exp_b = _state_gather(states, dst)
+    (mh_a, sha_a, sim_a, short_a, nsh_a, ph_a, ph2_a, ac_a, ac2_a,
+     exp_a) = _state_gather(states, src)
+    (mh_b, sha_b, sim_b, short_b, nsh_b, ph_b, ph2_b, ac_b, ac2_b,
+     exp_b) = _state_gather(states, dst)
     # every pair endpoint comes from the signature table by construction
     raw = (mh_a == mh_b).mean(axis=1)
     exact = sha_a == sha_b
@@ -834,7 +848,8 @@ def _verify_against_state(src, dst, trunc, states: list, cfg: PipelineConfig) ->
     status, est = verify_pair_statuses(
         exact, raw, both_short, ham, cfg,
         nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b,
-        ph2_a=ph2_a, ph2_b=ph2_b, exp_a=exp_a, exp_b=exp_b,
+        ph2_a=ph2_a, ph2_b=ph2_b, ac_a=ac_a, ac_b=ac_b,
+        ac2_a=ac2_a, ac2_b=ac2_b, exp_a=exp_a, exp_b=exp_b,
     )
     keep = status > 0
     return pa.table(
@@ -916,13 +931,16 @@ def _verify_pairs_join(
                 f"nsh{suffix}": batch["n_shingles"],
                 f"ph{suffix}": batch["phonetic"],
                 f"ph2{suffix}": batch["phonetic2"],
+                f"ac{suffix}": batch["acronym"],
+                f"ac2{suffix}": batch["acronym2"],
                 f"exp{suffix}": exp_bin,
             }
         )
 
     slim = sigs.select_columns(
         ["doc_id", "sha256", "minhash8", "simhash", "is_short",
-         "n_shingles", "phonetic", "phonetic2", "exp4"]
+         "n_shingles", "phonetic", "phonetic2", "acronym", "acronym2",
+         "exp4"]
     )
     side_a = slim.map_batches(lambda b: pack(b, "_a"), batch_format="pyarrow")
     side_b = slim.map_batches(lambda b: pack(b, "_b"), batch_format="pyarrow")
@@ -955,6 +973,10 @@ def _verify_pairs_join(
         ph_b = batch["ph_b"].to_numpy(zero_copy_only=False).astype("int64")
         ph2_a = batch["ph2_a"].to_numpy(zero_copy_only=False).astype("int64")
         ph2_b = batch["ph2_b"].to_numpy(zero_copy_only=False).astype("int64")
+        ac_a = batch["ac_a"].to_numpy(zero_copy_only=False).astype("int64")
+        ac_b = batch["ac_b"].to_numpy(zero_copy_only=False).astype("int64")
+        ac2_a = batch["ac2_a"].to_numpy(zero_copy_only=False).astype("int64")
+        ac2_b = batch["ac2_b"].to_numpy(zero_copy_only=False).astype("int64")
         exp_a = np.frombuffer(
             b"".join(batch["exp_a"].to_pylist()), dtype=np.int64
         ).reshape(-1, 4)
@@ -964,7 +986,8 @@ def _verify_pairs_join(
         status, est = verify_pair_statuses(
             exact, raw, both_short, ham, cfg,
             nsh_a=nsh_a, nsh_b=nsh_b, ph_a=ph_a, ph_b=ph_b,
-            ph2_a=ph2_a, ph2_b=ph2_b, exp_a=exp_a, exp_b=exp_b,
+            ph2_a=ph2_a, ph2_b=ph2_b, ac_a=ac_a, ac_b=ac_b,
+            ac2_a=ac2_a, ac2_b=ac2_b, exp_a=exp_a, exp_b=exp_b,
         )
         keep = status > 0
         return pa.table(
@@ -1313,6 +1336,7 @@ def refine_review_edges(
 
     from libpostal_ray.functions.canonicalize import canonicalize_one, compile_rules
     from libpostal_ray.functions.similarity import (
+        acronym_alignment,
         dl_similarity,
         exact_jaccard,
         jaro_winkler,
@@ -1412,6 +1436,14 @@ def refine_review_edges(
                 sim = max(sim, dl_similarity(ta, tb))
             if sim < cfg.fuzzy_sim_likely:
                 sim = max(sim, soft_token_similarity(ta, tb, idf_use))
+            if (
+                sim < cfg.fuzzy_sim_likely
+                and cfg.acronym_keys
+                and acronym_alignment(ta, tb)
+            ):
+                # acronym-blocked pair whose one side IS the acronym of
+                # the other's tokens: the reference's likely_dupe verdict
+                sim = cfg.fuzzy_sim_likely
             fz[i] = sim
             if sim >= cfg.fuzzy_sim_likely:
                 status[i] = STATUS_LIKELY

@@ -45,6 +45,8 @@ def explode_band_keys(batch: pa.Table) -> pa.Table:
             "simhash": batch["simhash"].take(idx_arr),
             "phonetic": batch["phonetic"].take(idx_arr),
             "phonetic2": batch["phonetic2"].take(idx_arr),
+            "acronym": batch["acronym"].take(idx_arr),
+            "acronym2": batch["acronym2"].take(idx_arr),
         }
     )
 

@@ -35,6 +35,8 @@ SIGNATURE_COLUMNS = [
     "simhash",
     "phonetic",
     "phonetic2",
+    "acronym",
+    "acronym2",
     "exp4",
     "band_keys",
 ]
@@ -183,6 +185,23 @@ class SignatureStage:
                 col.take(pa.array(rows_sh)).to_pylist(), cfg.phonetic_algo
             )
 
+        # acronym keys (config-gated; near_dupe.c:416-559 family): SIGNED
+        # row keys — negative marks the single-token self form; band keys
+        # emit the absolute value (see functions/acronym.py).  Eligibility
+        # uses its OWN length gate (acronym_max_chars): a spelled-out
+        # multi-token name is usually longer than the short-row cutoff.
+        acr = np.zeros(n, dtype=np.int64)
+        acr2 = np.zeros(n, dtype=np.int64)
+        if cfg.acronym_keys:
+            rows_ac_elig = np.flatnonzero(char_len <= cfg.acronym_max_chars)
+            if rows_ac_elig.size:
+                from libpostal_ray.functions.acronym import acronym_key_arrays
+
+                acr[rows_ac_elig], acr2[rows_ac_elig] = acronym_key_arrays(
+                    col.take(pa.array(rows_ac_elig)).to_pylist(),
+                    cfg.acronym_max_tokens,
+                )
+
         # multi-form expansion keys for short rows (config-gated;
         # expand_address parity, expand.c:1453-1553): one band key per
         # alternative form of the canonical text, identity form included —
@@ -229,11 +248,15 @@ class SignatureStage:
         # assemble the band_keys list column without per-row Python lists
         has_ph = ph != 0
         has_ph2 = ph2 != 0
+        has_ac = acr != 0
+        has_ac2 = acr2 != 0
         nkeys = (
             emit_mh.astype(np.int64) * cfg.bands
             + emit_sh.astype(np.int64) * cfg.simhash_chunks
             + has_ph.astype(np.int64)
             + has_ph2.astype(np.int64)
+            + has_ac.astype(np.int64)
+            + has_ac2.astype(np.int64)
             + exp_counts
         )
         koff = np.zeros(n + 1, dtype=np.int64)
@@ -267,6 +290,29 @@ class SignatureStage:
                 + has_ph[rows_ph2]
             )
             vals[base2] = ph2[rows_ph2]
+        rows_ac = np.flatnonzero(has_ac)
+        if rows_ac.size:
+            # acronym key slot: ABSOLUTE value (band keys must be >= 0;
+            # the sign only travels in the acronym column for verify)
+            base_ac = (
+                koff[rows_ac]
+                + emit_mh[rows_ac] * cfg.bands
+                + emit_sh[rows_ac] * cfg.simhash_chunks
+                + has_ph[rows_ac]
+                + has_ph2[rows_ac]
+            )
+            vals[base_ac] = np.abs(acr[rows_ac])
+        rows_ac2 = np.flatnonzero(has_ac2)
+        if rows_ac2.size:
+            base_ac2 = (
+                koff[rows_ac2]
+                + emit_mh[rows_ac2] * cfg.bands
+                + emit_sh[rows_ac2] * cfg.simhash_chunks
+                + has_ph[rows_ac2]
+                + has_ph2[rows_ac2]
+                + has_ac[rows_ac2]
+            )
+            vals[base_ac2] = np.abs(acr2[rows_ac2])
         rows_ex = np.flatnonzero(exp_counts > 0)
         if rows_ex.size:
             # expansion-form key slots fill the tail of each row's range
@@ -278,6 +324,8 @@ class SignatureStage:
                 + emit_sh[rows_ex] * cfg.simhash_chunks
                 + has_ph[rows_ex]
                 + has_ph2[rows_ex]
+                + has_ac[rows_ex]
+                + has_ac2[rows_ex]
             )
             eoff = np.zeros(rows_ex.shape[0] + 1, dtype=np.int64)
             np.cumsum(cnts, out=eoff[1:])
@@ -329,6 +377,8 @@ class SignatureStage:
             "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
             "phonetic": pa.array(ph, type=pa.int64()),
             "phonetic2": pa.array(ph2, type=pa.int64()),
+            "acronym": pa.array(acr, type=pa.int64()),
+            "acronym2": pa.array(acr2, type=pa.int64()),
             # first 4 expansion-form hashes (0-padded): the verify stage's
             # expansions_intersect evidence.  Fixed width keeps the
             # broadcast state flat and the join payload packable.

@@ -196,6 +196,8 @@ def _edges_from_pairs(
     nsh: np.ndarray | None = None,
     ph: np.ndarray | None = None,
     ph2: np.ndarray | None = None,
+    ac: np.ndarray | None = None,
+    ac2: np.ndarray | None = None,
     exp4: np.ndarray | None = None,
 ) -> pa.Table:
     """Verify candidate index pairs (li, ri) and emit edge rows.
@@ -231,6 +233,10 @@ def _edges_from_pairs(
         ph_b=ph[ri] if ph is not None else None,
         ph2_a=ph2[li] if ph2 is not None else None,
         ph2_b=ph2[ri] if ph2 is not None else None,
+        ac_a=ac[li] if ac is not None else None,
+        ac_b=ac[ri] if ac is not None else None,
+        ac2_a=ac2[li] if ac2 is not None else None,
+        ac2_b=ac2[ri] if ac2 is not None else None,
         exp_a=exp4[li] if exp4 is not None else None,
         exp_b=exp4[ri] if exp4 is not None else None,
     )
@@ -319,6 +325,16 @@ class VerifyPartition:
             if "phonetic2" in group.column_names
             else None
         )
+        ac = (
+            group["acronym"].take(take).to_numpy(zero_copy_only=False).astype(np.int64)
+            if "acronym" in group.column_names
+            else None
+        )
+        ac2 = (
+            group["acronym2"].take(take).to_numpy(zero_copy_only=False).astype(np.int64)
+            if "acronym2" in group.column_names
+            else None
+        )
         exp4 = None
         if "exp4" in group.column_names:
             e4 = group["exp4"].take(take)
@@ -327,7 +343,7 @@ class VerifyPartition:
             exp4 = e4.flatten().to_numpy(zero_copy_only=False).reshape(n, 4)
         edges = _edges_from_pairs(
             ids_s, sha, sigs, sims, short, li, ri, cfg, truncated_any, nsh=nsh, ph=ph,
-            ph2=ph2, exp4=exp4,
+            ph2=ph2, ac=ac, ac2=ac2, exp4=exp4,
         )
         if edges.num_rows == 0:
             return edges
@@ -423,6 +439,10 @@ def verify_pair_statuses(
     ph_b: np.ndarray | None = None,
     ph2_a: np.ndarray | None = None,
     ph2_b: np.ndarray | None = None,
+    ac_a: np.ndarray | None = None,
+    ac_b: np.ndarray | None = None,
+    ac2_a: np.ndarray | None = None,
+    ac2_b: np.ndarray | None = None,
     exp_a: np.ndarray | None = None,
     exp_b: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -474,6 +494,26 @@ def verify_pair_statuses(
         status = np.maximum(
             status,
             np.where(ph_match, STATUS_NEEDS_REVIEW, 0).astype(np.int8),
+        )
+    if cfg.acronym_keys and ac_a is not None and ac_b is not None:
+        # acronym key family (near_dupe.c:416-559): the reference's
+        # asymmetric shape — ONE side is a literal acronym token (negative
+        # self key), the other a spelled-out multi-token phrase whose
+        # first-letter key (with or without stopwords) matches.  Two
+        # multi-token rows sharing an acronym still meet in a bucket but
+        # are not upgraded here (pure first-letter equality of two phrases
+        # is noise); SimHash/fuzzy evidence can promote them instead.
+        A1, A2 = np.abs(ac_a), np.abs(ac2_a)
+        B1, B2 = np.abs(ac_b), np.abs(ac2_b)
+        key_meet = ((A1 != 0) & ((A1 == B1) | ((B2 != 0) & (A1 == B2)))) | (
+            (A2 != 0) & ((A2 == B1) | ((B2 != 0) & (A2 == B2)))
+        )
+        # no both_short gate: the self side is inherently short and the
+        # phrase side is bounded by acronym_max_chars at key emission
+        ac_match = ((ac_a < 0) != (ac_b < 0)) & key_meet
+        status = np.maximum(
+            status,
+            np.where(ac_match, STATUS_NEEDS_REVIEW, 0).astype(np.int8),
         )
     if cfg.expansion_keys and exp_a is not None and exp_b is not None:
         # expansions_intersect (dedupe.c:13-31): two SHORT rows sharing any
