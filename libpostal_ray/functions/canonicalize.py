@@ -134,6 +134,50 @@ def _numex_rules() -> tuple[tuple[str, str], ...]:
 
 EN_NUMBER_RULES: tuple[tuple[str, str], ...] = _numex_rules()
 
+
+# ---------------------------------------------------------------------------
+# Roman numerals (numex.c:1198-1335): "xiv" -> "14", gated exactly like the
+# reference — 1-2 char tokens must consist only of i/v/x (so "di"/"cd"
+# words never convert; "ix" does) and the token must parse as a VALID
+# subtractive-form Roman numeral ("iiii" stays).  A separate opt-in pack,
+# like the reference's lang="la" routing: english prose is full of valid
+# accidental numerals ("mix" = MIX = 1009), so it never rides in
+# EN_GENERAL_RULES.
+# ---------------------------------------------------------------------------
+
+_ROMAN_FORM_RE = re.compile(
+    r"^(m{0,3})(cm|cd|d?c{0,3})(xc|xl|l?x{0,3})(ix|iv|v?i{0,3})$"
+)
+_ROMAN_VALS = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500, "m": 1000}
+
+
+def roman_value(tok: str) -> int | None:
+    """Value of a lowercase valid-form Roman numeral, else None.  Applies
+    the reference's short-token gate (is_likely_single_roman_numeral_char,
+    numex.c:1215-1223): len <= 2 requires chars in {i, v, x}."""
+    if not tok or not _ROMAN_FORM_RE.match(tok):
+        return None
+    if len(tok) <= 2 and not all(c in "ivx" for c in tok):
+        return None
+    total = 0
+    for j, c in enumerate(tok):
+        v = _ROMAN_VALS[c]
+        if j + 1 < len(tok) and _ROMAN_VALS[tok[j + 1]] > v:
+            total -= v
+        else:
+            total += v
+    return total
+
+
+def _roman_repl(m: "re.Match[str]") -> str:
+    v = roman_value(m.group(0))
+    return str(v) if v is not None else m.group(0)
+
+
+ROMAN_NUMERAL_RULES: tuple[tuple[str, object], ...] = (
+    (r"\b[ivxlcdm]{1,15}\b", _roman_repl),
+)
+
 EN_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     EN_CONTRACTION_RULES + EN_ABBREV_RULES + EN_UNIT_RULES
     + EN_NUMBER_RULES + ORDINAL_AFFIX_RULES
@@ -161,7 +205,8 @@ ES_ABBREV_RULES = _word_rules({
 _ES_ONES = {
     "uno": 1, "dos": 2, "tres": 3, "cuatro": 4, "cinco": 5, "seis": 6,
     "siete": 7, "ocho": 8, "nueve": 9, "diez": 10, "once": 11, "doce": 12,
-    "trece": 13, "catorce": 14, "quince": 15,
+    "trece": 13, "catorce": 14, "quince": 15, "dieciséis": 16,
+    "dieciseis": 16, "diecisiete": 17, "dieciocho": 18, "diecinueve": 19,
 }
 _ES_TENS = {
     "veinte": 20, "treinta": 30, "cuarenta": 40, "cincuenta": 50,
@@ -236,17 +281,36 @@ PT_ABBREV_RULES = _word_rules({
     "cia": "companhia", "depto": "departamento",
 })
 
-PT_GENERAL_RULES: tuple[tuple[str, str], ...] = PT_ABBREV_RULES
+_PT_NUMS = {
+    "um": 1, "dois": 2, "três": 3, "tres": 3, "quatro": 4, "cinco": 5,
+    "seis": 6, "sete": 7, "oito": 8, "nove": 9, "dez": 10, "onze": 11,
+    "doze": 12, "treze": 13, "catorze": 14, "quatorze": 14, "quinze": 15,
+    "vinte": 20, "trinta": 30, "quarenta": 40, "cinquenta": 50,
+    "sessenta": 60, "setenta": 70, "oitenta": 80, "noventa": 90,
+    "cem": 100,
+}
+
+PT_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _PT_NUMS.items()
+)
+
+PT_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    PT_ABBREV_RULES + PT_NUMBER_RULES
+)
 
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
-LANG_RULE_PACKS: dict[str, tuple[tuple[str, str], ...]] = {
+LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "en": EN_GENERAL_RULES,
     "es": ES_GENERAL_RULES,
     "fr": FR_GENERAL_RULES,
     "de": DE_GENERAL_RULES,
     "pt": PT_GENERAL_RULES,
+    # latin: Roman numerals, exactly the reference's lang="la" routing
+    # (numex.c:1260-1335); opt-in because english prose contains valid
+    # accidental numerals
+    "la": ROMAN_NUMERAL_RULES,
 }
 
 _PLAIN_WORD_RE = re.compile(r"^\\b([A-Za-z0-9' -]+)\\b$")
@@ -293,7 +357,7 @@ def compile_rules(rules) -> list[tuple["re.Pattern[str]", object]]:
 
     for p, r in rules:
         m = _PLAIN_WORD_RE.match(p)
-        if m is not None and "\\" not in r:
+        if m is not None and isinstance(r, str) and "\\" not in r:
             run.append((m.group(1), r))
         else:
             flush()
