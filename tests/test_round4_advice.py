@@ -197,3 +197,30 @@ def test_bpe_remat_every_exactness(ray_session):
         )
     )
     assert got == ref
+
+
+def test_media_auto_resolution_falls_back_to_stub():
+    # no PIL/cv2 in this environment: "auto" resolves to None and the
+    # call site raises the documented NotImplementedError; explicit fns
+    # pass through untouched
+    from libpostal_ray.stages.multimodal import (
+        MediaFeatureStage,
+        MediaResizeStage,
+        FrameSampleStage,
+        fake_decode,
+        resolve_image_decode,
+        resolve_image_resize,
+        resolve_frame_extract,
+        synth_media_table,
+    )
+
+    assert resolve_image_decode() is None
+    assert resolve_image_resize() is None
+    assert resolve_frame_extract() is None
+    t = synth_media_table(4)
+    for cls in (MediaFeatureStage, MediaResizeStage, FrameSampleStage):
+        stage = cls()  # default "auto"
+        with pytest.raises(NotImplementedError):
+            stage(t)
+    out = MediaFeatureStage(decode_fn=fake_decode)(t)
+    assert out.num_rows == 4
