@@ -34,6 +34,12 @@ def _train_code_lang(sf_dir: str):
     return train_code_lang(sf_dir)
 
 
+def _license_tagger(sf_dir: str):
+    from libpostal_ray.pipelines.tagger import license_tagger
+
+    return license_tagger(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpostal_ray.pipelines import queries as q
 
@@ -154,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_extract": q.media_feature_extract,
         "media_frame_sample": q.media_frame_sample,
         "train_code_lang": _train_code_lang,
+        "license_tagger": _license_tagger,
         "semantic_dedup": q.semantic_dedup,
         "near_dupe_pagerank": q.near_dupe_pagerank,
         "doc_lm_perplexity": q.doc_lm_perplexity,
