@@ -238,7 +238,7 @@ class TestLanguagePacks:
         )
         from libpostal_ray.functions.expand import LANG_ALTERNATIVES
 
-        assert set(LANG_RULE_PACKS) == {"en", "es", "fr", "de", "pt"}
+        assert set(LANG_RULE_PACKS) == {"en", "es", "fr", "de", "pt", "la"}
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles
         assert set(LANG_ALTERNATIVES) == {"en", "es", "fr", "de"}
