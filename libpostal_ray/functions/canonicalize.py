@@ -298,6 +298,69 @@ PT_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     PT_ABBREV_RULES + PT_NUMBER_RULES
 )
 
+# IT pack — dictionaries/it content model (street/honorific abbreviations
+# + spelled numbers).  Same discipline as the other packs: full-word rules
+# only, no entry short/ambiguous enough to fire inside prose ("via" stays).
+IT_ABBREV_RULES = _word_rules({
+    "vle": "viale", "cso": "corso", "pza": "piazza", "pzza": "piazza",
+    "str": "strada", "fraz": "frazione", "loc": "località",
+    "sig": "signore", "sigra": "signora",
+    "dott": "dottore", "dssa": "dottoressa", "ing": "ingegnere",
+    "sta": "santa", "ssma": "santissima",
+})
+
+_IT_NUMS = {
+    "uno": 1, "due": 2, "tre": 3, "quattro": 4, "cinque": 5, "sei": 6,
+    "sette": 7, "otto": 8, "nove": 9, "dieci": 10, "undici": 11,
+    "dodici": 12, "tredici": 13, "quattordici": 14, "quindici": 15,
+    "sedici": 16, "diciassette": 17, "diciotto": 18, "diciannove": 19,
+    "venti": 20, "trenta": 30, "quaranta": 40, "cinquanta": 50,
+    "sessanta": 60, "settanta": 70, "ottanta": 80, "novanta": 90,
+    "cento": 100,
+}
+
+IT_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _IT_NUMS.items()
+)
+
+IT_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    IT_ABBREV_RULES + IT_NUMBER_RULES
+)
+
+# NL pack — dictionaries/nl content model.  "een" (= both "a/an" and
+# "one") is DELIBERATELY absent: the reference resolves that ambiguity with
+# context the rule table doesn't have, so rewriting it would corrupt prose.
+NL_ABBREV_RULES = _word_rules({
+    "str": "straat", "ln": "laan", "plts": "plaats",
+    "dhr": "de heer", "mw": "mevrouw", "dr": "dokter",
+    "st": "sint", "nr": "nummer", "burg": "burgemeester",
+})
+
+_NL_NUMS = {
+    "twee": 2, "drie": 3, "vier": 4, "vijf": 5, "zes": 6, "zeven": 7,
+    "acht": 8, "negen": 9, "tien": 10, "elf": 11, "twaalf": 12,
+    "dertien": 13, "veertien": 14, "vijftien": 15, "zestien": 16,
+    "zeventien": 17, "achttien": 18, "negentien": 19, "twintig": 20,
+    "dertig": 30, "veertig": 40, "vijftig": 50, "zestig": 60,
+    "zeventig": 70, "tachtig": 80, "negentig": 90, "honderd": 100,
+}
+
+NL_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _NL_NUMS.items()
+)
+
+# Dutch writes street names solid ("Kerkstraat") and abbreviates the
+# suffix ("Kerkstr.") — the expand_affixes analog, like DE's entry in
+# ORDINAL_AFFIX_RULES but with the Dutch expansions
+NL_AFFIX_RULES: tuple[tuple[str, str], ...] = (
+    (r"\b(\w+)str\.", r"\1 straat"),
+    (r"\b(\w+)ln\.", r"\1 laan"),
+)
+
+NL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    NL_ABBREV_RULES + NL_NUMBER_RULES + NL_AFFIX_RULES
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -307,6 +370,8 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "fr": FR_GENERAL_RULES,
     "de": DE_GENERAL_RULES,
     "pt": PT_GENERAL_RULES,
+    "it": IT_GENERAL_RULES,
+    "nl": NL_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals

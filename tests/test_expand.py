@@ -231,6 +231,38 @@ class TestLanguagePacks:
             == "avenida santa maria, doutor silva"
         )
 
+    def test_it_rules(self):
+        from libpostal_ray.functions.canonicalize import (
+            IT_GENERAL_RULES,
+            canonicalize_one,
+            compile_rules,
+        )
+
+        rules = compile_rules(IT_GENERAL_RULES)
+        assert (
+            canonicalize_one("Cso Garibaldi quindici, Dott. Rossi", compiled_rules=rules)
+            == "corso garibaldi 15, dottore rossi"
+        )
+        # "via" is not an abbreviation — never rewritten
+        assert canonicalize_one("via Roma", compiled_rules=rules) == "via roma"
+
+    def test_nl_rules(self):
+        from libpostal_ray.functions.canonicalize import (
+            NL_GENERAL_RULES,
+            canonicalize_one,
+            compile_rules,
+        )
+
+        rules = compile_rules(NL_GENERAL_RULES)
+        assert (
+            canonicalize_one("Kerkstr. nr twaalf, dhr Jansen", compiled_rules=rules)
+            == "kerk straat nummer 12, de heer jansen"
+        )
+        # "een" is both the article and "one" — deliberately NOT rewritten
+        assert (
+            canonicalize_one("een huis", compiled_rules=rules) == "een huis"
+        )
+
     def test_registry_covers_langs(self):
         from libpostal_ray.functions.canonicalize import (
             LANG_RULE_PACKS,
@@ -238,7 +270,9 @@ class TestLanguagePacks:
         )
         from libpostal_ray.functions.expand import LANG_ALTERNATIVES
 
-        assert set(LANG_RULE_PACKS) == {"en", "es", "fr", "de", "pt", "la"}
+        assert set(LANG_RULE_PACKS) == {
+            "en", "es", "fr", "de", "pt", "it", "nl", "la",
+        }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles
         assert set(LANG_ALTERNATIVES) == {"en", "es", "fr", "de"}
