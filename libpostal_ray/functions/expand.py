@@ -120,11 +120,40 @@ DE_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("nr", ("nummer",)),
 )
 
+PT_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("av", ("avenida",)),
+    ("r", ("rua",)),
+    ("pca", ("praça",)),
+    ("sto", ("santo",)),
+    ("sta", ("santa",)),
+    ("dr", ("doutor",)),
+)
+
+IT_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("cso", ("corso",)),
+    ("vle", ("viale",)),
+    ("pza", ("piazza",)),
+    # "s" is both san and santa in IT street names — ambiguity preserved
+    ("s", ("san", "santa")),
+    ("dott", ("dottore",)),
+)
+
+NL_ALTERNATIVES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("str", ("straat",)),
+    ("ln", ("laan",)),
+    ("st", ("sint",)),
+    ("nr", ("nummer",)),
+    ("dhr", ("de heer",)),
+)
+
 LANG_ALTERNATIVES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
     "en": EN_ALTERNATIVES,
     "es": ES_ALTERNATIVES,
     "fr": FR_ALTERNATIVES,
     "de": DE_ALTERNATIVES,
+    "pt": PT_ALTERNATIVES,
+    "it": IT_ALTERNATIVES,
+    "nl": NL_ALTERNATIVES,
 }
 
 

@@ -275,7 +275,17 @@ class TestLanguagePacks:
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles
-        assert set(LANG_ALTERNATIVES) == {"en", "es", "fr", "de"}
+        assert set(LANG_ALTERNATIVES) == {
+            "en", "es", "fr", "de", "pt", "it", "nl",
+        }
+        from libpostal_ray.functions.expand import (
+            IT_ALTERNATIVES,
+            compile_alternatives,
+            expand_variants,
+        )
+
+        forms = expand_variants("s maria", compile_alternatives(IT_ALTERNATIVES))
+        assert "san maria" in forms and "santa maria" in forms
 
     def test_fr_alternatives_ambiguity(self):
         from libpostal_ray.functions.expand import (
