@@ -52,50 +52,88 @@ def distinct_word_count(texts) -> np.ndarray:
     return np.array([len(set((t or "").split())) for t in texts], dtype=np.int64)
 
 
-def quality_features(texts) -> dict[str, np.ndarray]:
+_QF_ALL = (
+    "n_chars", "n_words", "n_distinct_words", "max_word_len",
+    "alpha_chars", "digit_chars", "space_chars",
+)
+
+# cache-block content: sub-batch the concatenated byte buffer so the
+# mask/cumsum temporaries stay in L2 (CLAUDE.md: whole-batch temporaries
+# collapse 15-25x under 32-way parallelism on this DRAM-limited host)
+_QF_CHUNK_BYTES = 128 * 1024
+
+
+def quality_features(texts, need: tuple[str, ...] | None = None) -> dict[str, np.ndarray]:
     """Deterministic quality-scoring features, all integerized so the DuckDB
     oracle computes the identical values (no float-accumulation ambiguity):
       n_chars, n_words, n_distinct_words, max_word_len,
       alpha_chars (count of [a-zA-Z]), digit_chars, space_chars.
+
+    ``need`` restricts computation to the listed features (values for the
+    rest are omitted from the dict) — the hot prepare gate asks for 4 of 7
+    and skips the max-word-len generator plus two char-class passes.
     """
     n = len(texts)
-    out = {
-        "n_chars": np.empty(n, dtype=np.int64),
-        "n_words": np.empty(n, dtype=np.int64),
-        "n_distinct_words": np.empty(n, dtype=np.int64),
-        "max_word_len": np.empty(n, dtype=np.int64),
-        "alpha_chars": np.empty(n, dtype=np.int64),
-        "digit_chars": np.empty(n, dtype=np.int64),
-        "space_chars": np.empty(n, dtype=np.int64),
-    }
+    need = tuple(need) if need is not None else _QF_ALL
+    out = {k: np.empty(n, dtype=np.int64) for k in _QF_ALL if k in need}
     # char-class counts are vectorized over the concatenated UTF-8 bytes:
     # ASCII classes ([A-Za-z], [0-9], ' ') only match ASCII BYTES, and in
     # UTF-8 every byte of a multi-byte char is >= 0x80 — so byte counting is
     # exact for any input.  n_chars = bytes - continuation bytes.
     enc = [(t or "").encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
-    offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    byte_classes = [
+        k for k in ("alpha_chars", "digit_chars", "space_chars", "n_chars")
+        if k in need
+    ]
+    if byte_classes:
+        # chunk by DOC ranges whose byte extent stays ~_QF_CHUNK_BYTES
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        lo = 0
+        while lo < n:
+            hi = int(
+                np.searchsorted(offs, offs[lo] + _QF_CHUNK_BYTES, side="left")
+            )
+            hi = min(max(hi, lo + 1), n)
+            buf = np.frombuffer(b"".join(enc[lo:hi]), dtype=np.uint8)
+            seg = offs[lo : hi + 1] - offs[lo]
+            c = np.empty(buf.shape[0] + 1, dtype=np.int32)
+            c[0] = 0
 
-    def seg_count(mask: np.ndarray) -> np.ndarray:
-        c = np.zeros(buf.shape[0] + 1, dtype=np.int64)
-        np.cumsum(mask, out=c[1:])
-        return c[offs[1:]] - c[offs[:-1]]
+            def seg_count(mask: np.ndarray) -> np.ndarray:
+                np.cumsum(mask, out=c[1:])
+                return c[seg[1:]] - c[seg[:-1]]
 
-    alpha = ((buf >= 65) & (buf <= 90)) | ((buf >= 97) & (buf <= 122))
-    out["alpha_chars"][:] = seg_count(alpha)
-    out["digit_chars"][:] = seg_count((buf >= 48) & (buf <= 57))
-    out["space_chars"][:] = seg_count(buf == 32)
-    cont = (buf & 0xC0) == 0x80
-    out["n_chars"][:] = lens - (seg_count(cont) if cont.any() else 0)
+            if "alpha_chars" in out:
+                alpha = ((buf >= 65) & (buf <= 90)) | ((buf >= 97) & (buf <= 122))
+                out["alpha_chars"][lo:hi] = seg_count(alpha)
+            if "digit_chars" in out:
+                out["digit_chars"][lo:hi] = seg_count((buf >= 48) & (buf <= 57))
+            if "space_chars" in out:
+                out["space_chars"][lo:hi] = seg_count(buf == 32)
+            if "n_chars" in out:
+                cont = (buf & 0xC0) == 0x80
+                out["n_chars"][lo:hi] = lens[lo:hi] - (
+                    seg_count(cont) if cont.any() else 0
+                )
+            lo = hi
     # word-level stats need Python's Unicode split semantics (set hashing
     # for distinct) — per-row but word-granular, not char-granular
-    for i, t in enumerate(texts):
-        words = (t or "").split()
-        out["n_words"][i] = len(words)
-        out["n_distinct_words"][i] = len(set(words))
-        out["max_word_len"][i] = max((len(w) for w in words), default=0)
+    want_words = "n_words" in out
+    want_dist = "n_distinct_words" in out
+    want_max = "max_word_len" in out
+    if want_words or want_dist or want_max:
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            if want_words:
+                out["n_words"][i] = len(words)
+            if want_dist:
+                out["n_distinct_words"][i] = len(set(words))
+            if want_max:
+                out["max_word_len"][i] = max(
+                    (len(w) for w in words), default=0
+                )
     return out
 
 

@@ -60,6 +60,7 @@ def prepare_training_corpus(
     *,
     keep_broadcast_max: int = KEEP_BROADCAST_MAX,
     lm_gate_bits: float | None = None,
+    quality: tuple | None = None,
 ) -> ray.data.Dataset:
     """Dedup + quality-gate + redact the documents table; returns the clean
     training rows (doc_id, text, n_masked).  ``keep_broadcast_max=0``
@@ -69,7 +70,12 @@ def prepare_training_corpus(
     (pipelines/lm.py): a byte-trigram LM trains on the corpus in one
     bounded-vocabulary pass and docs scoring more than ``lm_gate_bits``
     bits/char are dropped in the SAME final map as the other gates (docs
-    too short for a trigram pass through — no evidence, no verdict)."""
+    too short for a trigram pass through — no evidence, no verdict).
+
+    ``quality`` overrides the gate thresholds as (words_lo_hi,
+    distinct_ratio, alpha_ratio) — the defaults are prose-tuned
+    (quality_filter parity); a code corpus needs a wide word band and a
+    lower alpha floor (BENCH/prepare_4m.py) or the gate drops everything."""
     cfg = cfg or PipelineConfig()
     corpus = read_documents_corpus(sf_dir)
     lm_ref = None
@@ -94,7 +100,8 @@ def prepare_training_corpus(
 
     if n_keep > keep_broadcast_max:
         return _prepare_join_plan(
-            corpus, report, cfg, lm_ref=lm_ref, lm_gate_bits=lm_gate_bits
+            corpus, report, cfg, lm_ref=lm_ref, lm_gate_bits=lm_gate_bits,
+            quality=quality,
         )
 
     @ray.remote
@@ -127,20 +134,26 @@ def prepare_training_corpus(
         return _gate_and_redact(
             batch["doc_id"], texts, kept, patterns,
             lm_col=batch["content"], lm_ref=lm_ref, lm_gate_bits=lm_gate_bits,
+            quality=quality,
         )
 
     return corpus.map_batches(finalize, batch_format="pyarrow")
 
 
-def _quality_mask(texts: list[str]) -> np.ndarray:
-    feats = quality_features(texts)
+def _quality_mask(texts: list[str], quality: tuple | None = None) -> np.ndarray:
+    feats = quality_features(
+        texts, need=("n_chars", "n_words", "n_distinct_words", "alpha_chars")
+    )
     n_words = np.asarray(feats["n_words"], dtype=np.int64)
     n_dist = np.asarray(feats["n_distinct_words"], dtype=np.int64)
     n_chars = np.asarray(feats["n_chars"], dtype=np.int64)
     alpha = np.asarray(feats["alpha_chars"], dtype=np.int64)
-    lo, hi = QUALITY_WORDS
-    dnum, dden = QUALITY_DISTINCT
-    anum, aden = QUALITY_ALPHA
+    words, distinct, alpha_ratio = quality or (
+        QUALITY_WORDS, QUALITY_DISTINCT, QUALITY_ALPHA
+    )
+    lo, hi = words
+    dnum, dden = distinct
+    anum, aden = alpha_ratio
     return (
         (n_words >= lo)
         & (n_words <= hi)
@@ -151,9 +164,9 @@ def _quality_mask(texts: list[str]) -> np.ndarray:
 
 def _gate_and_redact(
     id_col, texts: list[str], kept: np.ndarray, patterns,
-    *, lm_col=None, lm_ref=None, lm_gate_bits=None,
+    *, lm_col=None, lm_ref=None, lm_gate_bits=None, quality=None,
 ) -> pa.Table:
-    good = kept & _quality_mask(texts)
+    good = kept & _quality_mask(texts, quality)
     if lm_ref is not None and lm_gate_bits is not None:
         from libpostal_ray.pipelines.lm import bits_per_char_column
 
@@ -177,6 +190,7 @@ def _prepare_join_plan(
     *,
     lm_ref=None,
     lm_gate_bits=None,
+    quality=None,
 ) -> ray.data.Dataset:
     """Above the broadcast budget: inner hash semi-join corpus x kept ids
     (both sides stream through the engine exchange), then the same gate +
@@ -207,6 +221,7 @@ def _prepare_join_plan(
         return _gate_and_redact(
             batch["doc_id"], texts, kept, patterns,
             lm_col=batch["content"], lm_ref=lm_ref, lm_gate_bits=lm_gate_bits,
+            quality=quality,
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
