@@ -70,20 +70,40 @@ def _doc_byte_views(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
 
 def _gram_keys(data: np.ndarray, off: np.ndarray, order: int) -> np.ndarray:
     """int64 keys of every in-row ``order``-gram (windows crossing row
-    boundaries removed), concatenated in row order."""
-    n = data.shape[0]
-    if n < order:
+    boundaries removed), concatenated in row order.
+
+    Cache-blocked over ~128 KB doc ranges: the window-key build makes
+    ~90 B of temporaries per content byte, and whole-batch temporaries
+    collapse 15-25x under 32-way parallelism on this DRAM-limited host
+    (CLAUDE.md).  Chunk edges sit on doc boundaries, so the concatenated
+    output is byte-identical to the whole-batch version."""
+    nrows = off.shape[0] - 1
+    if data.shape[0] < order:
         return np.empty(0, dtype=np.int64)
-    m = n - order + 1
-    k = np.zeros(m, dtype=np.int64)
-    for j in range(order):
-        k = (k << 8) | data[j : j + m].astype(np.int64)
-    # a window starting at position p belongs to row r iff
-    # p + order <= off[r+1]; row starts are off[:-1]
-    pos = np.arange(m, dtype=np.int64)
-    row = np.searchsorted(off, pos, side="right") - 1
-    valid = pos + order <= off[row + 1]
-    return k[valid]
+    chunk = 128 * 1024
+    parts: list[np.ndarray] = []
+    lo = 0
+    while lo < nrows:
+        hi = int(np.searchsorted(off, off[lo] + chunk, side="left"))
+        hi = min(max(hi, lo + 1), nrows)
+        d = data[off[lo] : off[hi]]
+        seg = off[lo : hi + 1] - off[lo]
+        n = d.shape[0]
+        if n >= order:
+            m = n - order + 1
+            k = np.zeros(m, dtype=np.int64)
+            for j in range(order):
+                k = (k << 8) | d[j : j + m].astype(np.int64)
+            # a window starting at position p belongs to row r iff
+            # p + order <= seg[r+1]; row starts are seg[:-1]
+            pos = np.arange(m, dtype=np.int64)
+            row = np.searchsorted(seg, pos, side="right") - 1
+            valid = pos + order <= seg[row + 1]
+            parts.append(k[valid])
+        lo = hi
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 def train_char_lm(
@@ -196,26 +216,39 @@ def bits_per_char_column(
     and the prepare-pipeline LM gate."""
     tri_k, tri_c, bi_k, bi_c = model
     data, off = _doc_byte_views(col)
-    n = data.shape[0]
     nrows = len(col) if nrows is None else nrows
-    if n >= 3:
-        m = n - 3 + 1
-        tri = np.zeros(m, dtype=np.int64)
-        for j in range(3):
-            tri = (tri << 8) | data[j : j + m].astype(np.int64)
-        pos = np.arange(m, dtype=np.int64)
-        row = np.searchsorted(off, pos, side="right") - 1
-        valid = pos + 3 <= off[row + 1]
-        tri_v = tri[valid]
-        row_v = row[valid]
-        c3 = _lookup(tri_k, tri_c, tri_v).astype(np.float64)
-        c2 = _lookup(bi_k, bi_c, tri_v >> 8).astype(np.float64)
-        bits = -np.log2((c3 + alpha) / (c2 + alpha * ALPHABET))
-        n_tri = np.bincount(row_v, minlength=nrows).astype(np.int64)
-        sums = np.bincount(row_v, weights=bits, minlength=nrows)
-    else:
-        n_tri = np.zeros(nrows, dtype=np.int64)
-        sums = np.zeros(nrows, dtype=np.float64)
+    n_tri = np.zeros(nrows, dtype=np.int64)
+    sums = np.zeros(nrows, dtype=np.float64)
+    # cache-block by DOC ranges (~128 KB of content per sub-batch): the
+    # whole-batch version manufactures ~100 B of temporaries per content
+    # byte (tri/pos/row/two float64 lookups/bits), which collapses under
+    # 32-way parallelism on this DRAM-limited host (CLAUDE.md).  Chunk
+    # boundaries sit ON doc boundaries, so each row's float sum adds in
+    # the identical order as before — results are bit-equal.
+    chunk = 128 * 1024
+    lo = 0
+    while lo < nrows:
+        hi = int(np.searchsorted(off, off[lo] + chunk, side="left"))
+        hi = min(max(hi, lo + 1), nrows)
+        d = data[off[lo] : off[hi]]
+        seg = off[lo : hi + 1] - off[lo]
+        n = d.shape[0]
+        if n >= 3:
+            m = n - 3 + 1
+            tri = np.zeros(m, dtype=np.int64)
+            for j in range(3):
+                tri = (tri << 8) | d[j : j + m].astype(np.int64)
+            pos = np.arange(m, dtype=np.int64)
+            row = np.searchsorted(seg, pos, side="right") - 1
+            valid = pos + 3 <= seg[row + 1]
+            tri_v = tri[valid]
+            row_v = row[valid]
+            c3 = _lookup(tri_k, tri_c, tri_v).astype(np.float64)
+            c2 = _lookup(bi_k, bi_c, tri_v >> 8).astype(np.float64)
+            bits = -np.log2((c3 + alpha) / (c2 + alpha * ALPHABET))
+            n_tri[lo:hi] = np.bincount(row_v, minlength=hi - lo)
+            sums[lo:hi] = np.bincount(row_v, weights=bits, minlength=hi - lo)
+        lo = hi
     bpc = np.where(n_tri > 0, sums / np.maximum(n_tri, 1), -1.0)
     return n_tri, bpc
 
