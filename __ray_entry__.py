@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is driver-verified.  The second block re-runs a representative
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
+        # --- block 0: rows new in round 4 (never driver-checked) ---
+        "similar_doc_pairs": q.similar_doc_pairs,
         # --- block 1: rows never driver-checked before round 4 (30) ---
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
@@ -182,6 +184,35 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "similar_doc_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             || ' ' || tk[i+3] AS g
+                FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.da AS doc_a, i.db AS doc_b, i.s AS n_shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   i.s * 1.0 / (sa.n + sb.n - i.s) AS jacc
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.da
+            JOIN sizes sb ON sb.doc_id = i.db
+            WHERE 21 * i.s >= sa.n + sb.n
+        """,
         "events_zorder": f"""
             WITH e AS (
                 SELECT event_id, user_id & 65535 AS x,

@@ -5402,3 +5402,17 @@ def global_event_ranks(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def similar_doc_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact set-similarity threshold self-join: all document pairs whose
+    word-4-gram shingle sets have Jaccard >= 1/20 (a threshold this
+    corpus's planted near-dup families sit above while random word-salad
+    pairs share almost no 4-grams — k=4 keeps the candidate join ~30x
+    smaller than k=3 on a 31-word vocabulary).  Ground truth for the LSH
+    flagship — see pipelines/simjoin.py for the AllPairs-style plan."""
+    from libpostal_ray.pipelines.simjoin import similarity_join_pairs
+
+    return similarity_join_pairs(
+        _docs(sf_dir), threshold_num=1, threshold_den=20, shingle_k=4
+    )

@@ -1,0 +1,422 @@
+"""Exact set-similarity threshold self-join (token-shingle Jaccard).
+
+All unordered document pairs whose word-k-gram shingle SETS have Jaccard
+similarity >= num/den — the exact counterpart of the flagship's MinHash
+*estimate* (near_dupe.c's philosophy: block, then verify; here the verify
+is exact set intersection, so the output is a ground-truth pair set a
+user can hold the LSH pipeline against, cf. dedup_eval_prefix_vs_exact).
+
+Physical plan (the map-reduce AllPairs formulation of Vernica et al.,
+SIGMOD 2010, built from public algorithm descriptions):
+
+  1. one tokenize pass per batch emits DISTINCT (gram_hash, doc_id, n)
+     postings — gram identity is a 63-bit fold of per-token 64-bit
+     hashes, so the exchange carries 8-byte keys, never gram strings;
+     ``n`` is the doc's distinct-shingle count and rides along so pair
+     verification needs NO sizes join later;
+  2. ONE exchange on gram_hash % P: each partition pairs the docs of
+     its posting lists (sorted-run triangle, same discipline as
+     evalmetrics.pairs_by_key) and PRE-AGGREGATES (pair, shared_count)
+     partials in-kernel;
+  3. ONE skinny exchange routed on hash(a, b) % P sums shared counts across
+     partitions and applies the EXACT integer threshold
+     s*(den+num) >= num*(n_a+n_b)   <=>   s/(n_a+n_b-s) >= num/den —
+     no float enters the decision, so the output is engine-exact.
+
+Prefix filtering (``prefix=True``): each doc indexes only its first
+|d| - ceil(t*|d|) + 1 shingles in ascending hash order (any global order
+is sound: take the smallest shared element g* of a qualifying pair — if
+g* were outside doc a's prefix, ALL shared elements would sit in a's
+last ceil(t*|a|)-1 positions, contradicting |a n b| >= t*|a|).  The
+under-counted postings then only GENERATE candidates; exact intersection
+is re-verified against broadcast full sets.  Pays off at high
+thresholds; at the low thresholds the word-salad test corpus needs, the
+prefix is ~the whole set, so the registry row runs prefix=False.
+
+Skew note: a shingle shared by df docs contributes O(df^2) pair
+partials.  ``df_cap`` (None = exact) skips posting lists above the cap —
+the "stop shingle" pruning a 100-TB run enables (boilerplate shingles
+carry no similarity signal but quadratic cost); when it engages, the
+result is a documented under-approximation, mirroring the LSH
+hot-bucket cap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from libpostal_ray.functions.hashing import as_key_i64, mix_fold_u64
+
+# broadcast verify (prefix mode) holds one sorted uint64 array per doc —
+# ~8 B/shingle; 50M shingles ~ 400 MB, the same budget class as the
+# flagship's sig_broadcast_max.
+PREFIX_VERIFY_MAX_POSTINGS = 50_000_000
+
+
+def _postings(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    partitions: int,
+    threshold: tuple[int, int] | None,
+) -> ray.data.Dataset:
+    """(g, doc, n, part) distinct-shingle postings; prefix-only when
+    ``threshold`` is given (ascending-hash global order)."""
+
+    num_den = threshold
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], type=pa.int64()),
+                "doc": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.shape[0] and ids.min() < 0:
+            raise ValueError(
+                "similarity_join_pairs: ids must be non-negative int64"
+            )
+        txt = pc.utf8_trim_whitespace(batch[text_col].cast(pa.large_string()))
+        lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        total = len(flat)
+        if total < shingle_k:
+            return empty
+        # per-token 64-bit hash: Python loop over the BATCH VOCAB only
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        vh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        (s or "").encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                for s in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        th = vh[codes]
+        m = total - shingle_k + 1
+        fold = mix_fold_u64(
+            [th[j : j + m] for j in range(shingle_k)], salt=shingle_k
+        )
+        valid = parent[:m] == parent[shingle_k - 1 :]
+        if not valid.any():
+            return empty
+        g = as_key_i64(fold[valid])
+        didx = parent[:m][valid].astype(np.int64)
+        # per-doc DISTINCT shingles, ascending hash within each doc
+        order = np.lexsort((g, didx))
+        didx, g = didx[order], g[order]
+        keep = np.concatenate(
+            ([True], (didx[1:] != didx[:-1]) | (g[1:] != g[:-1]))
+        )
+        didx, g = didx[keep], g[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], didx[1:] != didx[:-1]))
+        )
+        lens = np.diff(np.concatenate((starts, [didx.shape[0]])))
+        n_of = np.zeros(batch.num_rows, dtype=np.int64)
+        n_of[didx[starts]] = lens
+        if num_den is not None:
+            num, den = num_den
+            n_doc = n_of[didx]
+            p_doc = n_doc - (num * n_doc + den - 1) // den + 1
+            rank = np.arange(didx.shape[0], dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            sel = rank < p_doc
+            didx, g = didx[sel], g[sel]
+        return pa.table(
+            {
+                "g": pa.array(g),
+                "doc": pa.array(ids[didx]),
+                "n": pa.array(n_of[didx]),
+                "part": pa.array(g % partitions),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _pair_reduce(a, b, na, nb, s=None):
+    """Segment-reduce duplicate (a, b) pairs: summed s (default 1 per
+    occurrence) and the pair's (n_a, n_b).  Full int64 id domain — no
+    composite key, so 63-bit stable_doc_ids work."""
+    order = np.lexsort((b, a))
+    a, b, na, nb = a[order], b[order], na[order], nb[order]
+    sv = (
+        np.ones(a.shape[0], dtype=np.int64)
+        if s is None
+        else s[order].astype(np.int64)
+    )
+    new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    starts = np.flatnonzero(new)
+    s_tot = np.add.reduceat(sv, starts)
+    return a[starts], b[starts], s_tot, na[starts], nb[starts]
+
+
+def _pair_partials(
+    postings: ray.data.Dataset, *, partitions: int, df_cap: int | None
+) -> ray.data.Dataset:
+    """gram-partition kernel: triangle-pair each posting list, then
+    pre-aggregate (a, b, s, n_a, n_b) partials before the second
+    exchange."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "g" not in group.column_names:
+            return empty
+        g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, g))
+        g, doc, n = g[order], doc[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        lens = np.diff(np.concatenate((starts, [g.shape[0]])))
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for s0, ln in zip(starts, lens):  # per posting LIST, not per row
+            if ln < 2 or (df_cap is not None and ln > df_cap):
+                continue
+            ids = doc[s0 : s0 + ln]
+            ns = n[s0 : s0 + ln]
+            iu = np.triu_indices(ln, k=1)
+            a_out.append(ids[iu[0]])
+            b_out.append(ids[iu[1]])
+            na_out.append(ns[iu[0]])
+            nb_out.append(ns[iu[1]])
+        if not a_out:
+            return empty
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        na = np.concatenate(na_out)
+        nb = np.concatenate(nb_out)
+        a2, b2, s_part, na2, nb2 = _pair_reduce(a, b, na, nb)
+        # routing key only: the next kernel re-groups by the actual
+        # (a, b) pair, so a fold collision merely co-locates two pairs
+        part = (
+            as_key_i64(
+                mix_fold_u64(
+                    [a2.astype(np.uint64), b2.astype(np.uint64)], salt=7
+                )
+            )
+            % partitions
+        )
+        return pa.table(
+            {
+                "a": pa.array(a2),
+                "b": pa.array(b2),
+                "s": pa.array(s_part),
+                "n_a": pa.array(na2),
+                "n_b": pa.array(nb2),
+                "part": pa.array(part),
+            }
+        )
+
+    return postings.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def _finalize_exact(
+    partials: ray.data.Dataset, *, num: int, den: int
+) -> ray.data.Dataset:
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+                "jacc": pa.array([], type=pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return empty
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = group["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = group["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_u, b_u, s_tot, na_u, nb_u = _pair_reduce(a, b, na, nb, s=s)
+        keep = s_tot * (den + num) >= num * (na_u + nb_u)
+        if not keep.any():
+            return empty
+        a_u, b_u, s_tot, na_u, nb_u = (
+            a_u[keep],
+            b_u[keep],
+            s_tot[keep],
+            na_u[keep],
+            nb_u[keep],
+        )
+        denom = na_u + nb_u - s_tot
+        return pa.table(
+            {
+                "doc_a": pa.array(a_u),
+                "doc_b": pa.array(b_u),
+                "n_shared": pa.array(s_tot),
+                "n_a": pa.array(na_u),
+                "n_b": pa.array(nb_u),
+                # single exact-int division -> bit-identical across engines
+                "jacc": pa.array(s_tot.astype(np.float64) / denom),
+            }
+        )
+
+    return partials.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def _verify_prefix_candidates(
+    partials: ray.data.Dataset,
+    full_postings: ray.data.Dataset,
+    *,
+    num: int,
+    den: int,
+) -> ray.data.Dataset:
+    """Prefix-mode tail: dedup candidate pairs, then re-verify exact
+    intersections against an off-driver broadcast of the full sorted
+    shingle sets (same remote-gather pattern as near_dupe's sig state)."""
+    import ray as _ray
+
+    mat = full_postings.materialize()
+    if mat.count() > PREFIX_VERIFY_MAX_POSTINGS:
+        raise ValueError(
+            "prefix verify: postings exceed the broadcast budget "
+            f"({PREFIX_VERIFY_MAX_POSTINGS}); run prefix=False (exact "
+            "count plan, no broadcast) at this scale"
+        )
+
+    @_ray.remote
+    def build(*tables: pa.Table) -> dict[int, np.ndarray]:
+        t = pa.concat_tables([tb.select(["g", "doc"]) for tb in tables])
+        g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((g, d))
+        g, d = g[order], d[order]
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        bounds = np.concatenate((starts, [d.shape[0]]))
+        return {
+            int(d[s0]): g[s0 : bounds[i + 1]]
+            for i, s0 in enumerate(starts)
+        }
+
+    state_ref = build.remote(*mat.to_arrow_refs())
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+                "jacc": pa.array([], type=pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return empty
+        sets = _ray.get(state_ref)
+        av = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bv, av))
+        av, bv = av[order], bv[order]
+        new = np.concatenate(
+            ([True], (av[1:] != av[:-1]) | (bv[1:] != bv[:-1]))
+        )
+        rows = []
+        for a, b in zip(av[new], bv[new]):  # per CANDIDATE pair (prefix
+            a, b = int(a), int(b)  # mode is the high-threshold path)
+            sa, sb = sets[a], sets[b]
+            s = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            if s * (den + num) >= num * (sa.shape[0] + sb.shape[0]):
+                rows.append(
+                    (a, b, s, sa.shape[0], sb.shape[0],
+                     s / (sa.shape[0] + sb.shape[0] - s))
+                )
+        if not rows:
+            return empty
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.array(cols[0], dtype=np.int64)),
+                "doc_b": pa.array(np.array(cols[1], dtype=np.int64)),
+                "n_shared": pa.array(np.array(cols[2], dtype=np.int64)),
+                "n_a": pa.array(np.array(cols[3], dtype=np.int64)),
+                "n_b": pa.array(np.array(cols[4], dtype=np.int64)),
+                "jacc": pa.array(np.array(cols[5], dtype=np.float64)),
+            }
+        )
+
+    return partials.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def similarity_join_pairs(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+    shingle_k: int = 3,
+    partitions: int = 32,
+    prefix: bool = False,
+    df_cap: int | None = None,
+) -> ray.data.Dataset:
+    """All (doc_a < doc_b) pairs with shingle-set Jaccard >=
+    threshold_num/threshold_den -> (doc_a, doc_b, n_shared, n_a, n_b,
+    jacc).  ``prefix=False`` is the exact count plan (two skinny
+    exchanges, no broadcast); ``prefix=True`` indexes only each doc's
+    prefix and re-verifies — the high-threshold path."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    thr = (threshold_num, threshold_den) if prefix else None
+    posts = _postings(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        partitions=partitions,
+        threshold=thr,
+    )
+    partials = _pair_partials(posts, partitions=partitions, df_cap=df_cap)
+    if not prefix:
+        return _finalize_exact(
+            partials, num=threshold_num, den=threshold_den
+        )
+    full = _postings(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        partitions=partitions,
+        threshold=None,
+    )
+    return _verify_prefix_candidates(
+        partials, full, num=threshold_num, den=threshold_den
+    )

@@ -129,7 +129,27 @@ ORACLE_QUERIES = [
     "attribution_pairs",
     "global_event_ranks",
     "lineitem_unpivot",
+    "similar_doc_pairs",
 ]
+
+
+def test_parity_lists_cover_registry():
+    """Sync guard: every oracle_sql row is parity-tested here, and every
+    rows-only registry row is either in ROWS_ONLY or in the documented
+    exclusion set (covered by a dedicated slow test elsewhere)."""
+    import __ray_entry__ as entrymod
+
+    oracle = set(entrymod.oracle_sql())
+    registry = set(entrymod.queries())
+    assert oracle <= registry
+    assert set(ORACLE_QUERIES) == oracle, (
+        sorted(set(ORACLE_QUERIES) ^ oracle)
+    )
+    # license_tagger trains multi-epoch — exercised in test_tagger.py
+    excluded = {"license_tagger"}
+    assert set(ROWS_ONLY) | excluded == registry - oracle, (
+        sorted((set(ROWS_ONLY) | excluded) ^ (registry - oracle))
+    )
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
