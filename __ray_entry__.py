@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "similar_doc_pairs": q.similar_doc_pairs,
+        "pack_sequences": q.pack_sequences,
         # --- block 1: rows never driver-checked before round 4 (30) ---
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
@@ -212,6 +213,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.da
             JOIN sizes sb ON sb.doc_id = i.db
             WHERE 21 * i.s >= sa.n + sb.n
+        """,
+        "pack_sequences": """
+            WITH n AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start_tok
+                FROM n
+            )
+            SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS seq_bin
+            FROM c
         """,
         "events_zorder": f"""
             WITH e AS (

@@ -5416,3 +5416,13 @@ def similar_doc_pairs(sf_dir: str) -> ray.data.Dataset:
     return similarity_join_pairs(
         _docs(sf_dir), threshold_num=1, threshold_den=20, shingle_k=4
     )
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512) -> ray.data.Dataset:
+    """Training-sequence packing layout: (doc_id, n_tokens, start_tok,
+    seq_bin) — each doc's exact global token offset under concatenation
+    in doc_id order (distributed prefix sum; pipelines/pack.py) and the
+    fixed-length sequence its first token lands in."""
+    from libpostal_ray.pipelines.pack import pack_training_sequences
+
+    return pack_training_sequences(_docs(sf_dir), seq_len=seq_len)

@@ -130,6 +130,7 @@ ORACLE_QUERIES = [
     "global_event_ranks",
     "lineitem_unpivot",
     "similar_doc_pairs",
+    "pack_sequences",
 ]
 
 
