@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "similar_doc_pairs": q.similar_doc_pairs,
         "pack_sequences": q.pack_sequences,
+        "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
         # --- block 1: rows never driver-checked before round 4 (30) ---
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
@@ -213,6 +214,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.da
             JOIN sizes sb ON sb.doc_id = i.db
             WHERE 21 * i.s >= sa.n + sb.n
+        """,
+        "scrub_boilerplate_tokens": """
+            WITH t AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS tk
+                FROM documents
+            ),
+            total AS (SELECT count(*) AS n_docs FROM documents),
+            pos AS (
+                SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                FROM t
+            ),
+            df AS (
+                SELECT tok, count(DISTINCT doc_id) AS dfc
+                FROM (SELECT doc_id, tk[i] AS tok FROM pos)
+                GROUP BY tok
+            ),
+            stop AS (SELECT tok FROM df, total WHERE 2 * dfc >= n_docs),
+            kept AS (
+                SELECT p.doc_id, tk[i] AS tok, i FROM pos p
+                WHERE tk[i] NOT IN (SELECT tok FROM stop)
+            ),
+            agg AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                   len(t.tk) - COALESCE(a.n_kept, 0) AS n_removed
+            FROM t LEFT JOIN agg a USING (doc_id)
         """,
         "pack_sequences": """
             WITH n AS (

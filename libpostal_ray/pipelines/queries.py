@@ -5426,3 +5426,153 @@ def pack_sequences(sf_dir: str, seq_len: int = 512) -> ray.data.Dataset:
     from libpostal_ray.pipelines.pack import pack_training_sequences
 
     return pack_training_sequences(_docs(sf_dir), seq_len=seq_len)
+
+
+def scrub_common_tokens(
+    docs: ray.data.Dataset, *, num: int = 1, den: int = 2
+) -> ray.data.Dataset:
+    """Corpus-adaptive boilerplate-token removal — the order-preserving
+    REWRITE operator of the quality family (redact_docs edits by pattern;
+    this edits by corpus statistics, the C4/stopword-discovery move):
+    tokens appearing in >= num/den of all documents are dropped from
+    every document, order and single-space joins preserved ->
+    (doc_id, clean_text, n_removed).
+
+    Plan: per-batch DISTINCT (doc, token) partials -> ONE crc32(token)%P
+    exchange whose kernel sums document frequencies and emits ONLY
+    tokens over the threshold (stop tokens are few BY DEFINITION — the
+    filter runs before anything returns, so the collected stop set is
+    tiny at any corpus size); the stop set broadcasts once via ray.put
+    and the rewrite is a single streaming Arrow pass (is_in mask +
+    rebuilt list offsets + binary_join — no Python per row)."""
+    import zlib
+
+    import ray as _ray
+
+    P = 32
+    n_docs = docs.count()
+
+    def tok_df(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], type=pa.large_string()),
+                "df": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        txt = pc.fill_null(
+            pc.utf8_trim_whitespace(batch["text"].cast(pa.large_string())), ""
+        )
+        lists = pc.split_pattern(txt, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary))
+        # distinct (doc, token): one np.unique over packed keys
+        uk = np.unique(parent.astype(np.int64) * V + codes)
+        code_u = uk % V
+        ucode, dfc = np.unique(code_u, return_counts=True)
+        toks = enc.dictionary.take(pa.array(ucode))
+        crc = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in toks.to_pylist()),
+            dtype=np.int64,
+            count=len(toks),
+        ) % P
+        return pa.table(
+            {
+                "token": toks.cast(pa.large_string()),
+                "df": pa.array(dfc.astype(np.int64)),
+                "part": pa.array(crc),
+            }
+        )
+
+    def df_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], type=pa.large_string())})
+        if group.num_rows == 0 or "token" not in group.column_names:
+            return empty
+        g = (
+            pa.TableGroupBy(group.select(["token", "df"]), "token")
+            .aggregate([("df", "sum")])
+            .rename_columns(["token", "df"])
+        )
+        # threshold INSIDE the kernel: sub-threshold tokens never leave
+        keep = pc.greater_equal(
+            pc.multiply(g["df"], pa.scalar(den, type=pa.int64())),
+            pa.scalar(num * n_docs, type=pa.int64()),
+        )
+        return g.filter(keep).select(["token"])
+
+    stop_df = (
+        docs.map_batches(tok_df, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(df_kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    stop_list = (
+        sorted(stop_df["token"].tolist()) if len(stop_df) else []
+    )
+    stop_ref = _ray.put(stop_list)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "clean_text": pa.array([], type=pa.large_string()),
+                "n_removed": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        stop = _ray.get(stop_ref)
+        txt = pc.fill_null(
+            pc.utf8_trim_whitespace(batch["text"].cast(pa.large_string())), ""
+        )
+        lists = pc.split_pattern(txt, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        nrows = batch.num_rows
+        if stop and len(flat):
+            drop = pc.is_in(
+                flat, value_set=pa.array(stop, type=pa.large_string())
+            ).to_numpy(zero_copy_only=False)
+        else:
+            drop = np.zeros(len(flat), dtype=bool)
+        keepm = ~drop
+        kept_per_row = np.bincount(
+            parent[keepm], minlength=nrows
+        ).astype(np.int64)
+        total_per_row = np.bincount(parent, minlength=nrows).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_per_row))).astype(
+            np.int64
+        )
+        kept_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            flat.filter(pa.array(keepm)),
+        )
+        clean = pc.binary_join(
+            kept_list, pa.scalar(" ", type=pa.large_string())
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "clean_text": clean.cast(pa.large_string()),
+                "n_removed": pa.array(total_per_row - kept_per_row),
+            }
+        )
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")
+
+
+def scrub_boilerplate_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Registry wrapper: scrub tokens present in >= half the corpus from
+    the documents table (see scrub_common_tokens)."""
+    return scrub_common_tokens(_docs(sf_dir), num=1, den=2)

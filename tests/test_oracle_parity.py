@@ -131,6 +131,7 @@ ORACLE_QUERIES = [
     "lineitem_unpivot",
     "similar_doc_pairs",
     "pack_sequences",
+    "scrub_boilerplate_tokens",
 ]
 
 
