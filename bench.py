@@ -245,6 +245,9 @@ def run_bench() -> dict:
         "ann_topk_ivf_sq8",
         lambda d: __import__("ray").data.from_pandas(q.ann_topk_ivf_sq8(d)),
     )
+    timed("similar_doc_pairs", q.similar_doc_pairs)
+    timed("pack_sequences", q.pack_sequences)
+    timed("scrub_boilerplate_tokens", q.scrub_boilerplate_tokens)
 
     ray.shutdown()
     return {

@@ -361,6 +361,108 @@ NL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     NL_ABBREV_RULES + NL_NUMBER_RULES + NL_AFFIX_RULES
 )
 
+# SV pack — dictionaries/sv content model.  "ett"/"en" (articles AND the
+# number 1) are deliberately absent, same ambiguity rule as NL "een".
+SV_ABBREV_RULES = _word_rules({
+    "tlf": "telefon", "avd": "avdelning",
+    "s:t": "sankt", "s:ta": "sankta",
+})
+
+_SV_NUMS = {
+    "två": 2, "tre": 3, "fyra": 4, "fem": 5, "sex": 6, "sju": 7,
+    "åtta": 8, "nio": 9, "tio": 10, "elva": 11, "tolv": 12,
+    "tretton": 13, "fjorton": 14, "femton": 15, "sexton": 16,
+    "sjutton": 17, "arton": 18, "nitton": 19, "tjugo": 20,
+    "trettio": 30, "fyrtio": 40, "femtio": 50, "sextio": 60,
+    "sjuttio": 70, "åttio": 80, "nittio": 90, "hundra": 100,
+}
+
+SV_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _SV_NUMS.items()
+)
+
+# Swedish compounds street names solid ("Storgatan") and abbreviates the
+# suffix ("Storg.") — expand_affixes analog like DE/NL
+SV_AFFIX_RULES: tuple[tuple[str, str], ...] = (
+    (r"\b(\w{2,})g\.", r"\1 gatan"),
+    (r"\b(\w{2,})v\.", r"\1 vägen"),
+)
+
+SV_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    SV_ABBREV_RULES + SV_NUMBER_RULES + SV_AFFIX_RULES
+)
+
+# DA pack — dictionaries/da content model ("en"/"et" absent: articles)
+DA_ABBREV_RULES = _word_rules({
+    "gl": "gamle", "sdr": "sønder", "ndr": "nørre", "kbh": "københavn",
+    "tlf": "telefon", "sal": "etage",
+})
+
+_DA_NUMS = {
+    "to": 2, "tre": 3, "fire": 4, "fem": 5, "seks": 6, "syv": 7,
+    "otte": 8, "ni": 9, "ti": 10, "elleve": 11, "tolv": 12,
+    "tretten": 13, "fjorten": 14, "femten": 15, "seksten": 16,
+    "sytten": 17, "atten": 18, "nitten": 19, "tyve": 20,
+    "tredive": 30, "fyrre": 40, "halvtreds": 50, "tres": 60,
+    "halvfjerds": 70, "firs": 80, "halvfems": 90, "hundrede": 100,
+}
+
+DA_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _DA_NUMS.items()
+)
+
+DA_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    DA_ABBREV_RULES + DA_NUMBER_RULES
+)
+
+# NO pack — dictionaries/nb content model ("en"/"ei"/"et" absent)
+NO_ABBREV_RULES = _word_rules({
+    "gt": "gate", "vn": "veien", "pb": "postboks", "tlf": "telefon",
+})
+
+_NO_NUMS = {
+    "to": 2, "tre": 3, "fire": 4, "fem": 5, "seks": 6, "sju": 7,
+    "syv": 7, "åtte": 8, "ni": 9, "ti": 10, "elleve": 11, "tolv": 12,
+    "tretten": 13, "fjorten": 14, "femten": 15, "seksten": 16,
+    "sytten": 17, "atten": 18, "nitten": 19, "tjue": 20,
+    "tretti": 30, "førti": 40, "femti": 50, "seksti": 60,
+    "sytti": 70, "åtti": 80, "nitti": 90, "hundre": 100,
+}
+
+NO_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _NO_NUMS.items()
+)
+
+NO_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    NO_ABBREV_RULES + NO_NUMBER_RULES
+)
+
+# PL pack — dictionaries/pl content model
+PL_ABBREV_RULES = _word_rules({
+    "ul": "ulica", "al": "aleja", "pl": "plac", "os": "osiedle",
+    "woj": "województwo", "św": "święty", "nr": "numer",
+    "im": "imienia", "tel": "telefon",
+})
+
+_PL_NUMS = {
+    "jeden": 1, "dwa": 2, "trzy": 3, "cztery": 4, "pięć": 5,
+    "sześć": 6, "siedem": 7, "osiem": 8, "dziewięć": 9, "dziesięć": 10,
+    "jedenaście": 11, "dwanaście": 12, "trzynaście": 13,
+    "czternaście": 14, "piętnaście": 15, "szesnaście": 16,
+    "siedemnaście": 17, "osiemnaście": 18, "dziewiętnaście": 19,
+    "dwadzieścia": 20, "trzydzieści": 30, "czterdzieści": 40,
+    "pięćdziesiąt": 50, "sześćdziesiąt": 60, "siedemdziesiąt": 70,
+    "osiemdziesiąt": 80, "dziewięćdziesiąt": 90, "sto": 100,
+}
+
+PL_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _PL_NUMS.items()
+)
+
+PL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    PL_ABBREV_RULES + PL_NUMBER_RULES
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -372,13 +474,22 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "pt": PT_GENERAL_RULES,
     "it": IT_GENERAL_RULES,
     "nl": NL_GENERAL_RULES,
+    "sv": SV_GENERAL_RULES,
+    "da": DA_GENERAL_RULES,
+    "no": NO_GENERAL_RULES,
+    "pl": PL_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals
     "la": ROMAN_NUMERAL_RULES,
 }
 
-_PLAIN_WORD_RE = re.compile(r"^\\b([A-Za-z0-9' -]+)\\b$")
+# Latin-1 supplement + Latin Extended-A letter ranges (× U+00D7 and
+# ÷ U+00F7 excluded) so SV/DA/NO/PL pack entries fold into the combined
+# pass and get the trailing-period consumption like ASCII entries
+_PLAIN_WORD_RE = re.compile(
+    r"^\\b([A-Za-z0-9À-ÖØ-öø-ÿĀ-ſ' -]+)\\b$"
+)
 
 
 def compile_rules(rules) -> list[tuple["re.Pattern[str]", object]]:

@@ -64,3 +64,45 @@ def test_fingerprint_covers_lang_rules():
     assert config_fingerprint(PipelineConfig()) != config_fingerprint(
         PipelineConfig(lang_rules=True)
     )
+
+
+def test_nordic_and_polish_packs():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "Storg. åtta",          # sv: compound affix + number
+            "Gl. Kongevej fem",     # da: abbreviation + number
+            "Karl Johans gt. to",   # no: street abbrev + number
+            "ul. Św. Jana trzy",    # pl: abbrevs + number
+            "en bok",               # sv: article NOT rewritten
+        ],
+        ["sv", "da", "no", "pl", "sv"],
+    )
+    assert out[0] == "stor gatan 8"
+    assert out[1] == "gamle kongevej 5"
+    assert out[2] == "karl johans gate 2"
+    assert out[3] == "ulica święty jana 3"
+    assert out[4] == "en bok"
+
+
+def test_unicode_keys_fold_and_consume_periods():
+    """Non-ASCII pack entries (pięć, św, åtta) must behave exactly like
+    ASCII ones: folded into the combined plain-word pass and consuming a
+    trailing period before whitespace/end."""
+    from libpostal_ray.functions.canonicalize import (
+        PL_GENERAL_RULES,
+        canonicalize_one,
+        compile_rules,
+    )
+
+    rules = compile_rules(PL_GENERAL_RULES)
+    # one combined pattern for the full plain-word pack (no per-entry passes)
+    assert len(rules) == 1
+    assert canonicalize_one("św. pięć.", compiled_rules=rules) == "święty 5"
+    # mid-token periods are never CONSUMED (lookahead guard) — word rules
+    # still fire on both sides of the dot, as in every other pack
+    assert (
+        canonicalize_one("sto.pl rocks", compiled_rules=rules)
+        == "100.plac rocks"
+    )
