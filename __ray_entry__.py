@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_doc_pairs": q.similar_doc_pairs,
         "pack_sequences": q.pack_sequences,
         "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
+        "eval_overlap_pairs": q.eval_overlap_pairs,
         # --- block 1: rows never driver-checked before round 4 (30) ---
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
@@ -213,6 +214,43 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.da
             JOIN sizes sb ON sb.doc_id = i.db
+            WHERE 21 * i.s >= sa.n + sb.n
+        """,
+        "eval_overlap_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             || ' ' || tk[i+3] AS g
+                FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            ev AS (
+                SELECT * FROM sh
+                WHERE (doc_id * 2654435761) % 4294967296 < 1288490188
+            ),
+            tr AS (
+                SELECT * FROM sh
+                WHERE (doc_id * 2654435761) % 4294967296 >= 1288490188
+            ),
+            inter AS (
+                SELECT e.doc_id AS ea, t.doc_id AS tb, count(*) AS s
+                FROM ev e JOIN tr t ON e.g = t.g
+                GROUP BY 1, 2
+            )
+            SELECT i.ea AS eval_id, i.tb AS train_id, i.s AS n_shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   i.s * 1.0 / (sa.n + sb.n - i.s) AS jacc
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.ea
+            JOIN sizes sb ON sb.doc_id = i.tb
             WHERE 21 * i.s >= sa.n + sb.n
         """,
         "scrub_boilerplate_tokens": """

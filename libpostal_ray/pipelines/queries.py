@@ -5576,3 +5576,31 @@ def scrub_boilerplate_tokens(sf_dir: str) -> ray.data.Dataset:
     """Registry wrapper: scrub tokens present in >= half the corpus from
     the documents table (see scrub_common_tokens)."""
     return scrub_common_tokens(_docs(sf_dir), num=1, den=2)
+
+
+def eval_overlap_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy train/eval contamination: a deterministic 30% hash split of
+    the documents table plays the eval set; emit every (eval, train)
+    pair whose word-4-gram shingle Jaccard >= 1/20 — the near-duplicate
+    leaks that survive exact decontamination (contamination_flags).
+    Columns: (eval_id, train_id, n_shared, n_a, n_b, jacc)."""
+    from libpostal_ray.pipelines.simjoin import similarity_join_bipartite
+
+    docs = _docs(sf_dir)
+    T = 1288490188  # floor(0.3 * 2^32), same Knuth split as hash_sample
+
+    def is_eval(batch: pa.Table, keep: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (ids * 2654435761) % 4294967296 < T
+        return batch.filter(pa.array(m if keep else ~m))
+
+    ev = docs.map_batches(
+        lambda b: is_eval(b, True), batch_format="pyarrow"
+    )
+    tr = docs.map_batches(
+        lambda b: is_eval(b, False), batch_format="pyarrow"
+    )
+    return similarity_join_bipartite(
+        ev, tr, threshold_num=1, threshold_den=20, shingle_k=4,
+        out_a="eval_id", out_b="train_id",
+    )

@@ -66,21 +66,24 @@ def _postings(
     shingle_k: int,
     partitions: int,
     threshold: tuple[int, int] | None,
+    side: int | None = None,
 ) -> ray.data.Dataset:
-    """(g, doc, n, part) distinct-shingle postings; prefix-only when
-    ``threshold`` is given (ascending-hash global order)."""
+    """(g, doc, n, part[, side]) distinct-shingle postings; prefix-only
+    when ``threshold`` is given (ascending-hash global order); ``side``
+    tags the rows of one input of a bipartite join."""
 
     num_den = threshold
 
     def fn(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "g": pa.array([], type=pa.int64()),
-                "doc": pa.array([], type=pa.int64()),
-                "n": pa.array([], type=pa.int64()),
-                "part": pa.array([], type=pa.int64()),
-            }
-        )
+        empty_cols = {
+            "g": pa.array([], type=pa.int64()),
+            "doc": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int64()),
+        }
+        if side is not None:
+            empty_cols["side"] = pa.array([], type=pa.int64())
+        empty = pa.table(empty_cols)
         if batch.num_rows == 0:
             return empty
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -146,14 +149,17 @@ def _postings(
             )
             sel = rank < p_doc
             didx, g = didx[sel], g[sel]
-        return pa.table(
-            {
-                "g": pa.array(g),
-                "doc": pa.array(ids[didx]),
-                "n": pa.array(n_of[didx]),
-                "part": pa.array(g % partitions),
-            }
-        )
+        cols = {
+            "g": pa.array(g),
+            "doc": pa.array(ids[didx]),
+            "n": pa.array(n_of[didx]),
+            "part": pa.array(g % partitions),
+        }
+        if side is not None:
+            cols["side"] = pa.array(
+                np.full(g.shape[0], side, dtype=np.int64)
+            )
+        return pa.table(cols)
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
@@ -176,11 +182,15 @@ def _pair_reduce(a, b, na, nb, s=None):
 
 
 def _pair_partials(
-    postings: ray.data.Dataset, *, partitions: int, df_cap: int | None
+    postings: ray.data.Dataset,
+    *,
+    partitions: int,
+    df_cap: int | None,
+    bipartite: bool = False,
 ) -> ray.data.Dataset:
-    """gram-partition kernel: triangle-pair each posting list, then
-    pre-aggregate (a, b, s, n_a, n_b) partials before the second
-    exchange."""
+    """gram-partition kernel: triangle-pair each posting list (or
+    left x right cross-pair in bipartite mode), then pre-aggregate
+    (a, b, s, n_a, n_b) partials before the second exchange."""
 
     def kernel(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -198,8 +208,13 @@ def _pair_partials(
         g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
         doc = group["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((doc, g))
-        g, doc, n = g[order], doc[order], n[order]
+        if bipartite:
+            sd = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((doc, sd, g))  # within a run: side 0 first
+            g, doc, n, sd = g[order], doc[order], n[order], sd[order]
+        else:
+            order = np.lexsort((doc, g))
+            g, doc, n = g[order], doc[order], n[order]
         starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
         lens = np.diff(np.concatenate((starts, [g.shape[0]])))
         a_out, b_out, na_out, nb_out = [], [], [], []
@@ -208,11 +223,21 @@ def _pair_partials(
                 continue
             ids = doc[s0 : s0 + ln]
             ns = n[s0 : s0 + ln]
-            iu = np.triu_indices(ln, k=1)
-            a_out.append(ids[iu[0]])
-            b_out.append(ids[iu[1]])
-            na_out.append(ns[iu[0]])
-            nb_out.append(ns[iu[1]])
+            if bipartite:
+                nl = int(np.searchsorted(sd[s0 : s0 + ln], 1))
+                nr = ln - nl
+                if nl == 0 or nr == 0:
+                    continue
+                a_out.append(np.repeat(ids[:nl], nr))
+                b_out.append(np.tile(ids[nl:], nl))
+                na_out.append(np.repeat(ns[:nl], nr))
+                nb_out.append(np.tile(ns[nl:], nl))
+            else:
+                iu = np.triu_indices(ln, k=1)
+                a_out.append(ids[iu[0]])
+                b_out.append(ids[iu[1]])
+                na_out.append(ns[iu[0]])
+                nb_out.append(ns[iu[1]])
         if not a_out:
             return empty
         a = np.concatenate(a_out)
@@ -245,13 +270,18 @@ def _pair_partials(
 
 
 def _finalize_exact(
-    partials: ray.data.Dataset, *, num: int, den: int
+    partials: ray.data.Dataset,
+    *,
+    num: int,
+    den: int,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
 ) -> ray.data.Dataset:
     def kernel(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
+                out_a: pa.array([], type=pa.int64()),
+                out_b: pa.array([], type=pa.int64()),
                 "n_shared": pa.array([], type=pa.int64()),
                 "n_a": pa.array([], type=pa.int64()),
                 "n_b": pa.array([], type=pa.int64()),
@@ -279,8 +309,8 @@ def _finalize_exact(
         denom = na_u + nb_u - s_tot
         return pa.table(
             {
-                "doc_a": pa.array(a_u),
-                "doc_b": pa.array(b_u),
+                out_a: pa.array(a_u),
+                out_b: pa.array(b_u),
                 "n_shared": pa.array(s_tot),
                 "n_a": pa.array(na_u),
                 "n_b": pa.array(nb_u),
@@ -419,4 +449,59 @@ def similarity_join_pairs(
     )
     return _verify_prefix_candidates(
         partials, full, num=threshold_num, den=threshold_den
+    )
+
+
+def similarity_join_bipartite(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+    shingle_k: int = 4,
+    partitions: int = 32,
+    df_cap: int | None = None,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> ray.data.Dataset:
+    """Cross-side set-similarity threshold join: all (left, right) pairs
+    with shingle-set Jaccard >= num/den — the FUZZY train/eval overlap
+    detector (contamination_flags/contamination_ngram catch verbatim
+    leaks; this catches paraphrased/partially-edited ones).  Same two
+    skinny exchanges as the self-join; posting lists cross-pair
+    left x right only, so within-side duplicates never cost pairs."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    posts_l = _postings(
+        left,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        partitions=partitions,
+        threshold=None,
+        side=0,
+    )
+    posts_r = _postings(
+        right,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        partitions=partitions,
+        threshold=None,
+        side=1,
+    )
+    partials = _pair_partials(
+        posts_l.union(posts_r),
+        partitions=partitions,
+        df_cap=df_cap,
+        bipartite=True,
+    )
+    return _finalize_exact(
+        partials,
+        num=threshold_num,
+        den=threshold_den,
+        out_a=out_a,
+        out_b=out_b,
     )

@@ -132,6 +132,7 @@ ORACLE_QUERIES = [
     "similar_doc_pairs",
     "pack_sequences",
     "scrub_boilerplate_tokens",
+    "eval_overlap_pairs",
 ]
 
 

@@ -211,3 +211,100 @@ class TestSimilarityJoin:
             df.n_a.to_numpy() + df.n_b.to_numpy() - df.n_shared.to_numpy()
         )
         assert (got == want).all()
+
+
+class TestBipartiteJoin:
+    def _sides(self):
+        left = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon zeta",
+                        "one two three four five six",
+                        "nothing like anything else at all",
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+        right = pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon zeta",   # == left 0
+                        "one two three four five SIX edited",   # ~ left 1
+                        "alpha beta gamma delta epsilon zeta",  # == left 0
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+        return left, right
+
+    def test_cross_side_only(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.simjoin import similarity_join_bipartite
+
+        left, right = self._sides()
+        df = similarity_join_bipartite(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            threshold_num=1,
+            threshold_den=2,
+            shingle_k=3,
+        ).to_pandas()
+        pairs = set(zip(df.doc_a.astype(int), df.doc_b.astype(int)))
+        # exact copies across sides found; the within-right duplicate
+        # (10, 12) must NOT appear — sides never self-pair
+        assert (0, 10) in pairs and (0, 12) in pairs
+        assert (1, 11) in pairs  # partial overlap above 1/2
+        assert all(a in (0, 1, 2) and b in (10, 11, 12) for a, b in pairs)
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.simjoin import similarity_join_bipartite
+
+        left, right = self._sides()
+        sets = {}
+        for tbl in (left, right):
+            for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+                tk = t.strip().split()
+                sets[i] = {
+                    " ".join(tk[j : j + 3]) for j in range(len(tk) - 2)
+                }
+        want = set()
+        for a in (0, 1, 2):
+            for b in (10, 11, 12):
+                s = len(sets[a] & sets[b])
+                if s * 3 >= 1 * (len(sets[a]) + len(sets[b])):
+                    want.add((a, b))
+        df = similarity_join_bipartite(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            threshold_num=1,
+            threshold_den=2,
+            shingle_k=3,
+        ).to_pandas()
+        got = set(zip(df.doc_a.astype(int), df.doc_b.astype(int)))
+        assert got == want
+
+    def test_empty_side(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.simjoin import similarity_join_bipartite
+
+        left, _ = self._sides()
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+        df = similarity_join_bipartite(
+            ray.data.from_arrow(left), ray.data.from_arrow(empty)
+        ).to_pandas()
+        assert len(df) == 0
