@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.pack_sequences,
         "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
         "eval_overlap_pairs": q.eval_overlap_pairs,
+        "similar_docs_topk": q.similar_docs_topk,
         # --- block 1: rows never driver-checked before round 4 (30) ---
         "stratified_sample": q.stratified_sample,
         "orders_above_customer_avg": q.orders_above_customer_avg,
@@ -215,6 +216,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.da
             JOIN sizes sb ON sb.doc_id = i.db
             WHERE 21 * i.s >= sa.n + sb.n
+        """,
+        "similar_docs_topk": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, tk, unnest(range(1, len(tk) - 2)) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             || ' ' || tk[i+3] AS g
+                FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT i.da AS src_id, i.db AS nbr_id, i.s AS n_shared,
+                       i.s * 1.0 / (sa.n + sb.n - i.s) AS jacc
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.da
+                JOIN sizes sb ON sb.doc_id = i.db
+                WHERE 21 * i.s >= sa.n + sb.n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src_id ORDER BY jacc DESC, nbr_id
+                ) AS rank
+                FROM scored
+            )
+            SELECT src_id, nbr_id, n_shared, jacc, rank
+            FROM ranked WHERE rank <= 3
         """,
         "eval_overlap_pairs": """
             WITH toks AS (

@@ -5604,3 +5604,92 @@ def eval_overlap_pairs(sf_dir: str) -> ray.data.Dataset:
         ev, tr, threshold_num=1, threshold_den=20, shingle_k=4,
         out_a="eval_id", out_b="train_id",
     )
+
+
+def similar_docs_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-document text kNN: each doc's top-k most similar neighbors by
+    exact shingle Jaccard (among pairs >= 1/20), rank 1 = most similar,
+    ties broken by neighbor id ASC -> (src_id, nbr_id, n_shared, jacc,
+    rank).  The similarity-search operator over TEXT (ann_topk is its
+    embedding-space sibling): candidate pairs come from the simjoin's
+    postings plan, then one src%P exchange ranks each doc's neighbor
+    list vectorized (jacc is a single exact-int division, so the DESC
+    order is engine-identical)."""
+    from libpostal_ray.pipelines.simjoin import similarity_join_pairs
+
+    P = 32
+    pairs = similarity_join_pairs(
+        _docs(sf_dir), threshold_num=1, threshold_den=20, shingle_k=4
+    )
+
+    def directed(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_id": pa.array([], type=pa.int64()),
+                "nbr_id": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+                "jacc": pa.array([], type=pa.float64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        s = batch["n_shared"].to_numpy(zero_copy_only=False)
+        j = batch["jacc"].to_numpy(zero_copy_only=False)
+        src = np.concatenate((a, b))
+        nbr = np.concatenate((b, a))
+        return pa.table(
+            {
+                "src_id": pa.array(src),
+                "nbr_id": pa.array(nbr),
+                "n_shared": pa.array(np.concatenate((s, s))),
+                "jacc": pa.array(np.concatenate((j, j))),
+                "part": pa.array(src % P),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_id": pa.array([], type=pa.int64()),
+                "nbr_id": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+                "jacc": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "src_id" not in group.column_names:
+            return empty
+        src = group["src_id"].to_numpy(zero_copy_only=False)
+        nbr = group["nbr_id"].to_numpy(zero_copy_only=False)
+        s = group["n_shared"].to_numpy(zero_copy_only=False)
+        j = group["jacc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, -j, src))
+        src, nbr, s, j = src[order], nbr[order], s[order], j[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1]))
+        )
+        lens = np.diff(np.concatenate((starts, [src.shape[0]])))
+        rank = (
+            np.arange(src.shape[0], dtype=np.int64)
+            - np.repeat(starts, lens)
+            + 1
+        )
+        keep = rank <= k
+        return pa.table(
+            {
+                "src_id": pa.array(src[keep]),
+                "nbr_id": pa.array(nbr[keep]),
+                "n_shared": pa.array(s[keep]),
+                "jacc": pa.array(j[keep]),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return (
+        pairs.map_batches(directed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pyarrow")
+    )

@@ -133,6 +133,7 @@ ORACLE_QUERIES = [
     "pack_sequences",
     "scrub_boilerplate_tokens",
     "eval_overlap_pairs",
+    "similar_docs_topk",
 ]
 
 

@@ -308,3 +308,27 @@ class TestBipartiteJoin:
             ray.data.from_arrow(left), ray.data.from_arrow(empty)
         ).to_pandas()
         assert len(df) == 0
+
+
+class TestSimilarTopK:
+    def test_topk_symmetric_and_ranked(self, ray_session):
+        import ray.data
+
+        import libpostal_ray.pipelines.queries as q
+
+        df = (
+            q.similar_docs_topk("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["src_id", "rank"])
+        )
+        assert len(df) > 0
+        # every undirected pair appears in both directions at rank >= 1
+        pairs = set(zip(df.src_id, df.nbr_id))
+        # rank is dense 1..k per src and jacc non-increasing within src
+        for src, grp in df.groupby("src_id"):
+            assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+            j = grp.jacc.to_numpy()
+            assert (j[:-1] >= j[1:]).all()
+        assert all(
+            (b, a) in pairs or (a, b) in pairs for a, b in list(pairs)[:20]
+        )
