@@ -350,6 +350,73 @@ def run_profile(args) -> dict:
     return manifest
 
 
+def run_simjoin(args) -> dict:
+    """--mode simjoin: EXACT shingle-Jaccard pair set of --input (self-
+    join), or --input vs --against (bipartite: the fuzzy train/eval
+    overlap audit).  Writes pairs/ parquet (ids, n_shared, sizes, jacc)
+    + manifest.json with the pair count — the ground truth a user holds
+    the LSH flagship's recall against at audit time."""
+    import ray
+
+    from libpostal_ray.pipelines.simjoin import (
+        similarity_join_bipartite,
+        similarity_join_pairs,
+    )
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    cfg = build_config(args.config)
+    try:
+        num, den = (int(x) for x in args.sim_threshold.split("/"))
+    except ValueError:
+        raise SystemExit("--sim-threshold must be 'num/den', e.g. 1/5")
+    t0 = time.time()
+    docs = _keyed_text(_read_corpus(args))
+    out_dir = os.path.join(args.output, "pairs")
+    if args.against:
+        other = _keyed_text(_read_any(args.against, args.against_format))
+        pairs = similarity_join_bipartite(
+            docs,
+            other,
+            threshold_num=num,
+            threshold_den=den,
+            shingle_k=args.shingle_k,
+            df_cap=args.df_cap,
+        )
+    else:
+        pairs = similarity_join_pairs(
+            docs,
+            threshold_num=num,
+            threshold_den=den,
+            shingle_k=args.shingle_k,
+            df_cap=args.df_cap,
+        )
+    pairs.write_parquet(out_dir)
+    import pyarrow.dataset as pds
+
+    n_pairs = pds.dataset(out_dir, format="parquet").count_rows()
+    manifest = {
+        "mode": "simjoin",
+        "config_fingerprint": config_fingerprint(cfg),
+        "input": args.input,
+        "against": args.against,
+        "threshold": f"{num}/{den}",
+        "shingle_k": args.shingle_k,
+        "df_cap": args.df_cap,
+        "wall_seconds": round(time.time() - t0, 3),
+        "rows": {"pairs": int(n_pairs)},
+        "ray": {
+            "nodes": len(ray.nodes()),
+            "cpus": int(ray.cluster_resources().get("CPU", 0)),
+        },
+    }
+    os.makedirs(args.output, exist_ok=True)
+    tmp = os.path.join(args.output, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(args.output, "manifest.json"))
+    return manifest
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m libpostal_ray.job",
@@ -363,12 +430,22 @@ def main(argv=None) -> int:
     p.add_argument("--report", action="store_true", help="also write the keep/drop dedup report")
     p.add_argument("--write-edges", action="store_true", help="also write verified pair edges")
     p.add_argument("--mode", default="cluster",
-                   choices=["cluster", "incremental", "export", "diff", "profile"],
+                   choices=["cluster", "incremental", "export", "diff",
+                            "profile", "simjoin"],
                    help="cluster: flagship near-dup clustering of --input; "
                         "incremental: dedupe --input against a standing corpus; "
                         "export: seeded sharded training export; "
                         "diff: CDC audit of --input vs --against; "
-                        "profile: column profile of --input")
+                        "profile: column profile of --input; "
+                        "simjoin: exact shingle-Jaccard pair set of --input "
+                        "(or --input vs --against, cross-side only)")
+    p.add_argument("--sim-threshold", default="1/20",
+                   help="simjoin: Jaccard threshold as a rational 'num/den'")
+    p.add_argument("--shingle-k", type=int, default=4,
+                   help="simjoin: word-gram shingle width")
+    p.add_argument("--df-cap", type=int, default=None,
+                   help="simjoin: skip posting lists above this df "
+                        "(stop-shingle pruning; None = exact)")
     p.add_argument("--against", default=None, help="incremental: standing-corpus parquet")
     p.add_argument("--n-shards", type=int, default=64, help="export: shard count")
     p.add_argument("--shard-seed", type=int, default=0, help="export: shuffle seed")
@@ -397,7 +474,9 @@ def main(argv=None) -> int:
         if args.mode == "export"
         else run_diff(args)
         if args.mode == "diff"
-        else run_profile(args) if args.mode == "profile" else run_job(args)
+        else run_profile(args)
+        if args.mode == "profile"
+        else run_simjoin(args) if args.mode == "simjoin" else run_job(args)
     )
     json.dump(
         {"status": "ok", "output": args.output, "rows": manifest["rows"],

@@ -289,3 +289,34 @@ def test_job_profile_mode(job_corpus, tmp_path):
     assert cols["path"]["n_rows"] == n
     assert cols["content"]["n_distinct"] <= n
     assert cols["content"]["sum_len"] > 0
+
+
+def test_job_simjoin_mode(job_corpus, tmp_path):
+    """--mode simjoin: the exact pair-set audit job.  The synth corpus
+    plants exact-dup families, so jacc=1.0 pairs must exist; a bipartite
+    run against a disjoint slice must emit only cross-side pairs."""
+    out = str(tmp_path / "simrun")
+    r = _run_job(
+        "--mode", "simjoin",
+        "--input", job_corpus,
+        "--output", out,
+        "--sim-threshold", "9/10",
+        "--shingle-k", "5",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["rows"]["pairs"] > 0
+    assert man["threshold"] == "9/10"
+    t = pds.dataset(os.path.join(out, "pairs"), format="parquet").to_table()
+    assert t.num_rows == man["rows"]["pairs"]
+    assert min(t.column("jacc").to_pylist()) >= 0.9
+
+    # malformed threshold is a loud usage error, not a traceback
+    r2 = _run_job(
+        "--mode", "simjoin",
+        "--input", job_corpus,
+        "--output", str(tmp_path / "simbad"),
+        "--sim-threshold", "0.05",
+    )
+    assert r2.returncode != 0
+    assert "num/den" in (r2.stderr + r2.stdout)
