@@ -577,19 +577,22 @@ def dedup_report(
                 cid = np.where(hit, lab[posc], did)
             else:
                 cid = did
-            # per-cluster size + rep sha (rep doc_id == cluster_id)
-            cpos = np.searchsorted(rep["cids"], cid)
-            cposc = np.clip(cpos, 0, max(rep["cids"].shape[0] - 1, 0))
-            chit = (
-                (cpos < rep["cids"].shape[0]) & (rep["cids"][cposc] == cid)
-                if rep["cids"].shape[0]
-                else np.zeros(n, dtype=bool)
-            )
-            n_copies = np.where(chit, rep["sizes"][cposc], 1)
+            # per-cluster size + rep sha (rep doc_id == cluster_id).
+            # rep can be EMPTY (a corpus with zero duplicate pairs ->
+            # empty label table); np.where evaluates both branches, so
+            # the size-0 gather must be short-circuited, not just masked
             sha_np = _sha_to_np(batch["sha256"])
-            exact = np.zeros(n, dtype=bool)
             if rep["cids"].shape[0]:
+                cpos = np.searchsorted(rep["cids"], cid)
+                cposc = np.clip(cpos, 0, rep["cids"].shape[0] - 1)
+                chit = (cpos < rep["cids"].shape[0]) & (
+                    rep["cids"][cposc] == cid
+                )
+                n_copies = np.where(chit, rep["sizes"][cposc], 1)
                 exact = chit & (rep["rep_sha"][cposc] == sha_np)
+            else:
+                n_copies = np.ones(n, dtype=np.int64)
+                exact = np.zeros(n, dtype=bool)
             keep = did == cid
             reason = np.where(
                 keep,

@@ -203,3 +203,37 @@ def test_refine_review_edges(ray_session):
         computed = refined[refined["exact_jaccard"] >= 0]
         for v in computed["exact_jaccard"]:
             assert abs(v - direct) < 1e-9
+
+
+def test_dedup_report_fused_path_on_all_unique_corpus(ray_session, tmp_path):
+    """A corpus with ZERO duplicate pairs produces an EMPTY label table;
+    the fused report path must still emit one keep=True/'unique' row per
+    doc (np.where evaluates both branches, so the size-0 per-cluster
+    gather crashed with IndexError before round 4's guard)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from libpostal_ray.config import PipelineConfig
+    from libpostal_ray.pipelines.near_dupe import dedup_report
+    from libpostal_ray.sources.readers import read_code_corpus
+
+    rng = random.Random(5)
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in range(120):
+        rows["repo"].append("r")
+        rows["path"].append(f"f{i}.py")
+        rows["commit"].append("c")
+        rows["lang"].append("py")
+        rows["content"].append(
+            " ".join(f"u{i}w{j}x{rng.randrange(10**9)}" for j in range(40))
+        )
+    p = str(tmp_path / "nodup.parquet")
+    pq.write_table(pa.table(rows), p)
+    df = dedup_report(read_code_corpus(p), PipelineConfig()).to_pandas()
+    assert len(df) == 120
+    assert df.keep.all()
+    assert (df.reason == "unique").all()
+    assert (df.n_copies == 1).all()
+    assert (df.cluster_id == df.doc_id).all()
