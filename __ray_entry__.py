@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "events_type_median_exact": q.events_type_median_exact,
         "similar_doc_pairs": q.similar_doc_pairs,
         "pack_sequences": q.pack_sequences,
         "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
@@ -188,6 +189,12 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "events_type_median_exact": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   median(value) AS median_value
+            FROM events GROUP BY event_type
+        """,
         "similar_doc_pairs": """
             WITH toks AS (
                 SELECT doc_id, string_split(trim(text), ' ') AS tk

@@ -246,6 +246,7 @@ def run_bench() -> dict:
         lambda d: __import__("ray").data.from_pandas(q.ann_topk_ivf_sq8(d)),
     )
     timed("similar_doc_pairs", q.similar_doc_pairs)
+    timed("events_type_median_exact", q.events_type_median_exact)
     timed("pack_sequences", q.pack_sequences)
     timed("scrub_boilerplate_tokens", q.scrub_boilerplate_tokens)
 

@@ -5693,3 +5693,22 @@ def similar_docs_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def events_type_median_exact(sf_dir: str) -> ray.data.Dataset:
+    """EXACT per-group interpolated median (SQL median semantics) with
+    CONSTANT exchange volume: functions/quantile.py:
+    grouped_exact_quantile_cont — four radix-refinement scans shared by
+    all (group, bracketing-rank) targets, <= groups x 65536 skinny
+    histogram rows per batch per pass, NO per-group value gather.  The
+    scale counterpart of priority_price_iqr (which co-locates each group;
+    a hot group at 100 TB would be one task's heap) and the exact
+    counterpart of user_value_p50_sketch."""
+    from libpostal_ray.functions.quantile import grouped_exact_quantile_cont
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = grouped_exact_quantile_cont(ds, "event_type", "value", 0.5)
+    tbl = tbl.rename_columns(["event_type", "n_events", "median_value"])
+    return ray.data.from_arrow(tbl)

@@ -130,6 +130,7 @@ ORACLE_QUERIES = [
     "global_event_ranks",
     "lineitem_unpivot",
     "similar_doc_pairs",
+    "events_type_median_exact",
     "pack_sequences",
     "scrub_boilerplate_tokens",
     "eval_overlap_pairs",
