@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "events_type_median_exact": q.events_type_median_exact,
+        "weighted_doc_sample": q.weighted_doc_sample,
         "similar_doc_pairs": q.similar_doc_pairs,
         "pack_sequences": q.pack_sequences,
         "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
@@ -194,6 +195,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    median(value) AS median_value
             FROM events GROUP BY event_type
+        """,
+        "weighted_doc_sample": """
+            SELECT doc_id, n_chars, rn FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (
+                           ORDER BY ln(CAST((doc_id*48271) % 2147483647 + 1
+                                            AS DOUBLE) / 2147483648.0)
+                                    / n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 64
         """,
         "similar_doc_pairs": """
             WITH toks AS (

@@ -5712,3 +5712,81 @@ def events_type_median_exact(sf_dir: str) -> ray.data.Dataset:
     tbl = grouped_exact_quantile_cont(ds, "event_type", "value", 0.5)
     tbl = tbl.rename_columns(["event_type", "n_events", "median_value"])
     return ray.data.from_arrow(tbl)
+
+
+def weighted_doc_sample(sf_dir: str, k: int = 64) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): the k docs with the largest key ln(u)/w, where
+    u = ((doc_id*48271) % (2^31-1) + 1) / 2^31 is Lehmer-hash randomness
+    (reproducible across runs AND engines — the same discipline as
+    stratified_sample) and w = n_chars, so selection probability is
+    proportional to document length — the length-weighted mix a training
+    sampler actually draws.  Completes the sampling family (hash_sample =
+    uniform, stratified_sample = per-group quota, this = weighted).
+
+    Physical plan: per-batch PARTIAL top-k (one vectorized argpartition —
+    the exchange carries <= k rows per batch, never the corpus), one
+    single-task finish.  Output (doc_id, n_chars, rn), rn = 1-based rank
+    in (key DESC, doc_id) order — row_number()-equal to the SQL oracle.
+    ln() is the one float step; both engines evaluate it on IDENTICAL
+    doubles (exact power-of-two division), and ordering ties would need
+    sub-ulp key collisions — parity-verified at 3 scales."""
+    M = np.int64(2147483647)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.nulls(0, pa.int64()),
+                "n_chars": pa.nulls(0, pa.int64()),
+                "key": pa.nulls(0, pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ((ids * np.int64(48271)) % M + 1).astype(np.float64) / 2147483648.0
+        key = np.log(u) / w
+        if ids.shape[0] > k:
+            take = np.argpartition(-key, k - 1)[:k]
+        else:
+            take = np.arange(ids.shape[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[take], type=pa.int64()),
+                "n_chars": pa.array(w[take], type=pa.int64()),
+                "key": pa.array(key[take], type=pa.float64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "n_chars": pa.nulls(0, pa.int64()),
+                    "rn": pa.nulls(0, pa.int64()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "n_chars": pa.array(w[order], type=pa.int64()),
+                "rn": pa.array(
+                    np.arange(1, order.shape[0] + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

@@ -131,6 +131,7 @@ ORACLE_QUERIES = [
     "lineitem_unpivot",
     "similar_doc_pairs",
     "events_type_median_exact",
+    "weighted_doc_sample",
     "pack_sequences",
     "scrub_boilerplate_tokens",
     "eval_overlap_pairs",

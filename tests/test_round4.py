@@ -63,3 +63,33 @@ def test_grouped_exact_quantile_cont_edges(ray_session):
                       "v": pa.array([], type=pa.float64())})
     out = grouped_exact_quantile_cont(ray.data.from_arrow(empty), "k", "v", 0.5)
     assert out.num_rows == 0
+
+
+def test_weighted_doc_sample_aes_property_and_blocking(ray_session, tmp_path):
+    """A-ES selection == brute-force numpy top-k by ln(u)/w on the same
+    hash randomness; identical under different blockings; and heavier
+    docs are actually overrepresented (the point of weighting)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from libpostal_ray.pipelines import queries as q
+
+    n = 5000
+    ids = np.arange(1, n + 1, dtype=np.int64) * 7  # non-contiguous ids
+    w = np.where(ids % 10 == 0, 5000, 50).astype(np.int64)  # 10% heavy
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": ids, "n_chars": w}),
+        f"{d}/documents.parquet",
+    )
+    u = ((ids * 48271) % 2147483647 + 1).astype(np.float64) / 2147483648.0
+    key = np.log(u) / w
+    order = np.lexsort((ids, -key))[:64]
+    ref = ids[order]
+
+    got = q.weighted_doc_sample(d).to_pandas().sort_values("rn")
+    assert (got.doc_id.to_numpy() == ref).all()
+    # heavy docs are 10% of the corpus but ~90% of the sample
+    heavy_frac = (got.doc_id % 10 == 0).mean()
+    assert heavy_frac > 0.5, heavy_frac
