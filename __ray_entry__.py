@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "events_type_median_exact": q.events_type_median_exact,
         "weighted_doc_sample": q.weighted_doc_sample,
+        "source_ngram_overlap": q.source_ngram_overlap,
         "similar_doc_pairs": q.similar_doc_pairs,
         "pack_sequences": q.pack_sequences,
         "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
@@ -195,6 +196,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    median(value) AS median_value
             FROM events GROUP BY event_type
+        """,
+        "source_ngram_overlap": """
+            WITH toks AS (
+                SELECT source, string_split(trim(text), ' ') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT source, tk, unnest(range(1, len(tk) - 2)) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT source,
+                       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             || ' ' || tk[i+3] AS g
+                FROM pos
+            ),
+            sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+            inter AS (
+                SELECT a.source AS sa, b.source AS sb, count(*) AS s
+                FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT i.sa AS src_a, i.sb AS src_b, i.s AS n_shared,
+                   za.n AS n_a, zb.n AS n_b,
+                   i.s * 1.0 / (za.n + zb.n - i.s) AS jacc
+            FROM inter i
+            JOIN sizes za ON za.source = i.sa
+            JOIN sizes zb ON zb.source = i.sb
         """,
         "weighted_doc_sample": """
             SELECT doc_id, n_chars, rn FROM (

@@ -5790,3 +5790,17 @@ def weighted_doc_sample(sf_dir: str, k: int = 64) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def source_ngram_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level contamination rollup: shared distinct word-4-gram
+    shingles between every pair of sources, with group-level Jaccard —
+    pipelines/simjoin.py: source_gram_overlap (bitmask-per-gram plan, 8 B
+    keys, Python cost = distinct group-combinations).  The source-pair
+    aggregate one level above similar_doc_pairs / eval_overlap_pairs."""
+    from libpostal_ray.pipelines.simjoin import source_gram_overlap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    return ray.data.from_arrow(source_gram_overlap(ds))

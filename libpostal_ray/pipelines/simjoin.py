@@ -505,3 +505,216 @@ def similarity_join_bipartite(
         out_a=out_a,
         out_b=out_b,
     )
+
+
+def source_gram_overlap(
+    docs: ray.data.Dataset,
+    *,
+    key_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 4,
+    partitions: int = 32,
+) -> pa.Table:
+    """Cross-GROUP shared-shingle matrix: for every pair of groups (e.g.
+    sources / corpora / train-vs-eval splits), the number of word-k-gram
+    shingles their UNIONED documents share, plus each group's distinct
+    total and the group-level Jaccard — the rollup that answers "which
+    corpora overlap, and how much" one level above the per-document joins
+    (similar_doc_pairs / eval_overlap_pairs).
+
+    Physical plan: the postings pass emits per-batch DISTINCT
+    (gram_hash, group) rows (8 B keys — gram strings never leave the
+    batch); ONE exchange on gram%P; each partition dedupes (gram, group)
+    across batches, then collapses every gram's group-set to a BITMASK
+    (np.bitwise_or.reduceat — one uint64 per gram) and pair-counts by
+    np.unique over DISTINCT MASKS, so the Python cost is the number of
+    distinct group-combinations (<< grams); per-partition partials are
+    <= |groups|^2 skinny rows + |groups| totals, merged in one final
+    task.  Grams partition disjointly, so partition counts sum exactly.
+
+    Groups are capped at 64 per partition (one machine word); a wider
+    matrix would split the mask into words — loud error, not silence.
+    """
+
+    def postings(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], type=pa.int64()),
+                "src": pa.array([], type=pa.string()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or text_col not in batch.column_names:
+            return empty
+        txt = pc.utf8_trim_whitespace(batch[text_col].cast(pa.large_string()))
+        lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        total = len(flat)
+        if total < shingle_k:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        vh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        (s or "").encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                for s in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        th = vh[codes]
+        m = total - shingle_k + 1
+        fold = mix_fold_u64(
+            [th[j : j + m] for j in range(shingle_k)], salt=shingle_k
+        )
+        valid = parent[:m] == parent[shingle_k - 1 :]
+        if not valid.any():
+            return empty
+        g = as_key_i64(fold[valid])
+        didx = parent[:m][valid].astype(np.int64)
+        src = batch[key_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        scodes = (
+            pc.dictionary_encode(src)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sc = scodes[didx]
+        # per-batch DISTINCT (gram, group)
+        order = np.lexsort((g, sc))
+        sc, g = sc[order], g[order]
+        keep = np.concatenate(
+            ([True], (sc[1:] != sc[:-1]) | (g[1:] != g[:-1]))
+        )
+        sc, g = sc[keep], g[keep]
+        svals = pc.dictionary_encode(src).dictionary
+        return pa.table(
+            {
+                "g": pa.array(g),
+                "src": svals.take(pa.array(sc, type=pa.int64())),
+                "part": pa.array(g % partitions),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_a": pa.nulls(0, pa.string()),
+                "src_b": pa.nulls(0, pa.string()),
+                "cnt": pa.nulls(0, pa.int64()),
+                "kind": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "g" not in group.column_names:
+            return empty
+        g = group["g"].to_numpy(zero_copy_only=False)
+        src = np.asarray(group["src"].to_pylist(), dtype=object)
+        uniq_src, codes = np.unique(src, return_inverse=True)
+        if uniq_src.shape[0] > 64:
+            raise ValueError(
+                "source_gram_overlap: > 64 distinct groups; widen the "
+                "mask to multiple words for wider matrices"
+            )
+        order = np.lexsort((codes, g))
+        g, codes = g[order], codes[order]
+        keep = np.concatenate(
+            ([True], (g[1:] != g[:-1]) | (codes[1:] != codes[:-1]))
+        )
+        g, codes = g[keep], codes[keep]
+        # per-group distinct totals (grams partition disjointly -> sums
+        # across partitions are exact global distinct counts)
+        totals = np.bincount(codes, minlength=uniq_src.shape[0])
+        # gram -> group bitmask
+        starts = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        masks = np.bitwise_or.reduceat(
+            (np.uint64(1) << codes.astype(np.uint64)), starts
+        )
+        um, uc = np.unique(masks, return_counts=True)
+        pair_cnt: dict[tuple[int, int], int] = {}
+        for mval, c in zip(um, uc):  # per distinct group-COMBINATION
+            bits = [b for b in range(uniq_src.shape[0]) if (int(mval) >> b) & 1]
+            if len(bits) < 2:
+                continue
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    key = (bits[x], bits[y])
+                    pair_cnt[key] = pair_cnt.get(key, 0) + int(c)
+        src_a = [str(uniq_src[a]) for a, b in pair_cnt] + [
+            str(s) for s in uniq_src
+        ]
+        src_b = [str(uniq_src[b]) for a, b in pair_cnt] + [""] * len(uniq_src)
+        cnt = list(pair_cnt.values()) + totals.tolist()
+        kind = [0] * len(pair_cnt) + [1] * len(uniq_src)
+        return pa.table(
+            {
+                "src_a": pa.array(src_a, type=pa.string()),
+                "src_b": pa.array(src_b, type=pa.string()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+                "kind": pa.array(kind, type=pa.int64()),
+            }
+        )
+
+    partials = (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+    @ray.remote
+    def gather(*blocks):
+        import pandas as pd
+
+        frames = [
+            b.to_pandas()
+            for b in blocks
+            if b.num_rows and "src_a" in b.column_names
+        ]
+        if not frames:
+            return pa.table(
+                {
+                    "src_a": pa.nulls(0, pa.string()),
+                    "src_b": pa.nulls(0, pa.string()),
+                    "n_shared": pa.nulls(0, pa.int64()),
+                    "n_a": pa.nulls(0, pa.int64()),
+                    "n_b": pa.nulls(0, pa.int64()),
+                    "jacc": pa.nulls(0, pa.float64()),
+                }
+            )
+        df = pd.concat(frames, ignore_index=True)
+        agg = (
+            df.groupby(["kind", "src_a", "src_b"], sort=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        tot = dict(
+            zip(agg[agg.kind == 1].src_a, agg[agg.kind == 1].cnt)
+        )
+        pairs = agg[agg.kind == 0]
+        n_a = pairs.src_a.map(tot).astype("int64")
+        n_b = pairs.src_b.map(tot).astype("int64")
+        s = pairs.cnt.astype("int64")
+        return pa.table(
+            {
+                "src_a": pa.array(pairs.src_a.tolist(), type=pa.string()),
+                "src_b": pa.array(pairs.src_b.tolist(), type=pa.string()),
+                "n_shared": pa.array(s.to_numpy()),
+                "n_a": pa.array(n_a.to_numpy()),
+                "n_b": pa.array(n_b.to_numpy()),
+                "jacc": pa.array(
+                    s.to_numpy() * 1.0
+                    / (n_a.to_numpy() + n_b.to_numpy() - s.to_numpy())
+                ),
+            }
+        )
+
+    return ray.get(gather.remote(*partials.materialize().to_arrow_refs()))

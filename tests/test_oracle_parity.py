@@ -132,6 +132,7 @@ ORACLE_QUERIES = [
     "similar_doc_pairs",
     "events_type_median_exact",
     "weighted_doc_sample",
+    "source_ngram_overlap",
     "pack_sequences",
     "scrub_boilerplate_tokens",
     "eval_overlap_pairs",

@@ -93,3 +93,47 @@ def test_weighted_doc_sample_aes_property_and_blocking(ray_session, tmp_path):
     # heavy docs are 10% of the corpus but ~90% of the sample
     heavy_frac = (got.doc_id % 10 == 0).mean()
     assert heavy_frac > 0.5, heavy_frac
+
+
+def test_source_gram_overlap_planted(ray_session, tmp_path):
+    """Two sources sharing exactly one planted 4-gram; a third source with
+    no overlap; blocking-independent; >64-group guard raises."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from libpostal_ray.pipelines.simjoin import source_gram_overlap
+
+    rows = {
+        "source": ["alpha", "alpha", "beta", "gamma"],
+        "text": [
+            "shared one two three unique0 a b c",
+            "filler x y z w v u t",
+            "prefix shared one two three suffix q r",
+            "totally different words here only gamma has",
+        ],
+    }
+    t = pa.table(rows)
+    for blocks in (1, 4):
+        out = source_gram_overlap(
+            ray.data.from_arrow(t).repartition(blocks)
+        ).to_pandas()
+        # alpha & beta share exactly "shared one two three"
+        ab = out[(out.src_a == "alpha") & (out.src_b == "beta")]
+        assert len(ab) == 1 and int(ab.n_shared.iloc[0]) == 1
+        assert not ((out.src_a == "gamma") | (out.src_b == "gamma")).any()
+        # totals: alpha has 5+5=10 distinct grams across its two docs
+        assert int(ab.n_a.iloc[0]) == 10
+        jacc = float(ab.jacc.iloc[0])
+        assert jacc == 1.0 / (10 + int(ab.n_b.iloc[0]) - 1)
+
+    wide = pa.table(
+        {
+            "source": [f"s{i:03d}" for i in range(70)],
+            "text": ["common gram here four"] * 70,
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="64"):
+        source_gram_overlap(ray.data.from_arrow(wide))
