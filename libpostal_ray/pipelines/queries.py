@@ -5804,3 +5804,17 @@ def source_ngram_overlap(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     return ray.data.from_arrow(source_gram_overlap(ds))
+
+
+def cdc_chunk_dups(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc content-defined-chunking duplication stats over documents
+    (pipelines/cdc.py): which fraction of each doc's bytes-level chunks
+    recur in OTHER docs — partial/embedded duplication the whole-doc and
+    shingle paths miss.  Rows-only: Gear-CDC boundaries are not
+    SQL-expressible."""
+    from libpostal_ray.pipelines.cdc import chunk_dup_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    return chunk_dup_stats(ds, text_col="text")

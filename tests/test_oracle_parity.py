@@ -184,6 +184,7 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
 
 ROWS_ONLY = [
     "near_dupe_clusters",
+    "cdc_chunk_dups",
     "minhash_lsh_edges",
     "near_dupe_hash_keys",
     "simhash64",

@@ -137,3 +137,77 @@ def test_source_gram_overlap_planted(ray_session, tmp_path):
 
     with _pytest.raises(Exception, match="64"):
         source_gram_overlap(ray.data.from_arrow(wide))
+
+
+def test_cdc_chunking_is_content_defined(ray_session):
+    """Identical content chunks identically regardless of its neighbors
+    in the flat batch buffer (the W-byte pad property), and an embedded
+    copy of a doc shares most of its chunks."""
+    import numpy as np
+
+    from libpostal_ray.pipelines.cdc import doc_chunk_hashes
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(32, 127, 4000, dtype=np.uint8)
+    other = rng.integers(32, 127, 1000, dtype=np.uint8)
+
+    def chunks(docs):
+        data = np.concatenate(docs).astype(np.uint8)
+        off = np.cumsum([0] + [d.shape[0] for d in docs]).astype(np.int64)
+        didx, ch = doc_chunk_hashes(data, off)
+        return [set(ch[didx == i].tolist()) for i in range(len(docs))]
+
+    alone = chunks([a])[0]
+    neighbored = chunks([other, a, other])[1]
+    assert alone == neighbored
+
+    embedded = np.concatenate([other, a, other])
+    got = chunks([a, embedded])
+    inter = got[0] & got[1]
+    assert len(inter) / len(got[0]) > 0.5, (len(inter), len(got[0]))
+
+
+def test_chunk_dup_stats_planted(ray_session):
+    """Exact-dup pair -> shared_frac 1.0 on both; unique docs ~0;
+    blocking-independent totals."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from libpostal_ray.pipelines.cdc import chunk_dup_stats
+
+    rng = np.random.default_rng(9)
+
+    def doc(n):
+        return "".join(chr(c) for c in rng.integers(32, 127, n))
+
+    dup = doc(3000)
+    rows = {"doc_id": [], "content": []}
+    for i in range(40):
+        rows["doc_id"].append(i)
+        rows["content"].append(doc(2000))
+    rows["doc_id"] += [100, 101]
+    rows["content"] += [dup, dup]
+    t = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "content": pa.array(rows["content"]),
+        }
+    )
+    ref = None
+    for blocks in (1, 6):
+        out = (
+            chunk_dup_stats(ray.data.from_arrow(t).repartition(blocks))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 42
+        d = out.set_index("doc_id")
+        assert d.loc[100, "shared_frac"] == 1.0
+        assert d.loc[101, "shared_frac"] == 1.0
+        assert (d.loc[:99, "shared_frac"] < 0.2).all()
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref)
