@@ -211,3 +211,32 @@ def test_chunk_dup_stats_planted(ray_session):
             ref = out
         else:
             assert out.equals(ref)
+
+
+def test_round4_new_queries_on_empty_corpus(ray_session, tmp_path):
+    """Zero-row inputs are routine at scale: the round-4 session-9 rows
+    must not crash and must emit zero rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import __ray_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in ("documents", "events"):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    qs = entrymod.queries()
+    for name in (
+        "events_type_median_exact",
+        "weighted_doc_sample",
+        "source_ngram_overlap",
+        "cdc_chunk_dups",
+    ):
+        res = qs[name](str(d))
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        assert isinstance(df, pd.DataFrame), name
+        assert len(df) == 0, (name, df.head())
