@@ -21,8 +21,14 @@ byte of every doc against the whole corpus):
   3. a per-chunk 64-bit fingerprint (xor-fold of the in-chunk gear states
      mixed with the chunk length — vectorized bitwise_xor.reduceat; a
      fingerprint like SimHash, not a cryptographic digest: collisions are
-     possible and documented) keyed (chunk_hash, doc) leaves the batch —
-     8+8 B per ~2^bits content bytes, content itself never shuffles;
+     possible and documented; the gear states of a chunk's first W-1
+     bytes also see the PRECEDING in-doc bytes, so the fingerprint is a
+     function of (chunk bytes, left W-1 bytes) — identical whole docs and
+     the interior of embedded copies still match chunk-for-chunk, only a
+     copy's first post-boundary chunk can differ; smaller W tightens
+     this, one reason W=16 detects slightly MORE true sharing than 48)
+     keyed (chunk_hash, doc) leaves the batch — 8+8 B per ~2^bits
+     content bytes, content itself never shuffles;
   4. ONE exchange on chunk%P; each partition marks chunks whose posting
      list spans >= 2 DISTINCT docs and pre-aggregates per-doc shared
      counts; a final skinny doc%P exchange sums (docs appear in many
@@ -42,7 +48,13 @@ import ray.data
 
 from libpostal_ray.config import PipelineConfig
 
-GEAR_WINDOW = 48  # closed-form window: bytes older than W have shifted out
+GEAR_WINDOW = 16  # closed-form window: bytes older than W have shifted out.
+# Boundary decisions read only the LOW boundary_bits of h, and bit k of the
+# closed form integrates bytes up to age k — so boundaries depend on just
+# the trailing ~8 bytes and are IDENTICAL for any W >= boundary_bits (small
+# context = maximal shift robustness); the extra window width only feeds
+# the 64-bit chunk fingerprint's mixing.  W=16 is the measured sweet spot:
+# halving compute vs 32/48 with no boundary change.
 
 
 def _gear_table() -> np.ndarray:
@@ -57,11 +69,13 @@ def _gear_table() -> np.ndarray:
 _GEAR = _gear_table()
 
 
-def _gear_hash(data: np.ndarray, chunk_bytes: int = 1 << 20) -> np.ndarray:
+def _gear_hash(data: np.ndarray, chunk_bytes: int = 1 << 16) -> np.ndarray:
     """Vectorized Gear rolling hash over a flat uint8 buffer:
     h[t] = sum_{j < W} GEAR[b[t-j]] << j (mod 2^64).  Cache-blocked over
-    ~1 MB output ranges with a W-byte overlap re-read so block edges are
-    seamless (CLAUDE.md DRAM discipline)."""
+    64 KB output ranges (8 B/byte temporaries must stay in L2: 64 KB was
+    measured 3x faster than 1 MB blocks single-threaded on this host —
+    CLAUDE.md DRAM discipline) with a W-byte overlap re-read so block
+    edges are seamless."""
     n = data.shape[0]
     out = np.empty(n, dtype=np.uint64)
     g = _GEAR
