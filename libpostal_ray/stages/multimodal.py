@@ -2,11 +2,13 @@
 
 Decode kernels resolve lazily: the default ``"auto"`` uses a REAL
 PIL / cv2 backend when those libraries are importable at runtime
-(production), and falls back to the documented stub (NotImplementedError
-at the call site) in environments without media libraries — like this
-sandbox, where tests exercise the Ray-side plumbing with deterministic
-fakes.  Everything around the decode — schema, actor signature,
-byte-budgeted batches, output layout — is real:
+(production); without them, image decode/resize fall back to a
+PURE-NUMPY PPM/BMP raster codec (uncompressed formats need no external
+library — real decodes run even in this sandbox), and only payloads in
+codec-needing formats (JPEG/PNG/video) hit the documented loud
+NotImplementedError.  Tests also exercise the Ray-side plumbing with
+deterministic fakes.  Everything around the decode — schema, actor
+signature, byte-budgeted batches, output layout — is real:
 
   * binary payload column (``payload: large_binary``) + typed metadata
     columns (``media_type``, ``width``/``height``/``duration_ms``)
@@ -42,14 +44,102 @@ MEDIA_SCHEMA = pa.schema(
 # ---------------------------------------------------------------------------
 
 
+# -- pure-numpy PPM(P6)/BMP(24bpp) codecs: REAL decode in THIS sandbox ------
+# JPEG/PNG/video need external codec libraries; uncompressed raster formats
+# do not.  These make the decode path genuinely runnable here — the stub
+# remains only for payloads no available backend understands.
+
+
+def ppm_bmp_to_array(payload: bytes) -> np.ndarray | None:
+    """Decode a binary PPM (P6) or uncompressed 24-bit BMP payload to an
+    (H, W, 3) uint8 array; None when the magic bytes match neither."""
+    if payload[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+        parts, i, tok = [], 2, b""
+        while len(parts) < 3 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":  # comment to end of line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                if tok:
+                    parts.append(int(tok))
+                    tok = b""
+            else:
+                tok += c
+            i += 1
+        if len(parts) < 3:
+            return None
+        w, h, maxval = parts
+        if maxval > 255:
+            return None  # 16-bit PPM out of scope
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        return raster.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            return None  # compressed / paletted BMP needs a real codec
+        stride = (w * 3 + 3) & ~3
+        flip = h > 0  # positive height = bottom-up rows
+        h = abs(h)
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return img[::-1].copy() if flip else img.copy()
+    return None
+
+
+def array_to_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6) payload."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def _nn_resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center rule) — deterministic,
+    dependency-free."""
+    ih, iw = img.shape[:2]
+    ys = np.minimum(((np.arange(h) + 0.5) * ih / h).astype(np.int64), ih - 1)
+    xs = np.minimum(((np.arange(w) + 0.5) * iw / w).astype(np.int64), iw - 1)
+    return img[ys][:, xs]
+
+
+def _numpy_image_feature(payload: bytes, media_type: str) -> np.ndarray:
+    if media_type != "image":
+        return np.zeros(MediaFeatureStage.FEATURE_DIM, dtype=np.float32)
+    arr = ppm_bmp_to_array(payload)
+    if arr is None:
+        # an image payload in a format the numpy codec can't read must
+        # fail LOUDLY, not emit zeros — same contract as the stub
+        raise NotImplementedError(
+            "image payload is not PPM/BMP; decoding it requires PIL, which "
+            "is not importable in this environment"
+        )
+    gray = (
+        arr[:, :, 0] * np.float32(0.299)
+        + arr[:, :, 1] * np.float32(0.587)
+        + arr[:, :, 2] * np.float32(0.114)
+    )
+    return (_nn_resize(gray[:, :, None], 8, 8)[:, :, 0] / np.float32(255.0)).reshape(-1)
+
+
 def resolve_image_decode():
-    """Real image decode -> 64-dim feature (8x8 grayscale), if PIL exists."""
+    """Real image decode -> 64-dim feature (8x8 grayscale): PIL when
+    importable (all formats), else the pure-numpy PPM/BMP codec (never
+    None — raster decode needs no external library)."""
     try:
         import io
 
         from PIL import Image
     except ImportError:
-        return None
+        return _numpy_image_feature
 
     def decode(payload: bytes, media_type: str) -> np.ndarray:
         if media_type != "image":
@@ -62,14 +152,25 @@ def resolve_image_decode():
     return decode
 
 
+def _numpy_image_resize(payload: bytes, w: int, h: int) -> bytes:
+    arr = ppm_bmp_to_array(payload)
+    if arr is None:
+        raise NotImplementedError(
+            "image payload is not PPM/BMP; resizing it requires PIL, which "
+            "is not importable in this environment"
+        )
+    return array_to_ppm(_nn_resize(arr, w, h))
+
+
 def resolve_image_resize():
-    """Real payload->payload resize (PNG re-encode), if PIL exists."""
+    """Real payload->payload resize: PIL (PNG re-encode) when importable,
+    else the pure-numpy PPM/BMP nearest-neighbor path (never None)."""
     try:
         import io
 
         from PIL import Image
     except ImportError:
-        return None
+        return _numpy_image_resize
 
     def resize(payload: bytes, w: int, h: int) -> bytes:
         img = Image.open(io.BytesIO(payload)).convert("RGB").resize((w, h))

@@ -240,3 +240,107 @@ def test_round4_new_queries_on_empty_corpus(ray_session, tmp_path):
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
         assert isinstance(df, pd.DataFrame), name
         assert len(df) == 0, (name, df.head())
+
+
+def _make_bmp24(img):
+    """Minimal uncompressed 24-bit bottom-up BMP encoder (test-local)."""
+    import numpy as np
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        raster += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + bytes(raster)
+
+
+def test_numpy_ppm_bmp_codec_roundtrip():
+    """The dependency-free raster codec: PPM and BMP payloads decode to
+    the exact planted pixels (BMP bottom-up + row padding handled)."""
+    import numpy as np
+
+    from libpostal_ray.stages.multimodal import (
+        array_to_ppm,
+        ppm_bmp_to_array,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # odd width pads
+    assert (ppm_bmp_to_array(array_to_ppm(img)) == img).all()
+    assert (ppm_bmp_to_array(_make_bmp24(img)) == img).all()
+    # comments in the PPM header
+    with_comment = b"P6\n# a comment\n3 5\n255\n" + img.tobytes()
+    assert (ppm_bmp_to_array(with_comment) == img).all()
+    assert ppm_bmp_to_array(b"\x89PNG garbage") is None
+
+
+def test_media_stages_real_decode_in_this_sandbox(ray_session):
+    """MediaFeatureStage / MediaResizeStage with default 'auto' run REAL
+    decodes here (no PIL/cv2): PPM and BMP image payloads through Ray
+    actor pools, exact feature values and resized payload dims."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from libpostal_ray.stages.multimodal import (
+        MediaFeatureStage,
+        MediaResizeStage,
+        array_to_ppm,
+        ppm_bmp_to_array,
+    )
+
+    grey128 = np.full((64, 64, 3), 128, dtype=np.uint8)
+    rng = np.random.default_rng(4)
+    noisy = rng.integers(0, 256, (48, 32, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], type=pa.int64()),
+            "media_type": pa.array(["image", "image", "audio"]),
+            "payload": pa.array(
+                [array_to_ppm(grey128), _make_bmp24(noisy), b"pcm"],
+                type=pa.large_binary(),
+            ),
+            "width": pa.array([64, 32, 0], type=pa.int32()),
+            "height": pa.array([64, 48, 0], type=pa.int32()),
+            "duration_ms": pa.array([0, 0, 90], type=pa.int32()),
+        }
+    )
+    feats = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            MediaFeatureStage,
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    f0 = np.asarray(feats.loc[0, "feature"])
+    assert f0.shape == (64,)
+    assert np.allclose(f0, 128.0 / 255.0, atol=1e-3)  # uniform grey
+    assert np.asarray(feats.loc[2, "feature"]).sum() == 0.0  # audio zeros
+
+    resized = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            MediaResizeStage,
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    for mid, (w0, h0) in ((0, (64, 64)), (1, (32, 48))):
+        arr = ppm_bmp_to_array(bytes(resized.loc[mid, "payload"]))
+        assert arr.shape == (32, 32, 3), mid
+        assert resized.loc[mid, "width"] == 32
+    # nearest-neighbor on the uniform image stays uniform
+    arr0 = ppm_bmp_to_array(bytes(resized.loc[0, "payload"]))
+    assert (arr0 == 128).all()
+    assert bytes(resized.loc[2, "payload"]) == b"pcm"  # pass-through

@@ -200,9 +200,11 @@ def test_bpe_remat_every_exactness(ray_session):
 
 
 def test_media_auto_resolution_falls_back_to_stub():
-    # no PIL/cv2 in this environment: "auto" resolves to None and the
-    # call site raises the documented NotImplementedError; explicit fns
-    # pass through untouched
+    # no PIL/cv2 in this environment: image "auto" resolves to the
+    # pure-numpy PPM/BMP codec, which must still fail LOUDLY on payloads
+    # in formats it can't read (the synth tables are random bytes);
+    # frame extraction has no numpy path, so it resolves to None and the
+    # call site raises; explicit fns pass through untouched
     from libpostal_ray.stages.multimodal import (
         MediaFeatureStage,
         MediaResizeStage,
@@ -214,8 +216,8 @@ def test_media_auto_resolution_falls_back_to_stub():
         synth_media_table,
     )
 
-    assert resolve_image_decode() is None
-    assert resolve_image_resize() is None
+    assert callable(resolve_image_decode())
+    assert callable(resolve_image_resize())
     assert resolve_frame_extract() is None
     t = synth_media_table(4)
     for cls in (MediaFeatureStage, MediaResizeStage, FrameSampleStage):
