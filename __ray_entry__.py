@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
         "near_dupe_clusters": q.near_dupe_clusters,
         "cdc_chunk_dups": q.cdc_chunk_dups,
+        "chunk_containment_pairs": q.chunk_containment_pairs,
         "minhash_lsh_edges": q.minhash_lsh_edges,
         "near_dupe_hash_keys": q.near_dupe_hash_keys,
         "simhash64": q.simhash64,

@@ -250,6 +250,7 @@ def run_bench() -> dict:
     timed("weighted_doc_sample", q.weighted_doc_sample)
     timed("source_ngram_overlap", q.source_ngram_overlap)
     timed("cdc_chunk_dups", q.cdc_chunk_dups)
+    timed("chunk_containment_pairs", q.chunk_containment_pairs)
     timed("pack_sequences", q.pack_sequences)
     timed("scrub_boilerplate_tokens", q.scrub_boilerplate_tokens)
 

@@ -254,3 +254,174 @@ def chunk_dup_stats(
         .groupby("part")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def chunk_containment_pairs(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    boundary_bits: int = 8,
+    partitions: int = 32,
+    df_cap: int = 256,
+    min_containment_num: int = 1,
+    min_containment_den: int = 2,
+) -> ray.data.Dataset:
+    """Doc pairs related by chunk CONTAINMENT: (doc_a, doc_b, n_shared,
+    n_a, n_b, containment) where containment = shared distinct chunks /
+    min(n_a, n_b) >= num/den — the "file A is embedded in file B"
+    relation (vendored single files, concatenated bundles) that whole-doc
+    similarity scores dilute away (Jaccard of a small file inside a big
+    one is tiny; containment is ~1).
+
+    Plan: postings carry (chunk, doc, n=doc's DISTINCT chunk count — known
+    in-batch since map_batches sees whole rows, so no sizes join later);
+    one chunk%P exchange; per partition each chunk's 2..df_cap distinct
+    docs emit sorted pairs, pre-aggregated vectorized (lexsort + segment
+    sums, never np.unique(axis=0)); one skinny pair%P exchange sums
+    across partitions and applies the INTEGER threshold den*s >=
+    num*min(n_a,n_b).  Chunks with > df_cap docs are skipped — the
+    boilerplate-stop-shingle discipline (documented under-approximation,
+    same as simjoin's df_cap / LSH hot-bucket cap); exact-dup families
+    rank as containment 1.0 pairs up to the cap."""
+    from libpostal_ray.pipelines.lm import _doc_byte_views
+
+    def postings(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c": pa.array([], type=pa.int64()),
+                "doc": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or text_col not in batch.column_names:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[text_col]
+        if isinstance(col, pa.Array):
+            col = pa.chunked_array([col])
+        data, off = _doc_byte_views(col)
+        didx, ch = doc_chunk_hashes(data, off, boundary_bits=boundary_bits)
+        c = (ch >> np.uint64(1)).astype(np.int64)
+        # per-doc DISTINCT chunks (dedupe repeated chunks within a doc)
+        order = np.lexsort((c, didx))
+        didx, c = didx[order], c[order]
+        keep = np.concatenate(
+            ([True], (didx[1:] != didx[:-1]) | (c[1:] != c[:-1]))
+        )
+        didx, c = didx[keep], c[keep]
+        n_of = np.bincount(didx, minlength=batch.num_rows)
+        return pa.table(
+            {
+                "c": pa.array(c),
+                "doc": pa.array(ids[didx]),
+                "n": pa.array(n_of[didx].astype(np.int64)),
+                "part": pa.array(c % partitions),
+            }
+        )
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.nulls(0, pa.int64()),
+                "b": pa.nulls(0, pa.int64()),
+                "na": pa.nulls(0, pa.int64()),
+                "nb": pa.nulls(0, pa.int64()),
+                "s": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "c" not in group.column_names:
+            return empty
+        c = group["c"].to_numpy(zero_copy_only=False)
+        d = group["doc"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, c))
+        c, d, n = c[order], d[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        lens = np.diff(np.concatenate((starts, [c.shape[0]])))
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for s0, ln in zip(starts, lens):  # per chunk, docs sorted by id
+            if ln < 2 or ln > df_cap:
+                continue
+            dd = d[s0 : s0 + ln]
+            nn = n[s0 : s0 + ln]
+            iu, ju = np.triu_indices(ln, k=1)
+            a_out.append(dd[iu])
+            b_out.append(dd[ju])
+            na_out.append(nn[iu])
+            nb_out.append(nn[ju])
+        if not a_out:
+            return empty
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        na = np.concatenate(na_out)
+        nb = np.concatenate(nb_out)
+        # pre-aggregate per (a, b) vectorized
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        st = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((st, [a.shape[0]]))).astype(np.int64)
+        a, b, na, nb = a[st], b[st], na[st], nb[st]
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "na": pa.array(na),
+                "nb": pa.array(nb),
+                "s": pa.array(cnt),
+                "part": pa.array((a ^ b) % partitions),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.nulls(0, pa.int64()),
+                "doc_b": pa.nulls(0, pa.int64()),
+                "n_shared": pa.nulls(0, pa.int64()),
+                "n_a": pa.nulls(0, pa.int64()),
+                "n_b": pa.nulls(0, pa.int64()),
+                "containment": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return empty
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        na = group["na"].to_numpy(zero_copy_only=False)
+        nb = group["nb"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, na, nb, s = a[order], b[order], na[order], nb[order], s[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        st = np.flatnonzero(new)
+        tot = np.add.reduceat(s, st)
+        a, b, na, nb = a[st], b[st], na[st], nb[st]
+        mn = np.minimum(na, nb)
+        keep = min_containment_den * tot >= min_containment_num * mn
+        if not keep.any():
+            return empty
+        a, b, na, nb, tot, mn = (
+            a[keep], b[keep], na[keep], nb[keep], tot[keep], mn[keep]
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
+                "n_shared": pa.array(tot),
+                "n_a": pa.array(na),
+                "n_b": pa.array(nb),
+                "containment": pa.array(tot * 1.0 / mn),
+            }
+        )
+
+    return (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_kernel, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -5818,3 +5818,16 @@ def cdc_chunk_dups(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     return chunk_dup_stats(ds, text_col="text")
+
+
+def chunk_containment_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Containment-related doc pairs over documents (pipelines/cdc.py):
+    shared distinct CDC chunks / min(n_a, n_b) >= 1/2 — the embedded-file
+    relation whole-doc Jaccard dilutes away.  Rows-only (CDC boundaries
+    are not SQL-expressible)."""
+    from libpostal_ray.pipelines.cdc import chunk_containment_pairs as ccp
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    return ccp(ds, text_col="text")

@@ -185,6 +185,7 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
 ROWS_ONLY = [
     "near_dupe_clusters",
     "cdc_chunk_dups",
+    "chunk_containment_pairs",
     "minhash_lsh_edges",
     "near_dupe_hash_keys",
     "simhash64",

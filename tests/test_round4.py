@@ -344,3 +344,48 @@ def test_media_stages_real_decode_in_this_sandbox(ray_session):
     arr0 = ppm_bmp_to_array(bytes(resized.loc[0, "payload"]))
     assert (arr0 == 128).all()
     assert bytes(resized.loc[2, "payload"]) == b"pcm"  # pass-through
+
+
+def test_chunk_containment_pairs_embedded(ray_session):
+    """A small file embedded inside a big bundle is found as a
+    containment pair (~1.0) even though whole-doc Jaccard is tiny;
+    exact dups score exactly 1.0; unrelated docs emit nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from libpostal_ray.pipelines.cdc import chunk_containment_pairs
+
+    rng = np.random.default_rng(21)
+
+    def doc(n):
+        return "".join(chr(c) for c in rng.integers(32, 127, n))
+
+    small = doc(3000)
+    bundle = doc(9000) + small + doc(9000)  # 3k embedded in 21k
+    dup = doc(2500)
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "content": pa.array(
+                [small, bundle, dup, dup, doc(4000), doc(4000)]
+            ),
+        }
+    )
+    for blocks in (1, 3):
+        out = (
+            chunk_containment_pairs(
+                ray.data.from_arrow(rows).repartition(blocks)
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        pairs = set(zip(out.doc_a, out.doc_b))
+        assert (1, 2) in pairs, pairs  # embedded small-in-bundle
+        assert (3, 4) in pairs
+        r12 = out[(out.doc_a == 1) & (out.doc_b == 2)].iloc[0]
+        assert r12.containment > 0.7, r12.containment
+        r34 = out[(out.doc_a == 3) & (out.doc_b == 4)].iloc[0]
+        assert r34.containment == 1.0 and r34.n_shared == r34.n_a == r34.n_b
+        assert not ({5, 6} & set(out.doc_a) | {5, 6} & set(out.doc_b)), pairs
