@@ -463,6 +463,79 @@ PL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     PL_ABBREV_RULES + PL_NUMBER_RULES
 )
 
+# CS pack — dictionaries/cs content model
+CS_ABBREV_RULES = _word_rules({
+    "ul": "ulice", "nám": "náměstí", "tř": "třída", "č": "číslo",
+    "sv": "svatý", "tel": "telefon", "nábř": "nábřeží",
+})
+
+_CS_NUMS = {
+    "jedna": 1, "dva": 2, "tři": 3, "čtyři": 4, "pět": 5, "šest": 6,
+    "sedm": 7, "osm": 8, "devět": 9, "deset": 10, "jedenáct": 11,
+    "dvanáct": 12, "třináct": 13, "čtrnáct": 14, "patnáct": 15,
+    "šestnáct": 16, "sedmnáct": 17, "osmnáct": 18, "devatenáct": 19,
+    "dvacet": 20, "třicet": 30, "čtyřicet": 40, "padesát": 50,
+    "šedesát": 60, "sedmdesát": 70, "osmdesát": 80, "devadesát": 90,
+    "sto": 100,
+}
+
+CS_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _CS_NUMS.items()
+)
+
+CS_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    CS_ABBREV_RULES + CS_NUMBER_RULES
+)
+
+# FI pack — dictionaries/fi content model
+FI_ABBREV_RULES = _word_rules({
+    "puh": "puhelin", "krs": "kerros", "as": "asunto", "os": "osoite",
+    "klo": "kello",
+})
+
+_FI_NUMS = {
+    "yksi": 1, "kaksi": 2, "kolme": 3, "neljä": 4, "viisi": 5,
+    "kuusi": 6, "seitsemän": 7, "kahdeksan": 8, "yhdeksän": 9,
+    "kymmenen": 10, "yksitoista": 11, "kaksitoista": 12,
+    "kolmetoista": 13, "neljätoista": 14, "viisitoista": 15,
+    "kuusitoista": 16, "seitsemäntoista": 17, "kahdeksantoista": 18,
+    "yhdeksäntoista": 19, "kaksikymmentä": 20, "kolmekymmentä": 30,
+    "neljäkymmentä": 40, "viisikymmentä": 50, "kuusikymmentä": 60,
+    "seitsemänkymmentä": 70, "kahdeksankymmentä": 80,
+    "yhdeksänkymmentä": 90, "sata": 100,
+}
+
+FI_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _FI_NUMS.items()
+)
+
+FI_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    FI_ABBREV_RULES + FI_NUMBER_RULES
+)
+
+# TR pack — dictionaries/tr content model (keys are lowercase; Turkish
+# dotted-capital İ never appears as a key because case folding runs first)
+TR_ABBREV_RULES = _word_rules({
+    "mah": "mahallesi", "cad": "caddesi", "sok": "sokak",
+    "apt": "apartmanı", "no": "numara", "tel": "telefon",
+    "bulv": "bulvarı",
+})
+
+_TR_NUMS = {
+    "bir": 1, "iki": 2, "üç": 3, "dört": 4, "beş": 5, "altı": 6,
+    "yedi": 7, "sekiz": 8, "dokuz": 9, "on": 10, "yirmi": 20,
+    "otuz": 30, "kırk": 40, "elli": 50, "altmış": 60, "yetmiş": 70,
+    "seksen": 80, "doksan": 90, "yüz": 100,
+}
+
+TR_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _TR_NUMS.items()
+)
+
+TR_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    TR_ABBREV_RULES + TR_NUMBER_RULES
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -478,6 +551,9 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "da": DA_GENERAL_RULES,
     "no": NO_GENERAL_RULES,
     "pl": PL_GENERAL_RULES,
+    "cs": CS_GENERAL_RULES,
+    "fi": FI_GENERAL_RULES,
+    "tr": TR_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals

@@ -106,3 +106,23 @@ def test_unicode_keys_fold_and_consume_periods():
         canonicalize_one("sto.pl rocks", compiled_rules=rules)
         == "100.plac rocks"
     )
+
+
+def test_cs_fi_tr_packs():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "Nám. Sv. Jana pět",      # cs: abbrevs + number
+            "Mannerheimintie kolme krs. kaksi",  # fi: number + abbrev
+            "Atatürk Cad. No: beş",   # tr: abbrevs + number
+            "on iki",                 # tr: spelled 10 2
+            "no way",                 # en: tr pack must NOT fire
+        ],
+        ["cs", "fi", "tr", "tr", "en"],
+    )
+    assert out[0] == "náměstí svatý jana 5"
+    assert out[1] == "mannerheimintie 3 kerros 2"
+    assert out[2] == "atatürk caddesi numara: 5"
+    assert out[3] == "10 2"
+    assert out[4] == "no way"
