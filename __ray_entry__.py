@@ -53,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "user_top_event": q.user_top_event,
+        "doc_dir_rollup": q.doc_dir_rollup,
+        "top_collocations": q.top_collocations,
+        "returnflag_weighted_median": q.returnflag_weighted_median,
         "events_type_median_exact": q.events_type_median_exact,
         "weighted_doc_sample": q.weighted_doc_sample,
         "source_ngram_overlap": q.source_ngram_overlap,
@@ -193,6 +197,80 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "user_top_event": """
+            SELECT user_id, event_type AS top_type, value AS top_value,
+                   event_id AS top_event_id
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY value DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "doc_dir_rollup": """
+            WITH paths AS (
+                SELECT source || '/' || lang || '/d'
+                           || CAST(doc_id % 10 AS VARCHAR) AS path,
+                       n_chars
+                FROM documents
+            ),
+            pref AS (
+                SELECT array_to_string(l[1:i], '/') AS prefix,
+                       i AS depth, n_chars
+                FROM (SELECT string_split(path, '/') AS l, n_chars,
+                             unnest(range(1, 4)) AS i
+                      FROM paths)
+            )
+            SELECT prefix, depth, count(*) AS n_files,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM pref GROUP BY 1, 2
+        """,
+        "top_collocations": """
+            WITH toks AS (
+                SELECT string_split(trim(text), ' ') AS l
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            uni AS (
+                SELECT u AS w, count(*) AS n
+                FROM (SELECT unnest(l) AS u FROM toks) GROUP BY 1
+            ),
+            bi AS (
+                SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS n_xy
+                FROM (SELECT l, unnest(range(1, len(l))) AS i FROM toks)
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS n1,
+                       (SELECT CAST(sum(n_xy) AS BIGINT) FROM bi) AS nb
+            )
+            SELECT w1, w2, n_xy, ux.n AS n_x, uy.n AS n_y,
+                   ((CAST(n_xy AS DOUBLE) * CAST(n1 AS DOUBLE))
+                        * CAST(n1 AS DOUBLE))
+                     / ((CAST(nb AS DOUBLE) * CAST(ux.n AS DOUBLE))
+                        * CAST(uy.n AS DOUBLE)) AS pmi_ratio
+            FROM bi CROSS JOIN tot
+            JOIN uni ux ON ux.w = bi.w1
+            JOIN uni uy ON uy.w = bi.w2
+            ORDER BY pmi_ratio DESC, w1, w2
+            LIMIT 50
+        """,
+        "returnflag_weighted_median": """
+            WITH w AS (
+                SELECT l_returnflag AS g, l_extendedprice AS v,
+                       CAST(l_quantity AS BIGINT) AS wt
+                FROM lineitem
+            ),
+            agg AS (SELECT g, v, sum(wt) AS wv FROM w GROUP BY 1, 2),
+            c AS (
+                SELECT g, v,
+                       sum(wv) OVER (PARTITION BY g ORDER BY v) AS cw,
+                       sum(wv) OVER (PARTITION BY g) AS tot
+                FROM agg
+            )
+            SELECT g AS l_returnflag,
+                   CAST(max(tot) AS BIGINT) AS total_weight,
+                   min(v) AS wmedian
+            FROM c WHERE 2 * cw >= tot GROUP BY g
+        """,
         "events_type_median_exact": """
             SELECT event_type,
                    count(*) AS n_events,

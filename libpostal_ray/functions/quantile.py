@@ -560,3 +560,212 @@ def grouped_exact_quantile_cont(ds, key_col: str, value_col: str, q: float):
             "q_value": _pa.array(out_q, type=_pa.float64()),
         }
     )
+
+
+def grouped_weighted_median(ds, key_col: str, value_col: str, weight_col: str):
+    """EXACT per-group WEIGHTED lower median with CONSTANT exchange
+    volume: the smallest value v in each group whose cumulative weight
+    (values ascending, ties pooled) reaches half the group's total —
+    ``min(v) WHERE 2*cum_w >= W`` in the SQL windowed formulation.
+
+    Weighted quantiles have no DuckDB/engine builtin; the repo treats
+    them as the general form of exact selection (unit weights degenerate
+    to quantile_disc at q=0.5).  Same radix-refinement discipline as
+    exact_global_quantile / grouped_exact_quantile_cont, with WEIGHT
+    histograms instead of row counts: four streaming scans, per-batch
+    partials <= groups x distinct-digits skinny (grp, bucket, wsum) rows,
+    merged in one remote task per pass (a tree reduce at cluster scale).
+    Because the answer is a SELECTED data value (never interpolated) the
+    float64 result is bit-identical across engines and block layouts.
+
+    Weights must be non-negative int64 (loudly checked — the associative
+    int64 reduction is the determinism guarantee; float weights would
+    reintroduce blocking-dependent rounding).  NaN values and zero-weight
+    rows drop out (SQL NULL-skip analog).  Returns pa.table
+    (key_col, total_weight, wmedian); group cardinality is assumed low
+    (<= thousands) — the constant-exchange design is the point, each
+    group's rows are never co-located."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    @_ray.remote
+    def _merge_l0(*blocks):
+        import pandas as pd
+
+        frames = [
+            b.to_pandas()
+            for b in blocks
+            if b.num_rows and "bucket" in b.column_names
+        ]
+        if not frames:
+            return [], np.zeros((0, 65536), dtype=np.int64)
+        df = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["grp", "bucket"], sort=True)["w"]
+            .sum()
+            .reset_index()
+        )
+        grps = sorted(df["grp"].unique().tolist())
+        gidx = {g: i for i, g in enumerate(grps)}
+        hist = np.zeros((len(grps), 65536), dtype=np.int64)
+        np.add.at(
+            hist,
+            (df["grp"].map(gidx).to_numpy(), df["bucket"].to_numpy()),
+            df["w"].to_numpy(),
+        )
+        return grps, hist
+
+    @_ray.remote
+    def _merge_gid(n_grp, *blocks):
+        hist = np.zeros((n_grp, 65536), dtype=np.int64)
+        for b in blocks:
+            if b.num_rows == 0 or "bucket" not in b.column_names:
+                continue
+            np.add.at(
+                hist,
+                (
+                    b.column("gid").to_numpy(zero_copy_only=False),
+                    b.column("bucket").to_numpy(zero_copy_only=False),
+                ),
+                b.column("w").to_numpy(zero_copy_only=False),
+            )
+        return hist
+
+    def _cols(batch):
+        g = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        if w.dtype.kind == "f":
+            iw = w.astype(np.int64)
+            if not np.array_equal(iw.astype(np.float64), w):
+                raise ValueError("weights must be integral (int64-exact)")
+            w = iw
+        else:
+            w = w.astype(np.int64)
+        if w.shape[0] and int(w.min()) < 0:
+            raise ValueError("weights must be non-negative")
+        ok = (~np.isnan(v)) & (w > 0)
+        return g[ok], v[ok], w[ok]
+
+    # pass 1: top 16 bits per group; reveals group list + total weights
+    def hist0(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "grp": pa.nulls(0, pa.string()),
+                "bucket": pa.nulls(0, pa.int64()),
+                "w": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or key_col not in batch.column_names:
+            return empty
+        g, v, w = _cols(batch)
+        if g.shape[0] == 0:
+            return empty
+        digit = (
+            (float_order_key(v) >> np.uint64(48)) & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        keys = np.char.add(
+            np.char.add(g.astype(str), "\x01"), digit.astype(str)
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
+        ws = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(ws, inv, w)
+        gs = [k.split("\x01", 1)[0] for k in uk]
+        bs = np.asarray([int(k.split("\x01", 1)[1]) for k in uk], dtype=np.int64)
+        return pa.table(
+            {
+                "grp": pa.array(gs, type=pa.string()),
+                "bucket": pa.array(bs),
+                "w": pa.array(ws),
+            }
+        )
+
+    blocks = (
+        ds.map_batches(hist0, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    grps, hist = _ray.get(_merge_l0.remote(*blocks))
+    if not grps:
+        return pa.table(
+            {
+                key_col: pa.nulls(0, pa.string()),
+                "total_weight": pa.nulls(0, pa.int64()),
+                "wmedian": pa.nulls(0, pa.float64()),
+            }
+        )
+    totals = hist.sum(axis=1)
+    # lower weighted median: smallest key with cum_w >= ceil(W/2)
+    # (2*cum >= W over ints)
+    ranks = (totals + 1) // 2
+    prefixes = np.zeros(len(grps), dtype=np.uint64)
+    for gi in range(len(grps)):
+        cum = np.cumsum(hist[gi])
+        b = int(np.searchsorted(cum, ranks[gi]))
+        ranks[gi] -= int(cum[b - 1]) if b > 0 else 0
+        prefixes[gi] |= np.uint64(b) << np.uint64(48)
+
+    gnames = np.asarray([str(g) for g in grps], dtype=str)  # sorted by _merge_l0
+    for level in range(1, 4):
+        shift = np.uint64(48 - 16 * level)
+        mask = ~np.uint64(0) << (shift + np.uint64(16))
+        pref_snapshot = prefixes.copy()
+
+        def histl(batch: pa.Table, _s=shift, _m=mask, _p=pref_snapshot) -> pa.Table:
+            empty = pa.table(
+                {
+                    "gid": pa.nulls(0, pa.int64()),
+                    "bucket": pa.nulls(0, pa.int64()),
+                    "w": pa.nulls(0, pa.int64()),
+                }
+            )
+            if batch.num_rows == 0 or key_col not in batch.column_names:
+                return empty
+            g, v, w = _cols(batch)
+            if g.shape[0] == 0:
+                return empty
+            # vectorized group -> gid (gnames is sorted): searchsorted +
+            # equality check; unseen groups cannot appear after pass 1
+            gs = g.astype(str)
+            gid = np.searchsorted(gnames, gs)
+            gid = np.minimum(gid, gnames.shape[0] - 1)
+            k = float_order_key(v)
+            sel = (gnames[gid] == gs) & ((k & _m) == _p[gid])
+            if not sel.any():
+                return empty
+            gid, k, w = gid[sel], k[sel], w[sel]
+            digit = ((k >> _s) & np.uint64(0xFFFF)).astype(np.int64)
+            comp = gid * 65536 + digit
+            uc, inv = np.unique(comp, return_inverse=True)
+            ws = np.zeros(uc.shape[0], dtype=np.int64)
+            np.add.at(ws, inv, w)
+            return pa.table(
+                {
+                    "gid": pa.array(uc // 65536),
+                    "bucket": pa.array(uc % 65536),
+                    "w": pa.array(ws),
+                }
+            )
+
+        blocks = (
+            ds.map_batches(histl, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        hist = _ray.get(_merge_gid.remote(len(grps), *blocks))
+        for gi in range(len(grps)):
+            cum = np.cumsum(hist[gi])
+            b = int(np.searchsorted(cum, ranks[gi]))
+            ranks[gi] -= int(cum[b - 1]) if b > 0 else 0
+            prefixes[gi] |= np.uint64(b) << shift
+
+    return pa.table(
+        {
+            key_col: pa.array([str(g) for g in grps], type=pa.string()),
+            "total_weight": pa.array(totals.astype(np.int64)),
+            "wmedian": pa.array(
+                [key_to_float(int(p)) for p in prefixes], type=pa.float64()
+            ),
+        }
+    )

@@ -5831,3 +5831,430 @@ def chunk_containment_pairs(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     return ccp(ds, text_col="text")
+
+
+def user_top_event(sf_dir: str) -> ray.data.Dataset:
+    """ARGMAX per group (SQL max_by / row_number()=1): each user's
+    highest-value event with a deterministic (value DESC, event_id DESC)
+    tie-break, carrying the full payload row (type, value, id).
+
+    The distributed shape is the max-reduce-with-payload classic: a
+    per-batch vectorized argmax per user (lexsort + segment boundaries)
+    collapses each batch to <= one row per observed user BEFORE the
+    exchange, so the user_id%P shuffle ships candidates, never events;
+    the per-partition kernel repeats the same reduce.  Hot users cost
+    O(#batches), not O(#events) — the partial-aggregate discipline of
+    every other reduce in this module (reference analog: the
+    best-expansion selection in expand.c, one winner per key)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value", "event_id"],
+    )
+    P = 32
+
+    def _best(batch: pa.Table) -> tuple:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # lexsort: primary user ASC, then value ASC, then event_id ASC —
+        # the LAST row of each user segment is the (value, event_id) max
+        order = np.lexsort((e, v, u))
+        us = u[order]
+        last = np.concatenate((us[1:] != us[:-1], [True]))
+        keep = order[last]
+        return keep
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "top_type": pa.nulls(0, pa.string()),
+                "top_value": pa.nulls(0, pa.float64()),
+                "top_event_id": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return empty
+        keep = _best(batch)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "top_type": batch["event_type"].take(pa.array(keep)),
+                "top_value": pa.array(
+                    batch["value"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "top_event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "top_type": pa.nulls(0, pa.string()),
+                "top_value": pa.nulls(0, pa.float64()),
+                "top_event_id": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group["top_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = group["top_event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((e, v, u))
+        us = u[order]
+        last = np.concatenate((us[1:] != us[:-1], [True]))
+        keep = order[last]
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep]),
+                "top_type": group["top_type"].take(pa.array(keep)),
+                "top_value": pa.array(v[keep]),
+                "top_event_id": pa.array(e[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def doc_dir_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical path-prefix rollup (pipelines/hierarchy.py): file
+    counts and byte totals per directory at every depth, in ONE pass —
+    the storage-layout question a 10^12-file code corpus asks of its
+    (repo, path) keys.  The oracle derives a deterministic 3-level path
+    from the documents table (source/lang/d<doc_id%10>) so DuckDB can
+    replay the rollup with unnest-over-prefixes SQL; the operator itself
+    is generic over any separator-joined key column."""
+    from libpostal_ray.pipelines.hierarchy import prefix_rollup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mkpath(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "path": pa.nulls(0, pa.string()),
+                    "n_chars": pa.nulls(0, pa.int64()),
+                }
+            )
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object).astype(str)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object).astype(str)
+        leaf = np.char.add("d", np.char.mod("%d", d % 10))
+        path = np.char.add(
+            np.char.add(np.char.add(np.char.add(src, "/"), lang), "/"), leaf
+        )
+        return pa.table(
+            {
+                "path": pa.array(path.astype(object), type=pa.string()),
+                "n_chars": pa.array(
+                    batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    return prefix_rollup(
+        ds.map_batches(mkpath, batch_format="pyarrow"),
+        "path",
+        "n_chars",
+        max_depth=3,
+        weight_alias="sum_chars",
+    )
+
+
+def top_collocations(sf_dir: str) -> ray.data.Dataset:
+    """PMI-ranked adjacent-bigram collocations over the corpus: the top
+    50 word pairs by p(xy)/(p(x)p(y)), the standard collocation statistic
+    (ranked by the ratio — monotone in PMI — computed as ONE canonical
+    float64 expression over exact int64 counts, so scores are
+    bit-identical to the SQL oracle).
+
+    Physical plan: ONE tokenize pass emits per-batch partial unigram AND
+    bigram counts (np.unique over dictionary codes, no per-row Python)
+    through a single crc32(key)%P exchange; the per-partition kernel
+    finishes the counts.  The aggregated vocabulary table (words +
+    bigrams, corpus-bounded, << rows) is then the input to scoring: a
+    remote task builds the unigram lookup + global totals and broadcasts
+    ONE state ref; a final map over the bigram rows scores and keeps a
+    per-batch top-50, reduced to the global top-50 in a single tiny
+    group.  Content crosses no exchange; hot words cost O(#batches)."""
+    import zlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+    K = 50
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.nulls(0, pa.string()),
+                "w2": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+                "kind": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        txt = pc.utf8_trim_whitespace(batch["text"])
+        lists = pc.split_pattern(txt, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        V = np.int64(len(vocab))
+        codes = codes[ok]
+        parent = parent[ok]
+        # unigrams
+        uc, un = np.unique(codes, return_counts=True)
+        # adjacent bigrams: consecutive positions within the same doc
+        adj = parent[1:] == parent[:-1]
+        bk = codes[:-1][adj] * V + codes[1:][adj]
+        ub, bn = np.unique(bk, return_counts=True)
+        w1 = vocab.take(pa.array(np.concatenate((uc, ub // V))))
+        w2c = np.concatenate((np.zeros(uc.shape[0], dtype=np.int64), ub % V))
+        w2 = vocab.take(pa.array(w2c))
+        kind = np.concatenate(
+            (
+                np.zeros(uc.shape[0], dtype=np.int64),
+                np.ones(ub.shape[0], dtype=np.int64),
+            )
+        )
+        n = np.concatenate((un, bn)).astype(np.int64)
+        w1py = w1.to_pylist()
+        w2py = w2.to_pylist()
+        keys = [
+            (a if k == 0 else a + "\x01" + b)
+            for a, b, k in zip(w1py, w2py, kind)
+        ]
+        return pa.table(
+            {
+                "w1": w1,
+                "w2": pa.array(
+                    [b if k else "" for b, k in zip(w2py, kind)],
+                    type=pa.string(),
+                ),
+                "n": pa.array(n),
+                "kind": pa.array(kind),
+                "part": pa.array(
+                    np.fromiter(
+                        (zlib.crc32(s.encode()) for s in keys),
+                        dtype=np.int64,
+                        count=len(keys),
+                    )
+                    % P
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.nulls(0, pa.string()),
+                "w2": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+                "kind": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "w1" not in group.column_names:
+            return empty
+        w1 = np.asarray(group["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(group["w2"].to_pylist(), dtype=object)
+        k = group["kind"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        keys = np.char.add(
+            np.char.add(
+                np.char.add(k.astype(str), "\x01"), w1.astype(str)
+            ),
+            np.char.add("\x01", w2.astype(str)),
+        )
+        uk, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+        ns = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(ns, inv, n)
+        return pa.table(
+            {
+                "w1": pa.array(list(w1[first]), type=pa.string()),
+                "w2": pa.array(list(w2[first]), type=pa.string()),
+                "n": pa.array(ns),
+                "kind": pa.array(k[first].astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+        .materialize()
+    )
+
+    @ray.remote
+    def _build_uni_state(*blocks):
+        blocks = [b for b in blocks if b.num_rows and "w1" in b.column_names]
+        if not blocks:
+            return {
+                "words": np.empty(0, dtype="U1"),
+                "n": np.empty(0, dtype=np.int64),
+                "n1": 0,
+                "nb": 0,
+            }
+        t = pa.concat_tables(blocks)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        uni = kind == 0
+        words = np.asarray(t["w1"].to_pylist(), dtype="U")[uni]
+        un = n[uni].astype(np.int64)
+        order = np.argsort(words, kind="stable")
+        return {
+            "words": words[order],
+            "n": un[order],
+            "n1": int(un.sum()),
+            "nb": int(n[~uni].sum()),
+        }
+
+    state_ref = _build_uni_state.remote(*counts.to_arrow_refs())
+    import ray as _ray
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.nulls(0, pa.string()),
+                "w2": pa.nulls(0, pa.string()),
+                "n_xy": pa.nulls(0, pa.int64()),
+                "n_x": pa.nulls(0, pa.int64()),
+                "n_y": pa.nulls(0, pa.int64()),
+                "pmi_ratio": pa.nulls(0, pa.float64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "w1" not in batch.column_names:
+            return empty
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        bi = kind == 1
+        if not bi.any():
+            return empty
+        st = _ray.get(state_ref)
+        w1 = np.asarray(batch["w1"].to_pylist(), dtype="U")[bi]
+        w2 = np.asarray(batch["w2"].to_pylist(), dtype="U")[bi]
+        nxy = batch["n"].to_numpy(zero_copy_only=False)[bi].astype(np.int64)
+        nx = st["n"][np.searchsorted(st["words"], w1)]
+        ny = st["n"][np.searchsorted(st["words"], w2)]
+        n1 = np.float64(st["n1"])
+        nb = np.float64(st["nb"])
+        # canonical expression — MUST match the SQL text operation for
+        # operation: ((xy * N1) * N1) / (((NB * nx) * ny))
+        score = ((nxy.astype(np.float64) * n1) * n1) / (
+            (nb * nx.astype(np.float64)) * ny.astype(np.float64)
+        )
+        order = np.lexsort((w2, w1, -score))[:K]
+        return pa.table(
+            {
+                "w1": pa.array(list(w1[order]), type=pa.string()),
+                "w2": pa.array(list(w2[order]), type=pa.string()),
+                "n_xy": pa.array(nxy[order]),
+                "n_x": pa.array(nx[order].astype(np.int64)),
+                "n_y": pa.array(ny[order].astype(np.int64)),
+                "pmi_ratio": pa.array(score[order], type=pa.float64()),
+                "g": pa.array(np.zeros(order.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.nulls(0, pa.string()),
+                "w2": pa.nulls(0, pa.string()),
+                "n_xy": pa.nulls(0, pa.int64()),
+                "n_x": pa.nulls(0, pa.int64()),
+                "n_y": pa.nulls(0, pa.int64()),
+                "pmi_ratio": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "w1" not in group.column_names:
+            return empty
+        w1 = np.asarray(group["w1"].to_pylist(), dtype="U")
+        w2 = np.asarray(group["w2"].to_pylist(), dtype="U")
+        score = group["pmi_ratio"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -score))[:K]
+        return pa.table(
+            {
+                "w1": pa.array(list(w1[order]), type=pa.string()),
+                "w2": pa.array(list(w2[order]), type=pa.string()),
+                "n_xy": pa.array(
+                    group["n_xy"].to_numpy(zero_copy_only=False)[order]
+                ),
+                "n_x": pa.array(
+                    group["n_x"].to_numpy(zero_copy_only=False)[order]
+                ),
+                "n_y": pa.array(
+                    group["n_y"].to_numpy(zero_copy_only=False)[order]
+                ),
+                "pmi_ratio": pa.array(score[order], type=pa.float64()),
+            }
+        )
+
+    return (
+        counts.map_batches(score_topk, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def returnflag_weighted_median(sf_dir: str) -> pa.Table:
+    """Grouped WEIGHTED exact median (functions/quantile.py
+    grouped_weighted_median): smallest l_extendedprice per l_returnflag
+    whose cumulative l_quantity weight reaches half the group total —
+    exact selection via 4 weight-histogram radix scans with CONSTANT
+    exchange volume (no engine has a weighted-quantile builtin; the SQL
+    oracle replays the definition with a windowed cumulative sum).  The
+    answer is a selected data value, bit-identical across engines."""
+    from libpostal_ray.functions.quantile import grouped_weighted_median
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def to_int_w(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.nulls(0, pa.string()),
+                    "v": pa.nulls(0, pa.float64()),
+                    "w": pa.nulls(0, pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "g": batch["l_returnflag"],
+                "v": batch["l_extendedprice"],
+                "w": pa.array(
+                    batch["l_quantity"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    tbl = grouped_weighted_median(
+        ds.map_batches(to_int_w, batch_format="pyarrow"), "g", "v", "w"
+    )
+    return tbl.rename_columns(["l_returnflag", "total_weight", "wmedian"])

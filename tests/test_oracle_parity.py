@@ -49,6 +49,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "user_top_event",
+    "doc_dir_rollup",
+    "top_collocations",
+    "returnflag_weighted_median",
     "exact_dedup",
     "canonicalize_basic",
     "token_count",

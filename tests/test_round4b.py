@@ -1,0 +1,297 @@
+"""Round-4 session-10 operators: hierarchical prefix rollup, grouped
+weighted median, PMI collocations, argmax-per-group — unit semantics +
+blocking independence (results must not depend on how Ray splits blocks)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+
+class TestPrefixRollup:
+    def _run(self, paths, weights, blocks, max_depth=3):
+        from libpostal_ray.pipelines.hierarchy import prefix_rollup
+
+        t = pa.table(
+            {
+                "path": pa.array(paths, type=pa.string()),
+                "w": pa.array(weights, type=pa.int64()),
+            }
+        )
+        out = (
+            prefix_rollup(
+                ray.data.from_arrow(t).repartition(blocks),
+                "path",
+                "w",
+                max_depth=max_depth,
+            )
+            .to_pandas()
+            .sort_values(["depth", "prefix"])
+            .reset_index(drop=True)
+        )
+        return out
+
+    def test_planted_tree(self, ray_session):
+        paths = ["a/x/1", "a/x/2", "a/y/1", "b/z/1", "a", "b/z"]
+        w = [10, 20, 30, 40, 5, 6]
+        out = self._run(paths, w, 2)
+        got = {
+            (r.prefix, r.depth): (r.n_files, r.weight)
+            for r in out.itertuples()
+        }
+        assert got[("a", 1)] == (4, 65)  # a/x/1, a/x/2, a/y/1, a
+        assert got[("b", 1)] == (2, 46)
+        assert got[("a/x", 2)] == (2, 30)
+        assert got[("a/y", 2)] == (1, 30)
+        assert got[("b/z", 2)] == (2, 46)  # b/z/1 and the exact row b/z
+        assert got[("a/x/1", 3)] == (1, 10)
+        assert got[("b/z/1", 3)] == (1, 40)
+        # shallow rows stop contributing past their own depth
+        assert ("a", 2) not in got
+        assert ("b/z", 3) not in got
+
+    def test_blocking_independent(self, ray_session):
+        rng = np.random.default_rng(7)
+        parts = ["r%d" % i for i in range(5)]
+        paths = [
+            "/".join(rng.choice(parts, size=rng.integers(1, 5)))
+            for _ in range(300)
+        ]
+        w = rng.integers(0, 100, size=300).tolist()
+        a = self._run(paths, w, 1)
+        b = self._run(paths, w, 13)
+        assert a.equals(b)
+
+    def test_brute_force_equal(self, ray_session):
+        rng = np.random.default_rng(3)
+        parts = ["p%d" % i for i in range(4)]
+        paths = [
+            "/".join(rng.choice(parts, size=rng.integers(1, 6)))
+            for _ in range(200)
+        ]
+        w = rng.integers(1, 50, size=200)
+        D = 3
+        exp = {}
+        for p, wt in zip(paths, w):
+            comps = p.split("/")
+            for d in range(1, min(len(comps), D) + 1):
+                key = ("/".join(comps[:d]), d)
+                n, s = exp.get(key, (0, 0))
+                exp[key] = (n + 1, s + int(wt))
+        out = self._run(paths, w.tolist(), 4, max_depth=D)
+        got = {
+            (r.prefix, r.depth): (r.n_files, r.weight)
+            for r in out.itertuples()
+        }
+        assert got == exp
+
+
+class TestGroupedWeightedMedian:
+    @staticmethod
+    def _brute(g, v, w):
+        exp = {}
+        for grp in sorted(set(g)):
+            m = np.asarray([x == grp for x in g])
+            vv, ww = np.asarray(v)[m], np.asarray(w)[m]
+            order = np.argsort(vv, kind="stable")
+            vv, ww = vv[order], ww[order]
+            tot = int(ww.sum())
+            cum = np.cumsum(ww)
+            i = int(np.searchsorted(cum, (tot + 1) // 2))
+            exp[grp] = (tot, float(vv[i]))
+        return exp
+
+    def _run(self, g, v, w, blocks):
+        from libpostal_ray.functions.quantile import grouped_weighted_median
+
+        t = pa.table(
+            {
+                "g": pa.array(g, type=pa.string()),
+                "v": pa.array(v, type=pa.float64()),
+                "w": pa.array(w, type=pa.int64()),
+            }
+        )
+        out = grouped_weighted_median(
+            ray.data.from_arrow(t).repartition(blocks), "g", "v", "w"
+        ).to_pandas()
+        return {
+            r.g: (r.total_weight, r.wmedian) for r in out.itertuples()
+        }
+
+    def test_vs_brute_random(self, ray_session):
+        rng = np.random.default_rng(11)
+        n = 2000
+        g = [f"g{int(x)}" for x in rng.integers(0, 7, n)]
+        v = rng.normal(0, 1e6, n).round(2)
+        w = rng.integers(1, 40, n)
+        got = self._run(g, v.tolist(), w.tolist(), 5)
+        exp = self._brute(g, v, w)
+        assert got == exp
+
+    def test_blocking_independent_and_negatives(self, ray_session):
+        rng = np.random.default_rng(5)
+        n = 500
+        g = [f"k{int(x)}" for x in rng.integers(0, 3, n)]
+        v = rng.normal(-10, 100, n)  # negative floats exercise key order
+        w = rng.integers(0, 5, n)  # zero weights must drop out
+        a = self._run(g, v.tolist(), w.tolist(), 1)
+        b = self._run(g, v.tolist(), w.tolist(), 9)
+        assert a == b
+        keep = w > 0
+        exp = self._brute(
+            [x for x, k in zip(g, keep) if k],
+            np.asarray(v)[keep],
+            np.asarray(w)[keep],
+        )
+        assert a == exp
+
+    def test_unit_weights_are_lower_median(self, ray_session):
+        got = self._run(
+            ["a"] * 4, [1.0, 2.0, 3.0, 4.0], [1, 1, 1, 1], 2
+        )
+        assert got == {"a": (4, 2.0)}
+
+    def test_empty(self, ray_session):
+        from libpostal_ray.functions.quantile import grouped_weighted_median
+
+        t = pa.table(
+            {
+                "g": pa.array([], type=pa.string()),
+                "v": pa.array([], type=pa.float64()),
+                "w": pa.array([], type=pa.int64()),
+            }
+        )
+        out = grouped_weighted_median(ray.data.from_arrow(t), "g", "v", "w")
+        assert out.num_rows == 0
+        assert out.column_names == ["g", "total_weight", "wmedian"]
+
+    def test_float_weights_rejected(self, ray_session):
+        from libpostal_ray.functions.quantile import grouped_weighted_median
+
+        t = pa.table(
+            {
+                "g": pa.array(["a", "a"], type=pa.string()),
+                "v": pa.array([1.0, 2.0], type=pa.float64()),
+                "w": pa.array([1.5, 2.0], type=pa.float64()),
+            }
+        )
+        with pytest.raises(Exception, match="integral|int64"):
+            grouped_weighted_median(ray.data.from_arrow(t), "g", "v", "w")
+
+
+class TestCollocationsAndArgmax:
+    def _docs_dir(self, tmp_path, texts):
+        d = tmp_path / "sf"
+        d.mkdir()
+        n = len(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": pa.array(["en"] * n),
+                    "source": pa.array(["s0"] * n),
+                    "n_chars": pa.array(
+                        [len(t) for t in texts], type=pa.int64()
+                    ),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_collocations_brute(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import top_collocations
+
+        texts = [
+            "new york is big",
+            "new york new york",
+            "big apple is new",
+            "york city",
+        ]
+        sf = self._docs_dir(tmp_path, texts)
+        out = top_collocations(sf).to_pandas()
+        # brute force
+        uni, bi = {}, {}
+        n1 = nb = 0
+        for t in texts:
+            toks = t.split()
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+                n1 += 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+                nb += 1
+        exp = {}
+        for (a, b), nxy in bi.items():
+            exp[(a, b)] = (
+                nxy,
+                uni[a],
+                uni[b],
+                ((np.float64(nxy) * n1) * n1)
+                / ((np.float64(nb) * uni[a]) * uni[b]),
+            )
+        got = {
+            (r.w1, r.w2): (r.n_xy, r.n_x, r.n_y, r.pmi_ratio)
+            for r in out.itertuples()
+        }
+        assert got == exp  # < 50 bigrams: full set, exact scores
+        # ordering: score DESC then w1, w2
+        s = out[["pmi_ratio", "w1", "w2"]].to_records(index=False)
+        for i in range(len(s) - 1):
+            assert (-s[i][0], s[i][1], s[i][2]) <= (-s[i + 1][0], s[i + 1][1], s[i + 1][2])
+
+    def test_user_top_event_ties(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_top_event
+
+        d = tmp_path / "sfev"
+        d.mkdir()
+        ts = pa.array([0] * 5, type=pa.timestamp("us"))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                    "ts": ts,
+                    "user_id": pa.array([7, 7, 7, 8, 8], type=pa.int64()),
+                    "event_type": pa.array(["a", "b", "c", "d", "e"]),
+                    "value": pa.array([5.0, 9.0, 9.0, 1.0, -2.0]),
+                    "props": pa.array(["{}"] * 5),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = (
+            user_top_event(str(d))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        # user 7: value tie 9.0 on events 2 and 3 -> higher event_id wins
+        assert out.loc[0, "top_event_id"] == 3
+        assert out.loc[0, "top_type"] == "c"
+        assert out.loc[1, "top_event_id"] == 4
+        assert out.loc[1, "top_value"] == 1.0
+
+
+def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
+    import pandas as pd
+    import __ray_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in ("documents", "events", "lineitem"):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    qs = entrymod.queries()
+    for name in (
+        "user_top_event",
+        "doc_dir_rollup",
+        "top_collocations",
+        "returnflag_weighted_median",
+    ):
+        res = qs[name](str(d))
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        assert len(df) == 0, (name, df.head())
