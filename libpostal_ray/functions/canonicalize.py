@@ -536,6 +536,160 @@ TR_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     TR_ABBREV_RULES + TR_NUMBER_RULES
 )
 
+# RO pack — dictionaries/ro content model (modern comma-below ș/ț forms;
+# they sit in Latin Extended-B so these entries compile as single rules
+# rather than folding into the combined alternation — correctness is
+# identical, the fold is only a speed path)
+RO_ABBREV_RULES = _word_rules({
+    "str": "strada", "bd": "bulevardul", "bdul": "bulevardul",
+    "nr": "numărul", "șos": "șoseaua", "sos": "șoseaua",
+    "al": "aleea", "pța": "piața", "pta": "piața",
+    "dl": "domnul", "dna": "doamna", "tel": "telefon",
+})
+
+_RO_NUMS = {
+    "unu": 1, "doi": 2, "trei": 3, "patru": 4, "cinci": 5, "șase": 6,
+    "sase": 6, "șapte": 7, "sapte": 7, "opt": 8, "nouă": 9, "noua": 9,
+    "zece": 10, "unsprezece": 11, "doisprezece": 12, "treisprezece": 13,
+    "paisprezece": 14, "cincisprezece": 15, "șaisprezece": 16,
+    "șaptesprezece": 17, "optsprezece": 18, "nouăsprezece": 19,
+    "douăzeci": 20, "douazeci": 20, "treizeci": 30, "patruzeci": 40,
+    "cincizeci": 50, "șaizeci": 60, "șaptezeci": 70, "optzeci": 80,
+    "nouăzeci": 90, "sută": 100, "suta": 100,
+}
+
+RO_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _RO_NUMS.items()
+)
+
+RO_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    RO_ABBREV_RULES + RO_NUMBER_RULES
+)
+
+# HU pack — dictionaries/hu content model
+HU_ABBREV_RULES = _word_rules({
+    "u": "utca", "krt": "körút", "tel": "telefon", "dr": "doktor",
+    "em": "emelet", "pu": "pályaudvar", "stny": "sétány",
+})
+
+_HU_NUMS = {
+    "egy": 1, "kettő": 2, "két": 2, "három": 3, "négy": 4, "öt": 5,
+    "hat": 6, "hét": 7, "nyolc": 8, "kilenc": 9, "tíz": 10,
+    "tizenegy": 11, "tizenkettő": 12, "tizenhárom": 13, "tizennégy": 14,
+    "tizenöt": 15, "tizenhat": 16, "tizenhét": 17, "tizennyolc": 18,
+    "tizenkilenc": 19, "húsz": 20, "harminc": 30, "negyven": 40,
+    "ötven": 50, "hatvan": 60, "hetven": 70, "nyolcvan": 80,
+    "kilencven": 90, "száz": 100,
+}
+
+HU_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _HU_NUMS.items()
+)
+
+HU_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    HU_ABBREV_RULES + HU_NUMBER_RULES
+)
+
+# CA pack — dictionaries/ca content model
+CA_ABBREV_RULES = _word_rules({
+    "av": "avinguda", "avda": "avinguda", "ctra": "carretera",
+    "pl": "plaça", "pg": "passeig", "rbla": "rambla",
+    "sr": "senyor", "sra": "senyora", "dr": "doctor",
+    "núm": "número", "tel": "telèfon",
+})
+
+_CA_NUMS = {
+    "un": 1, "dos": 2, "tres": 3, "quatre": 4, "cinc": 5, "sis": 6,
+    "set": 7, "vuit": 8, "nou": 9, "deu": 10, "onze": 11, "dotze": 12,
+    "tretze": 13, "catorze": 14, "quinze": 15, "setze": 16,
+    "disset": 17, "divuit": 18, "dinou": 19, "vint": 20, "trenta": 30,
+    "quaranta": 40, "cinquanta": 50, "seixanta": 60, "setanta": 70,
+    "vuitanta": 80, "noranta": 90, "cent": 100,
+}
+
+CA_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _CA_NUMS.items()
+)
+
+CA_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    CA_ABBREV_RULES + CA_NUMBER_RULES
+)
+
+# ID pack — dictionaries/id content model (multiword spelled numbers fold
+# fine: the plain-word alternation allows internal spaces)
+ID_ABBREV_RULES = _word_rules({
+    "jl": "jalan", "jln": "jalan", "no": "nomor", "gg": "gang",
+    "kel": "kelurahan", "kec": "kecamatan", "kab": "kabupaten",
+    "prov": "provinsi", "tel": "telepon",
+})
+
+_ID_NUMS = {
+    "satu": 1, "dua": 2, "tiga": 3, "empat": 4, "lima": 5, "enam": 6,
+    "tujuh": 7, "delapan": 8, "sembilan": 9, "sepuluh": 10,
+    "sebelas": 11, "dua belas": 12, "tiga belas": 13, "empat belas": 14,
+    "lima belas": 15, "enam belas": 16, "tujuh belas": 17,
+    "delapan belas": 18, "sembilan belas": 19, "dua puluh": 20,
+    "tiga puluh": 30, "empat puluh": 40, "lima puluh": 50,
+    "enam puluh": 60, "tujuh puluh": 70, "delapan puluh": 80,
+    "sembilan puluh": 90, "seratus": 100,
+}
+
+ID_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _ID_NUMS.items()
+)
+
+ID_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    ID_ABBREV_RULES + ID_NUMBER_RULES
+)
+
+# SK pack — dictionaries/sk content model
+SK_ABBREV_RULES = _word_rules({
+    "ul": "ulica", "nám": "námestie", "č": "číslo", "tel": "telefón",
+    "sv": "svätý", "nábr": "nábrežie",
+})
+
+_SK_NUMS = {
+    "jeden": 1, "dva": 2, "tri": 3, "štyri": 4, "päť": 5, "šesť": 6,
+    "sedem": 7, "osem": 8, "deväť": 9, "desať": 10, "jedenásť": 11,
+    "dvanásť": 12, "trinásť": 13, "štrnásť": 14, "pätnásť": 15,
+    "šestnásť": 16, "sedemnásť": 17, "osemnásť": 18, "devätnásť": 19,
+    "dvadsať": 20, "tridsať": 30, "štyridsať": 40, "päťdesiat": 50,
+    "šesťdesiat": 60, "sedemdesiat": 70, "osemdesiat": 80,
+    "deväťdesiat": 90, "sto": 100,
+}
+
+SK_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _SK_NUMS.items()
+)
+
+SK_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    SK_ABBREV_RULES + SK_NUMBER_RULES
+)
+
+# HR pack — dictionaries/hr content model
+HR_ABBREV_RULES = _word_rules({
+    "ul": "ulica", "br": "broj", "sv": "sveti", "tel": "telefon",
+    "dr": "doktor",
+})
+
+_HR_NUMS = {
+    "jedan": 1, "dva": 2, "tri": 3, "četiri": 4, "pet": 5, "šest": 6,
+    "sedam": 7, "osam": 8, "devet": 9, "deset": 10, "jedanaest": 11,
+    "dvanaest": 12, "trinaest": 13, "četrnaest": 14, "petnaest": 15,
+    "šesnaest": 16, "sedamnaest": 17, "osamnaest": 18, "devetnaest": 19,
+    "dvadeset": 20, "trideset": 30, "četrdeset": 40, "pedeset": 50,
+    "šezdeset": 60, "sedamdeset": 70, "osamdeset": 80, "devedeset": 90,
+    "sto": 100,
+}
+
+HR_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _HR_NUMS.items()
+)
+
+HR_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    HR_ABBREV_RULES + HR_NUMBER_RULES
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -554,6 +708,12 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "cs": CS_GENERAL_RULES,
     "fi": FI_GENERAL_RULES,
     "tr": TR_GENERAL_RULES,
+    "ro": RO_GENERAL_RULES,
+    "hu": HU_GENERAL_RULES,
+    "ca": CA_GENERAL_RULES,
+    "id": ID_GENERAL_RULES,
+    "sk": SK_GENERAL_RULES,
+    "hr": HR_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals

@@ -126,3 +126,37 @@ def test_cs_fi_tr_packs():
     assert out[2] == "atatürk caddesi numara: 5"
     assert out[3] == "10 2"
     assert out[4] == "no way"
+
+
+def test_session10_packs_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "Str. Unirii nr. cinci",          # ro
+            "Kossuth u. tizenkettő",          # hu
+            "Pg. de Gràcia quinze",           # ca
+            "Jl. Merdeka no. dua belas",      # id
+            "Hlavná ul. pätnásť",             # sk
+            "Ilica ul. br. dvadeset",         # hr
+        ],
+        ["ro", "hu", "ca", "id", "sk", "hr"],
+    )
+    assert out[0] == "strada unirii numărul 5"
+    assert out[1] == "kossuth utca 12"
+    assert out[2] == "passeig de gràcia 15"
+    assert out[3] == "jalan merdeka nomor 12"
+    assert out[4] == "hlavná ulica 15"
+    assert out[5] == "ilica ulica broj 20"
+
+
+def test_session10_packs_do_not_cross_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    # the same text under EN: no RO/HU/ID entries may fire
+    out = _canon(
+        stage,
+        ["Str. Unirii nr. cinci", "Jl. Merdeka dua belas"],
+        ["en", "en"],
+    )
+    assert out[0] == "str. unirii nr. cinci"
+    assert out[1] == "jl. merdeka dua belas"
