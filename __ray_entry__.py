@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "lang_chain_components": q.lang_chain_components,
         "user_top_event": q.user_top_event,
         "doc_dir_rollup": q.doc_dir_rollup,
         "top_collocations": q.top_collocations,
@@ -197,6 +198,29 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "lang_chain_components": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       lag(doc_id) OVER (
+                           PARTITION BY lang ORDER BY doc_id) AS prev
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, lang,
+                       CASE WHEN prev IS NULL OR doc_id - prev > 8
+                            THEN 1 ELSE 0 END AS brk
+                FROM s
+            ),
+            g AS (
+                SELECT doc_id, lang,
+                       sum(brk) OVER (
+                           PARTITION BY lang ORDER BY doc_id) AS grp
+                FROM m
+            )
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY lang, grp) AS component_id
+            FROM g
+        """,
         "user_top_event": """
             SELECT user_id, event_type AS top_type, value AS top_value,
                    event_id AS top_event_id

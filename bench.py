@@ -253,6 +253,16 @@ def run_bench() -> dict:
     timed("chunk_containment_pairs", q.chunk_containment_pairs)
     timed("pack_sequences", q.pack_sequences)
     timed("scrub_boilerplate_tokens", q.scrub_boilerplate_tokens)
+    timed("user_top_event", q.user_top_event)
+    timed("lang_chain_components", q.lang_chain_components)
+    timed("doc_dir_rollup", q.doc_dir_rollup)
+    timed("top_collocations", q.top_collocations)
+    timed(
+        "returnflag_weighted_median",
+        lambda d: __import__("ray").data.from_arrow(
+            q.returnflag_weighted_median(d)
+        ),
+    )
 
     ray.shutdown()
     return {

@@ -6258,3 +6258,90 @@ def returnflag_weighted_median(sf_dir: str) -> pa.Table:
         ds.map_batches(to_int_w, batch_format="pyarrow"), "g", "v", "w"
     )
     return tbl.rename_columns(["l_returnflag", "total_weight", "wmedian"])
+
+
+def lang_chain_components(sf_dir: str, gap: int = 8) -> ray.data.Dataset:
+    """Connected components with a SQL oracle: docs chain to their
+    successor doc_id within the same lang when the id gap is <= ``gap``;
+    components are then the classic gaps-and-islands segments, which SQL
+    computes with two window passes — while the Ray side feeds the edges
+    through the REAL distributed CC tail (pipelines/cluster.py
+    connected_components: large-star/small-star min-label, the flagship's
+    clustering machinery).  This makes the CC operator itself
+    driver-oracle-checkable; the flagship equivalent is only end-to-end
+    checkable via exact_copy_coclustering.
+
+    Edge build co-locates each lang (crc%P exchange of 16 B rows, one
+    partition holds a whole lang — the same per-key-group-fits-a-partition
+    assumption as window_over_key, documented there); singleton docs ride
+    as self-edges so every doc gets a label.  Output: (doc_id,
+    component_id = min doc_id in the island)."""
+    import zlib
+
+    from libpostal_ray.pipelines.cluster import connected_components
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "lang": pa.nulls(0, pa.string()),
+                    "part": pa.nulls(0, pa.int64()),
+                }
+            )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ul, inv = np.unique(langs.astype(str), return_inverse=True)
+        crc = np.asarray(
+            [zlib.crc32(s.encode()) for s in ul], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "lang": batch["lang"],
+                "part": pa.array(crc[inv] % P),
+            }
+        )
+
+    def edges(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.nulls(0, pa.int64()),
+                "dst": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(group["lang"].to_pylist(), dtype="U")
+        order = np.lexsort((ids, langs))
+        ids, langs = ids[order], langs[order]
+        same = (langs[1:] == langs[:-1]) & (ids[1:] - ids[:-1] <= gap)
+        src = ids[:-1][same]
+        dst = ids[1:][same]
+        # singletons (no edge either side) ride as self-edges
+        ine = np.zeros(ids.shape[0], dtype=bool)
+        idx = np.flatnonzero(same)
+        ine[idx] = True
+        ine[idx + 1] = True
+        alone = ids[~ine]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate((src, alone))),
+                "dst": pa.array(np.concatenate((dst, alone))),
+            }
+        )
+
+    e = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(edges, batch_format="pyarrow")
+    )
+    labels = connected_components(e)
+    return labels.rename_columns(["doc_id", "component_id"])
