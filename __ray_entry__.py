@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "lang_chain_components": q.lang_chain_components,
+        "order_skyline": q.order_skyline,
         "user_top_event": q.user_top_event,
         "doc_dir_rollup": q.doc_dir_rollup,
         "top_collocations": q.top_collocations,
@@ -198,6 +199,21 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "order_skyline": """
+            WITH pairs AS (
+                SELECT DISTINCT o_totalprice, o_orderdate FROM orders
+            ),
+            s AS (
+                SELECT o_totalprice, o_orderdate,
+                       min(o_orderdate) OVER (
+                           ORDER BY o_totalprice DESC, o_orderdate ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev
+                FROM pairs
+            )
+            SELECT o_totalprice, o_orderdate FROM s
+            WHERE prev IS NULL OR o_orderdate < prev
+        """,
         "lang_chain_components": """
             WITH s AS (
                 SELECT doc_id, lang,

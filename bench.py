@@ -255,6 +255,7 @@ def run_bench() -> dict:
     timed("scrub_boilerplate_tokens", q.scrub_boilerplate_tokens)
     timed("user_top_event", q.user_top_event)
     timed("lang_chain_components", q.lang_chain_components)
+    timed("order_skyline", q.order_skyline)
     timed("doc_dir_rollup", q.doc_dir_rollup)
     timed("top_collocations", q.top_collocations)
     timed(

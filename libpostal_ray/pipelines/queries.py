@@ -6345,3 +6345,97 @@ def lang_chain_components(sf_dir: str, gap: int = 8) -> ray.data.Dataset:
     )
     labels = connected_components(e)
     return labels.rename_columns(["doc_id", "component_id"])
+
+
+def order_skyline(sf_dir: str) -> ray.data.Dataset:
+    """2-D SKYLINE (Pareto frontier): the distinct (o_totalprice,
+    o_orderdate) pairs not dominated by any other pair (dominating =
+    price >= AND date <=, strictly better in at least one — "as expensive
+    but earlier", the maximal-vector problem).
+
+    Skylines merge associatively — skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B)) — so the distributed plan is the textbook one: each batch
+    computes its LOCAL skyline vectorized (sort by price DESC / date ASC
+    + running-min prefix test), and only those few candidate points cross
+    the exchange into one tiny final reduce.  Dominated rows never leave
+    their batch; exchange volume is O(skyline size x #batches), not rows.
+    The SQL oracle replays the same prefix-min rule over the distinct
+    pairs with one window pass."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
+    )
+
+    def _skyline(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+        """Indices of the skyline points of DISTINCT (price, date) pairs
+        (inputs must already be distinct): ordered by price DESC, date
+        ASC, a point survives iff its date is strictly below the running
+        min of all preceding dates."""
+        order = np.lexsort((date, -price))
+        d = date[order]
+        if d.shape[0] == 0:
+            return order
+        prev = np.concatenate(
+            ([np.iinfo(np.int64).max], np.minimum.accumulate(d)[:-1])
+        )
+        return order[d < prev]
+
+    def local(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_totalprice": pa.nulls(0, pa.float64()),
+                "o_orderdate": pa.nulls(0, pa.timestamp("us")),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "o_totalprice" not in batch.column_names:
+            return empty
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = (
+            batch["o_orderdate"]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # distinct pairs first (dominance is defined on value pairs)
+        comp = np.stack((p, d.astype(np.float64)), axis=1)
+        _, idx = np.unique(comp, axis=0, return_index=True)
+        keep = idx[_skyline(p[idx], d[idx])]
+        return pa.table(
+            {
+                "o_totalprice": pa.array(p[keep]),
+                "o_orderdate": batch["o_orderdate"].take(pa.array(keep)),
+                "g": pa.array(np.zeros(keep.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_totalprice": pa.nulls(0, pa.float64()),
+                "o_orderdate": pa.nulls(0, pa.timestamp("us")),
+            }
+        )
+        if group.num_rows == 0 or "o_totalprice" not in group.column_names:
+            return empty
+        p = group["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = (
+            group["o_orderdate"]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        comp = np.stack((p, d.astype(np.float64)), axis=1)
+        _, idx = np.unique(comp, axis=0, return_index=True)
+        keep = idx[_skyline(p[idx], d[idx])]
+        return pa.table(
+            {
+                "o_totalprice": pa.array(p[keep]),
+                "o_orderdate": group["o_orderdate"].take(pa.array(keep)),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pyarrow")
+    )

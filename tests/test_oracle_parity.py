@@ -50,6 +50,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 ORACLE_QUERIES = [
     "lang_chain_components",
+    "order_skyline",
     "user_top_event",
     "doc_dir_rollup",
     "top_collocations",
