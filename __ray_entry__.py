@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "lang_chain_components": q.lang_chain_components,
         "order_skyline": q.order_skyline,
+        "name_typo_pairs": q.name_typo_pairs,
         "user_top_event": q.user_top_event,
         "doc_dir_rollup": q.doc_dir_rollup,
         "top_collocations": q.top_collocations,
@@ -199,6 +200,13 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "name_typo_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
         "order_skyline": """
             WITH pairs AS (
                 SELECT DISTINCT o_totalprice, o_orderdate FROM orders

@@ -256,6 +256,7 @@ def run_bench() -> dict:
     timed("user_top_event", q.user_top_event)
     timed("lang_chain_components", q.lang_chain_components)
     timed("order_skyline", q.order_skyline)
+    timed("name_typo_pairs", q.name_typo_pairs)
     timed("doc_dir_rollup", q.doc_dir_rollup)
     timed("top_collocations", q.top_collocations)
     timed(

@@ -6439,3 +6439,150 @@ def order_skyline(sf_dir: str) -> ray.data.Dataset:
         .groupby("g")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def name_typo_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Edit-distance THRESHOLD self-join (dist <= 1) via
+    deletion-neighborhood blocking (FastSS family) — the typo-dedup
+    blocking key the shingle/MinHash families can't express: every row
+    emits its DISTINCT deletion variants (the string itself + each
+    single-character deletion, deduped per row), variants hash-partition,
+    and only same-variant buckets generate candidates, verified with the
+    repo's exact levenshtein.
+
+    Pair-emission correctness: a dist-1 pair shares EXACTLY ONE distinct
+    variant (substitution -> the deletion at the mismatch position;
+    indel -> the shorter string itself), so each verified pair surfaces in
+    exactly one partition — no global pair dedup pass.  A 61-bit
+    polynomial variant hash keeps bucket keys non-negative int64; hash
+    collisions only ever ADD candidates, which verification rejects.
+    Exchange = (L+1) x 16 B keys per row — the documented blow-up of
+    deletion blocking; content (the name) rides once per variant for
+    verification.  Reference analog: near_dupe.c's name-key families
+    (acronym/phonetic) — this adds the typo family."""
+    from libpostal_ray.functions.similarity import levenshtein
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    P = 32
+    B = np.uint64(1099511628211)  # FNV-ish odd multiplier
+    MASK63 = np.uint64((1 << 63) - 1)
+
+    def variants(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.nulls(0, pa.int64()),
+                "id": pa.nulls(0, pa.int64()),
+                "name": pa.nulls(0, pa.string()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "c_name" not in batch.column_names:
+            return empty
+        ids = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = batch["c_name"].to_pylist()
+        # bytes matrix (rows padded with 0xFF, which no UTF-8 name byte
+        # can start a padded tail with at these lengths)
+        bs = [s.encode() for s in names]
+        L = max((len(b) for b in bs), default=0)
+        n = len(bs)
+        m = np.full((n, L), 0xFF, dtype=np.uint8)
+        lens = np.asarray([len(b) for b in bs], dtype=np.int64)
+        for i, b in enumerate(bs):  # fill loop: O(rows), cheap vs hashing
+            m[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+
+        def row_hash(mat: np.ndarray, ln: np.ndarray) -> np.ndarray:
+            # masked polynomial fold: bytes past each row's length are NOT
+            # folded, so the hash is independent of the batch's padded
+            # width — identical strings hash equal across blocks
+            lnu = ln.astype(np.uint64)
+            h = lnu.copy()
+            for j in range(mat.shape[1]):  # loop over COLUMNS, not rows
+                live = np.uint64(j) < lnu
+                h = np.where(live, h * B + mat[:, j].astype(np.uint64), h)
+            return (h & MASK63).astype(np.int64)
+
+        out_h = [row_hash(m, lens)]
+        out_i = [ids]
+        out_nm = [np.arange(n, dtype=np.int64)]
+        for d in range(L):  # delete position d (rows shorter than d keep
+            # their padding delete = identity; the per-row dedup below
+            # collapses those back to the full-string variant)
+            md = np.concatenate((m[:, :d], m[:, d + 1 :], np.full((n, 1), 0xFF, np.uint8)), axis=1)
+            valid = lens > d
+            out_h.append(row_hash(md, np.maximum(lens - 1, 0))[: n])
+            # invalid rows (d >= len) would duplicate the full variant
+            # with a wrong length salt — overwrite with the full hash so
+            # per-row dedup removes them
+            out_h[-1][~valid] = out_h[0][~valid]
+            out_i.append(ids)
+            out_nm.append(np.arange(n, dtype=np.int64))
+        H = np.stack(out_h, axis=1)  # (n, L+1)
+        # per-row DISTINCT variants (correctness requires it — see doc)
+        rows, cols = [], []
+        srt = np.sort(H, axis=1)
+        keep = np.concatenate(
+            (np.ones((n, 1), dtype=bool), srt[:, 1:] != srt[:, :-1]), axis=1
+        )
+        hh = srt[keep]
+        rid = np.repeat(np.arange(n, dtype=np.int64), keep.sum(axis=1))
+        return pa.table(
+            {
+                "h": pa.array(hh),
+                "id": pa.array(ids[rid]),
+                "name": pa.array([names[i] for i in rid], type=pa.string()),
+                "part": pa.array(hh % P),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.nulls(0, pa.int64()),
+                "id_b": pa.nulls(0, pa.int64()),
+                "dist": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return empty
+        h = group["h"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        names = np.asarray(group["name"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, h))
+        h, ids, names = h[order], ids[order], names[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        ends = np.concatenate((starts[1:], [h.shape[0]]))
+        out_a, out_b, out_d = [], [], []
+        seen = set()
+        for s, e in zip(starts, ends):  # Python cost = buckets, pairs small
+            if e - s < 2:
+                continue
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    a, b = int(ids[i]), int(ids[j])
+                    if a == b:
+                        continue
+                    if a > b:
+                        a, b = b, a
+                    if (a, b) in seen:
+                        continue
+                    seen.add((a, b))
+                    d = levenshtein(str(names[i]), str(names[j]))
+                    if d <= 1:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_d.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, type=pa.int64()),
+                "id_b": pa.array(out_b, type=pa.int64()),
+                "dist": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(variants, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+    )

@@ -51,6 +51,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 ORACLE_QUERIES = [
     "lang_chain_components",
     "order_skyline",
+    "name_typo_pairs",
     "user_top_event",
     "doc_dir_rollup",
     "top_collocations",

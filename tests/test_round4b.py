@@ -282,11 +282,12 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
     src = "/root/testdata/sf0.001"
     d = tmp_path / "sf_empty"
     d.mkdir()
-    for t in ("documents", "events", "lineitem", "orders"):
+    for t in ("documents", "events", "lineitem", "orders", "customer"):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
     for name in (
+        "name_typo_pairs",
         "order_skyline",
         "lang_chain_components",
         "user_top_event",
