@@ -53,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "user_busy_intervals": q.user_busy_intervals,
+        "event_transitions": q.event_transitions,
+        "user_retention_daily": q.user_retention_daily,
+        "user_value_hourly_ffill": q.user_value_hourly_ffill,
         "lang_chain_components": q.lang_chain_components,
         "order_skyline": q.order_skyline,
         "name_typo_pairs": q.name_typo_pairs,
@@ -200,6 +204,81 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "user_busy_intervals": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 300000000 AS e
+                FROM events
+            ), m AS (
+                SELECT user_id, s, e,
+                       CASE WHEN s <= max(e) OVER (
+                                PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 0 ELSE 1 END AS ng
+                FROM iv
+            ), g AS (
+                SELECT user_id, s, e,
+                       SUM(ng) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+                FROM m
+            ), sp AS (
+                SELECT user_id, grp, max(e) - min(s) AS span
+                FROM g GROUP BY user_id, grp
+            )
+            SELECT user_id, count(*) AS n_busy,
+                   CAST(sum(span) AS BIGINT) AS busy_us
+            FROM sp GROUP BY user_id
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "user_retention_daily": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS active_day
+                FROM events
+            ), f AS (
+                SELECT user_id, min(active_day) AS cohort_day
+                FROM a GROUP BY user_id
+            )
+            SELECT cohort_day, active_day, count(*) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY cohort_day, active_day
+        """,
+        "user_value_hourly_ffill": """
+            WITH d AS (
+                SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+                FROM events GROUP BY user_id, epoch_us(ts)
+            ), b AS (
+                SELECT user_id,
+                       (min(t) + 3599999999) // 3600000000 AS lo,
+                       max(t) // 3600000000 AS hi
+                FROM d GROUP BY user_id
+            ), grid AS (
+                SELECT user_id, unnest(generate_series(lo, hi)) AS h
+                FROM b WHERE lo <= hi
+            ), pts AS (
+                SELECT user_id, t AS ord, 0 AS is_grid, v,
+                       CAST(NULL AS BIGINT) AS h
+                FROM d
+                UNION ALL
+                SELECT user_id, h * 3600000000, 1, NULL, h FROM grid
+            )
+            SELECT user_id, h AS grid_hour,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ord, is_grid
+                       ROWS UNBOUNDED PRECEDING) AS value
+            FROM pts QUALIFY is_grid = 1
+        """,
         "name_typo_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    levenshtein(a.c_name, b.c_name) AS dist

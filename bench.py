@@ -257,6 +257,10 @@ def run_bench() -> dict:
     timed("lang_chain_components", q.lang_chain_components)
     timed("order_skyline", q.order_skyline)
     timed("name_typo_pairs", q.name_typo_pairs)
+    timed("user_busy_intervals", q.user_busy_intervals)
+    timed("event_transitions", q.event_transitions)
+    timed("user_retention_daily", q.user_retention_daily)
+    timed("user_value_hourly_ffill", q.user_value_hourly_ffill)
     timed("doc_dir_rollup", q.doc_dir_rollup)
     timed("top_collocations", q.top_collocations)
     timed(

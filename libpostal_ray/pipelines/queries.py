@@ -6586,3 +6586,82 @@ def name_typo_pairs(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def user_busy_intervals(sf_dir: str) -> ray.data.Dataset:
+    """Per-user INTERVAL UNION: each event opens a 5-minute busy window
+    [ts, ts+5min); overlapping/touching windows merge, output = merged
+    run count + total covered microseconds per user.  The classic
+    coverage/uptime operator (SQL gaps-and-islands) as one key%P
+    exchange of per-batch PRE-MERGED runs — merged intervals compose
+    associatively, so raw events never shuffle.  See
+    pipelines/timeseries.interval_union."""
+    from libpostal_ray.pipelines.timeseries import interval_union
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    out = interval_union(ds, "user_id", "ts", span_us=300_000_000)
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "n_busy", "busy_us"]),
+        batch_format="pyarrow",
+    )
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order Markov transition counts over each user's
+    time-ordered event-type sequence (ties on equal ts broken by
+    event_id): (prev_type, next_type, n).  One key%P exchange
+    co-locates sequences; per-partition np.unique factorization +
+    bincount builds the local matrix; a crc32-keyed second agg sums the
+    tiny matrices.  See pipelines/timeseries.transition_counts."""
+    from libpostal_ray.pipelines.timeseries import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    out = transition_counts(ds, "user_id", "ts", "event_type", "event_id")
+    return out.map_batches(
+        lambda b: b.rename_columns(["prev_type", "next_type", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def user_retention_daily(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix at day granularity: cohort = each user's
+    first active day (int64 days since epoch), output
+    (cohort_day, active_day, n_users).  Per-batch distinct (user, day)
+    partials bound the exchange at one row per user-day per batch; the
+    matrix itself is <= span^2 rows.  See
+    pipelines/timeseries.retention_cohorts."""
+    from libpostal_ray.pipelines.timeseries import retention_cohorts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    out = retention_cohorts(ds, "user_id", "ts", bucket_us=86_400_000_000)
+    return out.map_batches(
+        lambda b: b.rename_columns(["cohort_day", "active_day", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+def user_value_hourly_ffill(sf_dir: str) -> ray.data.Dataset:
+    """Gap-filling resample: each user's event values forward-filled
+    onto an hourly grid between ceil(first event) and floor(last event)
+    hour.  Fill = value at the latest observation <= the grid point
+    (per-timestamp ties -> max value; a SELECTION, so the float rides
+    through bit-exact).  Merge-based ffill — one lexsort + one
+    np.maximum.accumulate, no per-key search.  See
+    pipelines/timeseries.grid_ffill."""
+    from libpostal_ray.pipelines.timeseries import grid_ffill
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    out = grid_ffill(ds, "user_id", "ts", "value", step_us=3_600_000_000)
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "grid_hour", "value"]),
+        batch_format="pyarrow",
+    )

@@ -49,6 +49,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "user_busy_intervals",
+    "event_transitions",
+    "user_retention_daily",
+    "user_value_hourly_ffill",
     "lang_chain_components",
     "order_skyline",
     "name_typo_pairs",

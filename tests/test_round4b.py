@@ -287,6 +287,10 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
     for name in (
+        "user_busy_intervals",
+        "event_transitions",
+        "user_retention_daily",
+        "user_value_hourly_ffill",
         "name_typo_pairs",
         "order_skyline",
         "lang_chain_components",
