@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "doc_chunk_windows": q.doc_chunk_windows,
+        "order_price_allocation": q.order_price_allocation,
         "user_busy_intervals": q.user_busy_intervals,
         "event_transitions": q.event_transitions,
         "user_retention_daily": q.user_retention_daily,
@@ -204,6 +206,53 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "doc_chunk_windows": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text, ' \t\n\r'), '\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text, ' \t\n\r')) > 0
+            ), c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks), 24)) AS s
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+                   CAST(least(s + 31, len(toks)) - s + 1 AS BIGINT) AS n_tok,
+                   array_to_string(
+                       list_slice(toks, s, least(s + 31, len(toks))), ' '
+                   ) AS chunk_text
+            FROM c
+        """,
+        "order_price_allocation": """
+            WITH L AS (
+                SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS ln,
+                       CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS w
+                FROM lineitem
+            ), O AS (
+                SELECT o_orderkey AS k,
+                       CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS tot
+                FROM orders
+            ), J AS (
+                SELECT L.k, L.ln, L.w, O.tot,
+                       SUM(L.w) OVER (PARTITION BY L.k) AS tw
+                FROM L JOIN O USING (k)
+            ), B AS (
+                SELECT k, ln, tot, (tot*w) // tw AS base, (tot*w) % tw AS frac
+                FROM J
+            ), R AS (
+                SELECT k, ln, base,
+                       row_number() OVER (PARTITION BY k
+                                          ORDER BY frac DESC, ln) AS rn,
+                       tot - SUM(base) OVER (PARTITION BY k) AS rem
+                FROM B
+            )
+            SELECT k AS l_orderkey, ln AS l_linenumber,
+                   CAST(base + CASE WHEN rn <= rem THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc_cents
+            FROM R
+        """,
         "user_busy_intervals": """
             WITH iv AS (
                 SELECT user_id, epoch_us(ts) AS s,

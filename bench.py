@@ -257,6 +257,8 @@ def run_bench() -> dict:
     timed("lang_chain_components", q.lang_chain_components)
     timed("order_skyline", q.order_skyline)
     timed("name_typo_pairs", q.name_typo_pairs)
+    timed("order_price_allocation", q.order_price_allocation)
+    timed("doc_chunk_windows", q.doc_chunk_windows)
     timed("user_busy_intervals", q.user_busy_intervals)
     timed("event_transitions", q.event_transitions)
     timed("user_retention_daily", q.user_retention_daily)

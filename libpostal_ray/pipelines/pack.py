@@ -256,3 +256,153 @@ def pack_training_sequences(
         )
 
     return pref.map_batches(binned, batch_format="pyarrow")
+
+
+def chunk_windows(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 24,
+    sub_batch_bytes: int = 1 << 18,
+) -> ray.data.Dataset:
+    """Sliding-window document chunking (the context-window prep step of
+    an LLM training pipeline): each doc's whitespace tokens split into
+    overlapping windows of ``window`` tokens every ``stride`` tokens
+    (chunk c covers tokens [c*stride, c*stride+window)), the trailing
+    chunk shorter.  Output (id, chunk_idx, n_tok, chunk_text) with
+    chunk_text = single-space token join — i.e. the whitespace-
+    NORMALIZED window, not a byte slice of the original.
+
+    Row-local => embarrassingly parallel: ONE map_batches, no exchange.
+    The kernel is a pure byte-level gather: token (start, len) runs come
+    from one vectorized whitespace-mask pass over the Arrow data buffer
+    (ASCII ws byte classes — multi-byte UTF-8 never contains them, so
+    byte-level == char-level), and every chunk's text is assembled by a
+    single fancy-indexed gather through an interleaved
+    (token, separator) slice table — zero Python per row/token/chunk.
+    Sub-batching bounds the gather temporaries (~10x content) to the
+    cache-block budget (CLAUDE.md DRAM discipline)."""
+    W, S = int(window), int(stride)
+    if W < 1 or S < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def _chunk_rows(ids: np.ndarray, offl: np.ndarray, loc: np.ndarray):
+        """One sub-batch: local offsets offl (offl[0] == 0), bytes loc."""
+        nrows = ids.shape[0]
+        ws = (
+            (loc == 32) | (loc == 9) | (loc == 10)
+            | (loc == 13) | (loc == 12) | (loc == 11)
+        )
+        nonws = ~ws
+        prev = np.concatenate(([False], nonws[:-1]))
+        nxt = np.concatenate((nonws[1:], [False]))
+        rs = offl[:-1]
+        rs = rs[rs < offl[1:]]  # nonempty rows only
+        prev[rs] = False  # a row start never continues a token
+        re_ = offl[1:] - 1
+        re_ = re_[offl[1:] > offl[:-1]]
+        nxt[re_] = False  # a row end never extends a token
+        tok_s = np.flatnonzero(nonws & ~prev)
+        tok_e = np.flatnonzero(nonws & ~nxt)
+        if tok_s.shape[0] == 0:
+            return None
+        tok_len = tok_e - tok_s + 1
+        tok_row = np.searchsorted(offl, tok_s, side="right") - 1
+        n_tok_row = np.bincount(tok_row, minlength=nrows)
+        tok_base = np.cumsum(n_tok_row) - n_tok_row
+        c_row = np.where(n_tok_row > 0, (n_tok_row - 1) // S + 1, 0)
+        n_chunks = int(c_row.sum())
+        if n_chunks == 0:
+            return None
+        c_base = np.cumsum(c_row) - c_row
+        chunk_row = np.repeat(np.arange(nrows), c_row)
+        chunk_idx = np.arange(n_chunks) - c_base[chunk_row]
+        first_tok = tok_base[chunk_row] + chunk_idx * S
+        ntok = np.minimum(W, n_tok_row[chunk_row] - chunk_idx * S)
+        # interleaved (token, sep, token, ...) slice table per chunk
+        m = 2 * ntok - 1
+        slice_base = np.cumsum(m) - m
+        total_slices = int(m.sum())
+        chunk_of = np.repeat(np.arange(n_chunks), m)
+        r = np.arange(total_slices) - slice_base[chunk_of]
+        is_tok = (r & 1) == 0
+        gidx = first_tok[chunk_of] + (r >> 1)
+        sep_pos = loc.shape[0]
+        starts = np.where(is_tok, tok_s[gidx], sep_pos)
+        lens = np.where(is_tok, tok_len[gidx], 1)
+        buf2 = np.concatenate((loc, np.asarray([32], np.uint8)))
+        cum = np.cumsum(lens)
+        total_bytes = int(cum[-1]) if total_slices else 0
+        idx = (
+            np.arange(total_bytes, dtype=np.int64)
+            - np.repeat(cum - lens, lens)
+            + np.repeat(starts, lens)
+        )
+        out_bytes = buf2[idx]
+        chunk_lens = np.add.reduceat(lens, slice_base)
+        offs = np.concatenate(([0], np.cumsum(chunk_lens))).astype(np.int64)
+        text = pa.Array.from_buffers(
+            pa.large_string(),
+            n_chunks,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(out_bytes.tobytes())],
+        ).cast(pa.string())
+        return (
+            ids[chunk_row],
+            chunk_idx.astype(np.int64),
+            ntok.astype(np.int64),
+            text,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id": pa.nulls(0, pa.int64()),
+                "chunk_idx": pa.nulls(0, pa.int64()),
+                "n_tok": pa.nulls(0, pa.int64()),
+                "chunk_text": pa.nulls(0, pa.string()),
+            }
+        )
+        if batch.num_rows == 0 or text_col not in batch.column_names:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[text_col]
+        arr = pa.concat_arrays(
+            [c.cast(pa.large_string()) for c in col.chunks]
+            if isinstance(col, pa.ChunkedArray)
+            else [col.cast(pa.large_string())]
+        )
+        n = len(arr)
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, np.uint8)
+        )
+        # validity: NULL texts produce no chunks (offsets of a null row
+        # are empty-range in Arrow, so they fall out naturally)
+        pieces = []
+        lo = 0
+        while lo < n:
+            hi = lo + 1
+            while hi < n and off[hi + 1] - off[lo] <= sub_batch_bytes:
+                hi += 1
+            offl = (off[lo : hi + 1] - off[lo]).astype(np.int64)
+            loc = data[off[lo] : off[hi]]
+            got = _chunk_rows(ids[lo:hi], offl, loc)
+            if got is not None:
+                pieces.append(got)
+            lo = hi
+        if not pieces:
+            return empty
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([p[0] for p in pieces])),
+                "chunk_idx": pa.array(np.concatenate([p[1] for p in pieces])),
+                "n_tok": pa.array(np.concatenate([p[2] for p in pieces])),
+                "chunk_text": pa.concat_arrays([p[3] for p in pieces]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

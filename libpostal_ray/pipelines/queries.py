@@ -6665,3 +6665,159 @@ def user_value_hourly_ffill(sf_dir: str) -> ray.data.Dataset:
         lambda b: b.rename_columns(["user_id", "grid_hour", "value"]),
         batch_format="pyarrow",
     )
+
+
+def order_price_allocation(sf_dir: str) -> ray.data.Dataset:
+    """Largest-remainder (Hamilton) apportionment: split each order's
+    total price (integer cents) across its lineitems proportionally to
+    l_extendedprice, EXACTLY — per-order allocations are integers that
+    sum to the order total.  base = tot*w // W, then the tot - sum(base)
+    leftover cents go to the largest fractional remainders (ties broken
+    by linenumber).  The operator SQL engines make users hand-roll with
+    two window passes, here as one k%P co-partitioned exchange of both
+    tagged skinny streams + a reduceat/lexsort kernel.  Exact integer
+    division discipline throughout — no float ever enters the
+    allocation, so the oracle matches bit-for-bit."""
+    P = 32
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _cents(col) -> np.ndarray:
+        x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.nulls(0, pa.int64()),
+                "ln": pa.nulls(0, pa.int64()),
+                "w": pa.nulls(0, pa.int64()),
+                "tot": pa.nulls(0, pa.int64()),
+                "side": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return empty
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "ln": pa.array(
+                    batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "w": pa.array(_cents(batch["l_extendedprice"])),
+                "tot": pa.array(np.zeros(k.shape[0], np.int64)),
+                "side": pa.array(np.zeros(k.shape[0], np.int64)),
+                "part": pa.array(k % P),
+            }
+        )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.nulls(0, pa.int64()),
+                "ln": pa.nulls(0, pa.int64()),
+                "w": pa.nulls(0, pa.int64()),
+                "tot": pa.nulls(0, pa.int64()),
+                "side": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return empty
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(k.shape[0], np.int64)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "ln": pa.array(z),
+                "w": pa.array(z),
+                "tot": pa.array(_cents(batch["o_totalprice"])),
+                "side": pa.array(np.ones(k.shape[0], np.int64)),
+                "part": pa.array(k % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_orderkey": pa.nulls(0, pa.int64()),
+                "l_linenumber": pa.nulls(0, pa.int64()),
+                "alloc_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "side" not in group.column_names:
+            return empty
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        is_li = side == 0
+        ok = np.sort(np.unique(k[~is_li]))
+        totmap = np.zeros(ok.shape[0], np.int64)
+        totmap[np.searchsorted(ok, k[~is_li])] = group["tot"].to_numpy(
+            zero_copy_only=False
+        )[~is_li]
+        lk = k[is_li]
+        ln = group["ln"].to_numpy(zero_copy_only=False)[is_li]
+        w = group["w"].to_numpy(zero_copy_only=False)[is_li]
+        if lk.shape[0] == 0 or ok.shape[0] == 0:
+            return empty
+        # inner-join semantics: drop lineitems whose order is absent
+        pos = np.searchsorted(ok, lk)
+        pos = np.minimum(pos, ok.shape[0] - 1)
+        valid = ok[pos] == lk
+        lk, ln, w, pos = lk[valid], ln[valid], w[valid], pos[valid]
+        if lk.shape[0] == 0:
+            return empty
+        order = np.lexsort((ln, lk))
+        lk, ln, w, pos = lk[order], ln[order], w[order], pos[order]
+        tot = totmap[pos]
+        is_start = np.concatenate(([True], lk[1:] != lk[:-1]))
+        seg = np.flatnonzero(is_start)
+        seg_id = np.cumsum(is_start) - 1
+        W = np.add.reduceat(w, seg)[seg_id]
+        base = (tot * w) // W
+        frac = (tot * w) % W
+        rem = (tot - np.add.reduceat(base, seg)[seg_id])
+        # rank within order by (frac DESC, ln ASC)
+        r = np.lexsort((ln, -frac, lk))
+        rn = np.empty(lk.shape[0], np.int64)
+        rn[r] = np.arange(lk.shape[0]) - seg[seg_id][r]
+        alloc = base + (rn < rem)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(lk),
+                "l_linenumber": pa.array(ln),
+                "alloc_cents": pa.array(alloc.astype(np.int64)),
+            }
+        )
+
+    return (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(o_partial, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def doc_chunk_windows(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window chunking for LLM context prep: each document's
+    whitespace tokens split into overlapping 32-token windows every 24
+    tokens; chunk_text is the single-space token join.  Row-local byte-
+    gather kernel, no exchange — see pipelines/pack.chunk_windows."""
+    from libpostal_ray.pipelines.pack import chunk_windows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    out = chunk_windows(ds, "doc_id", "text", window=32, stride=24)
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "chunk_idx", "n_tok", "chunk_text"]),
+        batch_format="pyarrow",
+    )

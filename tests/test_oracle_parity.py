@@ -49,6 +49,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "doc_chunk_windows",
+    "order_price_allocation",
     "user_busy_intervals",
     "event_transitions",
     "user_retention_daily",

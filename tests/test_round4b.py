@@ -287,6 +287,8 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
     for name in (
+        "doc_chunk_windows",
+        "order_price_allocation",
         "user_busy_intervals",
         "event_transitions",
         "user_retention_daily",
@@ -302,3 +304,64 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
         assert len(df) == 0, (name, df.head())
+
+
+def test_order_price_allocation_sums_to_total(ray_session):
+    """Hamilton apportionment invariant: per-order allocations are
+    integers summing EXACTLY to the order's total cents."""
+    import numpy as np
+    from libpostal_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = q.order_price_allocation(sf).to_pandas()
+    got = out.groupby("l_orderkey")["alloc_cents"].sum()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    tot = np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+    want = dict(zip(orders["o_orderkey"], tot))
+    li_orders = set(out["l_orderkey"])
+    assert len(got) == len(li_orders)
+    for k, s in got.items():
+        assert s == want[k], (k, s, want[k])
+
+
+def test_chunk_windows_semantics(ray_session):
+    """Unicode tokens, mixed whitespace separators, trailing fragment,
+    and sub-batch-size independence."""
+    import pyarrow as pa
+    from libpostal_ray.pipelines.pack import chunk_windows
+
+    texts = [
+        "a b c d e",            # 5 toks, W=3 S=2 -> chunks at 0,2,4
+        "  x \t y \n z  ",      # mixed ws separators
+        "",                      # no chunks
+        None,                    # no chunks
+        "émile café ß 東京 naïve",  # multi-byte UTF-8 tokens survive
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    expected = [
+        (0, 0, 3, "a b c"),
+        (0, 1, 3, "c d e"),
+        (0, 2, 1, "e"),
+        (1, 0, 3, "x y z"),
+        (1, 1, 1, "z"),  # starts step S while start < n_tok (oracle rule)
+        (4, 0, 3, "émile café ß"),
+        (4, 1, 3, "ß 東京 naïve"),
+        (4, 2, 1, "naïve"),
+    ]
+    for sub in (1 << 18, 8):
+        out = (
+            chunk_windows(
+                ray.data.from_arrow(t), "doc_id", "text",
+                window=3, stride=2, sub_batch_bytes=sub,
+            )
+            .to_pandas()
+            .sort_values(["id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        got = list(map(tuple, out.itertuples(index=False)))
+        assert got == expected, (sub, got)
