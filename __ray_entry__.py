@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "doc_chain_ranks": q.doc_chain_ranks,
+        "event_value_winsorized": q.event_value_winsorized,
         "doc_chunk_windows": q.doc_chunk_windows,
         "order_price_allocation": q.order_price_allocation,
         "user_busy_intervals": q.user_busy_intervals,
@@ -206,6 +208,41 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "doc_chain_ranks": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id - lag(doc_id) OVER (
+                                PARTITION BY lang ORDER BY doc_id) <= 8
+                            THEN 0 ELSE 1 END AS brk
+                FROM documents
+            ), i AS (
+                SELECT doc_id, lang,
+                       SUM(brk) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS isl
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY lang, isl
+                                           ORDER BY doc_id) - 1
+                        AS BIGINT) AS hops,
+                   min(doc_id) OVER (PARTITION BY lang, isl) AS root
+            FROM i
+        """,
+        "event_value_winsorized": """
+            WITH b AS (
+                SELECT event_type,
+                       percentile_cont(0.125) WITHIN GROUP (ORDER BY value) AS lo,
+                       percentile_cont(0.875) WITHIN GROUP (ORDER BY value) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(
+                       least(greatest(e.value, b.lo), b.hi) * 100 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS wsum_cents
+            FROM events e JOIN b USING (event_type)
+            GROUP BY e.event_type
+        """,
         "doc_chunk_windows": """
             WITH t AS (
                 SELECT doc_id,

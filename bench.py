@@ -259,6 +259,8 @@ def run_bench() -> dict:
     timed("name_typo_pairs", q.name_typo_pairs)
     timed("order_price_allocation", q.order_price_allocation)
     timed("doc_chunk_windows", q.doc_chunk_windows)
+    timed("event_value_winsorized", q.event_value_winsorized)
+    timed("doc_chain_ranks", q.doc_chain_ranks)
     timed("user_busy_intervals", q.user_busy_intervals)
     timed("event_transitions", q.event_transitions)
     timed("user_retention_daily", q.user_retention_daily)

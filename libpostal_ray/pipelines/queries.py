@@ -6821,3 +6821,168 @@ def doc_chunk_windows(sf_dir: str) -> ray.data.Dataset:
         lambda b: b.rename_columns(["doc_id", "chunk_idx", "n_tok", "chunk_text"]),
         batch_format="pyarrow",
     )
+
+
+def event_value_winsorized(sf_dir: str) -> ray.data.Dataset:
+    """WINSORIZED robust mean per event_type: values clipped to the
+    group's exact [p12.5, p87.5] interpolated percentiles, then summed
+    as integer cents.  Two grouped_exact_quantile_cont passes (constant
+    exchange radix refinement, functions/quantile.py) produce the clip
+    bounds as a tiny driver-side table; the clip+sum pass broadcasts the
+    bounds in a closure and pre-aggregates per batch, so the final
+    exchange is <= groups x batches skinny rows.  Binary-fraction
+    quantiles (1/8, 7/8) keep the interpolation IEEE-exact on both
+    engines (the priority_price_iqr discipline); floor(clip*100+0.5)
+    integerizes per ROW so the sum is associative."""
+    from libpostal_ray.functions.quantile import grouped_exact_quantile_cont
+
+    def _ev():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    lo_t = grouped_exact_quantile_cont(_ev(), "event_type", "value", 0.125)
+    hi_t = grouped_exact_quantile_cont(_ev(), "event_type", "value", 0.875)
+    lo_map = dict(zip(lo_t["event_type"].to_pylist(), lo_t["q_value"].to_pylist()))
+    hi_map = dict(zip(hi_t["event_type"].to_pylist(), hi_t["q_value"].to_pylist()))
+    if not lo_map:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.nulls(0, pa.string()),
+                    "n_events": pa.nulls(0, pa.int64()),
+                    "wsum_cents": pa.nulls(0, pa.int64()),
+                }
+            )
+        )
+    keys = sorted(lo_map)
+    lo_v = np.asarray([lo_map[k] for k in keys], dtype=np.float64)
+    hi_v = np.asarray([hi_map[k] for k in keys], dtype=np.float64)
+    keys_np = np.asarray(keys, dtype=object).astype(str)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.string()),
+                "n_events": pa.nulls(0, pa.int64()),
+                "wsum_cents": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return empty
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object).astype(str)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        gi = np.searchsorted(keys_np, et)
+        clipped = np.minimum(np.maximum(v, lo_v[gi]), hi_v[gi])
+        cents = np.floor(clipped * 100.0 + 0.5).astype(np.int64)
+        # per-batch partial: one row per group
+        uniq, inv = np.unique(gi, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(keys_np[uniq].astype(object), type=pa.string()),
+                "n_events": pa.array(n.astype(np.int64)),
+                "wsum_cents": pa.array(s),
+                "g": pa.array(uniq.astype(np.int64) % 8),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.string()),
+                "n_events": pa.nulls(0, pa.int64()),
+                "wsum_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "event_type" not in group.column_names:
+            return empty
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object).astype(str)
+        n = group["n_events"].to_numpy(zero_copy_only=False)
+        s = group["wsum_cents"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq.astype(object), type=pa.string()),
+                "n_events": pa.array(np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)),
+                "wsum_cents": pa.array(np.bincount(inv, weights=s.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    return (
+        _ev()
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def doc_chain_ranks(sf_dir: str, gap: int = 8) -> ray.data.Dataset:
+    """LIST RANKING with a SQL oracle: the lang-chain islands of
+    lang_chain_components, but each doc gets its HOP DISTANCE from the
+    island head plus the head id — computed by the real distributed
+    pointer-doubling primitive (pipelines/graph.list_rank, Wyllie's
+    algorithm: O(log chain) co-partitioned join rounds), while SQL
+    replays the islands with row_number().  Successor forest build =
+    one per-lang exchange; singleton docs are their own heads."""
+    import zlib
+
+    from libpostal_ray.pipelines.graph import list_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "lang": pa.nulls(0, pa.string()),
+                    "part": pa.nulls(0, pa.int64()),
+                }
+            )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ul, inv = np.unique(langs.astype(str), return_inverse=True)
+        crc = np.asarray([zlib.crc32(s.encode()) for s in ul], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "lang": batch["lang"],
+                "part": pa.array(crc[inv] % P),
+            }
+        )
+
+    def parents(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.nulls(0, pa.int64()),
+                "parent": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(group["lang"].to_pylist(), dtype="U")
+        order = np.lexsort((ids, langs))
+        ids, langs = ids[order], langs[order]
+        same = (langs[1:] == langs[:-1]) & (ids[1:] - ids[:-1] <= gap)
+        parent = ids.copy()
+        parent[1:][same] = ids[:-1][same]
+        return pa.table({"node": pa.array(ids), "parent": pa.array(parent)})
+
+    forest = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(parents, batch_format="pyarrow")
+    )
+    out = list_rank(forest)
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "hops", "root"]),
+        batch_format="pyarrow",
+    )

@@ -49,6 +49,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "doc_chain_ranks",
+    "event_value_winsorized",
     "doc_chunk_windows",
     "order_price_allocation",
     "user_busy_intervals",

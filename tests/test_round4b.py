@@ -287,6 +287,8 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
     for name in (
+        "doc_chain_ranks",
+        "event_value_winsorized",
         "doc_chunk_windows",
         "order_price_allocation",
         "user_busy_intervals",
@@ -365,3 +367,63 @@ def test_chunk_windows_semantics(ray_session):
         )
         got = list(map(tuple, out.itertuples(index=False)))
         assert got == expected, (sub, got)
+
+
+class TestListRank:
+    def _forest(self, nodes, parents, blocks=4):
+        t = pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "parent": pa.array(parents, type=pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(t).repartition(blocks)
+
+    def test_long_chain_and_singleton(self, ray_session):
+        from libpostal_ray.pipelines.graph import list_rank
+
+        # one 1000-node chain (head 0) + a singleton (5000)
+        n = 1000
+        nodes = list(range(n)) + [5000]
+        parents = [0] + list(range(n - 1)) + [5000]
+        rng = np.random.default_rng(3)
+        perm = rng.permutation(len(nodes))
+        out = (
+            list_rank(
+                self._forest(
+                    [nodes[i] for i in perm], [parents[i] for i in perm], 7
+                )
+            )
+            .to_pandas()
+            .set_index("node")
+            .sort_index()
+        )
+        assert (out.loc[list(range(n)), "hops"].to_numpy() == np.arange(n)).all()
+        assert (out.loc[list(range(n)), "head"] == 0).all()
+        assert out.loc[5000, "hops"] == 0 and out.loc[5000, "head"] == 5000
+
+    def test_multiple_chains(self, ray_session):
+        from libpostal_ray.pipelines.graph import list_rank
+
+        nodes = [10, 11, 12, 20, 21, 30]
+        parents = [10, 10, 11, 20, 20, 30]
+        out = (
+            list_rank(self._forest(nodes, parents, 3))
+            .to_pandas()
+            .set_index("node")
+            .sort_index()
+        )
+        assert list(out["hops"]) == [0, 1, 2, 0, 1, 0]
+        assert list(out["head"]) == [10, 10, 10, 20, 20, 30]
+
+    def test_missing_pointer_raises(self, ray_session):
+        from libpostal_ray.pipelines.graph import list_rank
+
+        with pytest.raises(Exception, match="missing node"):
+            list_rank(self._forest([1, 2], [1, 99], 1)).to_pandas()
+
+    def test_empty(self, ray_session):
+        from libpostal_ray.pipelines.graph import list_rank
+
+        out = list_rank(self._forest([], [], 1)).to_pandas()
+        assert len(out) == 0
