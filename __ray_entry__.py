@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "documents_checksum": q.documents_checksum,
+        "part_pair_counts": q.part_pair_counts,
+        "user_behavior_profiles": q.user_behavior_profiles,
         "doc_chain_ranks": q.doc_chain_ranks,
         "event_value_winsorized": q.event_value_winsorized,
         "doc_chunk_windows": q.doc_chunk_windows,
@@ -160,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": q.contamination_flags,
         "contamination_ngram": q.contamination_ngram,
         # rows-only (not SQL-expressible: sketches / LSH / clustering)
+        "tiered_dedup_report": q.tiered_dedup_report,
         "near_dupe_clusters": q.near_dupe_clusters,
         "cdc_chunk_dups": q.cdc_chunk_dups,
         "chunk_containment_pairs": q.chunk_containment_pairs,
@@ -208,6 +212,31 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "documents_checksum": """
+            SELECT count(*) AS n_rows,
+                   CAST(bit_xor(md5_number_lower(text)
+                                & 9223372036854775807::UBIGINT) AS BIGINT) AS fp
+            FROM documents
+        """,
+        "part_pair_counts": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+            )
+            SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_orders
+            FROM d a JOIN d b ON a.k = b.k AND a.p < b.p
+            GROUP BY a.p, b.p
+        """,
+        "user_behavior_profiles": """
+            WITH c AS (
+                SELECT user_id, event_type FROM events
+                GROUP BY user_id, event_type HAVING count(*) >= 15
+            ), p AS (
+                SELECT user_id,
+                       array_to_string(list_sort(list(event_type)), ',') AS profile
+                FROM c GROUP BY user_id
+            )
+            SELECT profile, count(*) AS n_users FROM p GROUP BY profile
+        """,
         "doc_chain_ranks": """
             WITH w AS (
                 SELECT doc_id, lang,
@@ -246,7 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk_windows": """
             WITH t AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text, ' \t\n\r'), '\s+') AS toks
+                       regexp_split_to_array(trim(text, ' \t\n\r'), '\\s+') AS toks
                 FROM documents
                 WHERE text IS NOT NULL AND length(trim(text, ' \t\n\r')) > 0
             ), c AS (

@@ -261,6 +261,10 @@ def run_bench() -> dict:
     timed("doc_chunk_windows", q.doc_chunk_windows)
     timed("event_value_winsorized", q.event_value_winsorized)
     timed("doc_chain_ranks", q.doc_chain_ranks)
+    timed("documents_checksum", q.documents_checksum)
+    timed("part_pair_counts", q.part_pair_counts)
+    timed("user_behavior_profiles", q.user_behavior_profiles)
+    timed("tiered_dedup_report", q.tiered_dedup_report)
     timed("user_busy_intervals", q.user_busy_intervals)
     timed("event_transitions", q.event_transitions)
     timed("user_retention_daily", q.user_retention_daily)

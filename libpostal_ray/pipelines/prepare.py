@@ -393,3 +393,183 @@ def compact_parquet(
         1 for f in os.listdir(out_dir) if f.endswith(".parquet")
     )
     return {"n_rows": n, "n_files_out": n_files}
+
+
+def tiered_dedup(
+    sf_dir: str,
+    near_cfg=None,
+    sem_eps: float = 0.9,
+    sem_clusters: int = 16,
+) -> pa.Table:
+    """TIERED deduplication — the canonical web-scale dedup ladder, each
+    tier strictly cheaper-per-byte than the next and each processing
+    ONLY the previous tier's survivors:
+
+      tier 0 EXACT    content sha groups -> keep min doc_id per group
+      tier 1 NEAR     flagship MinHash/LSH near-dup clustering
+                      (pipelines/near_dupe) over exact survivors
+      tier 2 SEMANTIC SemDeDup (pipelines/semdedup) over the embedding
+                      rows of near survivors (vec_id == doc_id)
+
+    Returns the attrition report (tier, n_in, n_removed, n_out) — three
+    rows; the per-tier keep decisions are the underlying operators'
+    outputs and stay distributed (only ids are gathered, 8 B each,
+    same keep-set budget discipline as prepare_training_corpus).
+    Reference analog: dedupe.c's exact-then-fuzzy ladder, extended one
+    tier by embeddings."""
+    import ray as _ray
+
+    from libpostal_ray.config import PipelineConfig
+    from libpostal_ray.pipelines.near_dupe import near_dupe_pipeline
+    from libpostal_ray.pipelines.semdedup import semantic_dedup
+    from libpostal_ray.sources.readers import read_documents_corpus
+
+    cfg = near_cfg or PipelineConfig()
+    corpus = read_documents_corpus(sf_dir)
+
+    # ---- tier 0: exact (sha-collapse: keep min doc_id per digest) ----
+    from libpostal_ray.pipelines.diff import _digest_halves
+
+    def digest(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.nulls(0, pa.int64()),
+                "h0": pa.nulls(0, pa.int64()),
+                "h1": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "content" not in batch.column_names:
+            return empty
+        h0, h1 = _digest_halves(batch["content"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "h0": pa.array(h0),
+                "h1": pa.array(h1),
+                "part": pa.array((h0 & ((1 << 62) - 1)) % 32),
+            }
+        )
+
+    def exact_keep(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.nulls(0, pa.int64())})
+        if group.num_rows == 0 or "h0" not in group.column_names:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        h0 = group["h0"].to_numpy(zero_copy_only=False)
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h1, h0))
+        ids, h0, h1 = ids[order], h0[order], h1[order]
+        first = np.concatenate(([True], (h0[1:] != h0[:-1]) | (h1[1:] != h1[:-1])))
+        return pa.table({"doc_id": pa.array(ids[first])})
+
+    n0 = corpus.count()
+    keep0 = (
+        corpus.map_batches(digest, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(exact_keep, batch_format="pyarrow")
+        .materialize()
+    )
+    n0_out = keep0.count()
+
+    @_ray.remote
+    def _gather_ids(*blocks):
+        # groupby/map_groups can emit zero-column empty blocks — skip them
+        parts = [
+            b["doc_id"].to_numpy(zero_copy_only=False)
+            for b in blocks
+            if b.num_rows and "doc_id" in b.column_names
+        ]
+        if not parts:
+            return np.zeros(0, np.int64)
+        return np.sort(np.concatenate(parts).astype(np.int64))
+
+    keep0_ref = _gather_ids.remote(*keep0.to_arrow_refs())
+
+    def _filter_ids(ref, id_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or id_col not in batch.column_names:
+                return batch
+            kept = _ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(kept, ids)
+            pos = np.minimum(pos, max(kept.shape[0] - 1, 0))
+            m = kept[pos] == ids if kept.shape[0] else np.zeros(ids.shape[0], bool)
+            return batch.filter(pa.array(m))
+        return f
+
+    # ---- tier 1: near (flagship over exact survivors) ----
+    survivors1 = corpus.map_batches(
+        _filter_ids(keep0_ref, "doc_id"), batch_format="pyarrow"
+    )
+    near = near_dupe_pipeline(survivors1, cfg)
+    clusters = near["clusters"].select_columns(["doc_id", "cluster_id"]).materialize()
+
+    def near_keep(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.nulls(0, pa.int64())})
+        if group.num_rows == 0 or "cluster_id" not in group.column_names:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        cid = group["cluster_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cid))
+        ids, cid = ids[order], cid[order]
+        first = np.concatenate(([True], cid[1:] != cid[:-1]))
+        return pa.table({"doc_id": pa.array(ids[first])})
+
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cluster_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "cluster_id": pa.nulls(0, pa.int64()),
+                    "part": pa.nulls(0, pa.int64()),
+                }
+            )
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("part", pa.array(cid % 32))
+
+    keep1 = (
+        clusters.map_batches(tag_cluster, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(near_keep, batch_format="pyarrow")
+        .materialize()
+    )
+    n1_out = keep1.count()
+    keep1_ref = _gather_ids.remote(*keep1.to_arrow_refs())
+
+    # ---- tier 2: semantic (SemDeDup over near survivors' embeddings) ----
+    if n1_out == 0:  # nothing survived -> kmeans has no input
+        return pa.table(
+            {
+                "tier": pa.array(["exact", "near", "semantic"], type=pa.string()),
+                "n_in": pa.array([n0, n0_out, 0], type=pa.int64()),
+                "n_removed": pa.array([n0 - n0_out, n0_out, 0], type=pa.int64()),
+                "n_out": pa.array([n0_out, 0, 0], type=pa.int64()),
+            }
+        )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_filter_ids(keep1_ref, "vec_id"), batch_format="pyarrow")
+    verdicts = semantic_dedup(emb, eps=sem_eps, n_clusters=sem_clusters)
+    n2_in = n1_out
+    n2_out = int(
+        verdicts.map_batches(
+            lambda b: pa.table(
+                {"n": pa.array([int(b["keep"].to_numpy(zero_copy_only=False).sum())]
+                               if b.num_rows else [0], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        or 0
+    )
+    return pa.table(
+        {
+            "tier": pa.array(["exact", "near", "semantic"], type=pa.string()),
+            "n_in": pa.array([n0, n0_out, n2_in], type=pa.int64()),
+            "n_removed": pa.array(
+                [n0 - n0_out, n0_out - n1_out, n2_in - n2_out], type=pa.int64()
+            ),
+            "n_out": pa.array([n0_out, n1_out, n2_out], type=pa.int64()),
+        }
+    )

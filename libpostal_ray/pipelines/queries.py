@@ -6986,3 +6986,318 @@ def doc_chain_ranks(sf_dir: str, gap: int = 8) -> ray.data.Dataset:
         lambda b: b.rename_columns(["doc_id", "hops", "root"]),
         batch_format="pyarrow",
     )
+
+
+def documents_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Order-independent table FINGERPRINT (anti-entropy check between
+    replicas/snapshots): n_rows + XOR of per-row 63-bit md5 content
+    hashes.  XOR is associative+commutative, so per-batch partials fold
+    in any block layout and the exchange is ONE row per batch; two
+    tables are replicas iff (n_rows, fp) match (md5 collisions aside).
+    DuckDB's md5_number_lower = little-endian u64 of digest[8:16]
+    (probed), masked to 63 bits to stay in the non-negative-int64
+    engine contract.
+
+    Empty-table note: a fully EMPTY corpus yields zero rows (the engine
+    convention for every aggregate here), while the SQL global
+    aggregate yields one (0, NULL) row — the one global-vs-grouped
+    divergence, irrelevant at any non-zero scale."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    MASK = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_rows": pa.nulls(0, pa.int64()),
+                "fp": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return empty
+        fp = 0
+        n = 0
+        for v in batch["text"].to_pylist():
+            n += 1
+            if v is None:
+                continue
+            d = hashlib.md5(v.encode()).digest()
+            fp ^= int.from_bytes(d[8:16], "little") & MASK
+        return pa.table(
+            {
+                "n_rows": pa.array([n], type=pa.int64()),
+                "fp": pa.array([fp], type=pa.int64()),
+                "g": pa.array([0], type=pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_rows": pa.nulls(0, pa.int64()),
+                "fp": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "n_rows" not in group.column_names:
+            return empty
+        n = int(group["n_rows"].to_numpy(zero_copy_only=False).sum())
+        fp = 0
+        for x in group["fp"].to_pylist():
+            fp ^= int(x)
+        return pa.table(
+            {
+                "n_rows": pa.array([n], type=pa.int64()),
+                "fp": pa.array([fp], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def part_pair_counts(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket CO-OCCURRENCE: for every pair of parts appearing in
+    the same order, the number of orders containing both (the
+    frequently-bought-together primitive).  One orderkey%P exchange of
+    deduped (order, part) 16 B rows; the kernel emits each order's
+    C(m,2) sorted pairs with the arange/repeat trick (zero Python per
+    pair), pre-counts them on a composite 62-bit code, and a tiny
+    second agg sums across partitions.  Pair volume = sum m_i^2/2 — the
+    basket-size-bounded blow-up every co-occurrence engine documents
+    (orders here have ~4 items).  Part keys are validated < 2^31 so the
+    composite code never collides."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.nulls(0, pa.int64()),
+                "p": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return empty
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, k))
+        k, p = k[order], p[order]
+        keep = np.concatenate(([True], (k[1:] != k[:-1]) | (p[1:] != p[:-1])))
+        k, p = k[keep], p[keep]
+        return pa.table(
+            {"k": pa.array(k), "p": pa.array(p), "part": pa.array(k % P)}
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part_a": pa.nulls(0, pa.int64()),
+                "part_b": pa.nulls(0, pa.int64()),
+                "n_orders": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "k" not in group.column_names:
+            return empty
+        k = group["k"].to_numpy(zero_copy_only=False)
+        p = group["p"].to_numpy(zero_copy_only=False)
+        if p.shape[0] and (p.min() < 0 or p.max() >= (1 << 31)):
+            raise ValueError("part_pair_counts: partkey outside [0, 2^31)")
+        order = np.lexsort((p, k))
+        k, p = k[order], p[order]
+        keep = np.concatenate(([True], (k[1:] != k[:-1]) | (p[1:] != p[:-1])))
+        k, p = k[keep], p[keep]
+        is_start = np.concatenate(([True], k[1:] != k[:-1]))
+        seg = np.flatnonzero(is_start)
+        seg_id = np.cumsum(is_start) - 1
+        local = np.arange(k.shape[0]) - seg[seg_id]  # 0-based idx in order
+        T = int(local.sum())
+        if T == 0:
+            return empty
+        second = np.repeat(np.arange(k.shape[0]), local)
+        cum = np.cumsum(local)
+        first = (
+            np.arange(T)
+            - np.repeat(cum - local, local)
+            + np.repeat(seg[seg_id], local)
+        )
+        code = p[first] * (np.int64(1) << 31) + p[second]
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "part_a": pa.array(uniq >> 31),
+                "part_b": pa.array(uniq & ((1 << 31) - 1)),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+                "g": pa.array((uniq % np.int64(1_000_003)) % 16),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part_a": pa.nulls(0, pa.int64()),
+                "part_b": pa.nulls(0, pa.int64()),
+                "n_orders": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "part_a" not in group.column_names:
+            return empty
+        a = group["part_a"].to_numpy(zero_copy_only=False)
+        b = group["part_b"].to_numpy(zero_copy_only=False)
+        n = group["n_orders"].to_numpy(zero_copy_only=False)
+        code = a * (np.int64(1) << 31) + b
+        uniq, inv = np.unique(code, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "part_a": pa.array(uniq >> 31),
+                "part_b": pa.array(uniq & ((1 << 31) - 1)),
+                "n_orders": pa.array(tot),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def user_behavior_profiles(sf_dir: str, min_count: int = 15) -> ray.data.Dataset:
+    """GROUP-BY-SET: users bucketed by their BEHAVIOR PROFILE — the
+    sorted set of event types they performed at least ``min_count``
+    times — and counted per profile (the audience-segmentation
+    primitive; a set-valued group key no engine groupby takes
+    directly).  Per-batch (user, type) count partials bound the first
+    exchange; the per-user kernel thresholds, sorts and joins the type
+    set into a canonical string; a crc32-keyed second agg counts users
+    per profile.  Users with no qualifying type are absent (matches the
+    SQL HAVING semantics)."""
+    import zlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "event_type": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return empty
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object).astype(str)
+        types, code = np.unique(et, return_inverse=True)
+        comp = u * types.shape[0] + code
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv)
+        uu = uniq // types.shape[0]
+        tt = types[uniq % types.shape[0]]
+        return pa.table(
+            {
+                "user_id": pa.array(uu.astype(np.int64)),
+                "event_type": pa.array(tt.astype(object), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(uu.astype(np.int64) % P),
+            }
+        )
+
+    def profile(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "profile": pa.nulls(0, pa.string()),
+                "n_users": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object).astype(str)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        # sum partials per (user, type) then threshold
+        order = np.lexsort((et, u))
+        u, et, n = u[order], et[order], n[order]
+        new = np.concatenate(([True], (u[1:] != u[:-1]) | (et[1:] != et[:-1])))
+        seg = np.flatnonzero(new)
+        tot = np.add.reduceat(n, seg)
+        uu, tt = u[seg], et[seg]
+        qual = tot >= min_count
+        uu, tt = uu[qual], tt[qual]
+        if uu.shape[0] == 0:
+            return empty
+        # per-user sorted type join (types already sorted within user)
+        profs: dict = {}
+        start = np.concatenate(([True], uu[1:] != uu[:-1]))
+        ps = np.flatnonzero(start)
+        pe = np.concatenate((ps[1:], [uu.shape[0]]))
+        for s, e in zip(ps, pe):  # python cost = qualifying users/partition
+            key = ",".join(tt[s:e])
+            profs[key] = profs.get(key, 0) + 1
+        keys = list(profs)
+        return pa.table(
+            {
+                "profile": pa.array(keys, type=pa.string()),
+                "n_users": pa.array([profs[k] for k in keys], type=pa.int64()),
+                "g": pa.array(
+                    [zlib.crc32(k.encode()) % 8 for k in keys], type=pa.int64()
+                ),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "profile": pa.nulls(0, pa.string()),
+                "n_users": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "profile" not in group.column_names:
+            return empty
+        p_ = np.asarray(group["profile"].to_pylist(), dtype=object).astype(str)
+        n = group["n_users"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(p_, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "profile": pa.array(uniq.astype(object), type=pa.string()),
+                "n_users": pa.array(tot),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(profile, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def tiered_dedup_report(sf_dir: str) -> pa.Table:
+    """The tier-dedup ladder (pipelines/prepare.tiered_dedup): exact
+    sha-collapse -> flagship MinHash/LSH near-dup -> SemDeDup, each tier
+    over the previous tier's survivors only; returns the 3-row attrition
+    report.  eps=0.45 here because the synthetic embeddings are
+    near-orthogonal (max pairwise cosine 0.479 at sf0.001) — the
+    demonstration threshold sits below that so the semantic tier is
+    visibly active; the operator default is 0.9."""
+    from libpostal_ray.pipelines.prepare import tiered_dedup
+
+    return tiered_dedup(sf_dir, sem_eps=0.45)

@@ -273,6 +273,7 @@ class TestLanguagePacks:
         assert set(LANG_RULE_PACKS) == {
             "en", "es", "fr", "de", "pt", "it", "nl", "la",
             "sv", "da", "no", "pl", "cs", "fi", "tr",
+            "ro", "hu", "ca", "id", "sk", "hr",
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles

@@ -49,6 +49,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "documents_checksum",
+    "part_pair_counts",
+    "user_behavior_profiles",
     "doc_chain_ranks",
     "event_value_winsorized",
     "doc_chunk_windows",
@@ -198,6 +201,7 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
 
 
 ROWS_ONLY = [
+    "tiered_dedup_report",
     "near_dupe_clusters",
     "cdc_chunk_dups",
     "chunk_containment_pairs",

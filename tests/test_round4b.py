@@ -287,6 +287,9 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
     for name in (
+        "documents_checksum",
+        "part_pair_counts",
+        "user_behavior_profiles",
         "doc_chain_ranks",
         "event_value_winsorized",
         "doc_chunk_windows",
@@ -427,3 +430,64 @@ class TestListRank:
 
         out = list_rank(self._forest([], [], 1)).to_pandas()
         assert len(out) == 0
+
+
+def test_tiered_dedup_planted(ray_session, tmp_path):
+    """Each tier removes exactly its planted duplicates: 3 exact copies
+    (tier 0 removes 2), a canonical twin pair (near tier removes 1), a
+    >0.9-cosine embedding pair among survivors (semantic removes 1)."""
+    from libpostal_ray.pipelines.prepare import tiered_dedup
+
+    d = tmp_path / "sf_tiers"
+    d.mkdir()
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"w{i}" for i in range(40))
+    third = " ".join(f"z{i}" for i in range(40))
+    texts = [base, base, base, other, other.upper(), third]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s0"] * n),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(n, 16))
+    vecs[5] = vecs[3] + rng.normal(scale=1e-3, size=16)  # cos(3,5) ~ 1
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    rep = tiered_dedup(str(d), sem_eps=0.9, sem_clusters=2).to_pandas()
+    got = {r.tier: (r.n_in, r.n_removed, r.n_out) for r in rep.itertuples()}
+    assert got["exact"] == (6, 2, 4)
+    assert got["near"] == (4, 1, 3)
+    assert got["semantic"] == (3, 1, 2)
+
+
+def test_tiered_dedup_empty(ray_session, tmp_path):
+    from libpostal_ray.pipelines.prepare import tiered_dedup
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_tiers_empty"
+    d.mkdir()
+    for t in ("documents", "embeddings"):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    rep = tiered_dedup(str(d)).to_pandas()
+    assert list(rep["n_in"]) == [0, 0, 0]
+    assert list(rep["n_removed"]) == [0, 0, 0]
