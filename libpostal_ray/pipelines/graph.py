@@ -153,10 +153,14 @@ def pagerank(
     )
 
 
+LIST_RANK_LOCAL_MAX = 4_000_000  # 24 B/node -> <=96 MB in one task
+
+
 def list_rank(
     state: ray.data.Dataset,
     max_rounds: int = 40,
     parts: int = 32,
+    local_max_nodes: int = LIST_RANK_LOCAL_MAX,
 ) -> ray.data.Dataset:
     """Parallel LIST RANKING (Wyllie's pointer doubling): given a
     successor forest (node: int64, parent: int64; parent == node marks a
@@ -175,7 +179,14 @@ def list_rank(
     checked with a per-round sum on the materialized state.  Raises
     after ``max_rounds`` (a 2^40-long chain) rather than looping.
 
-    Returns (node, hops, head)."""
+    Returns (node, hops, head).
+
+    Hybrid crossover (the near_dupe/cluster discipline): forests under
+    ``local_max_nodes`` run Wyllie in ONE remote task over the gathered
+    24 B/node state — same doubling loop, vectorized index form, no
+    per-round engine fixed costs; larger forests run the distributed
+    rounds.  Outputs are identical (the doubling recurrence is
+    deterministic either way)."""
 
     def tag(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -264,7 +275,8 @@ def list_rank(
         )
 
     cur = state.map_batches(init, batch_format="pyarrow").materialize()
-    if cur.count() == 0:
+    n_nodes = cur.count()
+    if n_nodes == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -274,6 +286,48 @@ def list_rank(
                 }
             )
         )
+    if n_nodes <= local_max_nodes:
+        import ray as _ray
+
+        @_ray.remote
+        def _local(*blocks):
+            parts_ = [
+                b for b in blocks if b.num_rows and "node" in b.column_names
+            ]
+            node = np.concatenate(
+                [b["node"].to_numpy(zero_copy_only=False) for b in parts_]
+            )
+            ptr = np.concatenate(
+                [b["ptr"].to_numpy(zero_copy_only=False) for b in parts_]
+            )
+            rank = np.concatenate(
+                [b["rank"].to_numpy(zero_copy_only=False) for b in parts_]
+            )
+            order = np.argsort(node)
+            node, ptr, rank = node[order], ptr[order], rank[order]
+            p = np.searchsorted(node, ptr)
+            if p.shape[0] and (
+                p.max(initial=-1) >= node.shape[0] or not (node[p] == ptr).all()
+            ):
+                raise ValueError("list_rank: pointer to a missing node")
+            for _ in range(max_rounds):
+                if (p[p] == p).all():
+                    break
+                rank = rank + rank[p]
+                p = p[p]
+            else:
+                raise RuntimeError(
+                    f"list_rank did not converge in {max_rounds} rounds"
+                )
+            return pa.table(
+                {
+                    "node": pa.array(node),
+                    "hops": pa.array(rank),
+                    "head": pa.array(node[p]),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_local.remote(*cur.to_arrow_refs())])
     for _ in range(max_rounds):
         nxt = (
             cur.map_batches(tag, batch_format="pyarrow")

@@ -6460,7 +6460,6 @@ def name_typo_pairs(sf_dir: str) -> ray.data.Dataset:
     deletion blocking; content (the name) rides once per variant for
     verification.  Reference analog: near_dupe.c's name-key families
     (acronym/phonetic) — this adds the typo family."""
-    from libpostal_ray.functions.similarity import levenshtein
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
@@ -6548,36 +6547,73 @@ def name_typo_pairs(sf_dir: str) -> ray.data.Dataset:
             return empty
         h = group["h"].to_numpy(zero_copy_only=False)
         ids = group["id"].to_numpy(zero_copy_only=False)
-        names = np.asarray(group["name"].to_pylist(), dtype=object)
+        names = group["name"].to_pylist()
         order = np.lexsort((ids, h))
-        h, ids, names = h[order], ids[order], names[order]
-        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
-        ends = np.concatenate((starts[1:], [h.shape[0]]))
-        out_a, out_b, out_d = [], [], []
-        seen = set()
-        for s, e in zip(starts, ends):  # Python cost = buckets, pairs small
-            if e - s < 2:
-                continue
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    a, b = int(ids[i]), int(ids[j])
-                    if a == b:
-                        continue
-                    if a > b:
-                        a, b = b, a
-                    if (a, b) in seen:
-                        continue
-                    seen.add((a, b))
-                    d = levenshtein(str(names[i]), str(names[j]))
-                    if d <= 1:
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_d.append(d)
+        h, ids = h[order], ids[order]
+        if ids.shape[0] and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError("name_typo_pairs: id outside [0, 2^31)")
+        # padded byte matrix of the partition's names (0xFF pad: no
+        # UTF-8 byte, so padded tails can never fake a match)
+        bs = [names[i].encode() for i in order]
+        L = max((len(b) for b in bs), default=0)
+        M = np.full((len(bs), L + 1), 0xFF, dtype=np.uint8)
+        lens = np.asarray([len(b) for b in bs], dtype=np.int64)
+        for i, b in enumerate(bs):
+            M[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        # candidate (i, j) pairs per equal-hash bucket — the same
+        # arange/repeat emission as part_pair_counts, zero Python/pair
+        is_start = np.concatenate(([True], h[1:] != h[:-1]))
+        seg = np.flatnonzero(is_start)
+        seg_id = np.cumsum(is_start) - 1
+        local = np.arange(h.shape[0]) - seg[seg_id]
+        T = int(local.sum())
+        if T == 0:
+            return empty
+        j = np.repeat(np.arange(h.shape[0]), local)
+        cum = np.cumsum(local)
+        i_ = (
+            np.arange(T)
+            - np.repeat(cum - local, local)
+            + np.repeat(seg[seg_id], local)
+        )
+        a = np.minimum(ids[i_], ids[j])
+        b = np.maximum(ids[i_], ids[j])
+        keep = a != b
+        code = a[keep] * (np.int64(1) << 31) + b[keep]
+        _, first = np.unique(code, return_index=True)
+        i_, j = i_[keep][first], j[keep][first]
+        # vectorized dist<=1 verification over the candidate matrix:
+        # swap so row x is the longer string of each pair
+        swap = lens[i_] < lens[j]
+        x = np.where(swap, j, i_)
+        y = np.where(swap, i_, j)
+        dl = lens[x] - lens[y]
+        A, B = M[x], M[y]
+        neq = A != B
+        ok = np.zeros(x.shape[0], dtype=bool)
+        dist = np.ones(x.shape[0], dtype=np.int64)
+        same_len = dl == 0
+        if same_len.any():
+            ham = neq[same_len].sum(axis=1)
+            ok[same_len] = ham <= 1
+            dist[same_len] = ham
+        one_off = dl == 1
+        if one_off.any():
+            An, Bn, Nq = A[one_off], B[one_off], neq[one_off]
+            # first mismatch = deletion position; A minus that char
+            # must equal B (suffix compare with a per-row shift)
+            fn = np.argmax(Nq, axis=1)
+            cols = np.arange(A.shape[1] - 1)
+            Ash = np.take_along_axis(
+                An, np.minimum(cols[None, :] + (cols[None, :] >= fn[:, None]), A.shape[1] - 1), axis=1
+            )
+            ok[one_off] = (Ash == Bn[:, :-1]).all(axis=1)
+        good = ok
         return pa.table(
             {
-                "id_a": pa.array(out_a, type=pa.int64()),
-                "id_b": pa.array(out_b, type=pa.int64()),
-                "dist": pa.array(out_d, type=pa.int64()),
+                "id_a": pa.array(np.minimum(ids[i_], ids[j])[good]),
+                "id_b": pa.array(np.maximum(ids[i_], ids[j])[good]),
+                "dist": pa.array(dist[good]),
             }
         )
 

@@ -491,3 +491,36 @@ def test_tiered_dedup_empty(ray_session, tmp_path):
     rep = tiered_dedup(str(d)).to_pandas()
     assert list(rep["n_in"]) == [0, 0, 0]
     assert list(rep["n_removed"]) == [0, 0, 0]
+
+
+def test_list_rank_distributed_equals_local(ray_session):
+    """local_max_nodes=0 forces the distributed rounds; outputs must be
+    identical to the local crossover on the same forest."""
+    from libpostal_ray.pipelines.graph import list_rank
+
+    rng = np.random.default_rng(23)
+    # several chains of varied length, shuffled
+    nodes, parents = [], []
+    nid = 0
+    for ln in (1, 2, 5, 17, 64, 200):
+        ids = list(range(nid, nid + ln))
+        nodes += ids
+        parents += [ids[0]] + ids[:-1]
+        nid += ln + 3
+    perm = rng.permutation(len(nodes))
+    t = pa.table(
+        {
+            "node": pa.array([nodes[i] for i in perm], type=pa.int64()),
+            "parent": pa.array([parents[i] for i in perm], type=pa.int64()),
+        }
+    )
+    loc = (
+        list_rank(ray.data.from_arrow(t).repartition(5))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        list_rank(ray.data.from_arrow(t).repartition(5), local_max_nodes=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    import pandas as pd
+    pd.testing.assert_frame_equal(loc, dist)
