@@ -83,7 +83,10 @@ def main():
         for c in want.columns:
             a = got[c].to_numpy()
             b = want[c].to_numpy()
-            assert (a.astype(np.int64) == b.astype(np.int64)).all(), (name, c)
+            if a.dtype.kind in "iu" or b.dtype.kind in "iu":
+                assert (a.astype(np.int64) == b.astype(np.int64)).all(), (name, c)
+            else:
+                assert (a.astype(str) == b.astype(str)).all(), (name, c)
         results[name] = {"rows": len(got), "duckdb_s": round(d_wall, 2)}
         print(f"{name}: {len(got)} rows EXACT (duckdb {d_wall:.1f}s)")
 

@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "part_association_rules": q.part_association_rules,
         "documents_checksum": q.documents_checksum,
         "part_pair_counts": q.part_pair_counts,
         "user_behavior_profiles": q.user_behavior_profiles,
@@ -212,6 +213,25 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "part_association_rules": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+            ), n AS (
+                SELECT count(DISTINCT k) AS nn FROM d
+            ), ic AS (
+                SELECT p, count(*) AS c FROM d GROUP BY p
+            ), pr AS (
+                SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+                FROM d a JOIN d b ON a.k = b.k AND a.p < b.p
+                GROUP BY a.p, b.p HAVING count(*) >= 2
+            )
+            SELECT pr.pa AS part_a, pr.pb AS part_b, pr.nab AS n_ab,
+                   ROUND((pr.nab * n.nn) / (ia.c * ib.c), 6) AS lift
+            FROM pr
+            CROSS JOIN n
+            JOIN ic ia ON ia.p = pr.pa
+            JOIN ic ib ON ib.p = pr.pb
+        """,
         "documents_checksum": """
             SELECT count(*) AS n_rows,
                    CAST(bit_xor(md5_number_lower(text)

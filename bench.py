@@ -265,6 +265,7 @@ def run_bench() -> dict:
     timed("part_pair_counts", q.part_pair_counts)
     timed("user_behavior_profiles", q.user_behavior_profiles)
     timed("tiered_dedup_report", q.tiered_dedup_report)
+    timed("part_association_rules", q.part_association_rules)
     timed("user_busy_intervals", q.user_busy_intervals)
     timed("event_transitions", q.event_transitions)
     timed("user_retention_daily", q.user_retention_daily)

@@ -7337,3 +7337,213 @@ def tiered_dedup_report(sf_dir: str) -> pa.Table:
     from libpostal_ray.pipelines.prepare import tiered_dedup
 
     return tiered_dedup(sf_dir, sem_eps=0.45)
+
+
+def part_association_rules(sf_dir: str, min_support: int = 2) -> ray.data.Dataset:
+    """ASSOCIATION RULES over order baskets: for part pairs co-occurring
+    in >= min_support orders, the LIFT n_ab*N / (n_a*n_b) (>1 = bought
+    together more than chance).  One 16 B/row dedup projection is
+    materialized ONCE and feeds three skinny aggregations (pair counts
+    keyed order%P, item counts keyed part%P, distinct-order count N);
+    item counts + N gather OFF-DRIVER into one broadcast ref and the
+    lift is a final stateless map over the thresholded pairs.  All
+    numerators/denominators are exact int64 < 2^53, so the single
+    double division (then round 6dp) is bit-identical to SQL."""
+    import ray as _ray
+
+    P = 32
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.nulls(0, pa.int64()), "p": pa.nulls(0, pa.int64())}
+        )
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return empty
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, k))
+        k, p = k[order], p[order]
+        keep = np.concatenate(([True], (k[1:] != k[:-1]) | (p[1:] != p[:-1])))
+        return pa.table({"k": pa.array(k[keep]), "p": pa.array(p[keep])})
+
+    dd = ds.map_batches(dedup, batch_format="pyarrow").materialize()
+
+    # --- item counts (distinct orders per part) + N, off-driver ---
+    def item_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p": pa.nulls(0, pa.int64()),
+                "c": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "p" not in batch.column_names:
+            return empty
+        # rows are (k, p) DISTINCT within a batch but batches overlap on
+        # k only via block splits of the same file scan — count per part
+        # is over globally-distinct rows once the groupby merges; dedup
+        # again per partition below
+        u = batch["p"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p": pa.array(u),
+                "c": pa.array(k),  # carry k for exact distinct
+                "part": pa.array(u % P),
+            }
+        )
+
+    def item_count(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"p": pa.nulls(0, pa.int64()), "c": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "p" not in group.column_names:
+            return empty
+        p = group["p"].to_numpy(zero_copy_only=False)
+        k = group["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, p))
+        p, k = p[order], k[order]
+        keep = np.concatenate(([True], (p[1:] != p[:-1]) | (k[1:] != k[:-1])))
+        p = p[keep]
+        is_start = np.concatenate(([True], p[1:] != p[:-1]))
+        seg = np.flatnonzero(is_start)
+        cnt = np.diff(np.concatenate((seg, [p.shape[0]])))
+        return pa.table(
+            {"p": pa.array(p[seg]), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    items = (
+        dd.map_batches(item_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(item_count, batch_format="pyarrow")
+        .materialize()
+    )
+
+    @_ray.remote
+    def _build_state(*blocks):
+        ps, cs = [], []
+        n_orders = set()
+        for b in blocks:
+            if b.num_rows and "p" in b.column_names:
+                ps.append(b["p"].to_numpy(zero_copy_only=False))
+                cs.append(b["c"].to_numpy(zero_copy_only=False))
+        p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
+        c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+        order = np.argsort(p)
+        return p[order], c[order]
+
+    @_ray.remote
+    def _count_orders(*blocks):
+        seen = [
+            np.unique(b["k"].to_numpy(zero_copy_only=False))
+            for b in blocks
+            if b.num_rows and "k" in b.column_names
+        ]
+        return int(np.unique(np.concatenate(seen)).shape[0]) if seen else 0
+
+    state_ref = _build_state.remote(*items.to_arrow_refs())
+    n_ref = _count_orders.remote(*dd.to_arrow_refs())
+
+    # --- pair counts (same plan as part_pair_counts) ---
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "k" not in batch.column_names:
+            return pa.table(
+                {
+                    "k": pa.nulls(0, pa.int64()),
+                    "p": pa.nulls(0, pa.int64()),
+                    "part": pa.nulls(0, pa.int64()),
+                }
+            )
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(k % P))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part_a": pa.nulls(0, pa.int64()),
+                "part_b": pa.nulls(0, pa.int64()),
+                "n_ab": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "k" not in group.column_names:
+            return empty
+        k = group["k"].to_numpy(zero_copy_only=False)
+        p = group["p"].to_numpy(zero_copy_only=False)
+        if p.shape[0] and (p.min() < 0 or p.max() >= (1 << 31)):
+            raise ValueError("part_association_rules: partkey outside [0, 2^31)")
+        order = np.lexsort((p, k))
+        k, p = k[order], p[order]
+        keep = np.concatenate(([True], (k[1:] != k[:-1]) | (p[1:] != p[:-1])))
+        k, p = k[keep], p[keep]
+        is_start = np.concatenate(([True], k[1:] != k[:-1]))
+        seg = np.flatnonzero(is_start)
+        seg_id = np.cumsum(is_start) - 1
+        local = np.arange(k.shape[0]) - seg[seg_id]
+        T = int(local.sum())
+        if T == 0:
+            return empty
+        second = np.repeat(np.arange(k.shape[0]), local)
+        cum = np.cumsum(local)
+        first = (
+            np.arange(T)
+            - np.repeat(cum - local, local)
+            + np.repeat(seg[seg_id], local)
+        )
+        code = p[first] * (np.int64(1) << 31) + p[second]
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "part_a": pa.array(uniq >> 31),
+                "part_b": pa.array(uniq & ((1 << 31) - 1)),
+                "n_ab": pa.array(cnt.astype(np.int64)),
+                "g": pa.array((uniq % np.int64(1_000_003)) % 16),
+            }
+        )
+
+    def lift(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part_a": pa.nulls(0, pa.int64()),
+                "part_b": pa.nulls(0, pa.int64()),
+                "n_ab": pa.nulls(0, pa.int64()),
+                "lift": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "part_a" not in group.column_names:
+            return empty
+        a = group["part_a"].to_numpy(zero_copy_only=False)
+        b = group["part_b"].to_numpy(zero_copy_only=False)
+        n = group["n_ab"].to_numpy(zero_copy_only=False)
+        code = a * (np.int64(1) << 31) + b
+        uniq, inv = np.unique(code, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        m = tot >= min_support
+        uniq, tot = uniq[m], tot[m]
+        if uniq.shape[0] == 0:
+            return empty
+        pa_, pb_ = uniq >> 31, uniq & ((1 << 31) - 1)
+        ip, ic = _ray.get(state_ref)
+        N = _ray.get(n_ref)
+        ca = ic[np.searchsorted(ip, pa_)]
+        cb = ic[np.searchsorted(ip, pb_)]
+        lf = np.round((tot * np.int64(N)).astype(np.float64) / (ca * cb).astype(np.float64), 6)
+        return pa.table(
+            {
+                "part_a": pa.array(pa_),
+                "part_b": pa.array(pb_),
+                "n_ab": pa.array(tot),
+                "lift": pa.array(lf),
+            }
+        )
+
+    return (
+        dd.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(lift, batch_format="pyarrow")
+    )

@@ -49,6 +49,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "part_association_rules",
     "documents_checksum",
     "part_pair_counts",
     "user_behavior_profiles",

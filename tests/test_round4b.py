@@ -287,6 +287,7 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
     for name in (
+        "part_association_rules",
         "documents_checksum",
         "part_pair_counts",
         "user_behavior_profiles",
