@@ -343,6 +343,15 @@ def grouped_sketch_quantiles(
 
 
 def grouped_exact_quantile_cont(ds, key_col: str, value_col: str, q: float):
+    """Single-q wrapper over ``grouped_exact_quantiles_cont`` (kept for
+    the existing oracle rows); see that function for the algorithm —
+    multiple q's share the SAME four radix scans, so a winsorize-style
+    caller pays one sweep for both clip bounds."""
+    t = grouped_exact_quantiles_cont(ds, key_col, value_col, [q])
+    return t.drop_columns(["q"])
+
+
+def grouped_exact_quantiles_cont(ds, key_col: str, value_col: str, qs):
     """EXACT per-GROUP interpolated quantile (SQL quantile_cont/median
     semantics) with CONSTANT exchange volume — the scale path when single
     groups are too large to gather (priority_price_iqr co-locates each
@@ -369,8 +378,9 @@ def grouped_exact_quantile_cont(ds, key_col: str, value_col: str, q: float):
 
     import ray as _ray
 
-    if not (0.0 <= q <= 1.0):
-        raise ValueError(f"q={q}")
+    qs = [float(x) for x in qs]
+    if not qs or any(not (0.0 <= x <= 1.0) for x in qs):
+        raise ValueError(f"qs={qs}")
 
     @_ray.remote
     def _merge_l0(*blocks):
@@ -465,29 +475,34 @@ def grouped_exact_quantile_cont(ds, key_col: str, value_col: str, q: float):
         return pa.table(
             {
                 key_col: pa.nulls(0, pa.string()),
+                "q": pa.nulls(0, pa.float64()),
                 "n": pa.nulls(0, pa.int64()),
                 "q_value": pa.nulls(0, pa.float64()),
             }
         )
 
-    # targets: (grp, remaining_rank, prefix); <= 2 per group
+    # targets: (grp, remaining_rank, prefix); <= 2 per group PER q,
+    # but bracketing ranks shared across q's dedup to one target each
     n_by_grp = counts0.sum(axis=1)
     targets = []  # [grp, rank_remaining, prefix]
-    tmeta = {}  # grp -> (n, lo_rank, hi_rank, frac, lo_tid, hi_tid)
+    tmeta = {}  # (grp, q) -> (n, lo_rank, hi_rank, frac, lo_tid, hi_tid)
     for gi, g in enumerate(grps):
         n = int(n_by_grp[gi])
-        h = q * (n - 1)
-        lo = int(np.floor(h))
-        hi = min(lo + 1, n - 1)
-        frac = h - lo
+        cum = np.cumsum(counts0[gi])
         tids = {}
-        for r in {lo, hi}:
-            cum = np.cumsum(counts0[gi])
-            b = int(np.searchsorted(cum, r + 1))
-            rem = r - (int(cum[b - 1]) if b > 0 else 0)
-            tids[r] = len(targets)
-            targets.append([g, rem, np.uint64(b) << np.uint64(48)])
-        tmeta[g] = (n, lo, hi, frac, tids[lo], tids[hi])
+        for q in qs:
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            frac = h - lo
+            for r in {lo, hi}:
+                if r in tids:
+                    continue
+                b = int(np.searchsorted(cum, r + 1))
+                rem = r - (int(cum[b - 1]) if b > 0 else 0)
+                tids[r] = len(targets)
+                targets.append([g, rem, np.uint64(b) << np.uint64(48)])
+            tmeta[(g, q)] = (n, lo, hi, frac, tids[lo], tids[hi])
 
     # ---- passes 2-4: refine every target's next 16 bits in one scan ----
     for level in range(1, 4):
@@ -543,19 +558,22 @@ def grouped_exact_quantile_cont(ds, key_col: str, value_col: str, q: float):
             t[1] -= int(cum[b - 1]) if b > 0 else 0
             t[2] = t[2] | (np.uint64(b) << shift)
 
-    out_g, out_n, out_q = [], [], []
+    out_g, out_qq, out_n, out_q = [], [], [], []
     for g in grps:
-        n, lo, hi, frac, lo_tid, hi_tid = tmeta[g]
-        v_lo = key_to_float(int(targets[lo_tid][2]))
-        v_hi = key_to_float(int(targets[hi_tid][2]))
-        out_g.append(str(g))
-        out_n.append(n)
-        out_q.append(float(v_lo + frac * (v_hi - v_lo)))
+        for q in qs:
+            n, lo, hi, frac, lo_tid, hi_tid = tmeta[(g, q)]
+            v_lo = key_to_float(int(targets[lo_tid][2]))
+            v_hi = key_to_float(int(targets[hi_tid][2]))
+            out_g.append(str(g))
+            out_qq.append(q)
+            out_n.append(n)
+            out_q.append(float(v_lo + frac * (v_hi - v_lo)))
     import pyarrow as _pa
 
     return _pa.table(
         {
             key_col: _pa.array(out_g, type=_pa.string()),
+            "q": _pa.array(out_qq, type=_pa.float64()),
             "n": _pa.array(out_n, type=_pa.int64()),
             "q_value": _pa.array(out_q, type=_pa.float64()),
         }

@@ -6870,17 +6870,20 @@ def event_value_winsorized(sf_dir: str) -> ray.data.Dataset:
     quantiles (1/8, 7/8) keep the interpolation IEEE-exact on both
     engines (the priority_price_iqr discipline); floor(clip*100+0.5)
     integerizes per ROW so the sum is associative."""
-    from libpostal_ray.functions.quantile import grouped_exact_quantile_cont
+    from libpostal_ray.functions.quantile import grouped_exact_quantiles_cont
 
     def _ev():
         return ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_type", "value"]
         ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
 
-    lo_t = grouped_exact_quantile_cont(_ev(), "event_type", "value", 0.125)
-    hi_t = grouped_exact_quantile_cont(_ev(), "event_type", "value", 0.875)
-    lo_map = dict(zip(lo_t["event_type"].to_pylist(), lo_t["q_value"].to_pylist()))
-    hi_map = dict(zip(hi_t["event_type"].to_pylist(), hi_t["q_value"].to_pylist()))
+    # both clip bounds from ONE set of four shared radix scans
+    qt = grouped_exact_quantiles_cont(_ev(), "event_type", "value", [0.125, 0.875])
+    ks = qt["event_type"].to_pylist()
+    qv = qt["q"].to_pylist()
+    vv = qt["q_value"].to_pylist()
+    lo_map = {k: v for k, qq, v in zip(ks, qv, vv) if qq == 0.125}
+    hi_map = {k: v for k, qq, v in zip(ks, qv, vv) if qq == 0.875}
     if not lo_map:
         return ray.data.from_arrow(
             pa.table(
