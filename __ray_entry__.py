@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core of already-green rows; the third block is the remainder
         # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
         # --- block 0: rows new in round 4 (never driver-checked) ---
+        "events_since_signup": q.events_since_signup,
+        "event_type_octiles": q.event_type_octiles,
         "part_association_rules": q.part_association_rules,
         "documents_checksum": q.documents_checksum,
         "part_pair_counts": q.part_pair_counts,
@@ -213,6 +215,33 @@ def oracle_sql() -> dict[str, str]:
     _zy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))
     _zexpr = f"({_zx} + {_zy})"
     return {
+        "events_since_signup": """
+            WITH s AS (
+                SELECT user_id, event_id, ts,
+                       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id, grp
+                                           ORDER BY ts, event_id) - 1
+                        AS BIGINT) AS n_since
+            FROM s
+        """,
+        "event_type_octiles": """
+            WITH a AS (
+                SELECT event_type,
+                       quantile_cont(value, [0.125, 0.25, 0.375, 0.5,
+                                             0.625, 0.75, 0.875]) AS vs
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   unnest([0.125, 0.25, 0.375, 0.5,
+                           0.625, 0.75, 0.875]) AS q,
+                   unnest(vs) AS q_value
+            FROM a
+        """,
         "part_association_rules": """
             WITH d AS (
                 SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem

@@ -266,6 +266,8 @@ def run_bench() -> dict:
     timed("user_behavior_profiles", q.user_behavior_profiles)
     timed("tiered_dedup_report", q.tiered_dedup_report)
     timed("part_association_rules", q.part_association_rules)
+    timed("event_type_octiles", q.event_type_octiles)
+    timed("events_since_signup", q.events_since_signup)
     timed("user_busy_intervals", q.user_busy_intervals)
     timed("event_transitions", q.event_transitions)
     timed("user_retention_daily", q.user_retention_daily)

@@ -7550,3 +7550,107 @@ def part_association_rules(sf_dir: str, min_support: int = 2) -> ray.data.Datase
         .groupby("g")
         .map_groups(lift, batch_format="pyarrow")
     )
+
+
+def event_type_octiles(sf_dir: str) -> ray.data.Dataset:
+    """All seven OCTILES (q = 1/8 .. 7/8) per event_type from ONE set of
+    four shared radix scans (functions/quantile.py
+    grouped_exact_quantiles_cont — every (group, q) target refines in
+    the same sweep, constant exchange).  Binary-fraction q's keep
+    DuckDB's v_lo + frac*(v_hi - v_lo) interpolation IEEE-exact."""
+    from libpostal_ray.functions.quantile import grouped_exact_quantiles_cont
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    qs = [i / 8.0 for i in range(1, 8)]
+    t = grouped_exact_quantiles_cont(ds, "event_type", "value", qs)
+    return ray.data.from_arrow(t.drop_columns(["n"]))
+
+
+def events_since_signup(sf_dir: str) -> ray.data.Dataset:
+    """Conditional-RESET running count: for every event, how many events
+    its user has produced since the most recent 'signup' (the signup
+    itself counts 0; before any signup, counts run from first activity).
+    Unlike gap sessionization (user_sessions) the segment boundary is a
+    PREDICATE on the row, the "count since last error/login/deploy"
+    shape.  One user%P exchange; the kernel is two cumsum-with-reset
+    passes (predicate prefix-count defines segments, position-in-segment
+    is the answer) — zero Python per row."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "ts": pa.nulls(0, pa.int64()),
+                "event_id": pa.nulls(0, pa.int64()),
+                "is_reset": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return empty
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rs = pc.equal(batch["event_type"], "signup").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(np.asarray(ts, dtype=np.int64)),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "is_reset": pa.array(rs.astype(np.int64)),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.nulls(0, pa.int64()),
+                "n_since": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        r = group["is_reset"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, e, r = u[order], e[order], r[order]
+        n = u.shape[0]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        # grp = per-user running count of resets (cumsum with reset)
+        cs = np.cumsum(r)
+        ustart = np.flatnonzero(new_user)
+        uid = np.cumsum(new_user) - 1
+        base = np.where(ustart > 0, cs[ustart - 1], 0)
+        grp = cs - base[uid]
+        # position within each (user, grp) run
+        new_seg = new_user | np.concatenate(([True], grp[1:] != grp[:-1]))
+        seg = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        n_since = np.arange(n) - seg[seg_id]
+        return pa.table(
+            {
+                "event_id": pa.array(e),
+                "n_since": pa.array(n_since.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

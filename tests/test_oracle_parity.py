@@ -49,6 +49,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "events_since_signup",
+    "event_type_octiles",
     "part_association_rules",
     "documents_checksum",
     "part_pair_counts",

@@ -287,6 +287,8 @@ def test_session10_queries_on_empty_corpus(ray_session, tmp_path):
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
     for name in (
+        "events_since_signup",
+        "event_type_octiles",
         "part_association_rules",
         "documents_checksum",
         "part_pair_counts",
