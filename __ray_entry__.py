@@ -45,13 +45,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # oracle-checked (SQL-expressible).
-        # ROTATION (round 4): the driver gate verifies the FIRST 50 oracle
-        # entries; rounds 1-3 verified the 50 oldest rows (CORRECTNESS_r03
-        # green 50/50).  The first block below holds the 30 rows that had
-        # never seen a driver check, so across rounds 3+4 every oracle row
-        # is driver-verified.  The second block re-runs a representative
-        # core of already-green rows; the third block is the remainder
-        # (driver-green in r01-r03, still covered by tests/test_oracle_parity).
+        # ROTATION (round 4, session 11 audit): the driver gate verifies
+        # the FIRST 50 oracle entries; rounds 1-3 verified 50 rows
+        # (CORRECTNESS_r03 green 50/50).  59 oracle rows have never seen
+        # a driver check; the first 50 slots below are ALL taken from
+        # them (zero already-checked rows waste a slot).  The 9 that
+        # must wait for the ROUND-5 rotation (repo parity green at
+        # sf0.001/0.01/0.1 meanwhile): source_top_lang,
+        # event_type_distinct_users, user_value_trend,
+        # segment_revenue_share, events_zorder,
+        # cosine_threshold_calibration, dedup_eval_prefix_vs_exact,
+        # attribution_pairs, global_event_ranks — promote these to the
+        # top next round.
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "events_since_signup": q.events_since_signup,
         "event_type_octiles": q.event_type_octiles,
