@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_eval_prefix_vs_exact": q.dedup_eval_prefix_vs_exact,
         "attribution_pairs": q.attribution_pairs,
         "global_event_ranks": q.global_event_ranks,
+        # --- block 1b: new in round-4 session 12, never driver-checked;
+        # part of the round-5 rotation set with the 9 above ---
+        "user_event_diversity": q.user_event_diversity,
+        "tpch_q3_top_orders": q.tpch_q3_top_orders,
+        "term_postings": q.term_postings,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1509,6 +1514,41 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY value DESC, event_id)
                        AS global_rank
             FROM events
+        """,
+    "user_event_diversity": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(n)*sum(n) - sum(n*n) AS DOUBLE)
+                       / CAST(sum(n)*sum(n) AS DOUBLE) AS diversity
+            FROM c GROUP BY 1
+        """,
+    "tpch_q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+    "term_postings": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, t AS term
+                FROM (SELECT doc_id,
+                             unnest(string_split(trim(text), ' ')) AS t
+                      FROM documents WHERE length(trim(text)) > 0)
+                WHERE t <> ''
+            ), n AS (SELECT count(*) AS c FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                       AS postings
+            FROM toks, n GROUP BY term, c HAVING count(*) * 50 >= c
         """,
     "documents_scd2": """
             WITH delta AS (

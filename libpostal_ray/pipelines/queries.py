@@ -7654,3 +7654,362 @@ def events_since_signup(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def user_event_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Simpson diversity index of each user's event-type mix:
+    1 - sum_i (n_i/T)^2 — the collision-probability / label-skew metric a
+    training-mix dashboard asks of any behavior table (and the
+    Gini-impurity of the user's type distribution).
+
+    Exactness discipline: both numerator and denominator are exact int64
+    (T^2 - sum n_i^2 over T^2), so the single float64 division is
+    bit-identical to the SQL oracle regardless of block layout — no float
+    accumulation ever happens.  Physical plan: per-batch (user, type)
+    count partials (dictionary codes, np.unique) through one user%P
+    exchange; the kernel re-reduces and finishes per user with
+    lexsort + add.reduceat (associative int sums)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    EMPTY_PART = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "event_type": pa.nulls(0, pa.string()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY_PART
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary))
+        key = u * V + codes
+        uk, n = np.unique(key, return_counts=True)
+        uu = uk // V
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "event_type": enc.dictionary.take(pa.array(uk % V)),
+                "n": pa.array(n.astype(np.int64)),
+                "part": pa.array(uu % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "n_events": pa.nulls(0, pa.int64()),
+                "diversity": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = group["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary))
+        key = u * V + codes
+        order = np.argsort(key, kind="stable")
+        key_s, u_s, n_s = key[order], u[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], key_s[1:] != key_s[:-1]))
+        )
+        per_type = np.add.reduceat(n_s, starts)  # count per (user, type)
+        u_t = u_s[starts]
+        ustarts = np.flatnonzero(
+            np.concatenate(([True], u_t[1:] != u_t[:-1]))
+        )
+        T = np.add.reduceat(per_type, ustarts)
+        S = np.add.reduceat(per_type * per_type, ustarts)
+        tt = T * T
+        div = (tt - S).astype(np.float64) / tt.astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(u_t[ustarts]),
+                "n_events": pa.array(T.astype(np.int64)),
+                "diversity": pa.array(div),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def tpch_q3_top_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 analog (shipping-priority top orders): revenue of
+    not-yet-shipped lineitems for BUILDING-segment customers' orders
+    placed before the cutoff — top 10 by revenue.
+
+    Physical plan: the classic broadcast-star shape.  The customer
+    segment filter and date-filtered orders reduce in two small remote
+    tasks to ONE broadcast map {orderkey -> orderdate} (dimension-sized:
+    segment x date selectivity ~ 1/10 of orders); lineitem streams with a
+    shipdate filter pushed into the parquet read, probes the broadcast,
+    integerizes revenue per row (floor(ep*(1-disc)*100), the repo-wide
+    oracle discipline) and pre-aggregates per orderkey per batch; a
+    key%P exchange finishes the sums and each partition emits its local
+    top-10, reduced in one 10*P-row tail.  Content never shuffles; no
+    all-to-all join."""
+    import pyarrow.dataset as pads
+
+    cutoff = pa.scalar(
+        np.datetime64("1998-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    P = 32
+    K = 10
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < cutoff,
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(cust_refs_n: int, *refs) -> tuple:
+        # zero-row blocks can arrive column-less (empty datasets lose
+        # their schema) — drop them before concat
+        cust_parts = [t for t in refs[:cust_refs_n] if t.num_rows]
+        ord_parts = [t for t in refs[cust_refs_n:] if t.num_rows]
+        if not cust_parts or not ord_parts:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype="datetime64[us]"),
+            )
+        cust_t = pa.concat_tables(cust_parts)
+        ord_t = pa.concat_tables(ord_parts)
+        seg = cust_t.filter(
+            pc.equal(cust_t["c_mktsegment"], "BUILDING")
+        )["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ord_t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ck, seg)
+        ok = ord_t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        od = ord_t["o_orderdate"].to_numpy(zero_copy_only=False)[keep]
+        order = np.argsort(ok)
+        return ok[order], od[order]
+
+    cust_refs = cust.to_arrow_refs()
+    ord_refs = orders.to_arrow_refs()
+    state_ref = build_state.remote(len(cust_refs), *cust_refs, *ord_refs)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "l_orderkey": pa.nulls(0, pa.int64()),
+            "rev": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        keys, _dates = ray.get(state_ref)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(keys) == 0:
+            return EMPTY
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == lk
+        if not np.any(hit):
+            return EMPTY
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        rev = np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+        ok, inv = np.unique(lk[hit], return_inverse=True)
+        sums = np.bincount(inv, weights=rev.astype(np.float64))
+        # bincount weights go through float64 — exact for |sum| < 2^53,
+        # true for any single batch (rev < 2^33, rows < 2^20)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok),
+                "rev": pa.array(sums.astype(np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_orderkey": pa.nulls(0, pa.int64()),
+                "revenue_cents": pa.nulls(0, pa.int64()),
+                "o_orderdate": pa.nulls(0, pa.timestamp("us")),
+            }
+        )
+        if group.num_rows == 0 or "l_orderkey" not in group.column_names:
+            return empty
+        ok = group["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = group["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        # local top-K by (rev desc, orderkey asc)
+        order = np.lexsort((uk, -tot))[:K]
+        uk, tot = uk[order], tot[order]
+        keys, dates = ray.get(state_ref)
+        pos = np.searchsorted(keys, uk)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk),
+                "revenue_cents": pa.array(tot),
+                "o_orderdate": pa.array(dates[pos], type=pa.timestamp("us")),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = batch["revenue_cents"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((ok, -rev))[:K]
+        return batch.take(pa.array(np.sort(order)))
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def term_postings(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index construction (the search-engine build step): for
+    every common term (document frequency >= 2% of the corpus), the
+    sorted posting list of documents containing it, as a comma-joined
+    string plus the exact df.
+
+    Physical plan: per-batch DISTINCT (term, doc) pairs via dictionary
+    codes (each doc contributes a term once no matter how often it
+    repeats — the partial dedup bounds the exchange by distinct pairs,
+    not token count); one crc32(term)%P exchange co-locates each term's
+    postings; the kernel computes df vectorized for ALL terms, applies
+    the threshold FIRST, and only the surviving (dimension-sized) rows
+    pay the string-join.  Posting lists ship as strings because the
+    driver's value-hash compares list columns unreliably across engines."""
+    import zlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    n_docs = ds.count()
+    P = 32
+
+    EMPTY = pa.table(
+        {
+            "term": pa.nulls(0, pa.string()),
+            "doc_id": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return EMPTY
+        txt = pc.utf8_trim_whitespace(batch["text"])
+        lists = pc.split_pattern(txt, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return EMPTY
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(enc.dictionary))
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = d[parent[ok]] * V + codes[ok]
+        uk = np.unique(key)  # distinct (doc, term) in this batch
+        terms = enc.dictionary.take(pa.array(uk % V))
+        h = np.array(
+            [zlib.crc32(t.encode()) for t in terms.to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "term": terms,
+                "doc_id": pa.array(uk // V),
+                "part": pa.array(h % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.nulls(0, pa.string()),
+                "df": pa.nulls(0, pa.int64()),
+                "postings": pa.nulls(0, pa.string()),
+            }
+        )
+        if group.num_rows == 0 or "term" not in group.column_names:
+            return empty
+        enc = group["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (term, doc) across source batches, doc ASC within term
+        # — overflow-free: sort on the pair, drop consecutive duplicates
+        order = np.lexsort((d, codes))
+        codes_s, d_s = codes[order], d[order]
+        first = np.concatenate(
+            ([True], (codes_s[1:] != codes_s[:-1]) | (d_s[1:] != d_s[:-1]))
+        )
+        codes_u, d_u = codes_s[first], d_s[first]
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes_u[1:] != codes_u[:-1]))
+        )
+        df = np.diff(np.append(starts, codes_u.shape[0]))
+        keep = df * 50 >= n_docs
+        if not keep.any():
+            return empty
+        terms_py = enc.dictionary.take(
+            pa.array(codes_u[starts[keep]])
+        ).to_pylist()
+        ends = np.append(starts, codes_u.shape[0])[1:]
+        posts = [
+            ",".join(map(str, d_u[s:e].tolist()))
+            for s, e, k in zip(starts, ends, keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "term": pa.array(terms_py, type=pa.string()),
+                "df": pa.array(df[keep].astype(np.int64)),
+                "postings": pa.array(posts, type=pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -49,6 +49,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 ORACLE_QUERIES = [
+    "user_event_diversity",
+    "tpch_q3_top_orders",
+    "term_postings",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",
