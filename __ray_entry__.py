@@ -123,6 +123,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_diversity": q.user_event_diversity,
         "tpch_q3_top_orders": q.tpch_q3_top_orders,
         "term_postings": q.term_postings,
+        # --- block 1c: new in round-4 session 13, never driver-checked;
+        # part of the round-5 rotation set ---
+        "tpch_q13_custdist": q.tpch_q13_custdist,
+        "tpch_q4_late_shipments": q.tpch_q4_late_shipments,
+        "user_longest_streak": q.user_longest_streak,
+        "user_interevent_median": q.user_interevent_median,
+        "event_value_deciles": q.event_value_deciles,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1536,6 +1543,67 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+    "tpch_q13_custdist": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                  FROM customer c LEFT JOIN orders o
+                       ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+    "tpch_q4_late_shipments": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >
+                                o.o_orderdate + INTERVAL 45 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    "user_longest_streak": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS d
+                FROM events),
+            r AS (SELECT user_id, d,
+                         d - row_number() OVER (PARTITION BY user_id
+                                                ORDER BY d) AS grp
+                  FROM days),
+            il AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+                   FROM r GROUP BY user_id, grp)
+            SELECT user_id, max(len) AS longest_streak
+            FROM il GROUP BY user_id
+        """,
+    "user_interevent_median": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap
+                FROM events)
+            SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)
+                       AS median_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        """,
+    "event_value_deciles": """
+            WITH c AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 100)
+                              AS BIGINT) AS vc FROM events),
+            t AS (SELECT quantile_cont(CAST(vc AS DOUBLE),
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                         AS th FROM c)
+            SELECT CAST(len(list_filter(t.th,
+                            x -> x < CAST(c.vc AS DOUBLE))) AS BIGINT)
+                       AS decile,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(c.vc) AS BIGINT) AS sum_cents
+            FROM c, t GROUP BY 1
         """,
     "term_postings": """
             WITH toks AS (

@@ -504,6 +504,21 @@ def grouped_exact_quantiles_cont(ds, key_col: str, value_col: str, qs):
                 targets.append([g, rem, np.uint64(b) << np.uint64(48)])
             tmeta[(g, q)] = (n, lo, hi, frac, tids[lo], tids[hi])
 
+    def _grp_label_to_dtype(label: str, dtype):
+        """Pass 1 stringifies group labels (the exchange schema is
+        string); refinement passes compare against the RAW key column,
+        so coerce the label back to the column's dtype — an int64 key
+        column compared to the string \"7\" matches nothing and the
+        refinement would silently return bucket lower bounds (found by
+        the constant-int-key decile caller, round 4 session 13)."""
+        if dtype.kind in ("i", "u"):
+            return int(label)
+        if dtype.kind == "f":
+            return float(label)
+        if dtype.kind == "b":
+            return label == "True"
+        return label
+
     # ---- passes 2-4: refine every target's next 16 bits in one scan ----
     for level in range(1, 4):
         shift = np.uint64(48 - 16 * level)
@@ -528,7 +543,8 @@ def grouped_exact_quantiles_cont(ds, key_col: str, value_col: str, qs):
                 return empty
             out_t, out_b, out_c = [], [], []
             for tid, (tgrp, tpre) in enumerate(zip(_tg, _tp)):
-                kk = k[(g == tgrp) & ((k & _m) == tpre)]
+                tgv = _grp_label_to_dtype(tgrp, g.dtype)
+                kk = k[(g == tgv) & ((k & _m) == tpre)]
                 if kk.shape[0] == 0:
                     continue
                 u, c = np.unique(

@@ -8013,3 +8013,574 @@ def term_postings(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def tpch_q13_custdist(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13 analog (customer order-count distribution): how many
+    customers placed exactly k orders, INCLUDING the zero-order
+    customers a plain inner join would drop.
+
+    Physical plan: both sides reduce to skinny int64 rows before the
+    exchange — orders pre-aggregate (custkey, n) per batch (the combiner
+    bounds exchange volume by distinct custkeys per batch, not order
+    rows), customers ship (custkey, 0) tagged as the universe side; ONE
+    custkey%P exchange co-locates each customer's partials; the kernel
+    sums order counts per customer (left-join semantics fall out of the
+    universe side) and emits its LOCAL histogram (c_count, n_customers)
+    — so the tail reduce sees <= P x distinct-counts rows, never a
+    customer-dimension table."""
+    P = 32
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ck": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "is_cust": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c_custkey" not in batch.column_names:
+            return EMPTY
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(ck.shape[0], dtype=np.int64)
+        return pa.table(
+            {
+                "ck": pa.array(ck),
+                "n": pa.array(z),
+                "is_cust": pa.array(z + 1),
+                "part": pa.array(ck % P),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return EMPTY
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "ck": pa.array(uk),
+                "n": pa.array(cnt.astype(np.int64)),
+                "is_cust": pa.array(np.zeros(uk.shape[0], dtype=np.int64)),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_count": pa.nulls(0, pa.int64()),
+                "custdist": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ck" not in group.column_names:
+            return empty
+        ck = group["ck"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        isc = group["is_cust"].to_numpy(zero_copy_only=False)
+        uk = np.unique(ck[isc == 1])
+        if uk.shape[0] == 0:
+            return empty
+        # per-customer order totals; orders for custkeys outside the
+        # universe (none in well-formed data) are dropped by the clip+eq
+        pos = np.searchsorted(uk, ck)
+        pos_c = np.minimum(pos, uk.shape[0] - 1)
+        hit = (uk[pos_c] == ck) & (isc == 0)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, pos_c[hit], n[hit])
+        cc, nc = np.unique(tot, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(cc.astype(np.int64)),
+                "custdist": pa.array(nc.astype(np.int64)),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cc = batch["c_count"].to_numpy(zero_copy_only=False)
+        nc = batch["custdist"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(cc, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, nc)
+        order = np.lexsort((-uk, -tot))
+        return pa.table(
+            {
+                "c_count": pa.array(uk[order]),
+                "custdist": pa.array(tot[order]),
+            }
+        )
+
+    return (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def tpch_q4_late_shipments(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 analog (order-priority checking): orders placed in 1996
+    with at least ONE lineitem shipped more than 45 days after the order
+    date, counted per priority.  The reference predicate uses
+    commit/receipt dates the synthetic lineitem lacks; shipdate vs
+    orderdate+45d keeps the EXISTS semi-join shape.
+
+    Physical plan: lineitem pre-reduces to (orderkey, max_shipdate) per
+    batch — the EXISTS only needs the max, so the combiner collapses ~4
+    lineitems per order before the exchange; date-filtered orders ship
+    (orderkey, orderdate, priority) with the filter pushed into the
+    parquet read.  ONE orderkey%P exchange; the kernel joins, tests
+    max_ship > odate+45d, and emits LOCAL per-priority counts, so the
+    tail reduce is <= P x 5 rows.  No broadcast state: both exchange
+    sides are order-dimension skinny rows."""
+    import pyarrow.dataset as pads
+
+    P = 32
+    LATE_US = np.int64(45) * 86_400_000_000
+    lo = pa.scalar(
+        np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    hi = pa.scalar(
+        np.datetime64("1997-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "prio": pa.nulls(0, pa.string()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def _us(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.asarray(
+            arr.cast(pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "ts": pa.array(_us(batch["o_orderdate"])),
+                "prio": batch["o_orderpriority"],
+                "side": pa.array(np.ones(ok.shape[0], dtype=np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _us(batch["l_shipdate"])
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(uk.shape[0], np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table(
+            {
+                "ok": pa.array(uk),
+                "ts": pa.array(mx),
+                "prio": pa.array([""] * uk.shape[0], type=pa.string()),
+                "side": pa.array(np.zeros(uk.shape[0], dtype=np.int64)),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderpriority": pa.nulls(0, pa.string()),
+                "n_orders": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        if not iso.any():
+            return empty
+        lk, lt = ok[~iso], ts[~iso]
+        if lk.shape[0] == 0:
+            return empty
+        # max shipdate per lineitem orderkey (merge the batch partials)
+        uk = np.unique(lk)
+        pos = np.searchsorted(uk, lk)
+        mx = np.full(uk.shape[0], np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, pos, lt)
+        ook, ots = ok[iso], ts[iso]
+        p = np.searchsorted(uk, ook)
+        p_c = np.minimum(p, uk.shape[0] - 1)
+        late = (uk[p_c] == ook) & (mx[p_c] > ots + LATE_US)
+        if not late.any():
+            return empty
+        prio = group["prio"].combine_chunks().take(
+            pa.array(np.flatnonzero(iso)[late])
+        )
+        enc = prio.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table(
+            {
+                "o_orderpriority": enc.dictionary,
+                "n_orders": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        enc = batch["o_orderpriority"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        tot = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(tot, codes, n)
+        d = enc.dictionary.to_pandas().to_numpy()
+        order = np.argsort(d, kind="stable")
+        return pa.table(
+            {
+                "o_orderpriority": enc.dictionary.take(pa.array(order)),
+                "n_orders": pa.array(tot[order]),
+            }
+        )
+
+    return (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(line.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def user_longest_streak(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days (distinct calendar days with at least one event).  The classic
+    retention metric the SQL row_number()-difference trick computes.
+
+    Physical plan: per-batch distinct (user, epoch-day) pairs (the
+    combiner bounds exchange volume by active user-days, not events);
+    ONE user%P exchange; the kernel re-dedups across batches, finds run
+    boundaries where the day delta != 1 vectorized, and takes each
+    user's max run via maximum.reduceat — zero Python per row."""
+    P = 32
+    DAY_US = np.int64(86_400_000_000)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "d": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = np.asarray(ts, dtype=np.int64) // DAY_US
+        # distinct (user, day) per batch — days span decades at most,
+        # so u*2^22 + day-within-window would overflow nothing, but
+        # sort-pairs dedup avoids any composite-key range assumption
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1]))
+        )
+        u_s, d_s = u_s[keep], d_s[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s),
+                "d": pa.array(d_s),
+                "part": pa.array(u_s % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "longest_streak": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1]))
+        )
+        u_s, d_s = u_s[keep], d_s[keep]
+        # run starts: new user OR day gap != 1
+        rs = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (d_s[1:] - d_s[:-1] != 1))
+        )
+        starts = np.flatnonzero(rs)
+        run_len = np.diff(np.append(starts, u_s.shape[0]))
+        run_user = u_s[starts]
+        ustarts = np.flatnonzero(
+            np.concatenate(([True], run_user[1:] != run_user[:-1]))
+        )
+        longest = np.maximum.reduceat(run_len, ustarts)
+        return pa.table(
+            {
+                "user_id": pa.array(run_user[ustarts]),
+                "longest_streak": pa.array(longest.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def user_interevent_median(sf_dir: str) -> ray.data.Dataset:
+    """Per-user EXACT interpolated median of inter-event gaps (µs):
+    the cadence metric behind bot/burst detection.  Users with a single
+    event have no gap and are excluded (SQL NULL-skip of lag()).
+
+    Physical plan: ONE user%P exchange of (user, ts, event_id) int64
+    rows; users are co-partitioned so each partition computes its own
+    users' gaps start-to-finish: lexsort by (user, ts, event_id) — the
+    event_id tie-break pins equal timestamps to ONE order on both
+    engines — vectorized diff, then the (lo+hi)/2 interpolated median
+    per user via reduceat indexing.  Gap values are int64 µs < 2^52, so
+    the float64 midpoint is IEEE-exact and matches DuckDB's
+    percentile_cont(0.5) = v_lo + 0.5*(v_hi - v_lo) bit-for-bit."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "event_id": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(np.asarray(ts, dtype=np.int64)),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "n_gaps": pa.nulls(0, pa.int64()),
+                "median_gap_us": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return empty
+        gu = u_s[1:][same]
+        gv = ts_s[1:][same] - ts_s[:-1][same]
+        o2 = np.lexsort((gv, gu))
+        gu, gv = gu[o2], gv[o2]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gu[1:] != gu[:-1]))
+        )
+        n = np.diff(np.append(starts, gu.shape[0]))
+        lo = starts + (n - 1) // 2
+        hi = starts + n // 2
+        med = (gv[lo].astype(np.float64) + gv[hi].astype(np.float64)) / 2.0
+        return pa.table(
+            {
+                "user_id": pa.array(gu[starts]),
+                "n_gaps": pa.array(n.astype(np.int64)),
+                "median_gap_us": pa.array(med),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def event_value_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Global EXACT decile table: 9 interpolated decile boundaries over
+    integer cents, then per-bucket row count and cent sum — the
+    histogram-with-exact-edges profile a feature store publishes.
+
+    Physical plan: the 9 boundaries come from FOUR shared radix scans
+    (functions/quantile.grouped_exact_quantiles_cont with a constant
+    group key — all 9 (rank) targets refine in the same pass, constant
+    exchange volume, no sort); the bucket pass broadcasts the 9 float64
+    thresholds in a closure, buckets every row with ONE searchsorted
+    (bucket = #thresholds strictly below v, DuckDB's
+    list_filter(x < v) count), and pre-aggregates per batch so the tail
+    reduce sees <= batches x 10 skinny rows."""
+    from libpostal_ray.functions.quantile import grouped_exact_quantiles_cont
+
+    QS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+    def _cents_ds():
+        def to_cents(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "value" not in batch.column_names:
+                return pa.table(
+                    {
+                        "k": pa.nulls(0, pa.int64()),
+                        "v": pa.nulls(0, pa.float64()),
+                    }
+                )
+            v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            vc = np.floor(v * 100.0)
+            return pa.table(
+                {
+                    "k": pa.array(np.zeros(v.shape[0], dtype=np.int64)),
+                    "v": pa.array(vc),
+                }
+            )
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        ).map_batches(
+            _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(to_cents, batch_format="pyarrow")
+
+    EMPTY_OUT = pa.table(
+        {
+            "decile": pa.nulls(0, pa.int64()),
+            "n_events": pa.nulls(0, pa.int64()),
+            "sum_cents": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    qt = grouped_exact_quantiles_cont(_cents_ds(), "k", "v", QS)
+    if qt.num_rows == 0:
+        return ray.data.from_arrow(EMPTY_OUT)
+    qv = {float(q): v for q, v in zip(qt["q"].to_pylist(), qt["q_value"].to_pylist())}
+    thr = np.asarray([qv[q] for q in QS], dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "decile": pa.nulls(0, pa.int64()),
+                "n_events": pa.nulls(0, pa.int64()),
+                "sum_cents": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "value" not in batch.column_names:
+            return empty
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vc = np.floor(v * 100.0)
+        b = np.searchsorted(thr, vc, side="left").astype(np.int64)
+        n = np.bincount(b, minlength=10)
+        s = np.bincount(b, weights=vc, minlength=10).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "decile": pa.array(nz.astype(np.int64)),
+                "n_events": pa.array(n[nz].astype(np.int64)),
+                "sum_cents": pa.array(s[nz]),
+                "g": pa.array(np.zeros(nz.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "decile" not in batch.column_names:
+            return EMPTY_OUT
+        d = batch["decile"].to_numpy(zero_copy_only=False)
+        n = batch["n_events"].to_numpy(zero_copy_only=False)
+        s = batch["sum_cents"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(d, return_inverse=True)
+        tn = np.zeros(uk.shape[0], dtype=np.int64)
+        tsum = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tn, inv, n)
+        np.add.at(tsum, inv, s)
+        return pa.table(
+            {
+                "decile": pa.array(uk.astype(np.int64)),
+                "n_events": pa.array(tn),
+                "sum_cents": pa.array(tsum),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: final(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else final(t),
+            batch_format="pyarrow",
+        )
+    )

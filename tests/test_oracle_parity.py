@@ -52,6 +52,11 @@ ORACLE_QUERIES = [
     "user_event_diversity",
     "tpch_q3_top_orders",
     "term_postings",
+    "tpch_q13_custdist",
+    "tpch_q4_late_shipments",
+    "user_longest_streak",
+    "user_interevent_median",
+    "event_value_deciles",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

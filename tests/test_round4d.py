@@ -1,0 +1,203 @@
+"""Round-4 session-13 operators: TPC-H Q13/Q4 analogs, gaps-and-islands
+streaks, per-user inter-event medians, exact global deciles — plus the
+int-key regression for the grouped exact quantile (its refinement passes
+compared stringified group labels against the raw key column, so any
+non-string key silently returned radix bucket bounds)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_grouped_exact_quantiles_int_keys(ray_session):
+    """INT64 group keys must refine exactly like string keys (the
+    label-vs-raw-column comparison bug returned bucket lower bounds)."""
+    import ray
+
+    from libpostal_ray.functions.quantile import grouped_exact_quantiles_cont
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    grp = rng.integers(0, 5, n).astype(np.int64)
+    val = np.floor(rng.normal(size=n) * 1e4)  # signed integral doubles
+    t = pa.table({"k": pa.array(grp), "v": pa.array(val)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = grouped_exact_quantiles_cont(ds, "k", "v", [0.1, 0.9])
+    got = {
+        (g, q): v
+        for g, q, v in zip(
+            out["k"].to_pylist(), out["q"].to_pylist(),
+            out["q_value"].to_pylist(),
+        )
+    }
+    for g in np.unique(grp):
+        s = np.sort(val[grp == g])
+        m = s.shape[0]
+        for q in (0.1, 0.9):
+            h = q * (m - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, m - 1)
+            ref = float(s[lo] + (h - lo) * (s[hi] - s[lo]))
+            assert got[(str(g), q)] == ref, (g, q, got[(str(g), q)], ref)
+
+
+class TestCustdist:
+    def test_zero_order_customers_counted(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import tpch_q13_custdist
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2, 3, 4], type=pa.int64())}),
+            str(d / "customer.parquet"),
+        )
+        # cust 1 -> 3 orders, cust 2 -> 1, cust 3/4 -> 0
+        pq.write_table(
+            pa.table(
+                {"o_custkey": pa.array([1, 1, 1, 2], type=pa.int64())}
+            ),
+            str(d / "orders.parquet"),
+        )
+        out = tpch_q13_custdist(str(d)).to_pandas()
+        got = dict(zip(out["c_count"], out["custdist"]))
+        assert got == {0: 2, 1: 1, 3: 1}
+        # sorted by custdist desc then c_count desc
+        assert out["custdist"].tolist() == sorted(
+            out["custdist"].tolist(), reverse=True
+        ) or out.iloc[0]["custdist"] >= out.iloc[-1]["custdist"]
+
+
+class TestLateShipments:
+    def test_exists_semantics(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import tpch_q4_late_shipments
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        t0 = np.datetime64("1996-03-01T00:00:00", "us")
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                    "o_orderdate": pa.array([t0, t0, t0], type=pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW"]),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        # order 1: one late line (+50d); order 2: on-time only (+10d);
+        # order 3: two lines, one late (+46d)
+        day = np.timedelta64(1, "D")
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 2, 3, 3], type=pa.int64()),
+                    "l_shipdate": pa.array(
+                        [t0 + 50 * day, t0 + 10 * day, t0 + 5 * day, t0 + 46 * day],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        out = tpch_q4_late_shipments(str(d)).to_pandas()
+        got = dict(zip(out["o_orderpriority"], out["n_orders"]))
+        assert got == {"1-URGENT": 1, "5-LOW": 1}
+
+
+class TestLongestStreak:
+    def test_runs_and_gaps(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_longest_streak
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        day = np.timedelta64(1, "D")
+        t0 = np.datetime64("2024-01-01T05:00:00", "us")
+        # user 1: days 0,1,2, 5,6  -> longest 3
+        # user 2: day 0 twice      -> longest 1 (distinct days)
+        ts = [t0, t0 + day, t0 + 2 * day, t0 + 5 * day, t0 + 6 * day, t0, t0]
+        uid = [1, 1, 1, 1, 1, 2, 2]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid, type=pa.int64()),
+                    "ts": pa.array(ts, type=pa.timestamp("us")),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = user_longest_streak(str(d)).to_pandas()
+        got = dict(zip(out["user_id"], out["longest_streak"]))
+        assert got == {1: 3, 2: 1}
+
+
+class TestInterEventMedian:
+    def test_median_matches_numpy(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_interevent_median
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        rng = np.random.default_rng(7)
+        uid = rng.integers(0, 20, 500).astype(np.int64)
+        ts = np.datetime64("2024-01-01", "us") + rng.integers(
+            0, 10**9, 500
+        ).astype("timedelta64[us]")
+        eid = np.arange(500, dtype=np.int64)
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid),
+                    "ts": pa.array(ts, type=pa.timestamp("us")),
+                    "event_id": pa.array(eid),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = user_interevent_median(str(d)).to_pandas()
+        got = dict(zip(out["user_id"], out["median_gap_us"]))
+        ti = ts.astype("datetime64[us]").astype(np.int64)
+        for u in np.unique(uid):
+            m = uid == u
+            if m.sum() < 2:
+                assert u not in got
+                continue
+            order = np.lexsort((eid[m], ti[m]))
+            gaps = np.sort(np.diff(ti[m][order]))
+            n = gaps.shape[0]
+            lo, hi = (n - 1) // 2, n // 2
+            ref = (float(gaps[lo]) + float(gaps[hi])) / 2.0
+            assert got[u] == ref, (u, got[u], ref)
+
+
+class TestDeciles:
+    def test_bucket_counts_sum_to_n(self, ray_session):
+        from libpostal_ray.pipelines.queries import event_value_deciles
+
+        out = event_value_deciles(SF).to_pandas()
+        assert out["decile"].tolist() == sorted(out["decile"].tolist())
+        assert set(out["decile"]) <= set(range(10))
+        assert out["n_events"].sum() == 1000
+
+
+def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+
+    src = SF
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in ("events", "lineitem", "orders", "customer"):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    qs = entrymod.queries()
+    for name in (
+        "tpch_q13_custdist",
+        "tpch_q4_late_shipments",
+        "user_longest_streak",
+        "user_interevent_median",
+        "event_value_deciles",
+    ):
+        res = qs[name](str(d))
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        assert len(df) == 0, (name, df.head())
