@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_longest_streak": q.user_longest_streak,
         "user_interevent_median": q.user_interevent_median,
         "event_value_deciles": q.event_value_deciles,
+        "segment_acctbal_gini": q.segment_acctbal_gini,
+        "customer_rfm": q.customer_rfm,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1604,6 +1606,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "segment_acctbal_gini": """
+            WITH c AS (SELECT c_mktsegment AS seg,
+                              CAST(floor(CAST(c_acctbal AS DOUBLE) * 100)
+                                   AS BIGINT) AS b
+                       FROM customer),
+            r AS (SELECT seg, b,
+                         row_number() OVER (PARTITION BY seg ORDER BY b)
+                             AS rk
+                  FROM c)
+            SELECT seg AS c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(2 * sum(rk * b) - (count(*) + 1) * sum(b)
+                        AS BIGINT) AS gini_num,
+                   CAST(count(*) * sum(b) AS BIGINT) AS gini_den,
+                   CAST(CAST(2 * sum(rk * b) - (count(*) + 1) * sum(b)
+                             AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(count(*) * sum(b) AS BIGINT) AS DOUBLE)
+                       AS gini
+            FROM r GROUP BY seg
+        """,
+    "customer_rfm": """
+            WITH m AS (SELECT o_custkey AS ck,
+                              max(epoch_us(o_orderdate)) AS r,
+                              CAST(count(*) AS BIGINT) AS f,
+                              CAST(sum(CAST(floor(CAST(o_totalprice
+                                   AS DOUBLE) * 100) AS BIGINT))
+                                   AS BIGINT) AS mo
+                       FROM orders GROUP BY 1),
+            t AS (SELECT quantile_cont(CAST(r AS DOUBLE),
+                                       [0.25, 0.5, 0.75]) AS tr,
+                         quantile_cont(CAST(f AS DOUBLE),
+                                       [0.25, 0.5, 0.75]) AS tf,
+                         quantile_cont(CAST(mo AS DOUBLE),
+                                       [0.25, 0.5, 0.75]) AS tm
+                  FROM m)
+            SELECT m.ck AS c_custkey,
+                   CAST(1 + len(list_filter(t.tr,
+                                x -> x < CAST(m.r AS DOUBLE)))
+                        AS BIGINT) AS r_score,
+                   CAST(1 + len(list_filter(t.tf,
+                                x -> x < CAST(m.f AS DOUBLE)))
+                        AS BIGINT) AS f_score,
+                   CAST(1 + len(list_filter(t.tm,
+                                x -> x < CAST(m.mo AS DOUBLE)))
+                        AS BIGINT) AS m_score
+            FROM m, t
         """,
     "term_postings": """
             WITH toks AS (

@@ -280,6 +280,13 @@ def run_bench() -> dict:
             q.returnflag_weighted_median(d)
         ),
     )
+    timed("tpch_q13_custdist", q.tpch_q13_custdist)
+    timed("tpch_q4_late_shipments", q.tpch_q4_late_shipments)
+    timed("user_longest_streak", q.user_longest_streak)
+    timed("user_interevent_median", q.user_interevent_median)
+    timed("event_value_deciles", q.event_value_deciles)
+    timed("segment_acctbal_gini", q.segment_acctbal_gini)
+    timed("customer_rfm", q.customer_rfm)
 
     ray.shutdown()
     return {

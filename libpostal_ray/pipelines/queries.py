@@ -8584,3 +8584,266 @@ def event_value_deciles(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def segment_acctbal_gini(sf_dir: str) -> ray.data.Dataset:
+    """EXACT Gini concentration index of customer account balances per
+    market segment, as integer numerator/denominator plus their one
+    deterministic float64 division — the inequality profile a revenue
+    dashboard publishes, computed so both engines compare exact ints.
+
+    Gini (rank formula) = (2*sum(rank_i * x_i) - (n+1)*sum(x_i))
+                          / (n * sum(x_i))
+    over cents ascending with 1-based ranks.  Tied values make rank
+    assignment ambiguous BUT the numerator is tie-invariant: within a
+    tied block x is constant, so sum(rank*x) = x * (fixed sum of ranks)
+    regardless of order — no tie-break column is needed.
+
+    Physical plan: ONE segment%P exchange of (segment, cents) int64
+    rows; the kernel sorts each segment's cents and computes both sums
+    vectorized.  Segments are dimension-cardinality; int64 holds
+    n*sum(|x|) up to ~1e9 customers x $10k balances (documented
+    bound)."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "seg": pa.nulls(0, pa.string()),
+            "b": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c_mktsegment" not in batch.column_names:
+            return EMPTY
+        import zlib
+
+        seg = batch["c_mktsegment"]
+        v = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v * 100.0).astype(np.int64)
+        enc = (
+            seg.combine_chunks() if isinstance(seg, pa.ChunkedArray) else seg
+        ).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array(
+            [zlib.crc32(s.encode()) for s in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "seg": seg,
+                "b": pa.array(b),
+                "part": pa.array(h[codes] % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_mktsegment": pa.nulls(0, pa.string()),
+                "n_customers": pa.nulls(0, pa.int64()),
+                "gini_num": pa.nulls(0, pa.int64()),
+                "gini_den": pa.nulls(0, pa.int64()),
+                "gini": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "seg" not in group.column_names:
+            return empty
+        enc = group["seg"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, codes))
+        c_s, b_s = codes[order], b[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        )
+        n = np.diff(np.append(starts, c_s.shape[0]))
+        # 1-based rank within each segment
+        rk = np.arange(c_s.shape[0], dtype=np.int64) + 1
+        rk -= np.repeat(starts.astype(np.int64), n)
+        s_x = np.add.reduceat(b_s, starts)
+        s_rx = np.add.reduceat(rk * b_s, starts)
+        num = 2 * s_rx - (n + 1) * s_x
+        den = n * s_x
+        gini = np.divide(
+            num.astype(np.float64),
+            den.astype(np.float64),
+            out=np.zeros(num.shape[0], dtype=np.float64),
+            where=den != 0,
+        )
+        return pa.table(
+            {
+                "c_mktsegment": enc.dictionary.take(pa.array(c_s[starts])),
+                "n_customers": pa.array(n.astype(np.int64)),
+                "gini_num": pa.array(num.astype(np.int64)),
+                "gini_den": pa.array(den.astype(np.int64)),
+                "gini": pa.array(gini),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def customer_rfm(sf_dir: str) -> ray.data.Dataset:
+    """RFM segmentation (recency / frequency / monetary quartile scores
+    1-4 per ordering customer) — the classic marketing rollup, with
+    EXACT quartile edges so both engines bucket identically.
+
+    Physical plan: orders pre-aggregate per batch (custkey -> max
+    orderdate, order count, cent sum) and ONE custkey%P exchange
+    finishes the per-customer metrics (customer-dimension, materialized
+    once); the three metrics stack into (metric-name, value) rows so
+    ALL NINE quartile edges (3 metrics x 3 q's) come from the SAME four
+    shared radix scans (functions/quantile.py); scoring broadcasts the
+    9 float64 edges in a closure — score = 1 + #edges strictly below
+    the value, DuckDB's list_filter(x < v) count.  Recency compares as
+    epoch-µs int64 (< 2^52, float64-exact)."""
+    from libpostal_ray.functions.quantile import grouped_exact_quantiles_cont
+
+    P = 32
+    QS = [0.25, 0.5, 0.75]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ck": pa.nulls(0, pa.int64()),
+            "r": pa.nulls(0, pa.int64()),
+            "f": pa.nulls(0, pa.int64()),
+            "m": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return EMPTY
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["o_orderdate"], pa.ChunkedArray) else batch[
+            "o_orderdate"
+        ].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = np.asarray(ts, dtype=np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        cents = np.floor(tp * 100.0).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        r = np.full(uk.shape[0], np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(r, inv, ts)
+        f = np.bincount(inv).astype(np.int64)
+        m = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "ck": pa.array(uk),
+                "r": pa.array(r),
+                "f": pa.array(f),
+                "m": pa.array(m),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ck": pa.nulls(0, pa.int64()),
+                "r": pa.nulls(0, pa.int64()),
+                "f": pa.nulls(0, pa.int64()),
+                "m": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ck" not in group.column_names:
+            return empty
+        ck = group["ck"].to_numpy(zero_copy_only=False)
+        r = group["r"].to_numpy(zero_copy_only=False)
+        f = group["f"].to_numpy(zero_copy_only=False)
+        m = group["m"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        rr = np.full(uk.shape[0], np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(rr, inv, r)
+        ff = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(ff, inv, f)
+        mm = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(mm, inv, m)
+        return pa.table(
+            {
+                "ck": pa.array(uk),
+                "r": pa.array(rr),
+                "f": pa.array(ff),
+                "m": pa.array(mm),
+            }
+        )
+
+    metrics = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+        .materialize()  # customer-dimension, read twice below
+    )
+
+    def stack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ck" not in batch.column_names:
+            return pa.table(
+                {"k": pa.nulls(0, pa.string()), "v": pa.nulls(0, pa.float64())}
+            )
+        cols = []
+        for name in ("r", "f", "m"):
+            v = batch[name].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols.append(
+                pa.table(
+                    {
+                        "k": pa.array([name] * v.shape[0], type=pa.string()),
+                        "v": pa.array(v),
+                    }
+                )
+            )
+        return pa.concat_tables(cols)
+
+    qt = grouped_exact_quantiles_cont(
+        metrics.map_batches(stack, batch_format="pyarrow"), "k", "v", QS
+    )
+    EMPTY_OUT = pa.table(
+        {
+            "c_custkey": pa.nulls(0, pa.int64()),
+            "r_score": pa.nulls(0, pa.int64()),
+            "f_score": pa.nulls(0, pa.int64()),
+            "m_score": pa.nulls(0, pa.int64()),
+        }
+    )
+    if qt.num_rows == 0:
+        return ray.data.from_arrow(EMPTY_OUT)
+    edges = {}
+    for k, q_, v in zip(
+        qt["k"].to_pylist(), qt["q"].to_pylist(), qt["q_value"].to_pylist()
+    ):
+        edges.setdefault(k, {})[q_] = v
+    thr = {
+        k: np.asarray([edges[k][q_] for q_ in QS], dtype=np.float64)
+        for k in ("r", "f", "m")
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ck" not in batch.column_names:
+            return EMPTY_OUT
+        out = {"c_custkey": batch["ck"]}
+        for name, col in (("r_score", "r"), ("f_score", "f"), ("m_score", "m")):
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            out[name] = pa.array(
+                1 + np.searchsorted(thr[col], v, side="left").astype(np.int64)
+            )
+        return pa.table(out)
+
+    return metrics.map_batches(score, batch_format="pyarrow")

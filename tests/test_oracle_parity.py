@@ -57,6 +57,8 @@ ORACLE_QUERIES = [
     "user_longest_streak",
     "user_interevent_median",
     "event_value_deciles",
+    "segment_acctbal_gini",
+    "customer_rfm",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

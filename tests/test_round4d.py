@@ -181,6 +181,68 @@ class TestDeciles:
         assert out["n_events"].sum() == 1000
 
 
+class TestGini:
+    def test_tie_invariance_and_formula(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import segment_acctbal_gini
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # seg A: perfectly equal -> gini 0; seg B: one holder -> (n-1)/n
+        bal = [10.0, 10.0, 10.0, 10.0, 0.0, 0.0, 0.0, 40.0]
+        seg = ["A"] * 4 + ["B"] * 4
+        pq.write_table(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array(seg),
+                    "c_acctbal": pa.array(bal, type=pa.float64()),
+                }
+            ),
+            str(d / "customer.parquet"),
+        )
+        out = segment_acctbal_gini(str(d)).to_pandas().set_index("c_mktsegment")
+        assert out.loc["A", "gini_num"] == 0
+        assert out.loc["A", "gini"] == 0.0
+        # B: sorted [0,0,0,4000], ranks 1..4: num = 2*16000 - 5*4000 = 12000
+        assert out.loc["B", "gini_num"] == 12000
+        assert out.loc["B", "gini_den"] == 16000
+        assert out.loc["B", "gini"] == 0.75
+
+
+class TestRFM:
+    def test_quartile_scores(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import customer_rfm
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        day = np.timedelta64(1, "D")
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        # 8 customers, 1 order each: monotone recency and price so the
+        # quartile score must be monotone in custkey
+        n = 8
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(range(1, n + 1), type=pa.int64()),
+                    "o_orderdate": pa.array(
+                        [t0 + i * day for i in range(n)],
+                        type=pa.timestamp("us"),
+                    ),
+                    "o_totalprice": pa.array(
+                        [100.0 * (i + 1) for i in range(n)],
+                        type=pa.float64(),
+                    ),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        out = customer_rfm(str(d)).to_pandas().sort_values("c_custkey")
+        assert out["r_score"].tolist() == out["m_score"].tolist()
+        assert out["r_score"].tolist() == sorted(out["r_score"].tolist())
+        assert out["r_score"].min() == 1 and out["r_score"].max() == 4
+        # all frequencies equal -> every f_score identical
+        assert out["f_score"].nunique() == 1
+
+
 def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
@@ -197,6 +259,8 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "user_longest_streak",
         "user_interevent_median",
         "event_value_deciles",
+        "segment_acctbal_gini",
+        "customer_rfm",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
