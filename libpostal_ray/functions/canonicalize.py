@@ -690,6 +690,230 @@ HR_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     HR_ABBREV_RULES + HR_NUMBER_RULES
 )
 
+# LT pack — dictionaries/lt content model
+LT_ABBREV_RULES = _word_rules({
+    "g": "gatvė", "pr": "prospektas", "al": "alėja", "nr": "numeris",
+    "tel": "telefonas", "pl": "plentas",
+})
+
+_LT_NUMS = {
+    "vienas": 1, "du": 2, "trys": 3, "keturi": 4, "penki": 5,
+    "šeši": 6, "septyni": 7, "aštuoni": 8, "devyni": 9, "dešimt": 10,
+    "vienuolika": 11, "dvylika": 12, "trylika": 13, "keturiolika": 14,
+    "penkiolika": 15, "šešiolika": 16, "septyniolika": 17,
+    "aštuoniolika": 18, "devyniolika": 19, "dvidešimt": 20,
+    "trisdešimt": 30, "keturiasdešimt": 40, "penkiasdešimt": 50,
+    "šešiasdešimt": 60, "septyniasdešimt": 70, "aštuoniasdešimt": 80,
+    "devyniasdešimt": 90, "šimtas": 100,
+}
+
+LT_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _LT_NUMS.items()
+)
+
+LT_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    LT_ABBREV_RULES + LT_NUMBER_RULES
+)
+
+# LV pack — dictionaries/lv content model
+LV_ABBREV_RULES = _word_rules({
+    "nr": "numurs", "tel": "telefons", "bulv": "bulvāris",
+    "pr": "prospekts", "kr": "krastmala",
+})
+
+_LV_NUMS = {
+    "viens": 1, "divi": 2, "trīs": 3, "četri": 4, "pieci": 5,
+    "seši": 6, "septiņi": 7, "astoņi": 8, "deviņi": 9, "desmit": 10,
+    "vienpadsmit": 11, "divpadsmit": 12, "trīspadsmit": 13,
+    "četrpadsmit": 14, "piecpadsmit": 15, "sešpadsmit": 16,
+    "septiņpadsmit": 17, "astoņpadsmit": 18, "deviņpadsmit": 19,
+    "divdesmit": 20, "trīsdesmit": 30, "četrdesmit": 40,
+    "piecdesmit": 50, "sešdesmit": 60, "septiņdesmit": 70,
+    "astoņdesmit": 80, "deviņdesmit": 90, "simts": 100,
+}
+
+LV_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _LV_NUMS.items()
+)
+
+LV_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    LV_ABBREV_RULES + LV_NUMBER_RULES
+)
+
+# ET pack — dictionaries/et content model
+ET_ABBREV_RULES = _word_rules({
+    "tn": "tänav", "mnt": "maantee", "pst": "puiestee", "nr": "number",
+    "tel": "telefon",
+})
+
+_ET_NUMS = {
+    "üks": 1, "kaks": 2, "kolm": 3, "neli": 4, "viis": 5, "kuus": 6,
+    "seitse": 7, "kaheksa": 8, "üheksa": 9, "kümme": 10,
+    "üksteist": 11, "kaksteist": 12, "kolmteist": 13, "neliteist": 14,
+    "viisteist": 15, "kuusteist": 16, "seitseteist": 17,
+    "kaheksateist": 18, "üheksateist": 19, "kakskümmend": 20,
+    "kolmkümmend": 30, "nelikümmend": 40, "viiskümmend": 50,
+    "kuuskümmend": 60, "seitsekümmend": 70, "kaheksakümmend": 80,
+    "üheksakümmend": 90, "sada": 100,
+}
+
+ET_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _ET_NUMS.items()
+)
+
+ET_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    ET_ABBREV_RULES + ET_NUMBER_RULES
+)
+
+# SL pack — dictionaries/sl content model
+SL_ABBREV_RULES = _word_rules({
+    "ul": "ulica", "št": "številka", "sv": "sveti", "tel": "telefon",
+    "nab": "nabrežje",
+})
+
+_SL_NUMS = {
+    "ena": 1, "dve": 2, "tri": 3, "štiri": 4, "pet": 5, "šest": 6,
+    "sedem": 7, "osem": 8, "devet": 9, "deset": 10, "enajst": 11,
+    "dvanajst": 12, "trinajst": 13, "štirinajst": 14, "petnajst": 15,
+    "šestnajst": 16, "sedemnajst": 17, "osemnajst": 18,
+    "devetnajst": 19, "dvajset": 20, "trideset": 30, "štirideset": 40,
+    "petdeset": 50, "šestdeset": 60, "sedemdeset": 70,
+    "osemdeset": 80, "devetdeset": 90, "sto": 100,
+}
+
+SL_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _SL_NUMS.items()
+)
+
+SL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    SL_ABBREV_RULES + SL_NUMBER_RULES
+)
+
+# GL pack — dictionaries/gl content model
+GL_ABBREV_RULES = _word_rules({
+    "avda": "avenida", "pza": "praza", "estr": "estrada",
+    "tel": "teléfono", "dr": "doutor", "sra": "señora",
+})
+
+_GL_NUMS = {
+    "un": 1, "dous": 2, "tres": 3, "catro": 4, "cinco": 5, "seis": 6,
+    "sete": 7, "oito": 8, "nove": 9, "dez": 10, "once": 11,
+    "doce": 12, "trece": 13, "catorce": 14, "quince": 15,
+    "dezaseis": 16, "dezasete": 17, "dezaoito": 18, "dezanove": 19,
+    "vinte": 20, "trinta": 30, "corenta": 40, "cincuenta": 50,
+    "sesenta": 60, "setenta": 70, "oitenta": 80, "noventa": 90,
+    "cen": 100,
+}
+
+GL_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _GL_NUMS.items()
+)
+
+GL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    GL_ABBREV_RULES + GL_NUMBER_RULES
+)
+
+# EU pack — dictionaries/eu content model (vigesimal compounds beyond 20
+# are multiword; the plain-word alternation folds them fine)
+EU_ABBREV_RULES = _word_rules({
+    "kl": "kalea", "etorb": "etorbidea", "tel": "telefonoa",
+    "zk": "zenbakia",
+})
+
+_EU_NUMS = {
+    "bat": 1, "bi": 2, "hiru": 3, "lau": 4, "bost": 5, "sei": 6,
+    "zazpi": 7, "zortzi": 8, "bederatzi": 9, "hamar": 10,
+    "hamaika": 11, "hamabi": 12, "hamahiru": 13, "hamalau": 14,
+    "hamabost": 15, "hamasei": 16, "hamazazpi": 17, "hemezortzi": 18,
+    "hemeretzi": 19, "hogei": 20, "hogeita hamar": 30, "berrogei": 40,
+    "berrogeita hamar": 50, "hirurogei": 60, "hirurogeita hamar": 70,
+    "laurogei": 80, "laurogeita hamar": 90, "ehun": 100,
+}
+
+EU_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _EU_NUMS.items()
+)
+
+EU_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    EU_ABBREV_RULES + EU_NUMBER_RULES
+)
+
+# MS pack — dictionaries/ms content model (differs from ID in 8 and the
+# street/number abbreviations)
+MS_ABBREV_RULES = _word_rules({
+    "jln": "jalan", "no": "nombor", "tmn": "taman", "kg": "kampung",
+    "tel": "telefon", "lrg": "lorong",
+})
+
+_MS_NUMS = {
+    "satu": 1, "dua": 2, "tiga": 3, "empat": 4, "lima": 5, "enam": 6,
+    "tujuh": 7, "lapan": 8, "sembilan": 9, "sepuluh": 10,
+    "sebelas": 11, "dua belas": 12, "tiga belas": 13,
+    "empat belas": 14, "lima belas": 15, "enam belas": 16,
+    "tujuh belas": 17, "lapan belas": 18, "sembilan belas": 19,
+    "dua puluh": 20, "tiga puluh": 30, "empat puluh": 40,
+    "lima puluh": 50, "enam puluh": 60, "tujuh puluh": 70,
+    "lapan puluh": 80, "sembilan puluh": 90, "seratus": 100,
+}
+
+MS_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _MS_NUMS.items()
+)
+
+MS_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    MS_ABBREV_RULES + MS_NUMBER_RULES
+)
+
+# SQ pack — dictionaries/sq content model
+SQ_ABBREV_RULES = _word_rules({
+    "rr": "rruga", "bul": "bulevardi", "tel": "telefoni",
+    "nr": "numri",
+})
+
+_SQ_NUMS = {
+    "një": 1, "dy": 2, "tre": 3, "katër": 4, "pesë": 5, "gjashtë": 6,
+    "shtatë": 7, "tetë": 8, "nëntë": 9, "dhjetë": 10,
+    "njëmbëdhjetë": 11, "dymbëdhjetë": 12, "trembëdhjetë": 13,
+    "katërmbëdhjetë": 14, "pesëmbëdhjetë": 15, "gjashtëmbëdhjetë": 16,
+    "shtatëmbëdhjetë": 17, "tetëmbëdhjetë": 18, "nëntëmbëdhjetë": 19,
+    "njëzet": 20, "tridhjetë": 30, "dyzet": 40, "pesëdhjetë": 50,
+    "gjashtëdhjetë": 60, "shtatëdhjetë": 70, "tetëdhjetë": 80,
+    "nëntëdhjetë": 90, "njëqind": 100,
+}
+
+SQ_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _SQ_NUMS.items()
+)
+
+SQ_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    SQ_ABBREV_RULES + SQ_NUMBER_RULES
+)
+
+# TL pack — dictionaries/tl content model (only the unambiguous
+# single-token cardinals; hyphenated teens fold via the plain-word
+# alternation, which admits internal hyphens)
+TL_ABBREV_RULES = _word_rules({
+    "brgy": "barangay", "blg": "bilang", "tel": "telepono",
+})
+
+_TL_NUMS = {
+    "isa": 1, "dalawa": 2, "tatlo": 3, "apat": 4, "lima": 5,
+    "anim": 6, "pito": 7, "walo": 8, "siyam": 9, "sampu": 10,
+    "labing-isa": 11, "labindalawa": 12, "labintatlo": 13,
+    "labing-apat": 14, "labinlima": 15, "labing-anim": 16,
+    "labimpito": 17, "labingwalo": 18, "labinsiyam": 19,
+    "dalawampu": 20, "tatlumpu": 30, "apatnapu": 40, "limampu": 50,
+    "animnapu": 60, "pitumpu": 70, "walumpu": 80, "siyamnapu": 90,
+}
+
+TL_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _TL_NUMS.items()
+)
+
+TL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    TL_ABBREV_RULES + TL_NUMBER_RULES
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -714,6 +938,15 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "id": ID_GENERAL_RULES,
     "sk": SK_GENERAL_RULES,
     "hr": HR_GENERAL_RULES,
+    "lt": LT_GENERAL_RULES,
+    "lv": LV_GENERAL_RULES,
+    "et": ET_GENERAL_RULES,
+    "sl": SL_GENERAL_RULES,
+    "gl": GL_GENERAL_RULES,
+    "eu": EU_GENERAL_RULES,
+    "ms": MS_GENERAL_RULES,
+    "sq": SQ_GENERAL_RULES,
+    "tl": TL_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals

@@ -160,3 +160,45 @@ def test_session10_packs_do_not_cross_route():
     )
     assert out[0] == "str. unirii nr. cinci"
     assert out[1] == "jl. merdeka dua belas"
+
+
+def test_session13_packs_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "Gedimino pr. penki",            # lt
+            "Brīvības bulv. divdesmit",      # lv
+            "Pikk tn. kolm",                 # et
+            "Slovenska ul. št. deset",       # sl
+            "Avda. do Medio catro",          # gl
+            "Nagusia kl. hamar",             # eu
+            "Jln. Bukit Bintang lapan",      # ms
+            "Rr. e Kavajës njëzet",          # sq
+            "Brgy. Uno dalawampu",           # tl
+        ],
+        ["lt", "lv", "et", "sl", "gl", "eu", "ms", "sq", "tl"],
+    )
+    assert out[0] == "gedimino prospektas 5"
+    assert out[1] == "brīvības bulvāris 20"
+    assert out[2] == "pikk tänav 3"
+    assert out[3] == "slovenska ulica številka 10"
+    assert out[4] == "avenida do medio 4"
+    assert out[5] == "nagusia kalea 10"
+    assert out[6] == "jalan bukit bintang 8"
+    assert out[7] == "rruga e kavajës 20"
+    assert out[8] == "barangay uno 20"
+
+
+def test_session13_packs_do_not_cross_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    # same surface under EN: no LT/MS/SQ entries may fire ("pr", "no",
+    # "lapan", "njëzet" stay untouched)
+    out = _canon(
+        stage,
+        ["Gedimino pr. penki", "Jln. Bukit lapan", "Rr. njëzet"],
+        ["en", "en", "en"],
+    )
+    assert out[0] == "gedimino pr. penki"
+    assert out[1] == "jln. bukit lapan"
+    assert out[2] == "rr. njëzet"
