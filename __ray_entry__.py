@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_deciles": q.event_value_deciles,
         "segment_acctbal_gini": q.segment_acctbal_gini,
         "customer_rfm": q.customer_rfm,
+        "event_nearest_order": q.event_nearest_order,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1606,6 +1607,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "event_nearest_order": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT event_id, user_id, o_orderkey, gap_us FROM (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+                           AS gap_us,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY abs(epoch_us(e.ts)
+                                        - epoch_us(o.o_orderdate)),
+                                    o.o_orderdate, o.o_orderkey) AS rn
+                FROM events e JOIN o ON e.user_id = o.o_custkey)
+            WHERE rn = 1
         """,
     "segment_acctbal_gini": """
             WITH c AS (SELECT c_mktsegment AS seg,

@@ -287,6 +287,7 @@ def run_bench() -> dict:
     timed("event_value_deciles", q.event_value_deciles)
     timed("segment_acctbal_gini", q.segment_acctbal_gini)
     timed("customer_rfm", q.customer_rfm)
+    timed("event_nearest_order", q.event_nearest_order)
 
     ray.shutdown()
     return {

@@ -8847,3 +8847,162 @@ def customer_rfm(sf_dir: str) -> ray.data.Dataset:
         return pa.table(out)
 
     return metrics.map_batches(score, batch_format="pyarrow")
+
+
+def event_nearest_order(sf_dir: str) -> ray.data.Dataset:
+    """NEAREST-in-time join (both directions): each event pairs with the
+    user's closest order by |event_ts - order_ts|, ties to the EARLIER
+    order — the attribution shape when intent can precede or follow the
+    purchase (asof joins only look backward).
+
+    Physical plan: ONE user%P exchange of skinny int64 rows from both
+    sides (orders pre-dedup (custkey, date) per batch keeping the max
+    orderkey, the event_order_asof discipline); the kernel
+    rank-compresses (key, ts) into one composite int64 per row, finds
+    each event's predecessor/successor order with TWO searchsorted
+    calls, and resolves direction vectorized.  Per-partition cost is
+    O((e+o) log(e+o)); nothing materializes beyond the partition."""
+    P = 32
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "k": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "rid": pa.nulls(0, pa.int64()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def _us(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.asarray(
+            arr.cast(pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(u),
+                "ts": pa.array(_us(batch["ts"])),
+                "rid": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ),
+                "side": pa.array(np.zeros(u.shape[0], dtype=np.int64)),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return EMPTY
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _us(batch["o_orderdate"])
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dedup (custkey, date) keeping max orderkey (stable contract
+        # when several orders share a date)
+        order = np.lexsort((ok, ts, ck))
+        ck, ts, ok = ck[order], ts[order], ok[order]
+        last = np.concatenate(
+            ((ck[1:] != ck[:-1]) | (ts[1:] != ts[:-1]), [True])
+        )
+        ck, ts, ok = ck[last], ts[last], ok[last]
+        return pa.table(
+            {
+                "k": pa.array(ck),
+                "ts": pa.array(ts),
+                "rid": pa.array(ok),
+                "side": pa.array(np.ones(ck.shape[0], dtype=np.int64)),
+                "part": pa.array(ck % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.nulls(0, pa.int64()),
+                "user_id": pa.nulls(0, pa.int64()),
+                "o_orderkey": pa.nulls(0, pa.int64()),
+                "gap_us": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "k" not in group.column_names:
+            return empty
+        k = group["k"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        rid = group["rid"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        ok_k, ok_ts, ok_id = k[iso], ts[iso], rid[iso]
+        ev_k, ev_ts, ev_id = k[~iso], ts[~iso], rid[~iso]
+        if ok_k.shape[0] == 0 or ev_k.shape[0] == 0:
+            return empty
+        # cross-batch (custkey, date) dedup keeping max orderkey
+        o = np.lexsort((ok_id, ok_ts, ok_k))
+        ok_k, ok_ts, ok_id = ok_k[o], ok_ts[o], ok_id[o]
+        last = np.concatenate(
+            ((ok_k[1:] != ok_k[:-1]) | (ok_ts[1:] != ok_ts[:-1]), [True])
+        )
+        ok_k, ok_ts, ok_id = ok_k[last], ok_ts[last], ok_id[last]
+        # composite rank encoding over the union of timestamps
+        ut = np.unique(np.concatenate((ok_ts, ev_ts)))
+        span = np.int64(ut.shape[0] + 1)
+        uk = np.unique(np.concatenate((ok_k, ev_k)))
+        o_enc = (
+            np.searchsorted(uk, ok_k).astype(np.int64) * span
+            + np.searchsorted(ut, ok_ts).astype(np.int64)
+        )
+        e_enc = (
+            np.searchsorted(uk, ev_k).astype(np.int64) * span
+            + np.searchsorted(ut, ev_ts).astype(np.int64)
+        )
+        # first order strictly after (key, event_ts) — equal ts counts
+        # as predecessor (gap 0)
+        pos = np.searchsorted(o_enc, e_enc, side="right")
+        pred = pos - 1
+        pred_ok = (pred >= 0) & (
+            ok_k[np.maximum(pred, 0)] == ev_k
+        )
+        succ = np.minimum(pos, ok_k.shape[0] - 1)
+        succ_ok = (pos < ok_k.shape[0]) & (ok_k[succ] == ev_k)
+        keep = pred_ok | succ_ok
+        if not keep.any():
+            return empty
+        pred_gap = np.where(
+            pred_ok, ev_ts - ok_ts[np.maximum(pred, 0)], np.iinfo(np.int64).max
+        )
+        succ_gap = np.where(
+            succ_ok, ok_ts[succ] - ev_ts, np.iinfo(np.int64).max
+        )
+        # tie -> predecessor (the earlier order date)
+        take_pred = pred_gap <= succ_gap
+        best = np.where(take_pred, np.maximum(pred, 0), succ)
+        gap = np.where(take_pred, pred_gap, succ_gap)
+        return pa.table(
+            {
+                "event_id": pa.array(ev_id[keep]),
+                "user_id": pa.array(ev_k[keep]),
+                "o_orderkey": pa.array(ok_id[best[keep]]),
+                "gap_us": pa.array(gap[keep]),
+            }
+        )
+
+    return (
+        events.map_batches(tag_events, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

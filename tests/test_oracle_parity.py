@@ -59,6 +59,7 @@ ORACLE_QUERIES = [
     "event_value_deciles",
     "segment_acctbal_gini",
     "customer_rfm",
+    "event_nearest_order",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -243,6 +243,56 @@ class TestRFM:
         assert out["f_score"].nunique() == 1
 
 
+class TestNearestOrder:
+    def test_direction_and_tie_break(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import event_nearest_order
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        us = np.timedelta64(1, "us")
+        t0 = np.datetime64("2024-01-10T00:00:00", "us")
+        # user 1 orders at t0-100 (key 11) and t0+100 (key 12):
+        #   event at t0      -> TIE -> earlier order 11, gap 100
+        #   event at t0+60   -> succ closer -> 12, gap 40
+        #   event at t0-100  -> exact match -> 11, gap 0
+        # user 2 has no orders -> its event drops
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([11, 12], type=pa.int64()),
+                    "o_custkey": pa.array([1, 1], type=pa.int64()),
+                    "o_orderdate": pa.array(
+                        [t0 - 100 * us, t0 + 100 * us],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+                    "ts": pa.array(
+                        [t0, t0 + 60 * us, t0 - 100 * us, t0],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = (
+            event_nearest_order(str(d))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out["event_id"].tolist() == [1, 2, 3]
+        assert out["o_orderkey"].tolist() == [11, 12, 11]
+        assert out["gap_us"].tolist() == [100, 40, 0]
+
+
 def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
@@ -261,6 +311,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "event_value_deciles",
         "segment_acctbal_gini",
         "customer_rfm",
+        "event_nearest_order",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
