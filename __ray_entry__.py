@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_acctbal_gini": q.segment_acctbal_gini,
         "customer_rfm": q.customer_rfm,
         "event_nearest_order": q.event_nearest_order,
+        "documents_profile_drift": q.documents_profile_drift,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1607,6 +1608,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "documents_profile_drift": """
+            WITH newsnap AS (
+                SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                            ELSE text END AS text, lang, source
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT text, lang, source FROM documents
+                WHERE doc_id % 19 = 0
+            ),
+            pb AS (
+                SELECT 'text' AS col, count(*) AS n_rows,
+                       count(DISTINCT text) AS nd,
+                       CAST(sum(strlen(text)) AS BIGINT) AS sl
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*), count(DISTINCT lang),
+                       CAST(sum(strlen(lang)) AS BIGINT) FROM documents
+                UNION ALL
+                SELECT 'source', count(*), count(DISTINCT source),
+                       CAST(sum(strlen(source)) AS BIGINT) FROM documents
+            ),
+            pn AS (
+                SELECT 'text' AS col, count(*) AS n_rows,
+                       count(DISTINCT text) AS nd,
+                       CAST(sum(strlen(text)) AS BIGINT) AS sl
+                FROM newsnap
+                UNION ALL
+                SELECT 'lang', count(*), count(DISTINCT lang),
+                       CAST(sum(strlen(lang)) AS BIGINT) FROM newsnap
+                UNION ALL
+                SELECT 'source', count(*), count(DISTINCT source),
+                       CAST(sum(strlen(source)) AS BIGINT) FROM newsnap
+            )
+            SELECT pb.col AS "column",
+                   CAST(pb.n_rows AS BIGINT) AS n_rows_base,
+                   CAST(pn.n_rows AS BIGINT) AS n_rows_new,
+                   CAST(pn.n_rows - pb.n_rows AS BIGINT) AS rows_delta,
+                   CAST(pb.nd AS BIGINT) AS distinct_base,
+                   CAST(pn.nd AS BIGINT) AS distinct_new,
+                   CAST(pn.nd - pb.nd AS BIGINT) AS distinct_delta,
+                   pb.sl AS sum_len_base, pn.sl AS sum_len_new,
+                   CAST(pn.sl - pb.sl AS BIGINT) AS len_delta
+            FROM pb JOIN pn ON pb.col = pn.col
         """,
     "event_nearest_order": """
             WITH o AS (

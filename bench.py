@@ -288,6 +288,7 @@ def run_bench() -> dict:
     timed("segment_acctbal_gini", q.segment_acctbal_gini)
     timed("customer_rfm", q.customer_rfm)
     timed("event_nearest_order", q.event_nearest_order)
+    timed("documents_profile_drift", q.documents_profile_drift)
 
     ray.shutdown()
     return {

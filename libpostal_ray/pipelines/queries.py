@@ -9006,3 +9006,91 @@ def event_nearest_order(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def documents_profile_drift(sf_dir: str) -> ray.data.Dataset:
+    """Schema/statistics DRIFT monitor: profile the documents table and a
+    deterministically derived NEW snapshot (same CDC convention as
+    documents_snapshot_diff: %17 deleted, %13 text-edited, %19
+    re-inserted at +10M) and report per-column stat deltas — the data
+    quality gate a warehouse runs between loads.
+
+    Physical plan: two column_profile passes (partition-the-VALUE exact
+    COUNT DISTINCT, 16 B/distinct exchange — pipelines/profile.py); the
+    join happens on the DRIVER because each profile is exactly one row
+    per column (dimension-sized by construction)."""
+    from libpostal_ray.pipelines.profile import column_profile
+
+    cols = ["text", "lang", "source"]
+
+    def base():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"] + cols
+        )
+
+    def derive_new(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = batch.filter(pa.array(ids % 17 != 0))
+        kids = kept["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ktext = (
+            kept["text"].combine_chunks()
+            if kept.num_rows
+            else pa.array([], type=pa.string())
+        )
+        edited = pc.if_else(
+            pa.array(kids % 13 == 0),
+            pc.binary_join_element_wise(
+                ktext,
+                pa.scalar(" v2", type=ktext.type),
+                pa.scalar("", type=ktext.type),
+            ),
+            ktext,
+        )
+        kept = kept.set_column(
+            kept.column_names.index("text"), "text", edited
+        )
+        re_ins = batch.filter(pa.array(ids % 19 == 0))
+        return pa.concat_tables([kept, re_ins]) if re_ins.num_rows else kept
+
+    prof_base = column_profile(base(), cols).to_pandas()
+    prof_new = column_profile(
+        base().map_batches(derive_new, batch_format="pyarrow"), cols
+    ).to_pandas()
+
+    out_cols = {
+        "column": pa.nulls(0, pa.string()),
+        "n_rows_base": pa.nulls(0, pa.int64()),
+        "n_rows_new": pa.nulls(0, pa.int64()),
+        "rows_delta": pa.nulls(0, pa.int64()),
+        "distinct_base": pa.nulls(0, pa.int64()),
+        "distinct_new": pa.nulls(0, pa.int64()),
+        "distinct_delta": pa.nulls(0, pa.int64()),
+        "sum_len_base": pa.nulls(0, pa.int64()),
+        "sum_len_new": pa.nulls(0, pa.int64()),
+        "len_delta": pa.nulls(0, pa.int64()),
+    }
+    if len(prof_base) == 0 or prof_base["n_rows"].sum() == 0:
+        return ray.data.from_arrow(pa.table(out_cols))
+    b = prof_base.set_index("column")
+    n = prof_new.set_index("column")
+    rows = []
+    for c in cols:
+        rows.append(
+            {
+                "column": c,
+                "n_rows_base": int(b.loc[c, "n_rows"]),
+                "n_rows_new": int(n.loc[c, "n_rows"]),
+                "rows_delta": int(n.loc[c, "n_rows"] - b.loc[c, "n_rows"]),
+                "distinct_base": int(b.loc[c, "n_distinct"]),
+                "distinct_new": int(n.loc[c, "n_distinct"]),
+                "distinct_delta": int(
+                    n.loc[c, "n_distinct"] - b.loc[c, "n_distinct"]
+                ),
+                "sum_len_base": int(b.loc[c, "sum_len"]),
+                "sum_len_new": int(n.loc[c, "sum_len"]),
+                "len_delta": int(n.loc[c, "sum_len"] - b.loc[c, "sum_len"]),
+            }
+        )
+    return ray.data.from_pandas(pd.DataFrame(rows))

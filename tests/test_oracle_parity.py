@@ -60,6 +60,7 @@ ORACLE_QUERIES = [
     "segment_acctbal_gini",
     "customer_rfm",
     "event_nearest_order",
+    "documents_profile_drift",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -293,6 +293,17 @@ class TestNearestOrder:
         assert out["gap_us"].tolist() == [100, 40, 0]
 
 
+def test_profile_drift_empty_corpus(ray_session, tmp_path):
+    from libpostal_ray.pipelines.queries import documents_profile_drift
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    pq.write_table(schema.empty_table(), str(d / "documents.parquet"))
+    out = documents_profile_drift(str(d)).to_pandas()
+    assert len(out) == 0
+
+
 def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
