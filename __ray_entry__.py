@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": q.customer_rfm,
         "event_nearest_order": q.event_nearest_order,
         "documents_profile_drift": q.documents_profile_drift,
+        "user_out_of_order_events": q.user_out_of_order_events,
+        "events_daily_autocorr": q.events_daily_autocorr,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1608,6 +1610,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "user_out_of_order_events": """
+            WITH w AS (
+                SELECT user_id, ts,
+                       max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS mx
+                FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN ts < mx THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_out_of_order,
+                   CAST(max(CASE WHEN ts < mx
+                                 THEN epoch_us(mx) - epoch_us(ts)
+                                 ELSE 0 END) AS BIGINT)
+                       AS max_lateness_us
+            FROM w GROUP BY user_id
+        """,
+    "events_daily_autocorr": """
+            WITH d AS (SELECT date_diff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) AS day,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            p AS (SELECT a.c AS x, b.c AS y
+                  FROM d a JOIN d b ON b.day = a.day + 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x*x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y*y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x*y) AS BIGINT) AS sum_xy,
+                   CASE WHEN (count(*)*sum(x*x) - sum(x)*sum(x))
+                             * (count(*)*sum(y*y) - sum(y)*sum(y)) > 0
+                        THEN CAST(count(*)*sum(x*y) - sum(x)*sum(y)
+                                  AS DOUBLE)
+                             / sqrt(CAST((count(*)*sum(x*x)
+                                          - sum(x)*sum(x))
+                                         * (count(*)*sum(y*y)
+                                            - sum(y)*sum(y)) AS DOUBLE))
+                        END AS r
+            FROM p HAVING count(*) > 0
         """,
     "documents_profile_drift": """
             WITH newsnap AS (

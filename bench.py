@@ -289,6 +289,8 @@ def run_bench() -> dict:
     timed("customer_rfm", q.customer_rfm)
     timed("event_nearest_order", q.event_nearest_order)
     timed("documents_profile_drift", q.documents_profile_drift)
+    timed("user_out_of_order_events", q.user_out_of_order_events)
+    timed("events_daily_autocorr", q.events_daily_autocorr)
 
     ray.shutdown()
     return {

@@ -9094,3 +9094,204 @@ def documents_profile_drift(sf_dir: str) -> ray.data.Dataset:
             }
         )
     return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def user_out_of_order_events(sf_dir: str) -> ray.data.Dataset:
+    """Out-of-order arrival accounting per user (the streaming-health
+    metric behind watermark tuning): an event is LATE when its ts is
+    below the running max ts of earlier-arriving events (arrival order
+    = event_id).  Emits per-user totals and the worst lateness.
+
+    Physical plan: ONE user%P exchange; the kernel sorts by (user,
+    event_id) and computes the per-SEGMENT exclusive prefix max without
+    any Python per group: rank-compress ts, encode seg*(R+1)+rank —
+    segments are strictly increasing blocks, so a cross-segment
+    maximum can never leak into the next segment's cummax — then one
+    np.maximum.accumulate and a shift.  Encoding bound: segments x
+    distinct-ts per partition < 2^63 (10^9 x 10^9 headroom)."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "event_id": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(np.asarray(ts, dtype=np.int64)),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "n_events": pa.nulls(0, pa.int64()),
+                "n_out_of_order": pa.nulls(0, pa.int64()),
+                "max_lateness_us": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, u))
+        u_s, ts_s = u[order], ts[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        )
+        n = np.diff(np.append(starts, u_s.shape[0]))
+        seg = np.repeat(np.arange(starts.shape[0], dtype=np.int64), n)
+        ut = np.unique(ts_s)
+        R = np.int64(ut.shape[0] + 1)
+        enc = seg * R + np.searchsorted(ut, ts_s).astype(np.int64)
+        cm = np.maximum.accumulate(enc)
+        # exclusive prefix max: shift right; segment-first rows have none
+        prev = np.empty_like(cm)
+        prev[1:] = cm[:-1]
+        prev[starts] = -1
+        valid = prev >= seg * R  # same segment (first rows excluded)
+        mx_ts = ut[np.maximum(prev - seg * R, 0)]
+        late = valid & (ts_s < mx_ts)
+        lateness = np.where(late, mx_ts - ts_s, 0)
+        n_late = np.zeros(starts.shape[0], dtype=np.int64)
+        np.add.at(n_late, seg, late.astype(np.int64))
+        worst = np.maximum.reduceat(lateness, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts]),
+                "n_events": pa.array(n.astype(np.int64)),
+                "n_out_of_order": pa.array(n_late),
+                "max_lateness_us": pa.array(worst.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def events_daily_autocorr(sf_dir: str) -> ray.data.Dataset:
+    """Lag-1 autocorrelation of the DAILY event-count series (seasonality
+    probe): Pearson r over consecutive-day count pairs (both days
+    present), emitted as the SIX exact int64 moments plus their one
+    deterministic float64 evaluation — the gini/trend discipline, so
+    both engines agree bit-for-bit.
+
+    Physical plan: per-batch (epoch-day, count) partials bound the
+    exchange by active days per batch, one day%1 reduce (the day series
+    is dimension-sized by construction: 10^5 days = 300 years), pairs
+    and moments on the tiny merged series."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    DAY_US = np.int64(86_400_000_000)
+
+    EMPTY_OUT = pa.table(
+        {
+            "n_pairs": pa.nulls(0, pa.int64()),
+            "sum_x": pa.nulls(0, pa.int64()),
+            "sum_y": pa.nulls(0, pa.int64()),
+            "sum_xx": pa.nulls(0, pa.int64()),
+            "sum_yy": pa.nulls(0, pa.int64()),
+            "sum_xy": pa.nulls(0, pa.int64()),
+            "r": pa.nulls(0, pa.float64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.table(
+                {
+                    "day": pa.nulls(0, pa.int64()),
+                    "c": pa.nulls(0, pa.int64()),
+                    "g": pa.nulls(0, pa.int64()),
+                }
+            )
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = np.asarray(ts, dtype=np.int64) // DAY_US
+        ud, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(ud),
+                "c": pa.array(c.astype(np.int64)),
+                "g": pa.array(np.zeros(ud.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "day" not in group.column_names:
+            return EMPTY_OUT
+        d = group["day"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, c)
+        # consecutive-day pairs (x = day t count, y = day t+1 count)
+        nxt = ud[1:] - ud[:-1] == 1
+        x = tot[:-1][nxt]
+        y = tot[1:][nxt]
+        m = np.int64(x.shape[0])
+        if m == 0:
+            return EMPTY_OUT
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = m * sxy - sx * sy
+        den2 = (m * sxx - sx * sx) * (m * syy - sy * sy)
+        import math
+
+        r = float(num) / math.sqrt(float(den2)) if den2 > 0 else None
+        return pa.table(
+            {
+                "n_pairs": pa.array([int(m)], type=pa.int64()),
+                "sum_x": pa.array([sx], type=pa.int64()),
+                "sum_y": pa.array([sy], type=pa.int64()),
+                "sum_xx": pa.array([sxx], type=pa.int64()),
+                "sum_yy": pa.array([syy], type=pa.int64()),
+                "sum_xy": pa.array([sxy], type=pa.int64()),
+                "r": pa.array([r], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: kernel(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else kernel(t),
+            batch_format="pyarrow",
+        )
+    )

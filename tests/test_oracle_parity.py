@@ -61,6 +61,8 @@ ORACLE_QUERIES = [
     "customer_rfm",
     "event_nearest_order",
     "documents_profile_drift",
+    "user_out_of_order_events",
+    "events_daily_autocorr",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -293,6 +293,51 @@ class TestNearestOrder:
         assert out["gap_us"].tolist() == [100, 40, 0]
 
 
+class TestOutOfOrder:
+    def test_running_max_semantics(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_out_of_order_events
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        us = np.timedelta64(1, "us")
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        # user 1 arrival order (event_id): ts 10, 5 (late by 5), 20,
+        # 7 (late by 13), 20 (equal to max -> NOT late)
+        ts = [t0 + k * us for k in (10, 5, 20, 7, 20)]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([1] * 5, type=pa.int64()),
+                    "ts": pa.array(ts, type=pa.timestamp("us")),
+                    "event_id": pa.array(range(5), type=pa.int64()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = user_out_of_order_events(str(d)).to_pandas()
+        assert len(out) == 1
+        assert out.loc[0, "n_events"] == 5
+        assert out.loc[0, "n_out_of_order"] == 2
+        assert out.loc[0, "max_lateness_us"] == 13
+
+
+class TestAutocorr:
+    def test_exact_moments_vs_numpy(self, ray_session):
+        from libpostal_ray.pipelines.queries import events_daily_autocorr
+
+        out = events_daily_autocorr(SF).to_pandas()
+        assert len(out) == 1
+        m = out.loc[0]
+        num = m.n_pairs * m.sum_xy - m.sum_x * m.sum_y
+        den2 = (m.n_pairs * m.sum_xx - m.sum_x**2) * (
+            m.n_pairs * m.sum_yy - m.sum_y**2
+        )
+        import math
+
+        assert m.r == float(num) / math.sqrt(float(den2))
+        assert -1.0 <= m.r <= 1.0
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -323,6 +368,8 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "segment_acctbal_gini",
         "customer_rfm",
         "event_nearest_order",
+        "user_out_of_order_events",
+        "events_daily_autocorr",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
