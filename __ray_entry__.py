@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_profile_drift": q.documents_profile_drift,
         "user_out_of_order_events": q.user_out_of_order_events,
         "events_daily_autocorr": q.events_daily_autocorr,
+        "source_mixture_weights": q.source_mixture_weights,
+        "dup_cluster_histogram": q.dup_cluster_histogram,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1610,6 +1612,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "source_mixture_weights": """
+            WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                                   ELSE length(regexp_split_to_array(
+                                        trim(text), '\\s+')) END)
+                                   AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS ns FROM s)
+            SELECT s.source, s.n_docs, s.n_tokens,
+                   CAST(t.tot AS DOUBLE)
+                       / CAST(t.ns * s.n_tokens AS DOUBLE) AS weight
+            FROM s, t
+        """,
+    "dup_cluster_histogram": """
+            WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+                       FROM documents GROUP BY 1)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM g GROUP BY 1
         """,
     "user_out_of_order_events": """
             WITH w AS (

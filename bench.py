@@ -291,6 +291,8 @@ def run_bench() -> dict:
     timed("documents_profile_drift", q.documents_profile_drift)
     timed("user_out_of_order_events", q.user_out_of_order_events)
     timed("events_daily_autocorr", q.events_daily_autocorr)
+    timed("source_mixture_weights", q.source_mixture_weights)
+    timed("dup_cluster_histogram", q.dup_cluster_histogram)
 
     ray.shutdown()
     return {

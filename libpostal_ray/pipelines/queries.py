@@ -9295,3 +9295,194 @@ def events_daily_autocorr(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def source_mixture_weights(sf_dir: str) -> ray.data.Dataset:
+    """Domain-mixture reweighting (the DoReMi-lite step of corpus prep):
+    per-source doc/token counts plus the sampling weight that equalizes
+    token mass across sources — weight = total_tokens / (n_sources x
+    source_tokens), so weighted token shares become uniform.
+
+    Physical plan: per-batch (source, n_docs, n_tokens) partials (token
+    counts vectorized per row, the token_count convention) collapse the
+    exchange to sources x batches skinny rows; sources are
+    dimension-cardinality so ONE final group computes totals and the
+    single deterministic float64 division both engines evaluate on
+    exact ints."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "source": pa.nulls(0, pa.string()),
+            "n_docs": pa.nulls(0, pa.int64()),
+            "n_tokens": pa.nulls(0, pa.int64()),
+            "g": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "source" not in batch.column_names:
+            return EMPTY
+        n = np.array(
+            [len((t or "").split()) for t in batch["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        enc = (
+            batch["source"].combine_chunks()
+            if isinstance(batch["source"], pa.ChunkedArray)
+            else batch["source"]
+        ).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.bincount(codes, minlength=len(enc.dictionary))
+        nt = np.bincount(
+            codes, weights=n.astype(np.float64), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "source": enc.dictionary,
+                "n_docs": pa.array(nd.astype(np.int64)),
+                "n_tokens": pa.array(nt),
+                "g": pa.array(np.zeros(len(enc.dictionary), dtype=np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.nulls(0, pa.string()),
+                "n_docs": pa.nulls(0, pa.int64()),
+                "n_tokens": pa.nulls(0, pa.int64()),
+                "weight": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "source" not in group.column_names:
+            return empty
+        enc = group["source"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.zeros(len(enc.dictionary), dtype=np.int64)
+        nt = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(nd, codes, group["n_docs"].to_numpy(zero_copy_only=False))
+        np.add.at(nt, codes, group["n_tokens"].to_numpy(zero_copy_only=False))
+        total = int(nt.sum())
+        ns = np.int64(len(enc.dictionary))
+        w = np.divide(
+            float(total),
+            (ns * nt).astype(np.float64),
+            out=np.zeros(nt.shape[0], dtype=np.float64),
+            where=nt != 0,
+        )
+        return pa.table(
+            {
+                "source": enc.dictionary,
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(nt),
+                "weight": pa.array(w),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: kernel(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else kernel(t),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def dup_cluster_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Exact-duplicate CLUSTER-SIZE distribution (the dedup report's
+    headline chart: how many content groups have exactly k copies).
+
+    Physical plan: per-batch md5 + local counts (content never
+    shuffles, the exact_dedup discipline); ONE hash%P exchange of
+    (md5, n) partials; the kernel finishes per-hash sums and emits its
+    LOCAL histogram, so the tail reduce sees <= P x distinct-sizes
+    rows."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "h": pa.nulls(0, pa.string()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return EMPTY
+        hs = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        arr = pa.array(hs, type=pa.string())
+        enc = arr.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(
+            np.int64
+        )
+        hpart = np.array(
+            [int(x[:8], 16) for x in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "h": enc.dictionary,
+                "n": pa.array(cnt),
+                "part": pa.array(hpart % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cluster_size": pa.nulls(0, pa.int64()),
+                "n_clusters": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return empty
+        enc = group["h"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        tot = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(tot, codes, n)
+        sz, nc = np.unique(tot, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(sz.astype(np.int64)),
+                "n_clusters": pa.array(nc.astype(np.int64)),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        sz = batch["cluster_size"].to_numpy(zero_copy_only=False)
+        nc = batch["n_clusters"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sz, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, nc)
+        return pa.table(
+            {
+                "cluster_size": pa.array(uk.astype(np.int64)),
+                "n_clusters": pa.array(tot),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

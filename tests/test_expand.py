@@ -274,6 +274,7 @@ class TestLanguagePacks:
             "en", "es", "fr", "de", "pt", "it", "nl", "la",
             "sv", "da", "no", "pl", "cs", "fi", "tr",
             "ro", "hu", "ca", "id", "sk", "hr",
+            "lt", "lv", "et", "sl", "gl", "eu", "ms", "sq", "tl",
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles

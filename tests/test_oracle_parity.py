@@ -63,6 +63,8 @@ ORACLE_QUERIES = [
     "documents_profile_drift",
     "user_out_of_order_events",
     "events_daily_autocorr",
+    "source_mixture_weights",
+    "dup_cluster_histogram",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

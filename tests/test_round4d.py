@@ -338,6 +338,48 @@ class TestAutocorr:
         assert -1.0 <= m.r <= 1.0
 
 
+class TestMixtureWeights:
+    def test_uniform_target(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import source_mixture_weights
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # source a: 6 tokens total, source b: 2 -> total 8, ns 2
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(["a", "a", "b"]),
+                    "text": pa.array(["x y z", "p q r", "u v"]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = source_mixture_weights(str(d)).to_pandas().set_index("source")
+        assert out.loc["a", "n_tokens"] == 6
+        assert out.loc["b", "n_tokens"] == 2
+        assert out.loc["a", "weight"] == 8.0 / 12.0
+        assert out.loc["b", "weight"] == 8.0 / 4.0
+        # weighted token mass equalizes across sources
+        assert (
+            out.loc["a", "weight"] * 6 == out.loc["b", "weight"] * 2
+        )
+
+
+class TestDupHistogram:
+    def test_planted_copies(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import dup_cluster_histogram
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        texts = ["unique%d" % i for i in range(5)] + ["copy"] * 3 + ["pair"] * 2
+        pq.write_table(
+            pa.table({"text": pa.array(texts)}), str(d / "documents.parquet")
+        )
+        out = dup_cluster_histogram(str(d)).to_pandas()
+        got = dict(zip(out["cluster_size"], out["n_clusters"]))
+        assert got == {1: 5, 2: 1, 3: 1}
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -355,7 +397,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
     src = SF
     d = tmp_path / "sf_empty"
     d.mkdir()
-    for t in ("events", "lineitem", "orders", "customer"):
+    for t in ("events", "lineitem", "orders", "customer", "documents"):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
@@ -370,6 +412,8 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "event_nearest_order",
         "user_out_of_order_events",
         "events_daily_autocorr",
+        "dup_cluster_histogram",
+        "source_mixture_weights",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
