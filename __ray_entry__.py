@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_autocorr": q.events_daily_autocorr,
         "source_mixture_weights": q.source_mixture_weights,
         "dup_cluster_histogram": q.dup_cluster_histogram,
+        "events_anomaly_hours": q.events_anomaly_hours,
+        "order_fulfillment_lag": q.order_fulfillment_lag,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1612,6 +1614,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "events_anomaly_hours": """
+            WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                              AS hour,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            m AS (SELECT quantile_disc(c, 0.5) AS med FROM h),
+            d AS (SELECT h.hour, h.c, abs(h.c - m.med) AS dev FROM h, m),
+            md AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+            SELECT d.hour, d.c AS n_events, CAST(d.dev AS BIGINT) AS abs_dev
+            FROM d, md WHERE d.dev > 3 * md.mad
+        """,
+    "order_fulfillment_lag": """
+            WITH l AS (SELECT l_orderkey, max(l_shipdate) AS ship
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT o.o_orderpriority AS prio,
+                         epoch_us(l.ship) - epoch_us(o.o_orderdate)
+                             AS lag_us
+                  FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey)
+            SELECT prio AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY lag_us)
+                       AS lag_q1,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_us)
+                       AS lag_med,
+                   percentile_cont(0.75) WITHIN GROUP (ORDER BY lag_us)
+                       AS lag_q3
+            FROM j GROUP BY 1
         """,
     "source_mixture_weights": """
             WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -293,6 +293,8 @@ def run_bench() -> dict:
     timed("events_daily_autocorr", q.events_daily_autocorr)
     timed("source_mixture_weights", q.source_mixture_weights)
     timed("dup_cluster_histogram", q.dup_cluster_histogram)
+    timed("events_anomaly_hours", q.events_anomaly_hours)
+    timed("order_fulfillment_lag", q.order_fulfillment_lag)
 
     ray.shutdown()
     return {

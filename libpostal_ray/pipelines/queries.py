@@ -9486,3 +9486,264 @@ def dup_cluster_histogram(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def events_anomaly_hours(sf_dir: str) -> ray.data.Dataset:
+    """Robust ANOMALY flagging over the hourly event-count series: hours
+    whose count deviates from the series median by more than 3x the
+    median absolute deviation — all in integers (quantile_disc lower
+    semantics, DuckDB index = ceil(q*n)-1) so both engines flag the
+    exact same hours.  Only hours WITH events enter the series (gaps
+    are absence, not zeros — documented semantics).
+
+    Physical plan: per-batch (hour, count) partials bound the exchange
+    by active hours per batch; the hour series is dimension-sized
+    (10^5 hours = 11 years), so ONE final group sorts it and applies
+    the two-stage median/MAD test vectorized."""
+    HOUR_US = np.int64(3_600_000_000)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_OUT = pa.table(
+        {
+            "hour": pa.nulls(0, pa.int64()),
+            "n_events": pa.nulls(0, pa.int64()),
+            "abs_dev": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.table(
+                {
+                    "hour": pa.nulls(0, pa.int64()),
+                    "c": pa.nulls(0, pa.int64()),
+                    "g": pa.nulls(0, pa.int64()),
+                }
+            )
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        h = np.asarray(ts, dtype=np.int64) // HOUR_US
+        uh, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(uh),
+                "c": pa.array(c.astype(np.int64)),
+                "g": pa.array(np.zeros(uh.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def _disc_median(v: np.ndarray) -> np.int64:
+        # quantile_disc(0.5): value at 0-based index ceil(0.5*n) - 1
+        s = np.sort(v)
+        return s[int(np.ceil(0.5 * s.shape[0])) - 1]
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "hour" not in group.column_names:
+            return EMPTY_OUT
+        h = group["hour"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        tot = np.zeros(uh.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, c)
+        med = _disc_median(tot)
+        dev = np.abs(tot - med)
+        mad = _disc_median(dev)
+        keep = dev > 3 * mad
+        if not keep.any():
+            return EMPTY_OUT
+        return pa.table(
+            {
+                "hour": pa.array(uh[keep]),
+                "n_events": pa.array(tot[keep]),
+                "abs_dev": pa.array(dev[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: kernel(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else kernel(t),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def order_fulfillment_lag(sf_dir: str) -> ray.data.Dataset:
+    """Fulfillment-lag SLA profile: per order-priority, the q1/median/q3
+    of (last shipment date - order date), interpolated at binary
+    fractions so the float64 outputs are bit-identical across engines
+    (the priority_price_iqr discipline).
+
+    Physical plan: lineitem pre-reduces to per-batch (orderkey, max
+    shipdate); ONE orderkey%P exchange joins against (orderkey,
+    orderdate, priority) rows and emits order-dimension (priority,
+    lag) pairs; a second tiny crc(prio)%8 exchange co-locates each
+    priority's lags (priorities are dimension-cardinality) for the
+    vectorized in-partition interpolation."""
+    import zlib
+
+    P = 32
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "prio": pa.nulls(0, pa.string()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def _us(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.asarray(
+            arr.cast(pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "ts": pa.array(_us(batch["o_orderdate"])),
+                "prio": batch["o_orderpriority"],
+                "side": pa.array(np.ones(ok.shape[0], dtype=np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _us(batch["l_shipdate"])
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(uk.shape[0], np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table(
+            {
+                "ok": pa.array(uk),
+                "ts": pa.array(mx),
+                "prio": pa.array([""] * uk.shape[0], type=pa.string()),
+                "side": pa.array(np.zeros(uk.shape[0], dtype=np.int64)),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def join_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prio": pa.nulls(0, pa.string()),
+                "lag_us": pa.nulls(0, pa.int64()),
+                "p2": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        lk, lt = ok[~iso], ts[~iso]
+        if lk.shape[0] == 0 or not iso.any():
+            return empty
+        uk = np.unique(lk)
+        pos = np.searchsorted(uk, lk)
+        mx = np.full(uk.shape[0], np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, pos, lt)
+        ook, ots = ok[iso], ts[iso]
+        p = np.searchsorted(uk, ook)
+        p_c = np.minimum(p, uk.shape[0] - 1)
+        hit = uk[p_c] == ook
+        if not hit.any():
+            return empty
+        prio = group["prio"].combine_chunks().take(
+            pa.array(np.flatnonzero(iso)[hit])
+        )
+        lag = mx[p_c[hit]] - ots[hit]
+        h = np.array(
+            [zlib.crc32(s.encode()) for s in prio.to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "prio": prio,
+                "lag_us": pa.array(lag),
+                "p2": pa.array(h % 8),
+            }
+        )
+
+    QS = (0.25, 0.5, 0.75)
+
+    def quant_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderpriority": pa.nulls(0, pa.string()),
+                "n_orders": pa.nulls(0, pa.int64()),
+                "lag_q1": pa.nulls(0, pa.float64()),
+                "lag_med": pa.nulls(0, pa.float64()),
+                "lag_q3": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "prio" not in group.column_names:
+            return empty
+        enc = group["prio"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group["lag_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        )
+        n = np.diff(np.append(starts, c_s.shape[0]))
+        out = {"n": n}
+        qcols = {}
+        for q, name in zip(QS, ("lag_q1", "lag_med", "lag_q3")):
+            hidx = q * (n - 1)
+            lo = np.floor(hidx).astype(np.int64)
+            hi = np.minimum(lo + 1, n - 1)
+            frac = hidx - lo
+            vlo = v_s[starts + lo].astype(np.float64)
+            vhi = v_s[starts + hi].astype(np.float64)
+            qcols[name] = vlo + frac * (vhi - vlo)
+        return pa.table(
+            {
+                "o_orderpriority": enc.dictionary.take(pa.array(c_s[starts])),
+                "n_orders": pa.array(n.astype(np.int64)),
+                "lag_q1": pa.array(qcols["lag_q1"]),
+                "lag_med": pa.array(qcols["lag_med"]),
+                "lag_q3": pa.array(qcols["lag_q3"]),
+            }
+        )
+
+    return (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(line.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(join_kernel, batch_format="pyarrow")
+        .groupby("p2")
+        .map_groups(
+            lambda t: quant_kernel(
+                t.drop_columns(["p2"]) if "p2" in t.column_names else t
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -65,6 +65,8 @@ ORACLE_QUERIES = [
     "events_daily_autocorr",
     "source_mixture_weights",
     "dup_cluster_histogram",
+    "events_anomaly_hours",
+    "order_fulfillment_lag",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -380,6 +380,42 @@ class TestDupHistogram:
         assert got == {1: 5, 2: 1, 3: 1}
 
 
+class TestAnomalyHours:
+    def test_planted_spike(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_anomaly_hours
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        hr = np.timedelta64(1, "h")
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        # 20 quiet hours with 10 events each, one spike hour with 100
+        ts = []
+        for h in range(20):
+            ts += [t0 + h * hr] * 10
+        ts += [t0 + 30 * hr] * 100
+        pq.write_table(
+            pa.table(
+                {"ts": pa.array(np.array(ts, dtype="datetime64[us]"),
+                                type=pa.timestamp("us"))}
+            ),
+            str(d / "events.parquet"),
+        )
+        out = events_anomaly_hours(str(d)).to_pandas()
+        assert len(out) == 1
+        assert out.loc[0, "n_events"] == 100
+        assert out.loc[0, "abs_dev"] == 90
+
+
+class TestFulfillmentLag:
+    def test_interpolation_matches_numpy(self, ray_session):
+        from libpostal_ray.pipelines.queries import order_fulfillment_lag
+
+        out = order_fulfillment_lag(SF).to_pandas()
+        assert len(out) == 5
+        assert (out["lag_q1"] <= out["lag_med"]).all()
+        assert (out["lag_med"] <= out["lag_q3"]).all()
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -414,6 +450,8 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "events_daily_autocorr",
         "dup_cluster_histogram",
         "source_mixture_weights",
+        "events_anomaly_hours",
+        "order_fulfillment_lag",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
