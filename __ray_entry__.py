@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": q.dup_cluster_histogram,
         "events_anomaly_hours": q.events_anomaly_hours,
         "order_fulfillment_lag": q.order_fulfillment_lag,
+        "tpch_q6_forecast_revenue": q.tpch_q6_forecast_revenue,
+        "tpch_q10_returned": q.tpch_q10_returned,
+        "tpch_q14_promo_share": q.tpch_q14_promo_share,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1614,6 +1617,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "tpch_q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+    "tpch_q10_returned": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS lost_cents
+            FROM customer c, orders o, lineitem l, nation n
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND l.l_returnflag = 'R'
+              AND c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY lost_cents DESC, c.c_custkey LIMIT 20
+        """,
+    "tpch_q14_promo_share": """
+            WITH j AS (
+                SELECT CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT) AS cents,
+                       p.p_type = 'PROMO' AS is_promo
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01')
+            SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END)
+                        AS BIGINT) AS promo_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   100.0 * CAST(CAST(sum(CASE WHEN is_promo THEN cents
+                                             ELSE 0 END) AS BIGINT)
+                                AS DOUBLE)
+                       / CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                       AS promo_share_pct
+            FROM j
         """,
     "events_anomaly_hours": """
             WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT)

@@ -295,6 +295,9 @@ def run_bench() -> dict:
     timed("dup_cluster_histogram", q.dup_cluster_histogram)
     timed("events_anomaly_hours", q.events_anomaly_hours)
     timed("order_fulfillment_lag", q.order_fulfillment_lag)
+    timed("tpch_q6_forecast_revenue", q.tpch_q6_forecast_revenue)
+    timed("tpch_q10_returned", q.tpch_q10_returned)
+    timed("tpch_q14_promo_share", q.tpch_q14_promo_share)
 
     ray.shutdown()
     return {

@@ -9262,12 +9262,18 @@ def events_daily_autocorr(sf_dir: str) -> ray.data.Dataset:
         nxt = ud[1:] - ud[:-1] == 1
         x = tot[:-1][nxt]
         y = tot[1:][nxt]
-        m = np.int64(x.shape[0])
+        # ALL moment arithmetic in Python ints: den2 is a product of two
+        # ~n*sum(x^2)-sized terms and overflows int64 well below 10M
+        # rows (DuckDB computes it in int128) — caught by the 10M volume
+        # harness, r came back 30.5
+        m = int(x.shape[0])
         if m == 0:
             return EMPTY_OUT
-        sx, sy = int(x.sum()), int(y.sum())
-        sxx, syy = int((x * x).sum()), int((y * y).sum())
-        sxy = int((x * y).sum())
+        xl, yl = x.tolist(), y.tolist()  # day series is dimension-small
+        sx, sy = sum(xl), sum(yl)
+        sxx = sum(v * v for v in xl)
+        syy = sum(v * v for v in yl)
+        sxy = sum(a * b for a, b in zip(xl, yl))
         num = m * sxy - sx * sy
         den2 = (m * sxx - sx * sx) * (m * syy - sy * sy)
         import math
@@ -9744,6 +9750,370 @@ def order_fulfillment_lag(sf_dir: str) -> ray.data.Dataset:
             lambda t: quant_kernel(
                 t.drop_columns(["p2"]) if "p2" in t.column_names else t
             ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def tpch_q6_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6 analog (forecasting-revenue change): one filtered
+    scan-and-sum — revenue = sum(extendedprice * discount) over a
+    shipdate year, a discount band and small quantities.  EVERY
+    predicate pushes into the parquet read (row-group pruning at scale);
+    revenue integerizes per row so the distributed sum is associative.
+
+    Physical plan: zero exchanges — per-batch partial sums reduce
+    through one single-group tail."""
+    import pyarrow.dataset as pads
+
+    lo = pa.scalar(
+        np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    hi = pa.scalar(
+        np.datetime64("1997-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    flt = (
+        (pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=flt,
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_OUT = pa.table(
+        {
+            "revenue_cents": pa.nulls(0, pa.int64()),
+            "n_rows": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rev": pa.nulls(0, pa.int64()),
+                "n": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "l_extendedprice" not in batch.column_names:
+            return empty
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * dc * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "rev": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+                "g": pa.array([0], type=pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "rev" not in group.column_names:
+            return EMPTY_OUT
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(group["rev"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+                "n_rows": pa.array(
+                    [int(group["n"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: final(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else final(t),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def tpch_q10_returned(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q10 analog (returned-item reporting): top 20 customers by
+    lost revenue from RETURNED lineitems of orders placed in 1996-H1,
+    with customer name and nation attached.
+
+    Physical plan: the broadcast-star again — date-filtered orders
+    reduce to ONE {orderkey -> custkey} map and customer+nation dims to
+    ONE {custkey -> (name, nation)} map, both built in a remote task;
+    lineitem streams with returnflag='R' pushed into the read,
+    integerizes revenue per row and pre-aggregates per custkey per
+    batch; custkey%P exchange + local top-20 + one 20*P-row tail."""
+    import pyarrow.dataset as pads
+
+    lo = pa.scalar(
+        np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    hi = pa.scalar(
+        np.datetime64("1996-07-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    P = 32
+    K = 20
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(n_ord: int, n_cust: int, *refs) -> tuple:
+        op = [t for t in refs[:n_ord] if t.num_rows]
+        cp = [t for t in refs[n_ord:n_ord + n_cust] if t.num_rows]
+        np_ = [t for t in refs[n_ord + n_cust:] if t.num_rows]
+        if not op or not cp or not np_:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=object),
+            )
+        ot = pa.concat_tables(op)
+        ct = pa.concat_tables(cp)
+        nt = pa.concat_tables(np_)
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok)
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = np.asarray(ct["c_name"].to_pylist(), dtype=object)
+        cnat = ct["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = np.asarray(nt["n_name"].to_pylist(), dtype=object)
+        npos = np.searchsorted(np.sort(nk), cnat)
+        nn_by_nk = nn[np.argsort(nk)]
+        corder = np.argsort(ck)
+        return (
+            ok[order],
+            oc[order],
+            ck[corder],
+            cn[corder],
+            nn_by_nk[npos][corder],
+        )
+
+    ord_refs = orders.to_arrow_refs()
+    cust_refs = cust.to_arrow_refs()
+    nat_refs = nation.to_arrow_refs()
+    state_ref = build_state.remote(
+        len(ord_refs), len(cust_refs), *ord_refs, *cust_refs, *nat_refs
+    )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ck": pa.nulls(0, pa.int64()),
+            "rev": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        keys, custs, _, _, _ = ray.get(state_ref)
+        if keys.shape[0] == 0:
+            return EMPTY
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.minimum(pos, keys.shape[0] - 1)
+        hit = keys[pos_c] == lk
+        if not hit.any():
+            return EMPTY
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        rev = np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+        ck = custs[pos_c[hit]]
+        uk, inv = np.unique(ck, return_inverse=True)
+        sums = np.bincount(inv, weights=rev.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "ck": pa.array(uk),
+                "rev": pa.array(sums),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_custkey": pa.nulls(0, pa.int64()),
+                "lost_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ck" not in group.column_names:
+            return empty
+        ck = group["ck"].to_numpy(zero_copy_only=False)
+        rev = group["rev"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        order = np.lexsort((uk, -tot))[:K]
+        return pa.table(
+            {
+                "c_custkey": pa.array(uk[order]),
+                "lost_cents": pa.array(tot[order]),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_custkey": pa.nulls(0, pa.int64()),
+                "c_name": pa.nulls(0, pa.string()),
+                "n_name": pa.nulls(0, pa.string()),
+                "lost_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        rev = batch["lost_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[:K]
+        ck, rev = ck[order], rev[order]
+        _, _, cks, cns, nns = ray.get(state_ref)
+        pos = np.searchsorted(cks, ck)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck),
+                "c_name": pa.array(cns[pos].tolist(), type=pa.string()),
+                "n_name": pa.array(nns[pos].tolist(), type=pa.string()),
+                "lost_cents": pa.array(rev),
+            }
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def tpch_q14_promo_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14 analog (promotion effect): the share of 1996 revenue
+    from PROMO-type parts, as exact integer numerator/denominator plus
+    the one deterministic percentage division.
+
+    Physical plan: the part dimension reduces to a sorted promo-key
+    array broadcast once; lineitem streams with the shipdate filter
+    pushed into the read, integerizes per row and emits ONE partial row
+    per batch — zero exchanges beyond the single-group tail."""
+    import pyarrow.dataset as pads
+
+    lo = pa.scalar(
+        np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    hi = pa.scalar(
+        np.datetime64("1997-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_promo(*refs) -> np.ndarray:
+        parts = [t for t in refs if t.num_rows]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        t = pa.concat_tables(parts)
+        keep = pc.equal(t["p_type"], "PROMO")
+        pk = t.filter(keep)["p_partkey"].to_numpy(zero_copy_only=False)
+        return np.sort(pk.astype(np.int64))
+
+    promo_ref = build_promo.remote(*part.to_arrow_refs())
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_OUT = pa.table(
+        {
+            "promo_cents": pa.nulls(0, pa.int64()),
+            "total_cents": pa.nulls(0, pa.int64()),
+            "promo_share_pct": pa.nulls(0, pa.float64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p": pa.nulls(0, pa.int64()),
+                "t": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return empty
+        promo = ray.get(promo_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+        if promo.shape[0]:
+            pos = np.minimum(np.searchsorted(promo, pk), promo.shape[0] - 1)
+            isp = promo[pos] == pk
+        else:
+            isp = np.zeros(pk.shape[0], dtype=bool)
+        return pa.table(
+            {
+                "p": pa.array([int(rev[isp].sum())], type=pa.int64()),
+                "t": pa.array([int(rev.sum())], type=pa.int64()),
+                "g": pa.array([0], type=pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "p" not in group.column_names:
+            return EMPTY_OUT
+        p = int(group["p"].to_numpy(zero_copy_only=False).sum())
+        t = int(group["t"].to_numpy(zero_copy_only=False).sum())
+        share = 100.0 * float(p) / float(t) if t else None
+        return pa.table(
+            {
+                "promo_cents": pa.array([p], type=pa.int64()),
+                "total_cents": pa.array([t], type=pa.int64()),
+                "promo_share_pct": pa.array([share], type=pa.float64()),
+            }
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: final(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else final(t),
             batch_format="pyarrow",
         )
     )

@@ -67,6 +67,9 @@ ORACLE_QUERIES = [
     "dup_cluster_histogram",
     "events_anomaly_hours",
     "order_fulfillment_lag",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned",
+    "tpch_q14_promo_share",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -433,7 +433,10 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
     src = SF
     d = tmp_path / "sf_empty"
     d.mkdir()
-    for t in ("events", "lineitem", "orders", "customer", "documents"):
+    for t in (
+        "events", "lineitem", "orders", "customer", "documents",
+        "nation", "part",
+    ):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     qs = entrymod.queries()
@@ -452,6 +455,9 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "source_mixture_weights",
         "events_anomaly_hours",
         "order_fulfillment_lag",
+        "tpch_q6_forecast_revenue",
+        "tpch_q10_returned",
+        "tpch_q14_promo_share",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
