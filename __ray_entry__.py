@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6_forecast_revenue": q.tpch_q6_forecast_revenue,
         "tpch_q10_returned": q.tpch_q10_returned,
         "tpch_q14_promo_share": q.tpch_q14_promo_share,
+        "part_cheapest_supplier": q.part_cheapest_supplier,
+        "lang_type_token_ratio": q.lang_type_token_ratio,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1617,6 +1619,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "part_cheapest_supplier": """
+            SELECT p_partkey, s_suppkey, s_name, best_price FROM (
+                SELECT l.l_partkey AS p_partkey,
+                       l.l_suppkey AS s_suppkey, s.s_name,
+                       l.l_extendedprice AS best_price,
+                       row_number() OVER (
+                           PARTITION BY l.l_partkey
+                           ORDER BY l.l_extendedprice, l.l_suppkey) AS rn
+                FROM lineitem l JOIN supplier s
+                     ON l.l_suppkey = s.s_suppkey)
+            WHERE rn = 1
+        """,
+    "lang_type_token_ratio": """
+            WITH toks AS (
+                SELECT lang, unnest(string_split(trim(text), ' ')) AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            f AS (SELECT lang, t FROM toks WHERE t <> ''),
+            s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+                  FROM f GROUP BY 1)
+            SELECT lang, n_tokens, n_distinct,
+                   CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS ttr
+            FROM s
         """,
     "tpch_q6_forecast_revenue": """
             SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)

@@ -298,6 +298,8 @@ def run_bench() -> dict:
     timed("tpch_q6_forecast_revenue", q.tpch_q6_forecast_revenue)
     timed("tpch_q10_returned", q.tpch_q10_returned)
     timed("tpch_q14_promo_share", q.tpch_q14_promo_share)
+    timed("part_cheapest_supplier", q.part_cheapest_supplier)
+    timed("lang_type_token_ratio", q.lang_type_token_ratio)
 
     ray.shutdown()
     return {

@@ -10117,3 +10117,267 @@ def tpch_q14_promo_share(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def part_cheapest_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q2-flavored ARGMIN join: for every part traded, the
+    supplier offering the lowest extendedprice (ties to the smaller
+    suppkey), with the supplier name attached.
+
+    Physical plan: per-batch argmin partials collapse lineitem to <= 1
+    row per (part) per batch BEFORE the partkey%P exchange (argmin
+    composes associatively); the kernel finishes the argmin vectorized
+    (lexsort + segment heads); the supplier-name dimension broadcasts
+    once from a remote build task.  Price ties across suppliers resolve
+    by suppkey on BOTH engines."""
+    P = 32
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_names(*refs) -> tuple:
+        parts = [t for t in refs if t.num_rows]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        t = pa.concat_tables(parts)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = np.asarray(t["s_name"].to_pylist(), dtype=object)
+        order = np.argsort(sk)
+        return sk[order], sn[order]
+
+    names_ref = build_names.remote(*supp.to_arrow_refs())
+
+    EMPTY = pa.table(
+        {
+            "pk": pa.nulls(0, pa.int64()),
+            "sk": pa.nulls(0, pa.int64()),
+            "price": pa.nulls(0, pa.float64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def _argmin(pk, sk, price):
+        order = np.lexsort((sk, price, pk))
+        pk_s, sk_s, pr_s = pk[order], sk[order], price[order]
+        first = np.concatenate(([True], pk_s[1:] != pk_s[:-1]))
+        return pk_s[first], sk_s[first], pr_s[first]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return EMPTY
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pk, sk, pr = _argmin(pk, sk, pr)
+        return pa.table(
+            {
+                "pk": pa.array(pk),
+                "sk": pa.array(sk),
+                "price": pa.array(pr),
+                "part": pa.array(pk % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_partkey": pa.nulls(0, pa.int64()),
+                "s_suppkey": pa.nulls(0, pa.int64()),
+                "s_name": pa.nulls(0, pa.string()),
+                "best_price": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "pk" not in group.column_names:
+            return empty
+        pk, sk, pr = _argmin(
+            group["pk"].to_numpy(zero_copy_only=False),
+            group["sk"].to_numpy(zero_copy_only=False),
+            group["price"].to_numpy(zero_copy_only=False),
+        )
+        skeys, snames = ray.get(names_ref)
+        pos = np.minimum(np.searchsorted(skeys, sk), max(skeys.shape[0] - 1, 0))
+        nm = (
+            snames[pos]
+            if skeys.shape[0]
+            else np.full(sk.shape[0], "", dtype=object)
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk),
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array(nm.tolist(), type=pa.string()),
+                "best_price": pa.array(pr),
+            }
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def lang_type_token_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Lexical diversity per language (type-token ratio: distinct
+    tokens / total tokens) — the corpus-quality metric next to the
+    Gopher gates.
+
+    Physical plan: per-batch DISTINCT (lang, token) pairs via
+    dictionary codes plus local token totals — the exchange is bounded
+    by vocabulary x languages (plus langs x batches count rows), never
+    token count; crc(token)%P co-partitions tokens so partition
+    distinct counts SUM to the global count (the column_profile
+    partition-the-VALUE discipline); language totals ride a parallel
+    gid stream through the SAME exchange."""
+    import zlib
+
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "lang": pa.nulls(0, pa.string()),
+            "token": pa.nulls(0, pa.string()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "lang" not in batch.column_names:
+            return EMPTY
+        txt = pc.utf8_trim_whitespace(batch["text"])
+        lists = pc.split_pattern(txt, pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        langs = (
+            batch["lang"].combine_chunks()
+            if isinstance(batch["lang"], pa.ChunkedArray)
+            else batch["lang"]
+        )
+        lenc = langs.dictionary_encode()
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if not ok.any():
+            return EMPTY
+        tok_l = lcodes[parent[ok]]
+        tenc = flat.filter(pa.array(ok)).dictionary_encode()
+        tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(tenc.dictionary))
+        # distinct (lang, token) in this batch
+        key = tok_l * V + tcodes
+        uk = np.unique(key)
+        toks = tenc.dictionary.take(pa.array(uk % V))
+        h = np.array(
+            [zlib.crc32(t.encode()) for t in toks.to_pylist()], dtype=np.int64
+        )
+        dl = lenc.dictionary.take(pa.array(uk // V))
+        # per-lang token totals ride the same stream with token=""
+        # (empty tokens were filtered above, so "" cannot collide)
+        nt = np.bincount(tok_l, minlength=len(lenc.dictionary)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "lang": pa.concat_arrays([dl, lenc.dictionary]),
+                "token": pa.concat_arrays(
+                    [toks, pa.array([""] * len(lenc.dictionary))]
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        (np.zeros(uk.shape[0], dtype=np.int64), nt)
+                    )
+                ),
+                "part": pa.array(
+                    np.concatenate(
+                        (h % P, np.full(len(lenc.dictionary), P, np.int64))
+                    )
+                ),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.string()),
+                "n_distinct": pa.nulls(0, pa.int64()),
+                "n_tokens": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "lang" not in group.column_names:
+            return empty
+        lenc = group["lang"].combine_chunks().dictionary_encode()
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        is_cnt = n > 0
+        nt = np.zeros(len(lenc.dictionary), dtype=np.int64)
+        np.add.at(nt, lcodes[is_cnt], n[is_cnt])
+        # distinct (lang, token) across batches within this partition
+        tenc = group["token"].combine_chunks().dictionary_encode()
+        tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(tenc.dictionary))
+        key = lcodes[~is_cnt] * V + tcodes[~is_cnt]
+        uk = np.unique(key)
+        nd = np.bincount(
+            (uk // V).astype(np.int64), minlength=len(lenc.dictionary)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lang": lenc.dictionary,
+                "n_distinct": pa.array(nd),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.string()),
+                "n_tokens": pa.nulls(0, pa.int64()),
+                "n_distinct": pa.nulls(0, pa.int64()),
+                "ttr": pa.nulls(0, pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        lenc = batch["lang"].combine_chunks().dictionary_encode()
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.zeros(len(lenc.dictionary), dtype=np.int64)
+        nt = np.zeros(len(lenc.dictionary), dtype=np.int64)
+        np.add.at(nd, lcodes, batch["n_distinct"].to_numpy(zero_copy_only=False))
+        np.add.at(nt, lcodes, batch["n_tokens"].to_numpy(zero_copy_only=False))
+        ttr = np.divide(
+            nd.astype(np.float64),
+            nt.astype(np.float64),
+            out=np.zeros(nd.shape[0], dtype=np.float64),
+            where=nt != 0,
+        )
+        return pa.table(
+            {
+                "lang": lenc.dictionary,
+                "n_tokens": pa.array(nt),
+                "n_distinct": pa.array(nd),
+                "ttr": pa.array(ttr),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

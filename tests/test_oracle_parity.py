@@ -70,6 +70,8 @@ ORACLE_QUERIES = [
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned",
     "tpch_q14_promo_share",
+    "part_cheapest_supplier",
+    "lang_type_token_ratio",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

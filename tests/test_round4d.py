@@ -416,6 +416,68 @@ class TestFulfillmentLag:
         assert (out["lag_med"] <= out["lag_q3"]).all()
 
 
+class TestCheapestSupplier:
+    def test_argmin_tie_break(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import part_cheapest_supplier
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+                    "l_suppkey": pa.array([30, 20, 10, 5], type=pa.int64()),
+                    "l_extendedprice": pa.array(
+                        [9.0, 5.0, 5.0, 7.0], type=pa.float64()
+                    ),
+                }
+            ),
+            str(d / "lineitem.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([5, 10, 20, 30], type=pa.int64()),
+                    "s_name": pa.array(["e", "a", "b", "c"]),
+                }
+            ),
+            str(d / "supplier.parquet"),
+        )
+        out = (
+            part_cheapest_supplier(str(d))
+            .to_pandas()
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        # part 1: price tie 5.0 between supp 20 and 10 -> smaller suppkey
+        assert out["s_suppkey"].tolist() == [10, 5]
+        assert out["s_name"].tolist() == ["a", "e"]
+        assert out["best_price"].tolist() == [5.0, 7.0]
+
+
+class TestTTR:
+    def test_distinct_and_totals(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import lang_type_token_ratio
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "lang": pa.array(["en", "en", "fr"]),
+                    "text": pa.array(["a b a", "b c", "x x x x"]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = lang_type_token_ratio(str(d)).to_pandas().set_index("lang")
+        assert out.loc["en", "n_tokens"] == 5
+        assert out.loc["en", "n_distinct"] == 3
+        assert out.loc["en", "ttr"] == 3.0 / 5.0
+        assert out.loc["fr", "n_tokens"] == 4
+        assert out.loc["fr", "n_distinct"] == 1
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -435,7 +497,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
     d.mkdir()
     for t in (
         "events", "lineitem", "orders", "customer", "documents",
-        "nation", "part",
+        "nation", "part", "supplier",
     ):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
@@ -458,6 +520,8 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "tpch_q6_forecast_revenue",
         "tpch_q10_returned",
         "tpch_q14_promo_share",
+        "part_cheapest_supplier",
+        "lang_type_token_ratio",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
