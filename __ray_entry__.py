@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14_promo_share": q.tpch_q14_promo_share,
         "part_cheapest_supplier": q.part_cheapest_supplier,
         "lang_type_token_ratio": q.lang_type_token_ratio,
+        "rolling_active_users": q.rolling_active_users,
+        "click_to_purchase_median": q.click_to_purchase_median,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1619,6 +1621,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "rolling_active_users": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               date_diff('day', DATE '1970-01-01',
+                                         CAST(ts AS DATE)) AS d
+                        FROM events),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT days.d AS day,
+                   CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_7d
+            FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+            GROUP BY 1
+        """,
+    "click_to_purchase_median": """
+            WITH c AS (SELECT user_id, min(ts) AS t0 FROM events
+                       WHERE event_type = 'click' GROUP BY 1),
+            p AS (SELECT e.user_id,
+                         min(epoch_us(e.ts) - epoch_us(c.t0)) AS delta
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts >= c.t0
+                  GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY delta)
+                       AS median_delta_us
+            FROM p
         """,
     "part_cheapest_supplier": """
             SELECT p_partkey, s_suppkey, s_name, best_price FROM (

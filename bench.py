@@ -300,6 +300,8 @@ def run_bench() -> dict:
     timed("tpch_q14_promo_share", q.tpch_q14_promo_share)
     timed("part_cheapest_supplier", q.part_cheapest_supplier)
     timed("lang_type_token_ratio", q.lang_type_token_ratio)
+    timed("rolling_active_users", q.rolling_active_users)
+    timed("click_to_purchase_median", q.click_to_purchase_median)
 
     ray.shutdown()
     return {

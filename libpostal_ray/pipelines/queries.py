@@ -10381,3 +10381,218 @@ def lang_type_token_ratio(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def rolling_active_users(sf_dir: str) -> ray.data.Dataset:
+    """ROLLING 7-day distinct active users (the windowed COUNT DISTINCT
+    no engine does cheaply): for every day present in the data, the
+    number of distinct users active in the trailing 7-day window.
+
+    Physical plan: per-batch distinct (user, day) pairs expand to their
+    <= 7 target days (exchange = 7 x distinct user-days, NOT events);
+    a k=0 self flag marks target-day PRESENCE so absent days drop
+    without a second pass; ONE target%P exchange; the kernel dedups
+    (target, user) pairs vectorized and counts distinct users per
+    present target."""
+    P = 32
+    W = 7
+    DAY_US = np.int64(86_400_000_000)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "t": pa.nulls(0, pa.int64()),
+            "u": pa.nulls(0, pa.int64()),
+            "self": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = np.asarray(ts, dtype=np.int64) // DAY_US
+        # distinct (user, day) in this batch
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1]))
+        )
+        u_s, d_s = u_s[keep], d_s[keep]
+        n = u_s.shape[0]
+        k = np.tile(np.arange(W, dtype=np.int64), n)
+        t = np.repeat(d_s, W) + k
+        return pa.table(
+            {
+                "t": pa.array(t),
+                "u": pa.array(np.repeat(u_s, W)),
+                "self": pa.array((k == 0).astype(np.int64)),
+                "part": pa.array(t % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.nulls(0, pa.int64()),
+                "active_7d": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "t" not in group.column_names:
+            return empty
+        t = group["t"].to_numpy(zero_copy_only=False)
+        u = group["u"].to_numpy(zero_copy_only=False)
+        s = group["self"].to_numpy(zero_copy_only=False)
+        # present targets: days someone was active ON (k=0 rows)
+        present = np.unique(t[s == 1])
+        if present.shape[0] == 0:
+            return empty
+        order = np.lexsort((u, t))
+        t_s, u_s = t[order], u[order]
+        keep = np.concatenate(
+            ([True], (t_s[1:] != t_s[:-1]) | (u_s[1:] != u_s[:-1]))
+        )
+        t_s = t_s[keep]
+        ut, cnt = np.unique(t_s, return_counts=True)
+        pos = np.searchsorted(ut, present)
+        return pa.table(
+            {
+                "day": pa.array(present),
+                "active_7d": pa.array(cnt[pos].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def click_to_purchase_median(sf_dir: str) -> ray.data.Dataset:
+    """Conversion-time profile: per user, the delay from FIRST click to
+    the first purchase at-or-after it; output the converting-user count
+    and the exact interpolated median delay.
+
+    Physical plan: one user%P exchange of (user, ts, is_purchase)
+    skinny rows; the kernel computes each user's first-click /
+    first-qualifying-purchase vectorized (lexsort + segment minima) and
+    emits user-dimension delta rows; the median comes from the
+    constant-exchange radix quantile over the materialized deltas
+    (four scans of a user-dimension table, no sort, no gather)."""
+    from libpostal_ray.functions.quantile import grouped_exact_quantiles_cont
+
+    P = 32
+
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["click", "purchase"]),
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "u": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "isp": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"].cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        isp = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "ts": pa.array(np.asarray(ts, dtype=np.int64)),
+                "isp": pa.array(isp.astype(np.int64)),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.nulls(0, pa.int64()), "delta": pa.nulls(0, pa.float64())}
+        )
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return empty
+        u = group["u"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        isp = group["isp"].to_numpy(zero_copy_only=False)
+        # first click per user
+        cm = isp == 0
+        if not cm.any():
+            return empty
+        cu, ct = u[cm], ts[cm]
+        o = np.lexsort((ct, cu))
+        cu, ct = cu[o], ct[o]
+        first = np.concatenate(([True], cu[1:] != cu[:-1]))
+        cu, ct = cu[first], ct[first]
+        # purchases joined to their user's first click
+        pm = isp == 1
+        pu, pt = u[pm], ts[pm]
+        pos = np.searchsorted(cu, pu)
+        pos_c = np.minimum(pos, max(cu.shape[0] - 1, 0))
+        ok = (cu.shape[0] > 0) & (cu[pos_c] == pu)
+        ok &= pt >= ct[pos_c]
+        if not ok.any():
+            return empty
+        qu, qd = pu[ok], pt[ok] - ct[pos_c][ok]
+        o2 = np.lexsort((qd, qu))
+        qu, qd = qu[o2], qd[o2]
+        first2 = np.concatenate(([True], qu[1:] != qu[:-1]))
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(int(first2.sum()), dtype=np.int64)),
+                "delta": pa.array(qd[first2].astype(np.float64)),
+            }
+        )
+
+    deltas = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .materialize()  # user-dimension; scanned 4x by the radix quantile
+    )
+    EMPTY_OUT = pa.table(
+        {
+            "n_users": pa.nulls(0, pa.int64()),
+            "median_delta_us": pa.nulls(0, pa.float64()),
+        }
+    )
+    qt = grouped_exact_quantiles_cont(deltas, "k", "delta", [0.5])
+    if qt.num_rows == 0:
+        return ray.data.from_arrow(EMPTY_OUT)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array(
+                    [int(qt["n"][0].as_py())], type=pa.int64()
+                ),
+                "median_delta_us": pa.array(
+                    [float(qt["q_value"][0].as_py())], type=pa.float64()
+                ),
+            }
+        )
+    )

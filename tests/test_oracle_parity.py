@@ -72,6 +72,8 @@ ORACLE_QUERIES = [
     "tpch_q14_promo_share",
     "part_cheapest_supplier",
     "lang_type_token_ratio",
+    "rolling_active_users",
+    "click_to_purchase_median",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

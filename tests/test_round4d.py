@@ -478,6 +478,72 @@ class TestTTR:
         assert out.loc["fr", "n_distinct"] == 1
 
 
+class TestRollingActive:
+    def test_window_and_presence(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import rolling_active_users
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        day = np.timedelta64(1, "D")
+        t0 = np.datetime64("2024-01-01T12:00:00", "us")
+        # day 0: users 1,2; day 3: user 3; day 10: user 1
+        uid = [1, 2, 3, 1]
+        ts = [t0, t0, t0 + 3 * day, t0 + 10 * day]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid, type=pa.int64()),
+                    "ts": pa.array(ts, type=pa.timestamp("us")),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = rolling_active_users(str(d)).to_pandas()
+        base = int(
+            (t0.astype("datetime64[D]") - np.datetime64("1970-01-01"))
+            .astype(int)
+        )
+        got = dict(zip(out["day"], out["active_7d"]))
+        # only PRESENT days are reported
+        assert set(got) == {base, base + 3, base + 10}
+        assert got[base] == 2          # users 1,2
+        assert got[base + 3] == 3      # 1,2 (day 0) + 3
+        assert got[base + 10] == 1     # only user 1 (day 3 is 7 back)
+
+
+class TestClickToPurchase:
+    def test_first_click_rule(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import click_to_purchase_median
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        us = np.timedelta64(1, "us")
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        # user 1: click@0, purchase@100 -> 100
+        # user 2: purchase@5 BEFORE click@10, purchase@40 -> 30
+        # user 3: click only -> excluded
+        rows = [
+            (1, t0, "click"), (1, t0 + 100 * us, "purchase"),
+            (2, t0 + 5 * us, "purchase"), (2, t0 + 10 * us, "click"),
+            (2, t0 + 40 * us, "purchase"),
+            (3, t0, "click"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ts": pa.array([r[1] for r in rows],
+                                   type=pa.timestamp("us")),
+                    "event_type": pa.array([r[2] for r in rows]),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = click_to_purchase_median(str(d)).to_pandas()
+        assert out.loc[0, "n_users"] == 2
+        assert out.loc[0, "median_delta_us"] == 65.0  # (100+30)/2
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -522,6 +588,8 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "tpch_q14_promo_share",
         "part_cheapest_supplier",
         "lang_type_token_ratio",
+        "rolling_active_users",
+        "click_to_purchase_median",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
