@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_type_token_ratio": q.lang_type_token_ratio,
         "rolling_active_users": q.rolling_active_users,
         "click_to_purchase_median": q.click_to_purchase_median,
+        "user_value_pareto": q.user_value_pareto,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1621,6 +1622,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "user_value_pareto": """
+            WITH s AS (SELECT user_id,
+                              CAST(sum(CAST(floor(CAST(value AS DOUBLE)
+                                   * 100) AS BIGINT)) AS BIGINT) AS v
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                         CAST(sum(v) AS BIGINT) AS tot FROM s),
+            r AS (SELECT v,
+                         sum(v) OVER (ORDER BY v DESC, user_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                         row_number() OVER (ORDER BY v DESC, user_id)
+                             AS rn
+                  FROM s)
+            SELECT t.nu AS n_users,
+                   (SELECT CAST(min(rn) AS BIGINT) FROM r
+                    WHERE 5 * r.cum >= 4 * t.tot) AS n_users_80,
+                   t.tot AS total_cents
+            FROM t
         """,
     "rolling_active_users": """
             WITH ud AS (SELECT DISTINCT user_id,

@@ -302,6 +302,7 @@ def run_bench() -> dict:
     timed("lang_type_token_ratio", q.lang_type_token_ratio)
     timed("rolling_active_users", q.rolling_active_users)
     timed("click_to_purchase_median", q.click_to_purchase_median)
+    timed("user_value_pareto", q.user_value_pareto)
 
     ray.shutdown()
     return {

@@ -10596,3 +10596,186 @@ def click_to_purchase_median(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def user_value_pareto(sf_dir: str) -> ray.data.Dataset:
+    """Pareto concentration (the 80/20 'vital few' question): the
+    SMALLEST number of users whose summed event value reaches 80% of
+    the total — EXACT at any scale with no sort and no top-k gather.
+
+    Physical plan: one user%P exchange finishes per-user cent totals
+    (user-dimension, materialized once); then a DESCENDING radix walk —
+    four streaming scans, each histogramming the next 16 bits of the
+    sign-flipped value key into (bucket -> count, sum) partials of <=
+    65536 skinny rows — pins the exact threshold value t, the count and
+    sum STRICTLY ABOVE t, and the tied-user top-up
+    ceil((target - sum_above)/t); integer identity 5*cum >= 4*total
+    makes the answer bit-identical to the SQL window formulation
+    (proved in the docstring of the kernel).  Exchange volume is
+    constant per pass, independent of user count."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "u": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        uk, inv = np.unique(u, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {"u": pa.array(uk), "v": pa.array(s), "part": pa.array(uk % P)}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.nulls(0, pa.int64()), "v": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return empty
+        u = group["u"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(u, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, v)
+        return pa.table({"u": pa.array(uk), "v": pa.array(tot)})
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+        .materialize()  # user-dimension; scanned 4x by the radix walk
+    )
+
+    EMPTY_OUT = pa.table(
+        {
+            "n_users": pa.nulls(0, pa.int64()),
+            "n_users_80": pa.nulls(0, pa.int64()),
+            "total_cents": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    @ray.remote
+    def merge_hist(*blocks):
+        cnt = np.zeros(65536, dtype=np.int64)
+        sm = np.zeros(65536, dtype=np.int64)
+        n_users = 0
+        for b in blocks:
+            if b.num_rows == 0 or "bucket" not in b.column_names:
+                continue
+            bk = b.column("bucket").to_numpy(zero_copy_only=False)
+            np.add.at(cnt, bk, b.column("cnt").to_numpy(zero_copy_only=False))
+            np.add.at(sm, bk, b.column("sum").to_numpy(zero_copy_only=False))
+            n_users += int(
+                b.column("cnt").to_numpy(zero_copy_only=False).sum()
+            )
+        return cnt, sm, n_users
+
+    SIGN = np.uint64(1) << np.uint64(63)
+
+    def hist_pass(shift: int, prefix: int, mask: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "bucket": pa.nulls(0, pa.int64()),
+                    "cnt": pa.nulls(0, pa.int64()),
+                    "sum": pa.nulls(0, pa.int64()),
+                }
+            )
+            if batch.num_rows == 0 or "v" not in batch.column_names:
+                return empty
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            key = v.astype(np.uint64) ^ SIGN  # order-preserving unsigned
+            if mask:
+                sel = (key & np.uint64(mask)) == np.uint64(prefix)
+                v, key = v[sel], key[sel]
+            if key.shape[0] == 0:
+                return empty
+            digit = ((key >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            ub, inv = np.unique(digit, return_inverse=True)
+            c = np.bincount(inv).astype(np.int64)
+            s = np.zeros(ub.shape[0], dtype=np.int64)
+            np.add.at(s, inv, v)
+            return pa.table(
+                {
+                    "bucket": pa.array(ub),
+                    "cnt": pa.array(c),
+                    "sum": pa.array(s),
+                }
+            )
+
+        return fn
+
+    # pass 1 also reveals total and user count
+    blocks = totals.map_batches(
+        hist_pass(48, 0, 0), batch_format="pyarrow"
+    ).materialize().to_arrow_refs()
+    cnt, sm, n_users = ray.get(merge_hist.remote(*blocks))
+    if n_users == 0:
+        return ray.data.from_arrow(EMPTY_OUT)
+    total = int(sm.sum())
+    target = -((-4 * total) // 5)  # ceil(4*total/5), exact ints
+    if target <= 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_users": pa.array([n_users], type=pa.int64()),
+                    "n_users_80": pa.array(
+                        [min(1, n_users)], type=pa.int64()
+                    ),
+                    "total_cents": pa.array([total], type=pa.int64()),
+                }
+            )
+        )
+
+    prefix, mask = 0, 0
+    n_above, sum_above = 0, 0
+    for level in range(4):
+        shift = 48 - 16 * level
+        if level > 0:
+            blocks = totals.map_batches(
+                hist_pass(shift, prefix, mask), batch_format="pyarrow"
+            ).materialize().to_arrow_refs()
+            cnt, sm, _ = ray.get(merge_hist.remote(*blocks))
+        # walk buckets from HIGH to LOW until the target is inside one
+        csum = np.cumsum(sm[::-1])[::-1]  # csum[b] = sum of buckets >= b
+        ccnt = np.cumsum(cnt[::-1])[::-1]
+        rem = target - sum_above
+        # smallest b where csum[b] >= rem -> crossing bucket (largest
+        # such b since csum decreases as b rises): find max b with
+        # csum[b] >= rem
+        ok = csum >= rem
+        b = int(np.flatnonzero(ok).max())
+        if b + 1 < 65536:
+            n_above += int(ccnt[b + 1])
+            sum_above += int(csum[b + 1])
+        prefix |= b << shift
+        mask |= 0xFFFF << shift
+    t = int(np.int64(np.uint64(prefix) ^ SIGN))
+    rem = target - sum_above
+    k_extra = -((-rem) // t) if t > 0 else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n_users], type=pa.int64()),
+                "n_users_80": pa.array(
+                    [n_above + k_extra], type=pa.int64()
+                ),
+                "total_cents": pa.array([total], type=pa.int64()),
+            }
+        )
+    )

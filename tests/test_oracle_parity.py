@@ -74,6 +74,7 @@ ORACLE_QUERIES = [
     "lang_type_token_ratio",
     "rolling_active_users",
     "click_to_purchase_median",
+    "user_value_pareto",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

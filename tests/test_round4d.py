@@ -544,6 +544,39 @@ class TestClickToPurchase:
         assert out.loc[0, "median_delta_us"] == 65.0  # (100+30)/2
 
 
+class TestPareto:
+    def test_threshold_ties_and_brute(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_value_pareto
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        rng = np.random.default_rng(17)
+        n = 3000
+        uid = rng.integers(0, 400, n).astype(np.int64)
+        # coarse grid forces ties at the threshold value
+        val = (rng.integers(0, 50, n) * 7).astype(np.float64) / 100.0
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid),
+                    "value": pa.array(val, type=pa.float64()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        out = user_value_pareto(str(d)).to_pandas()
+        cents = np.floor(val * 100.0).astype(np.int64)
+        tot = np.zeros(400, dtype=np.int64)
+        np.add.at(tot, uid, cents)
+        v = np.sort(tot[np.unique(uid)])[::-1]
+        total = int(v.sum())
+        cum = np.cumsum(v)
+        want = int(np.flatnonzero(5 * cum >= 4 * total).min()) + 1
+        assert out.loc[0, "n_users"] == len(np.unique(uid))
+        assert out.loc[0, "total_cents"] == total
+        assert out.loc[0, "n_users_80"] == want
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -590,6 +623,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "lang_type_token_ratio",
         "rolling_active_users",
         "click_to_purchase_median",
+        "user_value_pareto",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
