@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": q.rolling_active_users,
         "click_to_purchase_median": q.click_to_purchase_median,
         "user_value_pareto": q.user_value_pareto,
+        "source_dup_rate": q.source_dup_rate,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1622,6 +1623,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "source_dup_rate": """
+            WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+                       FROM documents GROUP BY 1),
+            d AS (SELECT dd.source,
+                         CASE WHEN g.sz > 1 THEN 1 ELSE 0 END AS dup
+                  FROM documents dd JOIN g ON md5(dd.text) = g.h)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dup) AS BIGINT) AS n_duped,
+                   CAST(CAST(sum(dup) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+                       AS dup_rate
+            FROM d GROUP BY 1
         """,
     "user_value_pareto": """
             WITH s AS (SELECT user_id,

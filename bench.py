@@ -303,6 +303,7 @@ def run_bench() -> dict:
     timed("rolling_active_users", q.rolling_active_users)
     timed("click_to_purchase_median", q.click_to_purchase_median)
     timed("user_value_pareto", q.user_value_pareto)
+    timed("source_dup_rate", q.source_dup_rate)
 
     ray.shutdown()
     return {

@@ -10779,3 +10779,128 @@ def user_value_pareto(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def source_dup_rate(sf_dir: str) -> ray.data.Dataset:
+    """Duplication rate per SOURCE (which feeds are polluting the
+    corpus): for every source, how many of its docs share exact content
+    with ANY doc in the corpus (cross-source counts too), as count +
+    one deterministic rate division.
+
+    Physical plan: per-batch (md5, source, n) partials (content never
+    shuffles); ONE hash%P exchange co-locates each content group, so
+    group size and per-source membership resolve in the kernel, which
+    emits per-source (n_docs, n_duped) partials; the tail reduce is
+    sources x P skinny rows."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "h": pa.nulls(0, pa.string()),
+            "source": pa.nulls(0, pa.string()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return EMPTY
+        hs = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        arr = np.asarray(hs, dtype=object)
+        # count per (hash, source) in this batch
+        key = np.char.add(
+            np.char.add(arr.astype(str), "\x01"), src.astype(str)
+        )
+        uk, idx, cnt = np.unique(key, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(arr[idx].tolist(), type=pa.string()),
+                "source": pa.array(src[idx].tolist(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(
+                    np.array(
+                        [int(x[:8], 16) for x in arr[idx]], dtype=np.int64
+                    )
+                    % P
+                ),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.nulls(0, pa.string()),
+                "n_docs": pa.nulls(0, pa.int64()),
+                "n_duped": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return empty
+        henc = group["h"].combine_chunks().dictionary_encode()
+        hcodes = henc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        senc = group["source"].combine_chunks().dictionary_encode()
+        scodes = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        gsz = np.zeros(len(henc.dictionary), dtype=np.int64)
+        np.add.at(gsz, hcodes, n)
+        duped = gsz[hcodes] > 1  # this (hash, source) row is in a dup group
+        nd = np.zeros(len(senc.dictionary), dtype=np.int64)
+        tot = np.zeros(len(senc.dictionary), dtype=np.int64)
+        np.add.at(tot, scodes, n)
+        np.add.at(nd, scodes[duped], n[duped])
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "n_docs": pa.array(tot),
+                "n_duped": pa.array(nd),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.nulls(0, pa.string()),
+                "n_docs": pa.nulls(0, pa.int64()),
+                "n_duped": pa.nulls(0, pa.int64()),
+                "dup_rate": pa.nulls(0, pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        senc = batch["source"].combine_chunks().dictionary_encode()
+        scodes = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.zeros(len(senc.dictionary), dtype=np.int64)
+        nd = np.zeros(len(senc.dictionary), dtype=np.int64)
+        np.add.at(tot, scodes, batch["n_docs"].to_numpy(zero_copy_only=False))
+        np.add.at(nd, scodes, batch["n_duped"].to_numpy(zero_copy_only=False))
+        rate = np.divide(
+            nd.astype(np.float64),
+            tot.astype(np.float64),
+            out=np.zeros(nd.shape[0], dtype=np.float64),
+            where=tot != 0,
+        )
+        return pa.table(
+            {
+                "source": senc.dictionary,
+                "n_docs": pa.array(tot),
+                "n_duped": pa.array(nd),
+                "dup_rate": pa.array(rate),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -75,6 +75,7 @@ ORACLE_QUERIES = [
     "rolling_active_users",
     "click_to_purchase_median",
     "user_value_pareto",
+    "source_dup_rate",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

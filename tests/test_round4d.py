@@ -577,6 +577,31 @@ class TestPareto:
         assert out.loc[0, "n_users_80"] == want
 
 
+class TestSourceDupRate:
+    def test_cross_source_dups_count(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import source_dup_rate
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # "x" appears in a AND b (cross-source dup); "y" twice within a;
+        # "z"/"w" unique
+        pq.write_table(
+            pa.table(
+                {
+                    "text": pa.array(["x", "y", "y", "z", "x", "w"]),
+                    "source": pa.array(["a", "a", "a", "a", "b", "b"]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = source_dup_rate(str(d)).to_pandas().set_index("source")
+        assert out.loc["a", "n_docs"] == 4
+        assert out.loc["a", "n_duped"] == 3  # x, y, y
+        assert out.loc["b", "n_docs"] == 2
+        assert out.loc["b", "n_duped"] == 1  # x
+        assert out.loc["a", "dup_rate"] == 3.0 / 4.0
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -624,6 +649,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "rolling_active_users",
         "click_to_purchase_median",
         "user_value_pareto",
+        "source_dup_rate",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
