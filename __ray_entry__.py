@@ -45,18 +45,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # oracle-checked (SQL-expressible).
-        # ROTATION (round 4, session 11 audit): the driver gate verifies
-        # the FIRST 50 oracle entries; rounds 1-3 verified 50 rows
-        # (CORRECTNESS_r03 green 50/50).  59 oracle rows have never seen
-        # a driver check; the first 50 slots below are ALL taken from
-        # them (zero already-checked rows waste a slot).  The 9 that
-        # must wait for the ROUND-5 rotation (repo parity green at
-        # sf0.001/0.01/0.1 meanwhile): source_top_lang,
+        # ROTATION (round 4, session 11 audit; session 13 update): the
+        # driver gate verifies the FIRST 50 oracle entries; rounds 1-3
+        # verified 50 rows (CORRECTNESS_r03 green 50/50).  The first 50
+        # slots below are ALL rows that had never seen a driver check
+        # when round 4 started (zero already-checked rows waste a slot).
+        # Awaiting the ROUND-5 rotation (repo parity green at
+        # sf0.001/0.01 meanwhile; full suite + sf0.01 dry runs in the
+        # session-13 log): the 9 tail rows of block 1 (source_top_lang,
         # event_type_distinct_users, user_value_trend,
         # segment_revenue_share, events_zorder,
         # cosine_threshold_calibration, dedup_eval_prefix_vs_exact,
-        # attribution_pairs, global_event_ranks — promote these to the
-        # top next round.
+        # attribution_pairs, global_event_ranks), block 1b (3 rows), and
+        # block 1c (the 22 session-13 rows) — promote those 34 to the
+        # top next round with 16 core rows filling out the gate.
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "events_since_signup": q.events_since_signup,
         "event_type_octiles": q.event_type_octiles,
