@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_to_purchase_median": q.click_to_purchase_median,
         "user_value_pareto": q.user_value_pareto,
         "source_dup_rate": q.source_dup_rate,
+        "stratified_fixed_k_sample": q.stratified_fixed_k_sample,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1625,6 +1626,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "stratified_fixed_k_sample": """
+            WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(nl) AS BIGINT) AS tot FROM n),
+            q AS (SELECT n.lang, n.nl, (100 * n.nl) // t.tot AS base,
+                         (100 * n.nl) % t.tot AS rem
+                  FROM n, t),
+            q2 AS (SELECT lang, base, rem,
+                          row_number() OVER (ORDER BY rem DESC, lang)
+                              AS rr
+                   FROM q),
+            lo AS (SELECT CAST(100 - sum(base) AS BIGINT) AS k FROM q2),
+            quota AS (SELECT q2.lang,
+                             CAST(q2.base + CASE WHEN q2.rr <= lo.k
+                                  THEN 1 ELSE 0 END AS BIGINT) AS qq
+                      FROM q2, lo),
+            r AS (SELECT lang, doc_id,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY (doc_id * 48271) % 2147483647,
+                                      doc_id) AS rn
+                  FROM documents)
+            SELECT r.lang, r.doc_id
+            FROM r JOIN quota ON r.lang = quota.lang
+            WHERE r.rn <= quota.qq
         """,
     "source_dup_rate": """
             WITH g AS (SELECT md5(text) AS h, count(*) AS sz

@@ -304,6 +304,7 @@ def run_bench() -> dict:
     timed("click_to_purchase_median", q.click_to_purchase_median)
     timed("user_value_pareto", q.user_value_pareto)
     timed("source_dup_rate", q.source_dup_rate)
+    timed("stratified_fixed_k_sample", q.stratified_fixed_k_sample)
 
     ray.shutdown()
     return {

@@ -10904,3 +10904,141 @@ def source_dup_rate(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def stratified_fixed_k_sample(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-TOTAL-size stratified sample (exactly K=100 docs, strata =
+    languages, quotas allocated pro-rata by Hamilton largest-remainder —
+    the order_price_allocation machinery applied to sampling): within
+    each stratum the quota smallest Lehmer-hash docs win, so the sample
+    is reproducible across runs AND engines.
+
+    Physical plan: a tiny (lang, count) aggregate fixes the quotas on
+    the driver (strata are dimension-cardinality); the sample pass
+    keeps only each batch's per-lang quota minima (partial top-k
+    composes associatively), so the crc(lang)%8 exchange carries
+    <= quota x batches rows."""
+    import zlib
+
+    K = 100
+
+    ds_counts = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "lang" not in batch.column_names:
+            return pa.table(
+                {"lang": pa.nulls(0, pa.string()), "n": pa.nulls(0, pa.int64())}
+            )
+        enc = (
+            batch["lang"].combine_chunks()
+            if isinstance(batch["lang"], pa.ChunkedArray)
+            else batch["lang"]
+        ).dictionary_encode()
+        c = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        )
+        return pa.table(
+            {"lang": enc.dictionary, "n": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        ds_counts.map_batches(cnt_partial, batch_format="pyarrow").to_pandas()
+    )
+    EMPTY_OUT = pa.table(
+        {"lang": pa.nulls(0, pa.string()), "doc_id": pa.nulls(0, pa.int64())}
+    )
+    if len(counts) == 0 or counts["n"].sum() == 0:
+        return ray.data.from_arrow(EMPTY_OUT)
+    agg = counts.groupby("lang")["n"].sum().sort_index()
+    langs = list(agg.index)
+    nl = agg.to_numpy().astype(np.int64)
+    tot = int(nl.sum())
+    base = (K * nl) // tot
+    rem = (K * nl) % tot
+    leftover = K - int(base.sum())
+    order = np.lexsort((np.arange(len(langs)), -rem))  # rem desc, lang asc
+    quota = base.copy()
+    quota[order[:leftover]] += 1
+    quota_map = {lang: int(q) for lang, q in zip(langs, quota)}
+
+    M = np.int64(2147483647)
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.string()),
+                "doc_id": pa.nulls(0, pa.int64()),
+                "h": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (d * np.int64(48271)) % M
+        langs_a = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        keep_idx = []
+        for lang in np.unique(langs_a):
+            q = quota_map.get(str(lang), 0)
+            if q <= 0:
+                continue
+            idx = np.flatnonzero(langs_a == lang)
+            o = np.lexsort((d[idx], h[idx]))[:q]
+            keep_idx.append(idx[o])
+        if not keep_idx:
+            return empty
+        ki = np.concatenate(keep_idx)
+        hh = np.array(
+            [zlib.crc32(str(x).encode()) for x in langs_a[ki]], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "lang": pa.array(langs_a[ki].tolist(), type=pa.string()),
+                "doc_id": pa.array(d[ki]),
+                "h": pa.array(h[ki]),
+                "part": pa.array(hh % 8),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.string()),
+                "doc_id": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "lang" not in group.column_names:
+            return empty
+        langs_a = np.asarray(group["lang"].to_pylist(), dtype=object)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        keep_idx = []
+        for lang in np.unique(langs_a):
+            q = quota_map.get(str(lang), 0)
+            if q <= 0:
+                continue
+            idx = np.flatnonzero(langs_a == lang)
+            o = np.lexsort((d[idx], h[idx]))[:q]
+            keep_idx.append(idx[o])
+        if not keep_idx:
+            return empty
+        ki = np.concatenate(keep_idx)
+        return pa.table(
+            {
+                "lang": pa.array(langs_a[ki].tolist(), type=pa.string()),
+                "doc_id": pa.array(d[ki]),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        .map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(sample_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -76,6 +76,7 @@ ORACLE_QUERIES = [
     "click_to_purchase_median",
     "user_value_pareto",
     "source_dup_rate",
+    "stratified_fixed_k_sample",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -602,6 +602,28 @@ class TestSourceDupRate:
         assert out.loc["a", "dup_rate"] == 3.0 / 4.0
 
 
+class TestFixedKSample:
+    def test_exactly_k_and_proportional(self, ray_session):
+        from libpostal_ray.pipelines.queries import stratified_fixed_k_sample
+
+        out = stratified_fixed_k_sample(SF).to_pandas()
+        assert len(out) == 100
+        # quotas proportional to stratum sizes within 1 (Hamilton)
+        import pyarrow.parquet as _pq
+
+        langs = _pq.read_table(
+            f"{SF}/documents.parquet", columns=["lang"]
+        )["lang"].to_pylist()
+        from collections import Counter
+
+        nl = Counter(langs)
+        tot = sum(nl.values())
+        got = out.groupby("lang").size()
+        for lang, q in got.items():
+            ideal = 100 * nl[lang] / tot
+            assert abs(q - ideal) < 1.0 + 1e-9, (lang, q, ideal)
+
+
 def test_profile_drift_empty_corpus(ray_session, tmp_path):
     from libpostal_ray.pipelines.queries import documents_profile_drift
 
@@ -650,6 +672,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "click_to_purchase_median",
         "user_value_pareto",
         "source_dup_rate",
+        "stratified_fixed_k_sample",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
