@@ -178,9 +178,30 @@ ROMAN_NUMERAL_RULES: tuple[tuple[str, object], ...] = (
     (r"\b[ivxlcdm]{1,15}\b", _roman_repl),
 )
 
+# compositional numex (numex.c's left-context combination rule, the part
+# plain word lists cannot express): once the word pass has digitized the
+# parts ("one hundred five" -> "1 hundred 5"), multiplier words combine
+# arithmetically — hundreds first so thousands see the folded value
+# ("two thousand three hundred four" -> "2 thousand 304" -> "2304").
+# Standalone "hundred"/"thousand" (no leading digit) never convert.
+
+
+def _hundred_repl(m: "re.Match[str]") -> str:
+    return str(100 * int(m.group(1)) + int(m.group(2) or 0))
+
+
+def _thousand_repl(m: "re.Match[str]") -> str:
+    return str(1000 * int(m.group(1)) + int(m.group(2) or 0))
+
+
+EN_COMPOUND_NUMBER_RULES: tuple[tuple[str, object], ...] = (
+    (r"\b(\d{1,2}) hundred(?: (?:and )?(\d{1,2}))?\b", _hundred_repl),
+    (r"\b(\d{1,3}) thousand(?: (?:and )?(\d{1,3}))?\b", _thousand_repl),
+)
+
 EN_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     EN_CONTRACTION_RULES + EN_ABBREV_RULES + EN_UNIT_RULES
-    + EN_NUMBER_RULES + ORDINAL_AFFIX_RULES
+    + EN_NUMBER_RULES + EN_COMPOUND_NUMBER_RULES + ORDINAL_AFFIX_RULES
 )
 
 # ---------------------------------------------------------------------------

@@ -202,3 +202,23 @@ def test_session13_packs_do_not_cross_route():
     assert out[0] == "gedimino pr. penki"
     assert out[1] == "jln. bukit lapan"
     assert out[2] == "rr. njëzet"
+
+
+def test_en_compound_numbers_combine():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "one hundred five main st",
+            "two thousand three hundred four",
+            "three hundred",
+            "a hundred ideas",          # no leading digit: unchanged
+            "one hundred and seven",    # 'and' form
+        ],
+        ["en"] * 5,
+    )
+    assert out[0] == "105 main st"
+    assert out[1] == "2304"
+    assert out[2] == "300"
+    assert out[3] == "a hundred ideas"
+    assert out[4] == "107"
