@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_pareto": q.user_value_pareto,
         "source_dup_rate": q.source_dup_rate,
         "stratified_fixed_k_sample": q.stratified_fixed_k_sample,
+        "lineitem_rate_grid": q.lineitem_rate_grid,
+        "orders_weekday_seasonality": q.orders_weekday_seasonality,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1626,6 +1628,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "lineitem_rate_grid": """
+            SELECT CAST(floor(CAST(l_tax AS DOUBLE) * 100) AS BIGINT)
+                       AS tax_pct,
+                   CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                        AS BIGINT) AS disc_pct,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY 1, 2
+        """,
+    "orders_weekday_seasonality": """
+            WITH w AS (SELECT isodow(o_orderdate) AS wd FROM orders),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM w)
+            SELECT CAST(w.wd AS BIGINT) AS weekday,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+                       / CAST(t.tot AS DOUBLE) AS share
+            FROM w, t GROUP BY 1, t.tot
         """,
     "stratified_fixed_k_sample": """
             WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl

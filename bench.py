@@ -305,6 +305,8 @@ def run_bench() -> dict:
     timed("user_value_pareto", q.user_value_pareto)
     timed("source_dup_rate", q.source_dup_rate)
     timed("stratified_fixed_k_sample", q.stratified_fixed_k_sample)
+    timed("lineitem_rate_grid", q.lineitem_rate_grid)
+    timed("orders_weekday_seasonality", q.orders_weekday_seasonality)
 
     ray.shutdown()
     return {

@@ -11042,3 +11042,168 @@ def stratified_fixed_k_sample(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def lineitem_rate_grid(sf_dir: str) -> ray.data.Dataset:
+    """2-D HISTOGRAM (tax percent x discount percent): row counts and
+    revenue cents per cell — the correlation heat-map behind pricing
+    dashboards, all-integer so both engines bin identically.
+
+    Physical plan: per-batch 2-D bincount partials (cells are
+    dimension-bounded: percents 0-100), one tiny cell%8 exchange."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_tax", "l_discount", "l_extendedprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "tax_pct": pa.nulls(0, pa.int64()),
+            "disc_pct": pa.nulls(0, pa.int64()),
+            "n_rows": pa.nulls(0, pa.int64()),
+            "rev_cents": pa.nulls(0, pa.int64()),
+            "g": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_tax" not in batch.column_names:
+            return EMPTY
+        tax = np.floor(
+            batch["l_tax"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dsc = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * 100.0).astype(np.int64)
+        key = tax * 1024 + dsc
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "tax_pct": pa.array(uk // 1024),
+                "disc_pct": pa.array(uk % 1024),
+                "n_rows": pa.array(n),
+                "rev_cents": pa.array(s),
+                "g": pa.array(uk % 8),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tax_pct": pa.nulls(0, pa.int64()),
+                "disc_pct": pa.nulls(0, pa.int64()),
+                "n_rows": pa.nulls(0, pa.int64()),
+                "rev_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "tax_pct" not in group.column_names:
+            return empty
+        t = group["tax_pct"].to_numpy(zero_copy_only=False)
+        d = group["disc_pct"].to_numpy(zero_copy_only=False)
+        key = t * 1024 + d
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(uk.shape[0], dtype=np.int64)
+        s = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(n, inv, group["n_rows"].to_numpy(zero_copy_only=False))
+        np.add.at(s, inv, group["rev_cents"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "tax_pct": pa.array(uk // 1024),
+                "disc_pct": pa.array(uk % 1024),
+                "n_rows": pa.array(n),
+                "rev_cents": pa.array(s),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: kernel(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else kernel(t),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def orders_weekday_seasonality(sf_dir: str) -> ray.data.Dataset:
+    """Weekday seasonality index: order counts per ISO weekday plus each
+    day's share of the week (count and one deterministic division — the
+    demand-shape profile behind staffing forecasts).
+
+    Physical plan: per-batch weekday bincount partials, one 7-row
+    tail."""
+    DAY_US = np.int64(86_400_000_000)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_OUT = pa.table(
+        {
+            "weekday": pa.nulls(0, pa.int64()),
+            "n_orders": pa.nulls(0, pa.int64()),
+            "share": pa.nulls(0, pa.float64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderdate" not in batch.column_names:
+            return pa.table(
+                {
+                    "weekday": pa.nulls(0, pa.int64()),
+                    "n": pa.nulls(0, pa.int64()),
+                    "g": pa.nulls(0, pa.int64()),
+                }
+            )
+        ts = batch["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["o_orderdate"], pa.ChunkedArray) else batch[
+            "o_orderdate"
+        ].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = np.asarray(ts, dtype=np.int64) // DAY_US
+        # 1970-01-01 was a Thursday; ISO weekday Mon=1..Sun=7
+        wd = ((d + 3) % 7) + 1
+        n = np.bincount(wd, minlength=8)[1:8]
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "weekday": pa.array((nz + 1).astype(np.int64)),
+                "n": pa.array(n[nz].astype(np.int64)),
+                "g": pa.array(np.zeros(nz.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "weekday" not in group.column_names:
+            return EMPTY_OUT
+        wd = group["weekday"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        tot = np.zeros(8, dtype=np.int64)
+        np.add.at(tot, wd, n)
+        total = int(tot.sum())
+        nz = np.flatnonzero(tot)
+        share = tot[nz].astype(np.float64) / np.float64(total)
+        return pa.table(
+            {
+                "weekday": pa.array(nz.astype(np.int64)),
+                "n_orders": pa.array(tot[nz]),
+                "share": pa.array(share),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: kernel(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else kernel(t),
+            batch_format="pyarrow",
+        )
+    )

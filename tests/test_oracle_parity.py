@@ -77,6 +77,8 @@ ORACLE_QUERIES = [
     "user_value_pareto",
     "source_dup_rate",
     "stratified_fixed_k_sample",
+    "lineitem_rate_grid",
+    "orders_weekday_seasonality",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -673,6 +673,8 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "user_value_pareto",
         "source_dup_rate",
         "stratified_fixed_k_sample",
+        "lineitem_rate_grid",
+        "orders_weekday_seasonality",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
