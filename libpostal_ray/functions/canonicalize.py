@@ -935,6 +935,93 @@ TL_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     TL_ABBREV_RULES + TL_NUMBER_RULES
 )
 
+# ---------------------------------------------------------------------------
+# BISCRIPT packs (ru / uk / el / bg): non-Latin-script languages whose rows
+# may reach the rule pass EITHER in native script (transliterate=False) or
+# romanized (transliterate=True runs latin_ascii BEFORE rules) — so every
+# entry ships twice: the NFKC+casefolded native key (casefold matters:
+# Greek final sigma folds to medial, "οδός" -> "οδόσ") and its latin_ascii
+# twin keyed to the SAME chain the text itself goes through.
+# ---------------------------------------------------------------------------
+
+
+def _biscript_rules(
+    abbrevs: dict[str, str], nums: dict[str, int]
+) -> tuple[tuple[str, str], ...]:
+    import unicodedata as _ud
+
+    from libpostal_ray.functions.translit import latin_ascii as _la
+
+    def _cf(s: str) -> str:
+        return _ud.normalize("NFKC", s).casefold()
+
+    rules: list[tuple[str, str]] = []
+    for w, r in abbrevs.items():
+        wc, rc = _cf(w), _cf(r)
+        rules.append((rf"\b{wc}\b", rc))
+        rw, rr = _la(wc), _la(rc)
+        if rw != wc:
+            rules.append((rf"\b{rw}\b", rr))
+    for w, v in nums.items():
+        wc = _cf(w)
+        rules.append((rf"\b{wc}\b", str(v)))
+        rw = _la(wc)
+        if rw != wc:
+            rules.append((rf"\b{rw}\b", str(v)))
+    return tuple(rules)
+
+
+RU_GENERAL_RULES = _biscript_rules(
+    {"ул": "улица", "пр": "проспект", "пл": "площадь", "д": "дом",
+     "тел": "телефон", "наб": "набережная"},
+    {"один": 1, "два": 2, "три": 3, "четыре": 4, "пять": 5, "шесть": 6,
+     "семь": 7, "восемь": 8, "девять": 9, "десять": 10,
+     "одиннадцать": 11, "двенадцать": 12, "тринадцать": 13,
+     "четырнадцать": 14, "пятнадцать": 15, "шестнадцать": 16,
+     "семнадцать": 17, "восемнадцать": 18, "девятнадцать": 19,
+     "двадцать": 20, "тридцать": 30, "сорок": 40, "пятьдесят": 50,
+     "шестьдесят": 60, "семьдесят": 70, "восемьдесят": 80,
+     "девяносто": 90, "сто": 100},
+)
+
+UK_GENERAL_RULES = _biscript_rules(
+    {"вул": "вулиця", "просп": "проспект", "пл": "площа",
+     "буд": "будинок", "тел": "телефон"},
+    {"один": 1, "два": 2, "три": 3, "чотири": 4, "п'ять": 5,
+     "шість": 6, "сім": 7, "вісім": 8, "дев'ять": 9, "десять": 10,
+     "одинадцять": 11, "дванадцять": 12, "тринадцять": 13,
+     "чотирнадцять": 14, "п'ятнадцять": 15, "шістнадцять": 16,
+     "сімнадцять": 17, "вісімнадцять": 18, "дев'ятнадцять": 19,
+     "двадцять": 20, "тридцять": 30, "сорок": 40, "п'ятдесят": 50,
+     "шістдесят": 60, "сімдесят": 70, "вісімдесят": 80,
+     "дев'яносто": 90, "сто": 100},
+)
+
+EL_GENERAL_RULES = _biscript_rules(
+    {"οδ": "οδός", "πλ": "πλατεία", "λεωφ": "λεωφόρος",
+     "τηλ": "τηλέφωνο", "αρ": "αριθμός"},
+    {"ένα": 1, "δύο": 2, "τρία": 3, "τέσσερα": 4, "πέντε": 5,
+     "έξι": 6, "επτά": 7, "οκτώ": 8, "εννέα": 9, "δέκα": 10,
+     "έντεκα": 11, "δώδεκα": 12, "δεκατρία": 13, "δεκατέσσερα": 14,
+     "δεκαπέντε": 15, "δεκαέξι": 16, "δεκαεπτά": 17, "δεκαοκτώ": 18,
+     "δεκαεννέα": 19, "είκοσι": 20, "τριάντα": 30, "σαράντα": 40,
+     "πενήντα": 50, "εξήντα": 60, "εβδομήντα": 70, "ογδόντα": 80,
+     "ενενήντα": 90, "εκατό": 100},
+)
+
+BG_GENERAL_RULES = _biscript_rules(
+    {"ул": "улица", "бул": "булевард", "пл": "площад",
+     "тел": "телефон"},
+    {"едно": 1, "две": 2, "три": 3, "четири": 4, "пет": 5, "шест": 6,
+     "седем": 7, "осем": 8, "девет": 9, "десет": 10,
+     "единадесет": 11, "дванадесет": 12, "тринадесет": 13,
+     "четиринадесет": 14, "петнадесет": 15, "шестнадесет": 16,
+     "седемнадесет": 17, "осемнадесет": 18, "деветнадесет": 19,
+     "двадесет": 20, "тридесет": 30, "четиридесет": 40,
+     "петдесет": 50, "шестдесет": 60, "седемдесет": 70,
+     "осемдесет": 80, "деветдесет": 90, "сто": 100},
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -968,6 +1055,10 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "ms": MS_GENERAL_RULES,
     "sq": SQ_GENERAL_RULES,
     "tl": TL_GENERAL_RULES,
+    "ru": RU_GENERAL_RULES,
+    "uk": UK_GENERAL_RULES,
+    "el": EL_GENERAL_RULES,
+    "bg": BG_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals
@@ -978,7 +1069,7 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
 # ÷ U+00F7 excluded) so SV/DA/NO/PL pack entries fold into the combined
 # pass and get the trailing-period consumption like ASCII entries
 _PLAIN_WORD_RE = re.compile(
-    r"^\\b([A-Za-z0-9À-ÖØ-öø-ÿĀ-ſ' -]+)\\b$"
+    r"^\\b([A-Za-z0-9À-ÖØ-öø-ÿĀ-ſͰ-ϿЀ-ӿ' -]+)\\b$"
 )
 
 

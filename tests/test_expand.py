@@ -275,6 +275,7 @@ class TestLanguagePacks:
             "sv", "da", "no", "pl", "cs", "fi", "tr",
             "ro", "hu", "ca", "id", "sk", "hr",
             "lt", "lv", "et", "sl", "gl", "eu", "ms", "sq", "tl",
+            "ru", "uk", "el", "bg",
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles

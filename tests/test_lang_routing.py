@@ -222,3 +222,33 @@ def test_en_compound_numbers_combine():
     assert out[2] == "300"
     assert out[3] == "a hundred ideas"
     assert out[4] == "107"
+
+
+def test_biscript_packs_native_and_romanized():
+    # native script path (transliterate off): Cyrillic/Greek keys fire
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "ул. Ленина пять",        # ru
+            "вул. Шевченка десять",   # uk
+            "οδ. Αθηνάς δέκα",        # el
+            "бул. Витоша пет",        # bg
+        ],
+        ["ru", "uk", "el", "bg"],
+    )
+    assert out[0] == "улица ленина 5"
+    assert out[1] == "вулиця шевченка 10"
+    assert out[2] == "οδόσ αθηνάσ 10"   # casefolded canonical space
+    assert out[3] == "булевард витоша 5"
+    # romanized path (transliterate on): latin twins fire on the SAME rows
+    stage_t = CanonicalizeStage(
+        PipelineConfig(lang_rules=True, transliterate=True)
+    )
+    out_t = _canon(
+        stage_t,
+        ["ул. Ленина пять", "οδ. Αθηνάς δέκα"],
+        ["ru", "el"],
+    )
+    assert out_t[0] == "ulitsa lenina 5"
+    assert out_t[1] == "odos athinas 10" or out_t[1].endswith(" 10")
