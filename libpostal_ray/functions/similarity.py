@@ -107,6 +107,72 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[m])
 
 
+def affine_gap_distance(
+    a: str,
+    b: str,
+    *,
+    mismatch: int = 2,
+    gap_open: int = 2,
+    gap_extend: int = 1,
+) -> int:
+    """Affine-gap global alignment cost (string_similarity.c:27-287
+    role), independent reimplementation of the published Gotoh (1982)
+    three-matrix recurrence: a gap of length L costs
+    gap_open + gap_extend*L, so ONE long insertion ("main street" vs
+    "main st") is much cheaper than the same characters scattered —
+    the property plain Levenshtein lacks.  Row-wise numpy DP: the
+    within-row gap dependency X[j] = min(D[j-1]+o+e, X[j-1]+e)
+    collapses to a prefix min of (Z[k] - e*k) exactly like the
+    insertion scan in levenshtein above; no per-cell Python.  Run only
+    on candidate pairs (small data)."""
+    if a == b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    n, m = ca.shape[0], cb.shape[0]
+    o, e = gap_open, gap_extend
+    if n == 0 or m == 0:
+        return (o + e * (n + m)) if (n + m) else 0
+    BIG = np.int64(1 << 40)
+    j_idx = np.arange(1, m + 1, dtype=np.int64)
+    # row 0: leading gap in b
+    d_prev = np.empty(m + 1, dtype=np.int64)
+    d_prev[0] = 0
+    d_prev[1:] = o + e * j_idx
+    y_prev = np.full(m + 1, BIG, dtype=np.int64)
+    for i in range(1, n + 1):
+        sub = (cb != ca[i - 1]).astype(np.int64) * mismatch
+        m_row = np.empty(m + 1, dtype=np.int64)
+        m_row[0] = BIG
+        m_row[1:] = d_prev[:-1] + sub
+        y_row = np.empty(m + 1, dtype=np.int64)
+        y_row[0] = o + e * i
+        y_row[1:] = np.minimum(d_prev[1:] + o + e, y_prev[1:] + e)
+        # within-row gap (consuming b): X[j] = min_{k<j} Z[k] + o + e*(j-k)
+        z = np.minimum(m_row, y_row)
+        z[0] = min(int(y_row[0]), o + e * i)  # D[i][0]
+        shifted = z[:-1] - e * np.arange(m, dtype=np.int64)
+        np.minimum.accumulate(shifted, out=shifted)
+        x_row = shifted + o + e * (1 + np.arange(m, dtype=np.int64))
+        d_row = np.empty(m + 1, dtype=np.int64)
+        d_row[0] = o + e * i
+        d_row[1:] = np.minimum(z[1:], x_row)
+        d_prev, y_prev = d_row, y_row
+    return int(d_prev[m])
+
+
+def affine_gap_similarity(a: str, b: str) -> float:
+    """Normalized [0,1] affine-gap similarity: 1 - dist/worst where
+    worst is the all-gaps alignment cost of the pair."""
+    if a == b:
+        return 1.0
+    n, m = len(a), len(b)
+    worst = (2 if n else 0) + n + (2 if m else 0) + m  # o=2, e=1 defaults
+    if worst == 0:
+        return 1.0
+    return 1.0 - affine_gap_distance(a, b) / worst
+
+
 def char_jaccard(a: str, b: str) -> float:
     """Set Jaccard over UTF-8 bytes — DuckDB ``jaccard`` builtin semantics
     (byte sets; identical to char sets on ASCII).  The single small-int
@@ -203,8 +269,11 @@ def acronym_alignment(t1: str, t2: str) -> bool:
 
 def soft_token_similarity(t1: str, t2: str, idf: dict | None = None) -> float:
     """Soft-TFIDF-style token-set cosine (soft_tfidf.c:128-592 analog):
-    tokens match if equal, Jaro-Winkler >= 0.9, or one abbreviates the
-    other; matched weight over the geometric mean of total weights.
+    tokens match if equal, Jaro-Winkler >= 0.9, one abbreviates the
+    other, or — for long tokens (>= 6 chars each, where JW's
+    prefix-weighting misjudges internal runs) — affine-gap similarity
+    >= 0.85 (soft_tfidf.c uses its affine-gap channel the same way);
+    matched weight over the geometric mean of total weights.
     ``idf`` maps token -> weight (uniform 1.0 when absent — the reference
     likewise takes caller-supplied token_scores, libpostal.h:261-262)."""
     a, b = (t1 or "").split(), (t2 or "").split()
@@ -228,6 +297,11 @@ def soft_token_similarity(t1: str, t2: str, idf: dict | None = None) -> float:
                 or jaro_winkler(ta, tb) >= 0.9
                 or possible_abbreviation(ta, tb)
                 or possible_abbreviation(tb, ta)
+                or (
+                    len(ta) >= 6
+                    and len(tb) >= 6
+                    and affine_gap_similarity(ta, tb) >= 0.85
+                )
             ):
                 best_j = j
                 break

@@ -679,3 +679,61 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
         assert len(df) == 0, (name, df.head())
+
+
+class TestAffineGap:
+    def test_brute_force_and_gap_preference(self):
+        from libpostal_ray.functions.similarity import (
+            affine_gap_distance,
+            affine_gap_similarity,
+        )
+
+        # Gotoh reference, plain triple-matrix python
+        def brute(a, b, mismatch=2, o=2, e=1):
+            BIG = 1 << 40
+            n, m = len(a), len(b)
+            M = [[BIG] * (m + 1) for _ in range(n + 1)]
+            X = [[BIG] * (m + 1) for _ in range(n + 1)]
+            Y = [[BIG] * (m + 1) for _ in range(n + 1)]
+            M[0][0] = 0
+            for j in range(1, m + 1):
+                X[0][j] = o + e * j
+            for i in range(1, n + 1):
+                Y[i][0] = o + e * i
+
+            def D(i, j):
+                return (
+                    0
+                    if (i, j) == (0, 0)
+                    else min(M[i][j], X[i][j], Y[i][j])
+                )
+
+            for i in range(1, n + 1):
+                for j in range(1, m + 1):
+                    M[i][j] = D(i - 1, j - 1) + (
+                        0 if a[i - 1] == b[j - 1] else mismatch
+                    )
+                    X[i][j] = min(D(i, j - 1) + o + e, X[i][j - 1] + e)
+                    Y[i][j] = min(D(i - 1, j) + o + e, Y[i - 1][j] + e)
+            return D(n, m)
+
+        import random
+
+        rng = random.Random(11)
+        for _ in range(300):
+            a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 8)))
+            b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 8)))
+            assert affine_gap_distance(a, b) == brute(a, b), (a, b)
+        # ONE contiguous gap is cheaper than the same chars scattered
+        assert affine_gap_distance("aaabbbccc", "aaaccc") == 5
+        assert affine_gap_distance("aXbXcX", "abc") == 9
+        assert affine_gap_similarity("streetname", "streetname") == 1.0
+        # long-token soft match rides the affine channel
+        from libpostal_ray.functions.similarity import soft_token_similarity
+
+        assert (
+            soft_token_similarity(
+                "international airportterminal", "international airporterminal"
+            )
+            == 1.0
+        )
