@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_fixed_k_sample": q.stratified_fixed_k_sample,
         "lineitem_rate_grid": q.lineitem_rate_grid,
         "orders_weekday_seasonality": q.orders_weekday_seasonality,
+        "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
+        "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
+        "tpch_q19_bracket_revenue": q.tpch_q19_bracket_revenue,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -1628,6 +1631,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "tpch_q15_top_supplier": """
+            WITH r AS (SELECT l_suppkey,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                   * (1 - l_discount) * 100) AS BIGINT))
+                                   AS BIGINT) AS total_cents
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-04-01'
+                       GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_cents
+            FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_cents = (SELECT max(total_cents) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+    "tpch_q17_small_quantity_revenue": """
+            WITH a AS (SELECT l_partkey,
+                              0.2 * (CAST(CAST(sum(CAST(floor(l_quantity)
+                                        AS BIGINT)) AS BIGINT) AS DOUBLE)
+                                     / CAST(CAST(count(*) AS BIGINT)
+                                            AS DOUBLE)) AS lim
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < a.lim
+        """,
+    "tpch_q19_bracket_revenue": """
+            SELECT CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
     "lineitem_rate_grid": """
             SELECT CAST(floor(CAST(l_tax AS DOUBLE) * 100) AS BIGINT)

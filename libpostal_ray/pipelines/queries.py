@@ -11207,3 +11207,403 @@ def orders_weekday_seasonality(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def tpch_q15_top_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q15 analog (top supplier): supplier(s) with the MAXIMUM
+    revenue over a shipdate quarter — ties all returned, the argmax-
+    with-ties shape Q15's view formulation demands.
+
+    Physical plan: per-batch (suppkey, cents) partials; ONE suppkey%P
+    exchange finishes totals and each partition emits its LOCAL max
+    candidates; the P-row tail takes the global max and keeps ties.
+    Supplier names broadcast once from a remote build task."""
+    import pyarrow.dataset as pads
+
+    lo = pa.scalar(
+        np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    hi = pa.scalar(
+        np.datetime64("1996-04-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    P = 32
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_names(*refs) -> tuple:
+        parts = [t for t in refs if t.num_rows]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        t = pa.concat_tables(parts)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = np.asarray(t["s_name"].to_pylist(), dtype=object)
+        o = np.argsort(sk)
+        return sk[o], sn[o]
+
+    names_ref = build_names.remote(*supp.to_arrow_refs())
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "sk": pa.nulls(0, pa.int64()),
+            "rev": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_suppkey" not in batch.column_names:
+            return EMPTY
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+        uk, inv = np.unique(sk, return_inverse=True)
+        s = np.bincount(inv, weights=rev.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {"sk": pa.array(uk), "rev": pa.array(s), "part": pa.array(uk % P)}
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sk": pa.nulls(0, pa.int64()), "rev": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "sk" not in group.column_names:
+            return empty
+        sk = group["sk"].to_numpy(zero_copy_only=False)
+        rev = group["rev"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        mx = tot.max()
+        keep = tot == mx
+        return pa.table(
+            {"sk": pa.array(uk[keep]), "rev": pa.array(tot[keep])}
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.nulls(0, pa.int64()),
+                "s_name": pa.nulls(0, pa.string()),
+                "total_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        sk = batch["sk"].to_numpy(zero_copy_only=False)
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        mx = rev.max()
+        keep = rev == mx
+        sk = sk[keep]
+        o = np.argsort(sk)
+        sk = sk[o]
+        keys, names = ray.get(names_ref)
+        pos = np.minimum(np.searchsorted(keys, sk), max(keys.shape[0] - 1, 0))
+        nm = (
+            names[pos]
+            if keys.shape[0]
+            else np.full(sk.shape[0], "", dtype=object)
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array(nm.tolist(), type=pa.string()),
+                "total_cents": pa.array(np.full(sk.shape[0], mx, np.int64)),
+            }
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def tpch_q17_small_quantity_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q17 analog (small-quantity-order revenue): total price of
+    lineitems whose quantity is below 20% of their part's average
+    quantity — the correlated-aggregate-subquery shape, decorrelated.
+
+    Physical plan: pass 1 pre-aggregates (partkey, quantity-sum, count)
+    per batch and ONE partkey%P exchange finishes the per-part
+    averages; the threshold map (part-dimension, 16 B/part) gathers in
+    a REMOTE task and broadcasts once; pass 2 streams lineitem, probes
+    via searchsorted and emits one partial row per batch.  Quantities
+    are integral doubles so the per-part sums are exact ints and
+    0.2*(sum/n) is the same float64 on both engines."""
+    P = 32
+
+    def _line(cols):
+        return ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=cols
+        ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "pk": pa.nulls(0, pa.int64()),
+            "qs": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial1(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return EMPTY
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        qi = np.floor(q).astype(np.int64)  # integral by data contract
+        uk, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=qi.astype(np.float64)).astype(np.int64)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(uk),
+                "qs": pa.array(s),
+                "n": pa.array(n),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def kernel1(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pk": pa.nulls(0, pa.int64()),
+                "qs": pa.nulls(0, pa.int64()),
+                "n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "pk" not in group.column_names:
+            return empty
+        pk = group["pk"].to_numpy(zero_copy_only=False)
+        qs = group["qs"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk, return_inverse=True)
+        ts = np.zeros(uk.shape[0], dtype=np.int64)
+        tn = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(ts, inv, qs)
+        np.add.at(tn, inv, n)
+        return pa.table(
+            {"pk": pa.array(uk), "qs": pa.array(ts), "n": pa.array(tn)}
+        )
+
+    avgs = (
+        _line(["l_partkey", "l_quantity"])
+        .map_batches(partial1, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel1, batch_format="pyarrow")
+    )
+
+    @ray.remote
+    def build_limits(*refs) -> tuple:
+        parts = [t for t in refs if t.num_rows and "pk" in t.column_names]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        t = pa.concat_tables(parts)
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        qs = t["qs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lim = 0.2 * (qs / n)
+        o = np.argsort(pk)
+        return pk[o], lim[o]
+
+    lim_ref = build_limits.remote(*avgs.to_arrow_refs())
+
+    EMPTY_OUT = pa.table(
+        {
+            "total_cents": pa.nulls(0, pa.int64()),
+            "n_rows": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial2(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c": pa.nulls(0, pa.int64()),
+                "n": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return empty
+        keys, lims = ray.get(lim_ref)
+        if keys.shape[0] == 0:
+            return empty
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, pk), keys.shape[0] - 1)
+        hit = (keys[pos] == pk) & (q < lims[pos])
+        if not hit.any():
+            return empty
+        cents = np.floor(ep[hit] * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array([int(cents.sum())], type=pa.int64()),
+                "n": pa.array([int(hit.sum())], type=pa.int64()),
+                "g": pa.array([0], type=pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "c" not in group.column_names:
+            return EMPTY_OUT
+        return pa.table(
+            {
+                "total_cents": pa.array(
+                    [int(group["c"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+                "n_rows": pa.array(
+                    [int(group["n"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        _line(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(partial2, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: final(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else final(t),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def tpch_q19_bracket_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 analog (discounted revenue, OR-of-ANDs brackets):
+    revenue from three (brand, size-range, quantity-range) brackets —
+    the multi-predicate join Q19 uses to stress OR pushdown.
+
+    Physical plan: the part dimension reduces to sorted (partkey ->
+    brand-code, size) arrays broadcast once; lineitem streams, probes
+    with one searchsorted and evaluates all three brackets vectorized;
+    one partial row per batch."""
+    BRACKETS = (
+        ("Brand#12", 1, 10, 1, 11),
+        ("Brand#23", 1, 15, 10, 20),
+        ("Brand#34", 1, 25, 20, 30),
+    )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_dims(*refs) -> tuple:
+        parts = [t for t in refs if t.num_rows]
+        if not parts:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+            )
+        t = pa.concat_tables(parts)
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brands = [b for b, *_ in BRACKETS]
+        bcode = np.full(pk.shape[0], -1, dtype=np.int64)
+        bp = t["p_brand"].to_pylist()
+        for i, b in enumerate(brands):
+            m = np.asarray([x == b for x in bp])
+            bcode[m] = i
+        sz = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(pk)
+        return pk[o], bcode[o], sz[o]
+
+    dims_ref = build_dims.remote(*part.to_arrow_refs())
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_OUT = pa.table(
+        {
+            "revenue_cents": pa.nulls(0, pa.int64()),
+            "n_rows": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c": pa.nulls(0, pa.int64()),
+                "n": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return empty
+        keys, bcode, sz = ray.get(dims_ref)
+        if keys.shape[0] == 0:
+            return empty
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, pk), keys.shape[0] - 1)
+        ok = keys[pos] == pk
+        bc, s = bcode[pos], sz[pos]
+        hit = np.zeros(pk.shape[0], dtype=bool)
+        for i, (_, slo, shi, qlo, qhi) in enumerate(BRACKETS):
+            hit |= (
+                ok
+                & (bc == i)
+                & (s >= slo)
+                & (s <= shi)
+                & (q >= qlo)
+                & (q <= qhi)
+            )
+        if not hit.any():
+            return empty
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        cents = np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array([int(cents.sum())], type=pa.int64()),
+                "n": pa.array([int(hit.sum())], type=pa.int64()),
+                "g": pa.array([0], type=pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "c" not in group.column_names:
+            return EMPTY_OUT
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(group["c"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+                "n_rows": pa.array(
+                    [int(group["n"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: final(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else final(t),
+            batch_format="pyarrow",
+        )
+    )

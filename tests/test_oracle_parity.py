@@ -79,6 +79,9 @@ ORACLE_QUERIES = [
     "stratified_fixed_k_sample",
     "lineitem_rate_grid",
     "orders_weekday_seasonality",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_bracket_revenue",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",
