@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_fixed_k_sample": q.stratified_fixed_k_sample,
         "lineitem_rate_grid": q.lineitem_rate_grid,
         "orders_weekday_seasonality": q.orders_weekday_seasonality,
+        "tpch_q7_nation_volume": q.tpch_q7_nation_volume,
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
         "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
         "tpch_q19_bracket_revenue": q.tpch_q19_bracket_revenue,
@@ -1631,6 +1632,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "tpch_q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_nationkey <> n2.n_nationkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
         """,
     "tpch_q15_top_supplier": """
             WITH r AS (SELECT l_suppkey,

@@ -11607,3 +11607,235 @@ def tpch_q19_bracket_revenue(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def tpch_q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q7 analog (volume shipping): revenue between every ordered
+    pair of DIFFERENT supplier/customer nations per ship year.
+
+    Physical plan: supplier->nation, customer->nation and nation-name
+    maps build once in a remote task (all dimension-sized; customer is
+    the largest and an order of magnitude under orders — the q5
+    broadcast discipline); lineitem pre-aggregates (orderkey,
+    supp-nation, year) cent partials per batch and meets the orders
+    (orderkey -> cust-nation) stream in ONE orderkey%P exchange; the
+    kernel joins and collapses to (supp_nation, cust_nation, year)
+    locals, so the tail reduce is <= P x pairs x years rows."""
+    import pyarrow.dataset as pads
+
+    lo = pa.scalar(
+        np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    hi = pa.scalar(
+        np.datetime64("1998-01-01T00:00:00", "us"), type=pa.timestamp("us")
+    )
+    P = 32
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(ns: int, nc: int, *refs) -> tuple:
+        sp = [t for t in refs[:ns] if t.num_rows]
+        cp = [t for t in refs[ns:ns + nc] if t.num_rows]
+        npp = [t for t in refs[ns + nc:] if t.num_rows]
+        if not sp or not cp or not npp:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e, e, e, np.empty(0, dtype=object)
+        st = pa.concat_tables(sp)
+        ct = pa.concat_tables(cp)
+        nt = pa.concat_tables(npp)
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = ct["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o2 = np.argsort(ck)
+        nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = np.asarray(nt["n_name"].to_pylist(), dtype=object)
+        o3 = np.argsort(nk)
+        return sk[o], sn[o], ck[o2], cn[o2], nk[o3], nn[o3]
+
+    s_refs = supp.to_arrow_refs()
+    c_refs = cust.to_arrow_refs()
+    n_refs = nation.to_arrow_refs()
+    state_ref = build_state.remote(
+        len(s_refs), len(c_refs), *s_refs, *c_refs, *n_refs
+    )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "k2": pa.nulls(0, pa.int64()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        sk_keys, sn_vals, *_ = ray.get(state_ref)
+        if sk_keys.shape[0] == 0:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ts = batch["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["l_shipdate"], pa.ChunkedArray) else batch[
+            "l_shipdate"
+        ].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (
+            np.asarray(ts, dtype="int64").astype("datetime64[us]")
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        pos = np.minimum(np.searchsorted(sk_keys, su), sk_keys.shape[0] - 1)
+        snat = sn_vals[pos]
+        cents = np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+        # pre-aggregate per (orderkey, supp-nation, year); the %32/%8
+        # folds only DISAMBIGUATE within the composite (25 nations, a
+        # 2-year ship window) — the exact (snat, year) ride on the
+        # representative row's k2 payload
+        key = (ok * 32 + snat % 32) * 8 + (year % 8)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        reps = np.full(uk.shape[0], key.shape[0], dtype=np.int64)
+        np.minimum.at(reps, inv, np.arange(key.shape[0], dtype=np.int64))
+        return pa.table(
+            {
+                "ok": pa.array(ok[reps]),
+                "v": pa.array(s),
+                "k2": pa.array(snat[reps] * 10000 + year[reps]),
+                "side": pa.array(np.zeros(uk.shape[0], dtype=np.int64)),
+                "part": pa.array(ok[reps] % P),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        _, _, ck_keys, cn_vals, *_ = ray.get(state_ref)
+        if ck_keys.shape[0] == 0:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(ck_keys, cu), ck_keys.shape[0] - 1)
+        cnat = cn_vals[pos]
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "v": pa.array(np.zeros(ok.shape[0], dtype=np.int64)),
+                "k2": pa.array(cnat),
+                "side": pa.array(np.ones(ok.shape[0], dtype=np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sn": pa.nulls(0, pa.int64()),
+                "cn": pa.nulls(0, pa.int64()),
+                "l_year": pa.nulls(0, pa.int64()),
+                "rev": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        k2 = group["k2"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        ook, ocn = ok[iso], k2[iso]
+        lk, lv, lsy = ok[~iso], v[~iso], k2[~iso]
+        if ook.shape[0] == 0 or lk.shape[0] == 0:
+            return empty
+        o = np.argsort(ook)
+        ook, ocn = ook[o], ocn[o]
+        pos = np.minimum(np.searchsorted(ook, lk), ook.shape[0] - 1)
+        hit = ook[pos] == lk
+        if not hit.any():
+            return empty
+        snat = lsy[hit] // 10000
+        year = lsy[hit] % 10000
+        cnat = ocn[pos[hit]]
+        keep = snat != cnat
+        if not keep.any():
+            return empty
+        key = (snat[keep] * 64 + cnat[keep]) * 10000 + year[keep]
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(
+            inv, weights=lv[hit][keep].astype(np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "sn": pa.array(uk // 640000),
+                "cn": pa.array((uk // 10000) % 64),
+                "l_year": pa.array(uk % 10000),
+                "rev": pa.array(s),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "supp_nation": pa.nulls(0, pa.string()),
+                "cust_nation": pa.nulls(0, pa.string()),
+                "l_year": pa.nulls(0, pa.int64()),
+                "revenue_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        sn = batch["sn"].to_numpy(zero_copy_only=False)
+        cn = batch["cn"].to_numpy(zero_copy_only=False)
+        yr = batch["l_year"].to_numpy(zero_copy_only=False)
+        rv = batch["rev"].to_numpy(zero_copy_only=False)
+        key = (sn * 64 + cn) * 10000 + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, rv)
+        _, _, _, _, nk, nn = ray.get(state_ref)
+        sn_u = (uk // 640000).astype(np.int64)
+        cn_u = ((uk // 10000) % 64).astype(np.int64)
+        p1 = np.minimum(np.searchsorted(nk, sn_u), max(nk.shape[0] - 1, 0))
+        p2 = np.minimum(np.searchsorted(nk, cn_u), max(nk.shape[0] - 1, 0))
+        return pa.table(
+            {
+                "supp_nation": pa.array(nn[p1].tolist(), type=pa.string()),
+                "cust_nation": pa.array(nn[p2].tolist(), type=pa.string()),
+                "l_year": pa.array((uk % 10000).astype(np.int64)),
+                "revenue_cents": pa.array(tot),
+            }
+        )
+
+    return (
+        line.map_batches(tag_line, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
