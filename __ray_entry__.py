@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rate_grid": q.lineitem_rate_grid,
         "orders_weekday_seasonality": q.orders_weekday_seasonality,
         "tpch_q7_nation_volume": q.tpch_q7_nation_volume,
+        "bpe_fertility_by_lang": q.bpe_fertility_by_lang,
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
         "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
         "tpch_q19_bracket_revenue": q.tpch_q19_bracket_revenue,

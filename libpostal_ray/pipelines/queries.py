@@ -11839,3 +11839,166 @@ def tpch_q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def bpe_fertility_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer EQUITY metric (multilingual fertility): BPE tokens per
+    whitespace word, per language — the statistic that shows which
+    languages a tokenizer taxes.  Uses the same 12-merge sample-trained
+    tokenizer as bpe_compression.
+
+    Physical plan: the encode pass emits (doc_id, n_tokens) and the
+    lang pass (doc_id, lang, n_words); both collapse to skinny int64
+    rows and meet in ONE doc_id%P exchange; kernels emit per-lang
+    partials so the tail is langs x P rows."""
+    from libpostal_ray.pipelines.bpe import bpe_encode_counts, train_bpe
+
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = train_bpe(ds, n_merges=12, sample_mod=16)
+    counts = bpe_encode_counts(ds, merges)
+
+    EMPTY = pa.table(
+        {
+            "doc_id": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "lang": pa.nulls(0, pa.string()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return EMPTY
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "v": pa.array(
+                    batch["n_tokens"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ),
+                "lang": pa.array([""] * d.shape[0], type=pa.string()),
+                "side": pa.array(np.zeros(d.shape[0], dtype=np.int64)),
+                "part": pa.array(d % P),
+            }
+        )
+
+    def tag_words(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return EMPTY
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.array(
+            [len((t or "").split()) for t in batch["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "v": pa.array(w),
+                "lang": batch["lang"],
+                "side": pa.array(np.ones(d.shape[0], dtype=np.int64)),
+                "part": pa.array(d % P),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.string()),
+                "n_docs": pa.nulls(0, pa.int64()),
+                "n_words": pa.nulls(0, pa.int64()),
+                "n_tokens": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        isw = side == 1
+        wd, wv = d[isw], v[isw]
+        td, tv = d[~isw], v[~isw]
+        if wd.shape[0] == 0:
+            return empty
+        o = np.argsort(td)
+        td, tv = td[o], tv[o]
+        pos = np.minimum(np.searchsorted(td, wd), max(td.shape[0] - 1, 0))
+        hit = (td.shape[0] > 0) & (td[pos] == wd) if td.shape[0] else (
+            np.zeros(wd.shape[0], dtype=bool)
+        )
+        toks = np.where(hit, tv[pos] if td.shape[0] else 0, 0)
+        lenc = group["lang"].combine_chunks().take(
+            pa.array(np.flatnonzero(isw))
+        ).dictionary_encode()
+        codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.bincount(codes, minlength=len(lenc.dictionary))
+        nw = np.bincount(
+            codes, weights=wv.astype(np.float64), minlength=len(lenc.dictionary)
+        ).astype(np.int64)
+        nt = np.bincount(
+            codes, weights=toks.astype(np.float64),
+            minlength=len(lenc.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lang": lenc.dictionary,
+                "n_docs": pa.array(nd.astype(np.int64)),
+                "n_words": pa.array(nw),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.string()),
+                "n_docs": pa.nulls(0, pa.int64()),
+                "n_words": pa.nulls(0, pa.int64()),
+                "n_tokens": pa.nulls(0, pa.int64()),
+                "fertility": pa.nulls(0, pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        lenc = batch["lang"].combine_chunks().dictionary_encode()
+        codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = np.zeros(len(lenc.dictionary), dtype=np.int64)
+        nw = np.zeros(len(lenc.dictionary), dtype=np.int64)
+        nt = np.zeros(len(lenc.dictionary), dtype=np.int64)
+        np.add.at(nd, codes, batch["n_docs"].to_numpy(zero_copy_only=False))
+        np.add.at(nw, codes, batch["n_words"].to_numpy(zero_copy_only=False))
+        np.add.at(nt, codes, batch["n_tokens"].to_numpy(zero_copy_only=False))
+        f = np.divide(
+            nt.astype(np.float64),
+            nw.astype(np.float64),
+            out=np.zeros(nt.shape[0], dtype=np.float64),
+            where=nw != 0,
+        )
+        return pa.table(
+            {
+                "lang": lenc.dictionary,
+                "n_docs": pa.array(nd),
+                "n_words": pa.array(nw),
+                "n_tokens": pa.array(nt),
+                "fertility": pa.array(f),
+            }
+        )
+
+    return (
+        counts.map_batches(tag_counts, batch_format="pyarrow")
+        .union(docs.map_batches(tag_words, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

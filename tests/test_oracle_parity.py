@@ -238,6 +238,7 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
 
 
 ROWS_ONLY = [
+    "bpe_fertility_by_lang",
     "tiered_dedup_report",
     "near_dupe_clusters",
     "cdc_chunk_dups",

@@ -741,3 +741,17 @@ class TestAffineGap:
             )
             == 1.0
         )
+
+
+class TestFertility:
+    def test_fertility_identity(self, ray_session):
+        from libpostal_ray.pipelines.queries import bpe_fertility_by_lang
+
+        out = bpe_fertility_by_lang(SF).to_pandas()
+        assert len(out) == 5
+        # every language: tokens >= words (BPE with 12 merges can only
+        # merge, never split below one token per word... actually tokens
+        # count sub-word units so tokens >= words always holds)
+        assert (out["n_tokens"] >= out["n_words"]).all()
+        assert np.allclose(out["fertility"], out["n_tokens"] / out["n_words"])
+        assert (out["fertility"] >= 1.0).all()
