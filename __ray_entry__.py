@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rate_grid": q.lineitem_rate_grid,
         "orders_weekday_seasonality": q.orders_weekday_seasonality,
         "tpch_q7_nation_volume": q.tpch_q7_nation_volume,
+        "tpch_q21_waiting_suppliers": q.tpch_q21_waiting_suppliers,
         "bpe_fertility_by_lang": q.bpe_fertility_by_lang,
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
         "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
@@ -1633,6 +1634,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "tpch_q21_waiting_suppliers": """
+            WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate
+                       FROM lineitem),
+            o AS (SELECT o_orderkey, o_orderdate FROM orders)
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(DISTINCT l1.l_orderkey) AS BIGINT)
+                       AS n_orders
+            FROM l l1 JOIN o ON l1.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+              AND EXISTS (SELECT 1 FROM l l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM l l3
+                  JOIN o o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 45 DAY)
+            GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey LIMIT 10
         """,
     "tpch_q7_nation_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -12002,3 +12002,189 @@ def bpe_fertility_by_lang(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def tpch_q21_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 analog (suppliers who kept orders waiting): top 10
+    suppliers who were the ONLY late shipper (shipdate > orderdate+45d)
+    on a multi-supplier order — the EXISTS + NOT-EXISTS double
+    correlated-subquery shape, decorrelated.
+
+    Physical plan: lineitem pre-reduces to per-batch (orderkey,
+    suppkey, max shipdate) triples (the late test only needs each
+    pair's max); ONE orderkey%P exchange joins the orders stream, so
+    each order's supplier set, late set, and the |S|>1 AND |L|=={s}
+    qualification all resolve vectorized in its partition; per-supplier
+    counts reduce through a P x suppliers tail with names broadcast
+    once."""
+    P = 32
+    K = 10
+    LATE_US = np.int64(45) * 86_400_000_000
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_names(*refs) -> tuple:
+        parts = [t for t in refs if t.num_rows]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        t = pa.concat_tables(parts)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = np.asarray(t["s_name"].to_pylist(), dtype=object)
+        o = np.argsort(sk)
+        return sk[o], sn[o]
+
+    names_ref = build_names.remote(*supp.to_arrow_refs())
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "sk": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def _us(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.asarray(
+            arr.cast(pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _us(batch["l_shipdate"])
+        # per (orderkey, suppkey) max shipdate — pair-dedup via lexsort
+        order = np.lexsort((ts, sk, ok))
+        ok, sk, ts = ok[order], sk[order], ts[order]
+        last = np.concatenate(
+            ((ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1]), [True])
+        )
+        ok, sk, ts = ok[last], sk[last], ts[last]
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "sk": pa.array(sk),
+                "ts": pa.array(ts),
+                "side": pa.array(np.zeros(ok.shape[0], dtype=np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "sk": pa.array(np.zeros(ok.shape[0], dtype=np.int64)),
+                "ts": pa.array(_us(batch["o_orderdate"])),
+                "side": pa.array(np.ones(ok.shape[0], dtype=np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sk": pa.nulls(0, pa.int64()), "n": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        sk = group["sk"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        ook, ots = ok[iso], ts[iso]
+        lk, ls, lt = ok[~iso], sk[~iso], ts[~iso]
+        if ook.shape[0] == 0 or lk.shape[0] == 0:
+            return empty
+        # merge per (order, supp) max shipdate across batch partials
+        o = np.lexsort((lt, ls, lk))
+        lk, ls, lt = lk[o], ls[o], lt[o]
+        last = np.concatenate(
+            ((lk[1:] != lk[:-1]) | (ls[1:] != ls[:-1]), [True])
+        )
+        lk, ls, lt = lk[last], ls[last], lt[last]
+        # attach orderdate
+        oo = np.argsort(ook)
+        ook, ots = ook[oo], ots[oo]
+        pos = np.minimum(np.searchsorted(ook, lk), ook.shape[0] - 1)
+        hit = ook[pos] == lk
+        lk, ls, lt, od = lk[hit], ls[hit], lt[hit], ots[pos[hit]]
+        if lk.shape[0] == 0:
+            return empty
+        late = lt > od + LATE_US
+        # per order: #suppliers and #late suppliers (rows are distinct
+        # (order, supplier) pairs, sorted by order)
+        starts = np.flatnonzero(
+            np.concatenate(([True], lk[1:] != lk[:-1]))
+        )
+        n_supp = np.diff(np.append(starts, lk.shape[0]))
+        seg = np.repeat(np.arange(starts.shape[0], dtype=np.int64), n_supp)
+        n_late = np.zeros(starts.shape[0], dtype=np.int64)
+        np.add.at(n_late, seg, late.astype(np.int64))
+        qual_order = (n_supp >= 2) & (n_late == 1)
+        qual_row = qual_order[seg] & late
+        if not qual_row.any():
+            return empty
+        wk, cnt = np.unique(ls[qual_row], return_counts=True)
+        return pa.table(
+            {"sk": pa.array(wk), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.nulls(0, pa.int64()),
+                "s_name": pa.nulls(0, pa.string()),
+                "n_orders": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        sk = batch["sk"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        order = np.lexsort((uk, -tot))[:K]
+        uk, tot = uk[order], tot[order]
+        keys, names = ray.get(names_ref)
+        pos = np.minimum(np.searchsorted(keys, uk), max(keys.shape[0] - 1, 0))
+        nm = (
+            names[pos]
+            if keys.shape[0]
+            else np.full(uk.shape[0], "", dtype=object)
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uk),
+                "s_name": pa.array(nm.tolist(), type=pa.string()),
+                "n_orders": pa.array(tot),
+            }
+        )
+
+    return (
+        line.map_batches(tag_line, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
