@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weekday_seasonality": q.orders_weekday_seasonality,
         "tpch_q7_nation_volume": q.tpch_q7_nation_volume,
         "tpch_q21_waiting_suppliers": q.tpch_q21_waiting_suppliers,
+        "tpch_q8_market_share": q.tpch_q8_market_share,
         "bpe_fertility_by_lang": q.bpe_fertility_by_lang,
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
         "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
@@ -1634,6 +1635,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(c.vc) AS BIGINT) AS sum_cents
             FROM c, t GROUP BY 1
+        """,
+    "tpch_q8_market_share": """
+            WITH j AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100) AS BIGINT) AS cents,
+                       n2.n_name AS supp_nation
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                JOIN region r ON n1.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+                WHERE r.r_name = 'ASIA')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN cents ELSE 0 END) AS BIGINT)
+                       AS nation_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                      THEN cents ELSE 0 END) AS BIGINT)
+                        AS DOUBLE)
+                       / CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                       AS share
+            FROM j GROUP BY 1
         """,
     "tpch_q21_waiting_suppliers": """
             WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate

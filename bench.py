@@ -309,6 +309,7 @@ def run_bench() -> dict:
     timed("orders_weekday_seasonality", q.orders_weekday_seasonality)
     timed("tpch_q7_nation_volume", q.tpch_q7_nation_volume)
     timed("tpch_q21_waiting_suppliers", q.tpch_q21_waiting_suppliers)
+    timed("tpch_q8_market_share", q.tpch_q8_market_share)
     timed("tpch_q15_top_supplier", q.tpch_q15_top_supplier)
     timed("tpch_q17_small_quantity_revenue", q.tpch_q17_small_quantity_revenue)
     timed("tpch_q19_bracket_revenue", q.tpch_q19_bracket_revenue)

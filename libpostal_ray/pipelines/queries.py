@@ -12188,3 +12188,244 @@ def tpch_q21_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def tpch_q8_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q8 analog (national market share): NATION_3 suppliers'
+    share of revenue sold into ASIA-region customers, per order year —
+    numerator/denominator as exact cents plus the one deterministic
+    share division.
+
+    Physical plan: the q7 shape with region gating — supplier->is-
+    target-nation and customer->is-in-region maps build once in a
+    remote task (dimension-sized); lineitem pre-aggregates (orderkey,
+    is-target, cents) per batch and meets the orders (orderkey, year,
+    custkey-in-region) stream in ONE orderkey%P exchange; kernels
+    collapse to per-year (nation, total) cent partials."""
+    P = 32
+    TARGET_NATION = "NATION_3"
+    TARGET_REGION = "ASIA"
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(ns: int, nc: int, nn: int, *refs) -> tuple:
+        sp = [t for t in refs[:ns] if t.num_rows]
+        cp = [t for t in refs[ns:ns + nc] if t.num_rows]
+        np_ = [t for t in refs[ns + nc:ns + nc + nn] if t.num_rows]
+        rp = [t for t in refs[ns + nc + nn:] if t.num_rows]
+        e = np.empty(0, dtype=np.int64)
+        if not sp or not cp or not np_ or not rp:
+            return e, e.astype(bool), e, e.astype(bool)
+        st, ct = pa.concat_tables(sp), pa.concat_tables(cp)
+        nt, rt = pa.concat_tables(np_), pa.concat_tables(rp)
+        rkeys = rt["r_regionkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rnames = rt["r_name"].to_pylist()
+        target_rk = {
+            k for k, nm in zip(rkeys, rnames) if nm == TARGET_REGION
+        }
+        nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nnm = nt["n_name"].to_pylist()
+        nrk = nt["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        target_nk = {
+            k for k, nm in zip(nk, nnm) if nm == TARGET_NATION
+        }
+        region_nk = {int(k) for k, r in zip(nk, nrk) if int(r) in target_rk}
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        s_is_target = np.isin(
+            sn[o], np.asarray(sorted(target_nk), dtype=np.int64)
+        )
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = ct["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o2 = np.argsort(ck)
+        c_in_region = np.isin(
+            cn[o2], np.asarray(sorted(region_nk), dtype=np.int64)
+        )
+        return sk[o], s_is_target, ck[o2], c_in_region
+
+    s_refs = supp.to_arrow_refs()
+    c_refs = cust.to_arrow_refs()
+    n_refs = nation.to_arrow_refs()
+    r_refs = region.to_arrow_refs()
+    state_ref = build_state.remote(
+        len(s_refs), len(c_refs), len(n_refs),
+        *s_refs, *c_refs, *n_refs, *r_refs,
+    )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "a": pa.nulls(0, pa.int64()),
+            "b": pa.nulls(0, pa.int64()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        sk_keys, s_tgt, *_ = ray.get(state_ref)
+        if sk_keys.shape[0] == 0:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+        pos = np.minimum(np.searchsorted(sk_keys, su), sk_keys.shape[0] - 1)
+        tgt = s_tgt[pos] & (sk_keys[pos] == su)
+        # per (orderkey, is-target) cent partials
+        key = ok * 2 + tgt.astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(uk // 2),
+                "a": pa.array(uk % 2),   # is-target flag
+                "b": pa.array(s),        # cents
+                "side": pa.array(np.zeros(uk.shape[0], dtype=np.int64)),
+                "part": pa.array((uk // 2) % P),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        _, _, ck_keys, c_reg = ray.get(state_ref)
+        if ck_keys.shape[0] == 0:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["o_orderdate"], pa.ChunkedArray) else batch[
+            "o_orderdate"
+        ].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (
+            np.asarray(ts, dtype="int64").astype("datetime64[us]")
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        pos = np.minimum(np.searchsorted(ck_keys, cu), ck_keys.shape[0] - 1)
+        inr = c_reg[pos] & (ck_keys[pos] == cu)
+        keep = inr
+        if not keep.any():
+            return EMPTY
+        return pa.table(
+            {
+                "ok": pa.array(ok[keep]),
+                "a": pa.array(year[keep]),
+                "b": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+                "side": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                "part": pa.array(ok[keep] % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_year": pa.nulls(0, pa.int64()),
+                "nat": pa.nulls(0, pa.int64()),
+                "tot": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        ook, oyr = ok[iso], a[iso]
+        lk, ltg, lc = ok[~iso], a[~iso], b[~iso]
+        if ook.shape[0] == 0 or lk.shape[0] == 0:
+            return empty
+        o = np.argsort(ook)
+        ook, oyr = ook[o], oyr[o]
+        pos = np.minimum(np.searchsorted(ook, lk), ook.shape[0] - 1)
+        hit = ook[pos] == lk
+        if not hit.any():
+            return empty
+        yr = oyr[pos[hit]]
+        tg = ltg[hit]
+        c = lc[hit]
+        uy, inv = np.unique(yr, return_inverse=True)
+        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        nat = np.bincount(
+            inv, weights=(c * tg).astype(np.float64), minlength=uy.shape[0]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_year": pa.array(uy),
+                "nat": pa.array(nat),
+                "tot": pa.array(tot),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_year": pa.nulls(0, pa.int64()),
+                "nation_cents": pa.nulls(0, pa.int64()),
+                "total_cents": pa.nulls(0, pa.int64()),
+                "share": pa.nulls(0, pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        yr = batch["o_year"].to_numpy(zero_copy_only=False)
+        nat = batch["nat"].to_numpy(zero_copy_only=False)
+        tot = batch["tot"].to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        tn = np.zeros(uy.shape[0], dtype=np.int64)
+        tt = np.zeros(uy.shape[0], dtype=np.int64)
+        np.add.at(tn, inv, nat)
+        np.add.at(tt, inv, tot)
+        share = np.divide(
+            tn.astype(np.float64),
+            tt.astype(np.float64),
+            out=np.zeros(tn.shape[0], dtype=np.float64),
+            where=tt != 0,
+        )
+        return pa.table(
+            {
+                "o_year": pa.array(uy.astype(np.int64)),
+                "nation_cents": pa.array(tn),
+                "total_cents": pa.array(tt),
+                "share": pa.array(share),
+            }
+        )
+
+    return (
+        line.map_batches(tag_line, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

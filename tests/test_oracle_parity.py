@@ -81,6 +81,7 @@ ORACLE_QUERIES = [
     "orders_weekday_seasonality",
     "tpch_q7_nation_volume",
     "tpch_q21_waiting_suppliers",
+    "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_bracket_revenue",

@@ -643,7 +643,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
     d.mkdir()
     for t in (
         "events", "lineitem", "orders", "customer", "documents",
-        "nation", "part", "supplier",
+        "nation", "part", "supplier", "region",
     ):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
@@ -677,6 +677,7 @@ def test_session13_queries_on_empty_corpus(ray_session, tmp_path):
         "orders_weekday_seasonality",
         "tpch_q7_nation_volume",
         "tpch_q21_waiting_suppliers",
+        "tpch_q8_market_share",
         "tpch_q15_top_supplier",
         "tpch_q17_small_quantity_revenue",
         "tpch_q19_bracket_revenue",
