@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
         "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
         "tpch_q19_bracket_revenue": q.tpch_q19_bracket_revenue,
+        # --- block 1d: new in round-4 session 14, never driver-checked;
+        # part of the round-5 rotation set ---
+        "tpch_q18_large_orders": q.tpch_q18_large_orders,
+        "tpch_q16_supplier_counts": q.tpch_q16_supplier_counts,
+        "tpch_q22_dormant_customers": q.tpch_q22_dormant_customers,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2305,5 +2310,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+        """,
+    "tpch_q18_large_orders": """
+            WITH big AS (SELECT l_orderkey,
+                                CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                                     AS BIGINT) AS sum_qty
+                         FROM lineitem GROUP BY 1
+                         HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 250)
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                       AS total_cents,
+                   b.sum_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+    "tpch_q16_supplier_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p.p_brand, p.p_type,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT ps.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+              AND ps.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+            GROUP BY 1, 2, 3
+        """,
+    "tpch_q22_dormant_customers": """
+            WITH t AS (SELECT CAST(sum(CAST(floor(
+                                  CAST(c_acctbal AS DOUBLE) * 100)
+                                  AS BIGINT)) AS BIGINT) AS s,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM customer WHERE c_acctbal > 0),
+            recent AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(floor(CAST(c.c_acctbal AS DOUBLE) * 100)
+                                 AS BIGINT)) AS BIGINT) AS tot_cents
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE CAST(floor(CAST(c.c_acctbal AS DOUBLE) * 100) AS BIGINT)
+                      * (SELECT n FROM t) > (SELECT s FROM t)
+              AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+            GROUP BY 1
         """,
     }

@@ -12429,3 +12429,498 @@ def tpch_q8_market_share(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def tpch_q18_large_orders(sf_dir: str, min_qty: int = 250) -> ray.data.Dataset:
+    """TPC-H Q18 analog (large-volume customers): orders whose total
+    lineitem quantity exceeds ``min_qty``, joined back to the customer —
+    the HAVING-on-a-grouped-subquery shape (reference philosophy: find
+    the few heavy rows without materializing the join for all rows).
+
+    Physical plan: lineitem pre-aggregates (orderkey, qty-sum) per
+    batch, ONE orderkey%P exchange finishes per-order sums and filters
+    > min_qty; the surviving set is TINY (p99 of order quantity sums is
+    ~270 at threshold 250) so it gathers in a remote task and
+    broadcasts.  Orders then stream once, probe via searchsorted, and
+    attach the customer name from the dimension-sized customer map.
+    Quantities are integral doubles -> exact int sums on both engines."""
+    P = 32
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "qs": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qi = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=qi.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {"ok": pa.array(uk), "qs": pa.array(s), "part": pa.array(uk % P)}
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ok": pa.nulls(0, pa.int64()), "qs": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        qs = group["qs"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, qs)
+        keep = tot > min_qty
+        return pa.table({"ok": pa.array(uk[keep]), "qs": pa.array(tot[keep])})
+
+    big = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(nb: int, *refs) -> tuple:
+        bp = [t for t in refs[:nb] if t.num_rows and "ok" in t.column_names]
+        cp = [t for t in refs[nb:] if t.num_rows]
+        e = np.empty(0, dtype=np.int64)
+        if not bp or not cp:
+            return e, e, e, []
+        bt, ct = pa.concat_tables(bp), pa.concat_tables(cp)
+        ok = bt["ok"].to_numpy(zero_copy_only=False)
+        qs = bt["qs"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ok)
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o2 = np.argsort(ck)
+        names = np.asarray(ct["c_name"].to_pylist(), dtype=object)[o2]
+        return ok[o], qs[o], ck[o2], list(names)
+
+    b_refs = big.to_arrow_refs()
+    state_ref = build_state.remote(
+        len(b_refs), *b_refs, *cust.to_arrow_refs()
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_OUT = pa.table(
+        {
+            "c_custkey": pa.nulls(0, pa.int64()),
+            "c_name": pa.nulls(0, pa.large_string()),
+            "o_orderkey": pa.nulls(0, pa.int64()),
+            "total_cents": pa.nulls(0, pa.int64()),
+            "sum_qty": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY_OUT
+        keys, qs, ck, names = ray.get(state_ref)
+        if keys.shape[0] == 0:
+            return EMPTY_OUT
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys, ok), keys.shape[0] - 1)
+        hit = keys[pos] == ok
+        if not hit.any():
+            return EMPTY_OUT
+        cu = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[hit]
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)[hit]
+        cents = np.floor(tp * 100.0).astype(np.int64)
+        cpos = np.minimum(np.searchsorted(ck, cu), ck.shape[0] - 1)
+        cn = [names[i] if ck[i] == u else "" for i, u in zip(cpos, cu)]
+        return pa.table(
+            {
+                "c_custkey": pa.array(cu),
+                "c_name": pa.array(cn, type=pa.large_string()),
+                "o_orderkey": pa.array(ok[hit]),
+                "total_cents": pa.array(cents),
+                "sum_qty": pa.array(qs[pos[hit]]),
+            }
+        )
+
+    return orders.map_batches(probe, batch_format="pyarrow")
+
+
+def tpch_q16_supplier_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16 analog (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, type, size) combination, excluding one
+    brand, one type, and a NOT-IN set of suppliers (name ending in
+    '7' stands in for the reference's complaint predicate).  The
+    distinct (partkey, suppkey) pairs of lineitem play partsupp.
+
+    Physical plan: part attributes and the excluded-supplier set are
+    dimensions -> ONE remote build + broadcast; lineitem emits
+    per-batch distinct (partkey, suppkey) pairs, an orderless
+    partkey%P exchange dedups pairs globally and rewrites partkey ->
+    dense attr-triple id; the final pass dedups (triple, suppkey)
+    across partitions (bounded by |triples| x |suppliers| — dimension
+    arithmetic, not fact arithmetic) and counts."""
+    P = 32
+    EXCL_BRAND, EXCL_TYPE = "Brand#13", "PROMO"
+
+    part_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(np_: int, *refs) -> tuple:
+        pp = [t for t in refs[:np_] if t.num_rows]
+        sp = [t for t in refs[np_:] if t.num_rows]
+        e = np.empty(0, dtype=np.int64)
+        if not pp:
+            return e, e, [], e
+        pt = pa.concat_tables(pp)
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brand = np.asarray(pt["p_brand"].to_pylist(), dtype=object)
+        typ = np.asarray(pt["p_type"].to_pylist(), dtype=object)
+        size = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (brand != EXCL_BRAND) & (typ != EXCL_TYPE)
+        pk, brand, typ, size = pk[keep], brand[keep], typ[keep], size[keep]
+        # dense triple ids, stable by (brand, type, size)
+        lab = np.asarray(
+            [f"{b}\x01{t}" for b, t in zip(brand, typ)], dtype=object
+        )
+        comp = np.asarray(
+            [f"{s:06d}\x01{v}" for s, v in zip(size, lab)], dtype=object
+        )
+        utrip, tid = np.unique(comp, return_inverse=True)
+        labels = []
+        for c in utrip:
+            sz, b, t = c.split("\x01")
+            labels.append((b, t, int(sz)))
+        excl = set()
+        if sp:
+            st = pa.concat_tables(sp)
+            sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sn = st["s_name"].to_pylist()
+            excl = {int(k) for k, nm in zip(sk, sn) if nm.endswith("7")}
+        o = np.argsort(pk)
+        return (
+            pk[o],
+            tid[o].astype(np.int64),
+            labels,
+            np.asarray(sorted(excl), dtype=np.int64),
+        )
+
+    p_refs = part_ds.to_arrow_refs()
+    state_ref = build_state.remote(
+        len(p_refs), *p_refs, *supp.to_arrow_refs()
+    )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "pk": pa.nulls(0, pa.int64()),
+            "sk": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return EMPTY
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = np.unique(pk * (sk.max() + 1 if sk.size else 1) + sk)
+        # re-split exactly (pk, sk are non-negative, sk < mod)
+        mod = sk.max() + 1 if sk.size else 1
+        upk, usk = comp // mod, comp % mod
+        return pa.table(
+            {
+                "pk": pa.array(upk),
+                "sk": pa.array(usk),
+                "part": pa.array(upk % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tid": pa.nulls(0, pa.int64()), "sk": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "pk" not in group.column_names:
+            return empty
+        keys, tids, _, excl = ray.get(state_ref)
+        if keys.shape[0] == 0:
+            return empty
+        pk = group["pk"].to_numpy(zero_copy_only=False)
+        sk = group["sk"].to_numpy(zero_copy_only=False)
+        if excl.shape[0]:
+            keep = ~np.isin(sk, excl)
+            pk, sk = pk[keep], sk[keep]
+        pos = np.minimum(np.searchsorted(keys, pk), keys.shape[0] - 1)
+        hit = keys[pos] == pk
+        if not hit.any():
+            return empty
+        tid = tids[pos[hit]]
+        sk = sk[hit]
+        comp = np.unique(tid * (sk.max() + 1) + sk)
+        mod = sk.max() + 1
+        return pa.table(
+            {"tid": pa.array(comp // mod), "sk": pa.array(comp % mod)}
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_brand": pa.nulls(0, pa.large_string()),
+                "p_type": pa.nulls(0, pa.large_string()),
+                "p_size": pa.nulls(0, pa.int64()),
+                "supplier_cnt": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "tid" not in batch.column_names:
+            return empty
+        _, _, labels, _ = ray.get(state_ref)
+        tid = batch["tid"].to_numpy(zero_copy_only=False)
+        sk = batch["sk"].to_numpy(zero_copy_only=False)
+        comp = np.unique(tid * (sk.max() + 1) + sk)
+        mod = sk.max() + 1
+        ut, inv = np.unique(comp // mod, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": pa.array(
+                    [labels[i][0] for i in ut], type=pa.large_string()
+                ),
+                "p_type": pa.array(
+                    [labels[i][1] for i in ut], type=pa.large_string()
+                ),
+                "p_size": pa.array(
+                    [labels[i][2] for i in ut], type=pa.int64()
+                ),
+                "supplier_cnt": pa.array(cnt),
+            }
+        )
+
+    return (
+        line.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def tpch_q22_dormant_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 analog (global sales opportunity): per nation, the
+    count and total balance of above-average-balance customers with no
+    RECENT order (no order on/after 2000-01-01) — the anti-join +
+    scalar-subquery shape.  The balance threshold compares exactly in
+    integers: cents(c) * n_pos > sum_pos_cents avoids the float
+    average entirely.
+
+    Physical plan: pass 1 streams customers once for the two global
+    counters (cheap partials, repartition(1) finish); the recent-buyer
+    custkey set comes from one pruned orders scan (distinct per batch,
+    dedup in the same remote gather that builds the broadcast state);
+    pass 2 re-streams customers, filters by integer threshold +
+    searchsorted anti-probe, and pre-aggregates per nation.  Customer
+    content never shuffles; the only exchange is the dimension-sized
+    custkey set."""
+    P = 16
+    CUTOFF = np.datetime64("2000-01-01", "us").astype(np.int64)
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def _cust():
+        return ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=cust_cols
+        ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_T = pa.table(
+        {"s": pa.nulls(0, pa.int64()), "n": pa.nulls(0, pa.int64())}
+    )
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c_acctbal" not in batch.column_names:
+            return EMPTY_T
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        cents = np.floor(bal * 100.0).astype(np.int64)
+        pos = bal > 0.0
+        return pa.table(
+            {
+                "s": pa.array([int(cents[pos].sum())], type=pa.int64()),
+                "n": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    thresh = (
+        _cust()
+        .map_batches(pos_partial, batch_format="pyarrow")
+        .repartition(1)
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_R = pa.table({"ck": pa.nulls(0, pa.int64())})
+
+    def recent_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return EMPTY_R
+        col = batch["o_orderdate"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ck": pa.array(np.unique(ck[ts >= CUTOFF]))})
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(nt: int, nr: int, *refs) -> tuple:
+        tp = [t for t in refs[:nt] if t.num_rows and "s" in t.column_names]
+        rp = [
+            t
+            for t in refs[nt:nt + nr]
+            if t.num_rows and "ck" in t.column_names
+        ]
+        np_ = [t for t in refs[nt + nr:] if t.num_rows]
+        s = n = 0
+        if tp:
+            tt = pa.concat_tables(tp)
+            s = int(tt["s"].to_numpy(zero_copy_only=False).sum())
+            n = int(tt["n"].to_numpy(zero_copy_only=False).sum())
+        recent = (
+            np.unique(
+                np.concatenate(
+                    [t["ck"].to_numpy(zero_copy_only=False) for t in rp]
+                )
+            )
+            if rp
+            else np.empty(0, dtype=np.int64)
+        )
+        nk = np.empty(0, dtype=np.int64)
+        names: list = []
+        if np_:
+            ntab = pa.concat_tables(np_)
+            nk = ntab["n_nationkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            o = np.argsort(nk)
+            nk = nk[o]
+            names = [ntab["n_name"].to_pylist()[i] for i in o]
+        return s, n, recent, nk, names
+
+    t_refs = thresh.to_arrow_refs()
+    r_refs = orders.map_batches(
+        recent_partial, batch_format="pyarrow"
+    ).to_arrow_refs()
+    state_ref = build_state.remote(
+        len(t_refs), len(r_refs), *t_refs, *r_refs, *nation.to_arrow_refs()
+    )
+
+    EMPTY_OUT = pa.table(
+        {
+            "n_name": pa.nulls(0, pa.large_string()),
+            "numcust": pa.nulls(0, pa.int64()),
+            "tot_cents": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nk": pa.nulls(0, pa.int64()),
+                "c": pa.nulls(0, pa.int64()),
+                "b": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "c_custkey" not in batch.column_names:
+            return empty
+        s, n, recent, _, _ = ray.get(state_ref)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        cents = np.floor(bal * 100.0).astype(np.int64)
+        keep = cents * n > s
+        if recent.shape[0]:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.minimum(np.searchsorted(recent, ck), recent.shape[0] - 1)
+            keep &= recent[pos] != ck
+        if not keep.any():
+            return empty
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        uk, inv = np.unique(nk, return_inverse=True)
+        c = np.bincount(inv).astype(np.int64)
+        b = np.bincount(
+            inv, weights=cents[keep].astype(np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "nk": pa.array(uk),
+                "c": pa.array(c),
+                "b": pa.array(b),
+                "g": pa.array(uk % P),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "nk" not in batch.column_names:
+            return EMPTY_OUT
+        _, _, _, nk_keys, names = ray.get(state_ref)
+        nk = batch["nk"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(nk, return_inverse=True)
+        tc = np.zeros(uk.shape[0], dtype=np.int64)
+        tb = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tc, inv, c)
+        np.add.at(tb, inv, b)
+        pos = np.minimum(np.searchsorted(nk_keys, uk), nk_keys.shape[0] - 1)
+        nm = [
+            names[i] if nk_keys.shape[0] and nk_keys[i] == u else ""
+            for i, u in zip(pos, uk)
+        ]
+        return pa.table(
+            {
+                "n_name": pa.array(nm, type=pa.large_string()),
+                "numcust": pa.array(tc),
+                "tot_cents": pa.array(tb),
+            }
+        )
+
+    return (
+        _cust()
+        .map_batches(probe, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

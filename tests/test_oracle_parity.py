@@ -85,6 +85,9 @@ ORACLE_QUERIES = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_bracket_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q16_supplier_counts",
+    "tpch_q22_dormant_customers",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

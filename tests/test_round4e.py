@@ -1,0 +1,87 @@
+"""Round-4 session-14 operators: TPC-H Q18/Q16/Q22 analogs and the
+session's data-quality / analysis additions.  DuckDB value parity lives
+in test_oracle_parity.py; these tests pin semantics and edge cases."""
+
+import os
+import sys
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestQ18LargeOrders:
+    def test_every_row_exceeds_threshold(self, ray_session):
+        from libpostal_ray.pipelines.queries import tpch_q18_large_orders
+
+        out = tpch_q18_large_orders(SF).to_pandas()
+        assert len(out) > 0
+        assert (out["sum_qty"] > 250).all()
+        # each orderkey appears once (HAVING is per order)
+        assert out["o_orderkey"].is_unique
+        # the customer name matches the customer table
+        cust = pq.read_table(
+            f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+        ).to_pandas().set_index("c_custkey")["c_name"]
+        for _, r in out.iterrows():
+            assert r["c_name"] == cust.loc[r["c_custkey"]]
+
+    def test_threshold_monotone(self, ray_session):
+        from libpostal_ray.pipelines.queries import tpch_q18_large_orders
+
+        lo = tpch_q18_large_orders(SF, min_qty=200).to_pandas()
+        hi = tpch_q18_large_orders(SF, min_qty=300).to_pandas()
+        assert set(hi["o_orderkey"]) <= set(lo["o_orderkey"])
+
+
+class TestQ16SupplierCounts:
+    def test_exclusions_hold(self, ray_session):
+        from libpostal_ray.pipelines.queries import tpch_q16_supplier_counts
+
+        out = tpch_q16_supplier_counts(SF).to_pandas()
+        assert len(out) > 0
+        assert (out["p_brand"] != "Brand#13").all()
+        assert (out["p_type"] != "PROMO").all()
+        assert (out["supplier_cnt"] >= 1).all()
+
+
+class TestQ22Dormant:
+    def test_balances_above_positive_average(self, ray_session):
+        from libpostal_ray.pipelines.queries import tpch_q22_dormant_customers
+
+        out = tpch_q22_dormant_customers(SF).to_pandas()
+        assert len(out) > 0
+        cust = pq.read_table(
+            f"{SF}/customer.parquet", columns=["c_acctbal"]
+        ).to_pandas()["c_acctbal"]
+        avg_pos = cust[cust > 0].mean()
+        # every counted balance is above the positive average, so each
+        # nation's mean of counted balances must exceed it too
+        assert (
+            out["tot_cents"] / out["numcust"] > avg_pos * 100 - 1
+        ).all()
+
+
+def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in (
+        "events", "lineitem", "orders", "customer", "documents",
+        "nation", "part", "supplier", "region",
+    ):
+        schema = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    qs = entrymod.queries()
+    for name in (
+        "tpch_q18_large_orders",
+        "tpch_q16_supplier_counts",
+        "tpch_q22_dormant_customers",
+    ):
+        res = qs[name](str(d))
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        assert len(df) == 0, (name, df.head())
