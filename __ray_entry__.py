@@ -166,6 +166,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_large_orders": q.tpch_q18_large_orders,
         "tpch_q16_supplier_counts": q.tpch_q16_supplier_counts,
         "tpch_q22_dormant_customers": q.tpch_q22_dormant_customers,
+        "tpch_q9_product_profit": q.tpch_q9_product_profit,
+        "tpch_q11_important_parts": q.tpch_q11_important_parts,
+        "orders_totalprice_recon": q.orders_totalprice_recon,
+        "orders_benford": q.orders_benford,
+        "event_type_user_overlap": q.event_type_user_overlap,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2354,5 +2359,77 @@ def oracle_sql() -> dict[str, str]:
                       * (SELECT n FROM t) > (SELECT s FROM t)
               AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
             GROUP BY 1
+        """,
+    "tpch_q9_product_profit": """
+            WITH pc AS (SELECT p_partkey,
+                               CAST(floor(CAST(p_retailprice AS DOUBLE)
+                                          * 100) AS BIGINT) // 2
+                                   AS cost_cents
+                        FROM part WHERE p_name LIKE '%bolt%')
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)
+                            - CAST(floor(l.l_quantity) AS BIGINT)
+                              * pc.cost_cents) AS BIGINT) AS profit_cents
+            FROM lineitem l
+            JOIN pc ON l.l_partkey = pc.p_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        """,
+    "tpch_q11_important_parts": """
+            WITH natsupp AS (SELECT s_suppkey FROM supplier s
+                             JOIN nation n
+                               ON s.s_nationkey = n.n_nationkey
+                             WHERE n.n_name = 'NATION_3'),
+            v AS (SELECT l_partkey AS p_partkey,
+                         CAST(sum(CAST(floor(l_extendedprice * 100)
+                                       AS BIGINT)) AS BIGINT) AS value_cents
+                  FROM lineitem
+                  WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+                  GROUP BY 1),
+            t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS n FROM v)
+            SELECT v.p_partkey, v.value_cents
+            FROM v, t WHERE v.value_cents * t.n > 2 * t.tot
+        """,
+    "orders_totalprice_recon": """
+            WITH ls AS (SELECT l_orderkey,
+                               CAST(sum(CAST(floor(l_extendedprice
+                                                   * (1 + l_tax)
+                                                   * (1 - l_discount)
+                                                   * 100) AS BIGINT))
+                                    AS BIGINT) AS comp
+                        FROM lineitem GROUP BY 1)
+            SELECT o.o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN CAST(floor(o.o_totalprice * 100)
+                                          AS BIGINT) <> ls.comp
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatch,
+                   CAST(sum(abs(CAST(floor(o.o_totalprice * 100)
+                                     AS BIGINT) - ls.comp)) AS BIGINT)
+                       AS sum_absdiff_cents
+            FROM orders o JOIN ls ON ls.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+    "orders_benford": """
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE floor(o_totalprice) >= 1
+            GROUP BY 1
+        """,
+    "event_type_user_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events WHERE value >= 250.0)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
     }

@@ -12924,3 +12924,704 @@ def tpch_q22_dormant_customers(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def tpch_q9_product_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 analog (product-type profit): per supplier nation and
+    order year, total profit on parts whose name contains 'bolt',
+    where unit cost stands in for ps_supplycost as half the part's
+    retail price (integer cents, ``// 2`` on both engines).
+
+    Physical plan: part-cost and supplier->nation maps are dimensions
+    -> ONE remote build + broadcast; lineitem pre-aggregates
+    (orderkey, nation, profit-cents) per batch and meets the orders
+    (orderkey, year) stream in ONE orderkey%P exchange (the q8 shape);
+    kernels collapse to (nation, year) partials and the final pass
+    folds P partials and resolves nation names."""
+    P = 32
+    NAME_TOKEN = "bolt"
+
+    part_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(np_: int, ns: int, *refs) -> tuple:
+        pp = [t for t in refs[:np_] if t.num_rows]
+        sp = [t for t in refs[np_:np_ + ns] if t.num_rows]
+        nn = [t for t in refs[np_ + ns:] if t.num_rows]
+        e = np.empty(0, dtype=np.int64)
+        if not pp or not sp or not nn:
+            return e, e, e, e, e, []
+        pt = pa.concat_tables(pp)
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = pt["p_name"].to_pylist()
+        rp = pt["p_retailprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keep = np.asarray([NAME_TOKEN in nm for nm in names], dtype=bool)
+        pk = pk[keep]
+        cost = np.floor(rp[keep] * 100.0).astype(np.int64) // 2
+        o = np.argsort(pk)
+        st = pa.concat_tables(sp)
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snk = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o2 = np.argsort(sk)
+        nt = pa.concat_tables(nn)
+        nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o3 = np.argsort(nk)
+        nnames = [nt["n_name"].to_pylist()[i] for i in o3]
+        return pk[o], cost[o], sk[o2], snk[o2], nk[o3], nnames
+
+    p_refs = part_ds.to_arrow_refs()
+    s_refs = supp.to_arrow_refs()
+    state_ref = build_state.remote(
+        len(p_refs), len(s_refs), *p_refs, *s_refs, *nation.to_arrow_refs()
+    )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    # union rows: side 0 = lineitem (a=nationkey, b=profit cents),
+    # side 1 = orders (a=year, b=0)
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "a": pa.nulls(0, pa.int64()),
+            "b": pa.nulls(0, pa.int64()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        pk_keys, cost, sk_keys, snk, _, _ = ray.get(state_ref)
+        if pk_keys.shape[0] == 0 or sk_keys.shape[0] == 0:
+            return EMPTY
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(pk_keys, pk), pk_keys.shape[0] - 1)
+        hit = pk_keys[pos] == pk
+        if not hit.any():
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[hit]
+        su = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[hit]
+        qi = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        ).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        profit = (
+            np.floor(ep * (1.0 - dc) * 100.0).astype(np.int64)
+            - qi * cost[pos[hit]]
+        )
+        spos = np.minimum(np.searchsorted(sk_keys, su), sk_keys.shape[0] - 1)
+        nid = np.where(sk_keys[spos] == su, snk[spos], -1)
+        ok, nid, profit = ok[nid >= 0], nid[nid >= 0], profit[nid >= 0]
+        if ok.shape[0] == 0:
+            return EMPTY
+        mod = int(nid.max()) + 1
+        key = ok * mod + nid
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=profit.astype(np.float64)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "ok": pa.array(uk // mod),
+                "a": pa.array(uk % mod),
+                "b": pa.array(s),
+                "side": pa.array(np.zeros(uk.shape[0], dtype=np.int64)),
+                "part": pa.array((uk // mod) % P),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["o_orderdate"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (
+            np.asarray(ts, dtype="int64").astype("datetime64[us]")
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        n = ok.shape[0]
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "a": pa.array(year),
+                "b": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nid": pa.nulls(0, pa.int64()),
+                "o_year": pa.nulls(0, pa.int64()),
+                "cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        ook, oyr = ok[iso], a[iso]
+        lk, lnid, lc = ok[~iso], a[~iso], b[~iso]
+        if ook.shape[0] == 0 or lk.shape[0] == 0:
+            return empty
+        o = np.argsort(ook)
+        ook, oyr = ook[o], oyr[o]
+        pos = np.minimum(np.searchsorted(ook, lk), ook.shape[0] - 1)
+        hit = ook[pos] == lk
+        if not hit.any():
+            return empty
+        yr = oyr[pos[hit]]
+        nid = lnid[hit]
+        c = lc[hit]
+        mod = int(yr.max()) + 1
+        key = nid * mod + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "nid": pa.array(uk // mod),
+                "o_year": pa.array(uk % mod),
+                "cents": pa.array(s),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_name": pa.nulls(0, pa.large_string()),
+                "o_year": pa.nulls(0, pa.int64()),
+                "profit_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "nid" not in batch.column_names:
+            return empty
+        _, _, _, _, nk_keys, nnames = ray.get(state_ref)
+        nid = batch["nid"].to_numpy(zero_copy_only=False)
+        yr = batch["o_year"].to_numpy(zero_copy_only=False)
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        mod = int(yr.max()) + 1
+        key = nid * mod + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(s, inv, c)
+        un = uk // mod
+        pos = np.minimum(np.searchsorted(nk_keys, un), max(nk_keys.shape[0] - 1, 0))
+        nm = [
+            nnames[i] if nk_keys.shape[0] and nk_keys[i] == u else ""
+            for i, u in zip(pos, un)
+        ]
+        return pa.table(
+            {
+                "n_name": pa.array(nm, type=pa.large_string()),
+                "o_year": pa.array((uk % mod).astype(np.int64)),
+                "profit_cents": pa.array(s),
+            }
+        )
+
+    return (
+        line.map_batches(tag_line, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def tpch_q11_important_parts(sf_dir: str, mult: int = 2) -> ray.data.Dataset:
+    """TPC-H Q11 analog (important stock): parts whose lineitem value
+    from NATION_3 suppliers exceeds ``mult`` times the average per-part
+    value — the scalar-subquery-over-a-grouped-view shape, with a
+    scale-FREE threshold (Q11's fixed fraction empties as the part
+    dimension grows; value*N > mult*total compares exactly in ints
+    and keeps the heavy tail at every corpus size).
+
+    Physical plan: the nation's supplier set is a dimension -> remote
+    build + broadcast; lineitem pre-aggregates (partkey, cents) per
+    batch; ONE partkey%P exchange finishes per-part values; the final
+    single-partition pass (part-DIMENSION-sized input) computes the
+    global total and filters — dimension arithmetic, no second scan."""
+    P = 32
+    TARGET_NATION = "NATION_3"
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_suppset(ns: int, *refs) -> np.ndarray:
+        sp = [t for t in refs[:ns] if t.num_rows]
+        nn = [t for t in refs[ns:] if t.num_rows]
+        if not sp or not nn:
+            return np.empty(0, dtype=np.int64)
+        nt = pa.concat_tables(nn)
+        nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        target = {
+            int(k)
+            for k, nm in zip(nk, nt["n_name"].to_pylist())
+            if nm == TARGET_NATION
+        }
+        st = pa.concat_tables(sp)
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snk = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(snk, np.asarray(sorted(target), dtype=np.int64))
+        return np.sort(sk[keep])
+
+    s_refs = supp.to_arrow_refs()
+    supp_ref = build_suppset.remote(len(s_refs), *s_refs, *nation.to_arrow_refs())
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "pk": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return EMPTY
+        sset = ray.get(supp_ref)
+        if sset.shape[0] == 0:
+            return EMPTY
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(sset, sk), sset.shape[0] - 1)
+        hit = sset[pos] == sk
+        if not hit.any():
+            return EMPTY
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[hit]
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        cents = np.floor(ep * 100.0).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {"pk": pa.array(uk), "v": pa.array(s), "part": pa.array(uk % P)}
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pk": pa.nulls(0, pa.int64()), "v": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "pk" not in group.column_names:
+            return empty
+        pk = group["pk"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, v)
+        return pa.table({"pk": pa.array(uk), "v": pa.array(tot)})
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_partkey": pa.nulls(0, pa.int64()),
+                "value_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "pk" not in batch.column_names:
+            return empty
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        tot = int(v.sum())
+        # v*N > mult*tot without the int64 overflow of the product:
+        # for integer v this is exactly v > (mult*tot) // N (Python
+        # ints are exact; see the divmod argument in the docstring SQL)
+        keep = v > (mult * tot) // v.shape[0]
+        return pa.table(
+            {"p_partkey": pa.array(pk[keep]), "value_cents": pa.array(v[keep])}
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def orders_totalprice_recon(sf_dir: str) -> ray.data.Dataset:
+    """Data-quality audit: reconcile each order's header total against
+    the sum of its lineitems (extendedprice * (1+tax) * (1-discount)),
+    reporting per order status the order count, mismatch count, and
+    total absolute discrepancy in cents.  (On the synthetic corpus the
+    header totals are generated independently, so every order
+    mismatches — the operator's job is to MEASURE that, exactly.)
+
+    Physical plan: per-order lineitem cent sums pre-aggregate per
+    batch and meet the orders (orderkey, status, header-cents) stream
+    in ONE orderkey%P exchange (the q8 shape with a string payload on
+    the dimension-cardinality status column); kernels emit per-status
+    partials and the final pass folds P of them."""
+    P = 32
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "c": pa.nulls(0, pa.int64()),
+            "status": pa.nulls(0, pa.large_string()),
+            "side": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tx = batch["l_tax"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 + tx) * (1.0 - dc) * 100.0).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(uk),
+                "c": pa.array(s),
+                "status": pa.array([""] * uk.shape[0], type=pa.large_string()),
+                "side": pa.array(np.zeros(uk.shape[0], dtype=np.int64)),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0).astype(np.int64)
+        st = batch["o_orderstatus"]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "c": pa.array(cents),
+                "status": st.cast(pa.large_string()),
+                "side": pa.array(np.ones(ok.shape[0], dtype=np.int64)),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderstatus": pa.nulls(0, pa.large_string()),
+                "n": pa.nulls(0, pa.int64()),
+                "nm": pa.nulls(0, pa.int64()),
+                "sad": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        iso = side == 1
+        lok, lc = ok[~iso], c[~iso]
+        ook, oc = ok[iso], c[iso]
+        status = np.asarray(group["status"].to_pylist(), dtype=object)[iso]
+        if ook.shape[0] == 0 or lok.shape[0] == 0:
+            return empty
+        # fold lineitem partials (an order's lines may span batches)
+        ul, linv = np.unique(lok, return_inverse=True)
+        comp = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(comp, linv, lc)
+        pos = np.minimum(np.searchsorted(ul, ook), ul.shape[0] - 1)
+        hit = ul[pos] == ook
+        if not hit.any():
+            return empty
+        diff = np.abs(oc[hit] - comp[pos[hit]])
+        st = status[hit]
+        us, sinv = np.unique(st.astype(str), return_inverse=True)
+        n = np.bincount(sinv).astype(np.int64)
+        nm = np.bincount(
+            sinv, weights=(diff != 0).astype(np.float64)
+        ).astype(np.int64)
+        sad = np.bincount(sinv, weights=diff.astype(np.float64)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(us.tolist(), type=pa.large_string()),
+                "n": pa.array(n),
+                "nm": pa.array(nm),
+                "sad": pa.array(sad),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderstatus": pa.nulls(0, pa.large_string()),
+                "n_orders": pa.nulls(0, pa.int64()),
+                "n_mismatch": pa.nulls(0, pa.int64()),
+                "sum_absdiff_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "o_orderstatus" not in batch.column_names:
+            return empty
+        st = np.asarray(batch["o_orderstatus"].to_pylist(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        nm = batch["nm"].to_numpy(zero_copy_only=False)
+        sad = batch["sad"].to_numpy(zero_copy_only=False)
+        us, inv = np.unique(st.astype(str), return_inverse=True)
+        tn = np.zeros(us.shape[0], dtype=np.int64)
+        tm = np.zeros(us.shape[0], dtype=np.int64)
+        ts_ = np.zeros(us.shape[0], dtype=np.int64)
+        np.add.at(tn, inv, n)
+        np.add.at(tm, inv, nm)
+        np.add.at(ts_, inv, sad)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(us.tolist(), type=pa.large_string()),
+                "n_orders": pa.array(tn),
+                "n_mismatch": pa.array(tm),
+                "sum_absdiff_cents": pa.array(ts_),
+            }
+        )
+
+    return (
+        line.map_batches(tag_line, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def orders_benford(sf_dir: str) -> ray.data.Dataset:
+    """Profiling operator: leading-digit distribution of order totals
+    (Benford screen for synthetic or manipulated monetary columns).
+    Counts are exact; the leading digit comes from an integer
+    divide-by-10 loop (max ~7 iterations), never float log10.
+
+    Physical plan: per-batch digit histograms (9 ints) -> repartition(1)
+    fold.  Constant exchange."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {"digit": pa.nulls(0, pa.int64()), "n": pa.nulls(0, pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_totalprice" not in batch.column_names:
+            return EMPTY
+        d = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        d = d[d >= 1]
+        if d.shape[0] == 0:
+            return EMPTY
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        cnt = np.bincount(d, minlength=10)[1:10]
+        keep = cnt > 0
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)[keep]),
+                "n": pa.array(cnt[keep].astype(np.int64)),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "digit" not in batch.column_names:
+            return EMPTY
+        dg = batch["digit"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(dg, return_inverse=True)
+        tot = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"digit": pa.array(ud), "n": pa.array(tot)})
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def event_type_user_overlap(sf_dir: str, min_value: float = 250.0) -> ray.data.Dataset:
+    """Audience-overlap matrix: for each pair of event types, how many
+    distinct users fired BOTH with value >= min_value — the
+    self-join-on-distinct-pairs shape, computed without a self join.
+
+    Physical plan: per-batch distinct (user, type) pairs; ONE user%P
+    exchange; each partition folds its users to type BITMASKS (the
+    type alphabet is a dimension, discovered in the same pass) and
+    emits per-mask user counts (<= 2^T rows per partition); the final
+    pass expands mask counts into pair counts.  Mirrors
+    simjoin.source_gram_overlap's bitmask trick on the events table."""
+    P = 16
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "uid": pa.nulls(0, pa.int64()),
+            "etype": pa.nulls(0, pa.large_string()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        keep = v >= min_value
+        if not keep.any():
+            return EMPTY
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)[keep]
+        comp = np.asarray(
+            [f"{u}\x01{t}" for u, t in zip(uid, et)], dtype=object
+        )
+        _, idx = np.unique(comp, return_index=True)
+        return pa.table(
+            {
+                "uid": pa.array(uid[idx]),
+                "etype": pa.array(et[idx].tolist(), type=pa.large_string()),
+                "part": pa.array(uid[idx] % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "mask": pa.nulls(0, pa.int64()),
+                "n_users": pa.nulls(0, pa.int64()),
+                "types": pa.nulls(0, pa.large_string()),
+            }
+        )
+        if group.num_rows == 0 or "uid" not in group.column_names:
+            return empty
+        uid = group["uid"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["etype"].to_pylist(), dtype=object)
+        utypes, tinv = np.unique(et.astype(str), return_inverse=True)
+        if utypes.shape[0] > 62:
+            raise ValueError(
+                "event_type_user_overlap: type alphabet exceeds 62 "
+                f"({utypes.shape[0]}); bitmask plan needs a wider carrier"
+            )
+        uu, uinv = np.unique(uid, return_inverse=True)
+        masks = np.zeros(uu.shape[0], dtype=np.int64)
+        np.bitwise_or.at(masks, uinv, np.int64(1) << tinv.astype(np.int64))
+        um, minv = np.unique(masks, return_inverse=True)
+        cnt = np.bincount(minv).astype(np.int64)
+        alphabet = "\x01".join(utypes.tolist())
+        return pa.table(
+            {
+                "mask": pa.array(um),
+                "n_users": pa.array(cnt),
+                "types": pa.array([alphabet] * um.shape[0], type=pa.large_string()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_a": pa.nulls(0, pa.large_string()),
+                "type_b": pa.nulls(0, pa.large_string()),
+                "n_shared": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "mask" not in batch.column_names:
+            return empty
+        masks = batch["mask"].to_numpy(zero_copy_only=False)
+        cnt = batch["n_users"].to_numpy(zero_copy_only=False)
+        alphabets = batch["types"].to_pylist()
+        from collections import defaultdict
+
+        shared: dict = defaultdict(int)
+        for m, c, alpha in zip(masks, cnt, alphabets):
+            types = alpha.split("\x01")
+            present = [t for i, t in enumerate(types) if m >> i & 1]
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    a, b = sorted((present[i], present[j]))
+                    shared[(a, b)] += int(c)
+        if not shared:
+            return empty
+        keys = sorted(shared)
+        return pa.table(
+            {
+                "type_a": pa.array([k[0] for k in keys], type=pa.large_string()),
+                "type_b": pa.array([k[1] for k in keys], type=pa.large_string()),
+                "n_shared": pa.array(
+                    [shared[k] for k in keys], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -88,6 +88,11 @@ ORACLE_QUERIES = [
     "tpch_q18_large_orders",
     "tpch_q16_supplier_counts",
     "tpch_q22_dormant_customers",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "orders_totalprice_recon",
+    "orders_benford",
+    "event_type_user_overlap",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -65,6 +65,83 @@ class TestQ22Dormant:
         ).all()
 
 
+class TestQ11ImportantParts:
+    def test_threshold_scale_free(self, ray_session):
+        from libpostal_ray.pipelines.queries import tpch_q11_important_parts
+
+        out = tpch_q11_important_parts(SF).to_pandas()
+        assert len(out) > 0
+        # stricter multiplier selects a subset
+        strict = tpch_q11_important_parts(SF, mult=3).to_pandas()
+        assert set(strict["p_partkey"]) <= set(out["p_partkey"])
+
+
+class TestRecon:
+    def test_planted_consistent_order(self, ray_session, tmp_path):
+        import pyarrow as pa
+        from libpostal_ray.pipelines.queries import orders_totalprice_recon
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # one consistent order, one off by 7 cents
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+                "l_extendedprice": pa.array([100.0, 50.0, 10.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0]),
+                "l_tax": pa.array([0.0, 0.0, 0.0]),
+            }
+        )
+        od = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], type=pa.int64()),
+                "o_orderstatus": pa.array(["F", "F"]),
+                "o_totalprice": pa.array([150.0, 10.07]),
+            }
+        )
+        pq.write_table(li, str(d / "lineitem.parquet"))
+        pq.write_table(od, str(d / "orders.parquet"))
+        out = orders_totalprice_recon(str(d)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["n_orders"] == 2
+        assert r["n_mismatch"] == 1
+        assert r["sum_absdiff_cents"] == 7
+
+
+class TestBenford:
+    def test_counts_sum_to_orders(self, ray_session):
+        from libpostal_ray.pipelines.queries import orders_benford
+
+        out = orders_benford(SF).to_pandas()
+        n_orders = pq.read_metadata(f"{SF}/orders.parquet").num_rows
+        assert out["n"].sum() == n_orders  # min totalprice >> 1
+        assert set(out["digit"]) <= set(range(1, 10))
+
+
+class TestOverlap:
+    def test_planted_overlap(self, ray_session, tmp_path):
+        import pyarrow as pa
+        from libpostal_ray.pipelines.queries import event_type_user_overlap
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # users 1,2 fire A+B loudly; user 3 fires A loudly, B quietly
+        ev = pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 2, 3, 3], type=pa.int64()),
+                "event_type": pa.array(["A", "B", "A", "B", "A", "B"]),
+                "value": pa.array([300.0, 300.0, 300.0, 300.0, 300.0, 1.0]),
+            }
+        )
+        pq.write_table(ev, str(d / "events.parquet"))
+        out = event_type_user_overlap(str(d)).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["type_a"] == "A"
+        assert out.iloc[0]["type_b"] == "B"
+        assert out.iloc[0]["n_shared"] == 2
+
+
 def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
@@ -81,6 +158,11 @@ def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
         "tpch_q18_large_orders",
         "tpch_q16_supplier_counts",
         "tpch_q22_dormant_customers",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_parts",
+        "orders_totalprice_recon",
+        "orders_benford",
+        "event_type_user_overlap",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
