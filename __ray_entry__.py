@@ -162,7 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
         "tpch_q19_bracket_revenue": q.tpch_q19_bracket_revenue,
         # --- block 1d: new in round-4 session 14, never driver-checked;
-        # part of the round-5 rotation set ---
+        # part of the round-5 rotation set (promote with blocks 1 tail,
+        # 1b, 1c next round) ---
         "tpch_q18_large_orders": q.tpch_q18_large_orders,
         "tpch_q16_supplier_counts": q.tpch_q16_supplier_counts,
         "tpch_q22_dormant_customers": q.tpch_q22_dormant_customers,
