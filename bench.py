@@ -313,6 +313,14 @@ def run_bench() -> dict:
     timed("tpch_q15_top_supplier", q.tpch_q15_top_supplier)
     timed("tpch_q17_small_quantity_revenue", q.tpch_q17_small_quantity_revenue)
     timed("tpch_q19_bracket_revenue", q.tpch_q19_bracket_revenue)
+    timed("tpch_q18_large_orders", q.tpch_q18_large_orders)
+    timed("tpch_q16_supplier_counts", q.tpch_q16_supplier_counts)
+    timed("tpch_q22_dormant_customers", q.tpch_q22_dormant_customers)
+    timed("tpch_q9_product_profit", q.tpch_q9_product_profit)
+    timed("tpch_q11_important_parts", q.tpch_q11_important_parts)
+    timed("orders_totalprice_recon", q.orders_totalprice_recon)
+    timed("orders_benford", q.orders_benford)
+    timed("event_type_user_overlap", q.event_type_user_overlap)
 
     ray.shutdown()
     return {
