@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_totalprice_recon": q.orders_totalprice_recon,
         "orders_benford": q.orders_benford,
         "event_type_user_overlap": q.event_type_user_overlap,
+        "lineitem_corr_matrix": q.lineitem_corr_matrix,
+        "documents_expectations": q.documents_expectations,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2432,5 +2434,125 @@ def oracle_sql() -> dict[str, str]:
             FROM ut a JOIN ut b ON a.user_id = b.user_id
                               AND a.event_type < b.event_type
             GROUP BY 1, 2
+        """,
+    "lineitem_corr_matrix": """
+            WITH m AS (SELECT
+                CAST(count(*) AS HUGEINT) AS n,
+                sum(CAST(CAST(floor(l_quantity) AS BIGINT) AS HUGEINT))
+                    AS s_qty,
+                sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS HUGEINT)) AS s_ep,
+                sum(CAST(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                              AS BIGINT) AS HUGEINT)) AS s_disc,
+                sum(CAST(CAST(floor(CAST(l_tax AS DOUBLE) * 100)
+                              AS BIGINT) AS HUGEINT)) AS s_tax,
+                sum(CAST(CAST(floor(l_quantity) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(floor(l_quantity) AS BIGINT) AS HUGEINT))
+                    AS ss_qty,
+                sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS HUGEINT)
+                    * CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                           AS HUGEINT)) AS ss_ep,
+                sum(CAST(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                              AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                                AS BIGINT) AS HUGEINT)) AS ss_disc,
+                sum(CAST(CAST(floor(CAST(l_tax AS DOUBLE) * 100)
+                              AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(floor(CAST(l_tax AS DOUBLE) * 100)
+                                AS BIGINT) AS HUGEINT)) AS ss_tax,
+                sum(CAST(CAST(floor(l_quantity) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                           AS HUGEINT)) AS x_qty_ep,
+                sum(CAST(CAST(floor(l_quantity) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                                AS BIGINT) AS HUGEINT)) AS x_qty_disc,
+                sum(CAST(CAST(floor(l_quantity) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(floor(CAST(l_tax AS DOUBLE) * 100)
+                                AS BIGINT) AS HUGEINT)) AS x_qty_tax,
+                sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS HUGEINT)
+                    * CAST(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                                AS BIGINT) AS HUGEINT)) AS x_ep_disc,
+                sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS HUGEINT)
+                    * CAST(CAST(floor(CAST(l_tax AS DOUBLE) * 100)
+                                AS BIGINT) AS HUGEINT)) AS x_ep_tax,
+                sum(CAST(CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                              AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(floor(CAST(l_tax AS DOUBLE) * 100)
+                                AS BIGINT) AS HUGEINT)) AS x_disc_tax
+                FROM lineitem)
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   CAST(n * x_qty_ep - s_qty * s_ep AS DOUBLE)
+                   / sqrt(CAST(n * ss_qty - s_qty * s_qty AS DOUBLE)
+                          * CAST(n * ss_ep - s_ep * s_ep AS DOUBLE))
+                       AS corr,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM m
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   CAST(n * x_qty_disc - s_qty * s_disc AS DOUBLE)
+                   / sqrt(CAST(n * ss_qty - s_qty * s_qty AS DOUBLE)
+                          * CAST(n * ss_disc - s_disc * s_disc AS DOUBLE)),
+                   CAST(n AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax',
+                   CAST(n * x_qty_tax - s_qty * s_tax AS DOUBLE)
+                   / sqrt(CAST(n * ss_qty - s_qty * s_qty AS DOUBLE)
+                          * CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)),
+                   CAST(n AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   CAST(n * x_ep_disc - s_ep * s_disc AS DOUBLE)
+                   / sqrt(CAST(n * ss_ep - s_ep * s_ep AS DOUBLE)
+                          * CAST(n * ss_disc - s_disc * s_disc AS DOUBLE)),
+                   CAST(n AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax',
+                   CAST(n * x_ep_tax - s_ep * s_tax AS DOUBLE)
+                   / sqrt(CAST(n * ss_ep - s_ep * s_ep AS DOUBLE)
+                          * CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)),
+                   CAST(n AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   CAST(n * x_disc_tax - s_disc * s_tax AS DOUBLE)
+                   / sqrt(CAST(n * ss_disc - s_disc * s_disc AS DOUBLE)
+                          * CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)),
+                   CAST(n AS BIGINT)
+            FROM m
+        """,
+    "documents_expectations": """
+            SELECT 'doc_id_unique' AS rule,
+                   CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                       AS n_violations
+            FROM documents
+            UNION ALL
+            SELECT 'lang_format',
+                   CAST(sum(CASE WHEN lang IS NULL
+                                   OR NOT regexp_matches(
+                                          lang, '^[a-z]{2,3}$')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars_consistent',
+                   CAST(sum(CASE WHEN text IS NULL
+                                   OR n_chars <> length(text)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'source_nonempty',
+                   CAST(sum(CASE WHEN source IS NULL OR source = ''
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'text_nonnull',
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM documents
         """,
     }

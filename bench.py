@@ -321,6 +321,8 @@ def run_bench() -> dict:
     timed("orders_totalprice_recon", q.orders_totalprice_recon)
     timed("orders_benford", q.orders_benford)
     timed("event_type_user_overlap", q.event_type_user_overlap)
+    timed("lineitem_corr_matrix", q.lineitem_corr_matrix)
+    timed("documents_expectations", q.documents_expectations)
 
     ray.shutdown()
     return {

@@ -13625,3 +13625,289 @@ def event_type_user_overlap(sf_dir: str, min_value: float = 250.0) -> ray.data.D
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def lineitem_corr_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Profiling operator: the exact Pearson correlation matrix over
+    lineitem's numeric columns (quantity, extendedprice cents, discount
+    pct, tax pct).  All 15 moments accumulate as EXACT Python ints
+    (per-batch int64 products overflow at sum-of-squares x 10M rows —
+    the events_daily_autocorr lesson), so r is the same float64 on both
+    engines: one int->double cast per term, one multiply, one IEEE
+    sqrt, one division.
+
+    Physical plan: one streaming pass; each batch emits ONE row of 15
+    decimal-string moments (strings because the values exceed int64 and
+    a constant-size tail parses them back to exact ints); repartition(1)
+    folds and emits the 6 pair rows.  Constant exchange."""
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=COLS
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    names = ["qty", "ep", "disc", "tax"]
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    moment_cols = (
+        ["n"]
+        + [f"s_{a}" for a in names]
+        + [f"ss_{a}" for a in names]
+        + [f"x_{names[i]}_{names[j]}" for i, j in pairs]
+    )
+    EMPTY = pa.table(
+        {c: pa.nulls(0, pa.large_string()) for c in moment_cols}
+    )
+
+    def _ints(batch: pa.Table) -> list[np.ndarray]:
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ep = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            * 100.0
+        ).astype(np.int64)
+        tx = np.floor(
+            batch["l_tax"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+        ).astype(np.int64)
+        return [q, ep, dc, tx]
+
+    CHUNK = 16_384  # keeps per-chunk int64 sums of cents^2 clear of 2^63
+
+    def _exact_sum(prod: np.ndarray) -> int:
+        tot = 0
+        for lo in range(0, prod.shape[0], CHUNK):
+            tot += int(prod[lo:lo + CHUNK].sum())
+        return tot
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_quantity" not in batch.column_names:
+            return EMPTY
+        v = _ints(batch)
+        row: dict = {"n": str(batch.num_rows)}
+        for a, arr in zip(names, v):
+            row[f"s_{a}"] = str(_exact_sum(arr))
+            row[f"ss_{a}"] = str(_exact_sum(arr * arr))
+        for i, j in pairs:
+            row[f"x_{names[i]}_{names[j]}"] = str(_exact_sum(v[i] * v[j]))
+        return pa.table(
+            {c: pa.array([row[c]], type=pa.large_string()) for c in moment_cols}
+        )
+
+    LABELS = {
+        "qty": "l_quantity",
+        "ep": "l_extendedprice",
+        "disc": "l_discount",
+        "tax": "l_tax",
+    }
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "col_a": pa.nulls(0, pa.large_string()),
+                "col_b": pa.nulls(0, pa.large_string()),
+                "corr": pa.nulls(0, pa.float64()),
+                "n_rows": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return empty
+        import math
+
+        tot = {c: 0 for c in moment_cols}
+        for c in moment_cols:
+            for s in batch[c].to_pylist():
+                tot[c] += int(s)
+        n = tot["n"]
+        if n == 0:
+            return empty
+        out_a, out_b, out_r = [], [], []
+        for i, j in pairs:
+            a, b = names[i], names[j]
+            num = n * tot[f"x_{a}_{b}"] - tot[f"s_{a}"] * tot[f"s_{b}"]
+            da = n * tot[f"ss_{a}"] - tot[f"s_{a}"] ** 2
+            db = n * tot[f"ss_{b}"] - tot[f"s_{b}"] ** 2
+            den = math.sqrt(float(da) * float(db))
+            out_a.append(LABELS[a])
+            out_b.append(LABELS[b])
+            out_r.append(float(num) / den if den > 0 else 0.0)
+        return pa.table(
+            {
+                "col_a": pa.array(out_a, type=pa.large_string()),
+                "col_b": pa.array(out_b, type=pa.large_string()),
+                "corr": pa.array(out_r, type=pa.float64()),
+                "n_rows": pa.array([n] * len(pairs), type=pa.int64()),
+            }
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def documents_expectations(sf_dir: str) -> ray.data.Dataset:
+    """Data-validation operator (the Great-Expectations shape): check a
+    rule set over the documents table distributed and report per-rule
+    violation counts — uniqueness included, which needs an exchange.
+
+    Rules: doc_id unique; text non-null; n_chars == length(text);
+    lang matches ^[a-z]{2,3}$; source non-null and non-empty.
+
+    Physical plan: per-row rules fold to ONE partial row per batch
+    (rule, count); uniqueness ships per-batch distinct (doc_id, count)
+    partials tagged rule=NULL through the SAME doc_id%P exchange
+    (16 B/distinct-id, the profile.py discipline) where violations =
+    sum(n) - n_distinct per partition.  One union schema, one groupby,
+    constant-size tail."""
+    P = 16
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    # shared union schema: rule != NULL -> (rule, b=violations);
+    # rule == NULL -> uniqueness partial (a=doc_id, b=count)
+    EMPTY = pa.table(
+        {
+            "rule": pa.nulls(0, pa.large_string()),
+            "a": pa.nulls(0, pa.int64()),
+            "b": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    import re as _re_mod
+
+    _LANG_RE = _re_mod.compile(r"^[a-z]{2,3}$")
+
+    def rowrules(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return EMPTY
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        null_text = int(pc.sum(pc.is_null(text)).as_py() or 0)
+        tlen = pc.utf8_length(pc.fill_null(text, "")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isnull = pc.is_null(text).to_numpy(zero_copy_only=False)
+        bad_len = int(((tlen != nch) | isnull).sum())
+        langs = batch["lang"].to_pylist()
+        bad_lang = sum(
+            1 for s in langs if s is None or not _LANG_RE.match(s)
+        )
+        srcs = batch["source"].to_pylist()
+        bad_src = sum(1 for s in srcs if s is None or s == "")
+        return pa.table(
+            {
+                "rule": pa.array(
+                    [
+                        "text_nonnull",
+                        "n_chars_consistent",
+                        "lang_format",
+                        "source_nonempty",
+                    ],
+                    type=pa.large_string(),
+                ),
+                "a": pa.array([0, 0, 0, 0], type=pa.int64()),
+                "b": pa.array(
+                    [null_text, bad_len, bad_lang, bad_src], type=pa.int64()
+                ),
+                "part": pa.array([0, 1, 2, 3], type=pa.int64()),
+            }
+        )
+
+    def id_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return EMPTY
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "rule": pa.nulls(uk.shape[0], pa.large_string()),
+                "a": pa.array(uk),
+                "b": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(uk % P + 4),  # offset past rowrule parts
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rule": pa.nulls(0, pa.large_string()),
+                "v": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "rule" not in group.column_names:
+            return empty
+        rules = np.asarray(group["rule"].to_pylist(), dtype=object)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        isid = np.asarray([r is None for r in rules], dtype=bool)
+        out_rules, out_v = [], []
+        if isid.any():
+            ids, n = a[isid].astype(np.int64), b[isid].astype(np.int64)
+            uk, inv = np.unique(ids, return_inverse=True)
+            tot = np.zeros(uk.shape[0], dtype=np.int64)
+            np.add.at(tot, inv, n)
+            # duplicates violate: every row beyond the first per id
+            out_rules.append("doc_id_unique")
+            out_v.append(int((tot - 1).sum()))
+        if (~isid).any():
+            rl = rules[~isid].astype(str)
+            v = b[~isid].astype(np.int64)
+            ur, inv = np.unique(rl, return_inverse=True)
+            tot = np.zeros(ur.shape[0], dtype=np.int64)
+            np.add.at(tot, inv, v)
+            out_rules.extend(ur.tolist())
+            out_v.extend(tot.tolist())
+        return pa.table(
+            {
+                "rule": pa.array(out_rules, type=pa.large_string()),
+                "v": pa.array(out_v, type=pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rule": pa.nulls(0, pa.large_string()),
+                "n_violations": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "rule" not in batch.column_names:
+            return empty
+        rules = np.asarray(batch["rule"].to_pylist(), dtype=object)
+        keep = np.asarray([r is not None for r in rules], dtype=bool)
+        if not keep.any():
+            return empty
+        rules = rules[keep].astype(str)
+        v = batch["v"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        ur, inv = np.unique(rules, return_inverse=True)
+        tot = np.zeros(ur.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, v)
+        return pa.table(
+            {
+                "rule": pa.array(ur.tolist(), type=pa.large_string()),
+                "n_violations": pa.array(tot),
+            }
+        )
+
+    rows = docs.map_batches(rowrules, batch_format="pyarrow")
+    ids = docs.map_batches(id_partial, batch_format="pyarrow")
+    merged = rows.union(ids).groupby("part").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+    return (
+        merged.repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -93,6 +93,8 @@ ORACLE_QUERIES = [
     "orders_totalprice_recon",
     "orders_benford",
     "event_type_user_overlap",
+    "lineitem_corr_matrix",
+    "documents_expectations",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

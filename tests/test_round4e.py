@@ -142,6 +142,70 @@ class TestOverlap:
         assert out.iloc[0]["n_shared"] == 2
 
 
+class TestCorrMatrix:
+    def test_bounds_and_planted_perfect(self, ray_session, tmp_path):
+        import pyarrow as pa
+        from libpostal_ray.pipelines.queries import lineitem_corr_matrix
+
+        out = lineitem_corr_matrix(SF).to_pandas()
+        assert len(out) == 6
+        assert (out["corr"].abs() <= 1.0 + 1e-12).all()
+
+        # planted: ep == qty (perfect +1), tax == -? (tax can't be
+        # negative; use descending for corr -1 against qty)
+        d = tmp_path / "sf"
+        d.mkdir()
+        q = [1.0, 2.0, 3.0, 4.0]
+        li = pa.table(
+            {
+                "l_quantity": pa.array(q),
+                "l_extendedprice": pa.array([v * 2 for v in q]),
+                "l_discount": pa.array([0.04, 0.03, 0.02, 0.01]),
+                "l_tax": pa.array([0.01, 0.02, 0.03, 0.04]),
+            }
+        )
+        pq.write_table(li, str(d / "lineitem.parquet"))
+        out = lineitem_corr_matrix(str(d)).to_pandas().set_index(
+            ["col_a", "col_b"]
+        )
+        assert abs(out.loc[("l_quantity", "l_extendedprice"), "corr"] - 1.0) < 1e-12
+        assert abs(out.loc[("l_quantity", "l_discount"), "corr"] + 1.0) < 1e-12
+        assert abs(out.loc[("l_quantity", "l_tax"), "corr"] - 1.0) < 1e-12
+
+
+class TestExpectations:
+    def test_clean_corpus_zero_violations(self, ray_session):
+        from libpostal_ray.pipelines.queries import documents_expectations
+
+        out = documents_expectations(SF).to_pandas().set_index("rule")
+        assert len(out) == 5
+        assert (out["n_violations"] == 0).all()
+
+    def test_planted_violations(self, ray_session, tmp_path):
+        import pyarrow as pa
+        from libpostal_ray.pipelines.queries import documents_expectations
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(["aa", "aa", None, "bbb", "cc"]),
+                "lang": pa.array(["en", "en", "EN!", "de", "fra"]),
+                "source": pa.array(["s1", "s1", "", "s2", None]),
+                "n_chars": pa.array([2, 2, 0, 99, 2], type=pa.int64()),
+            }
+        )
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = documents_expectations(str(d)).to_pandas().set_index("rule")
+        assert out.loc["doc_id_unique", "n_violations"] == 1  # dup id 1
+        assert out.loc["text_nonnull", "n_violations"] == 1
+        # null text counts, plus the n_chars=99 mismatch
+        assert out.loc["n_chars_consistent", "n_violations"] == 2
+        assert out.loc["lang_format", "n_violations"] == 1  # 'EN!'
+        assert out.loc["source_nonempty", "n_violations"] == 2
+
+
 def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
@@ -163,6 +227,8 @@ def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
         "orders_totalprice_recon",
         "orders_benford",
         "event_type_user_overlap",
+        "lineitem_corr_matrix",
+        "documents_expectations",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
