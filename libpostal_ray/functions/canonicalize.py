@@ -1022,6 +1022,114 @@ BG_GENERAL_RULES = _biscript_rules(
      "осемдесет": 80, "деветдесет": 90, "сто": 100},
 )
 
+SR_GENERAL_RULES = _biscript_rules(
+    {"ул": "улица", "бул": "булевар", "трг": "трг", "бр": "број",
+     "тел": "телефон", "др": "доктор"},
+    {"један": 1, "два": 2, "три": 3, "четири": 4, "пет": 5,
+     "шест": 6, "седам": 7, "осам": 8, "девет": 9, "десет": 10,
+     "једанаест": 11, "дванаест": 12, "тринаест": 13,
+     "четрнаест": 14, "петнаест": 15, "шеснаест": 16,
+     "седамнаест": 17, "осамнаест": 18, "деветнаест": 19,
+     "двадесет": 20, "тридесет": 30, "четрдесет": 40,
+     "педесет": 50, "шездесет": 60, "седамдесет": 70,
+     "осамдесет": 80, "деведесет": 90, "сто": 100},
+)
+
+MK_GENERAL_RULES = _biscript_rules(
+    {"ул": "улица", "бул": "булевар", "бр": "број", "тел": "телефон"},
+    {"еден": 1, "два": 2, "три": 3, "четири": 4, "пет": 5,
+     "шест": 6, "седум": 7, "осум": 8, "девет": 9, "десет": 10,
+     "единаесет": 11, "дванаесет": 12, "тринаесет": 13,
+     "четиринаесет": 14, "петнаесет": 15, "шеснаесет": 16,
+     "седумнаесет": 17, "осумнаесет": 18, "деветнаесет": 19,
+     "дваесет": 20, "триесет": 30, "четириесет": 40,
+     "педесет": 50, "шеесет": 60, "седумдесет": 70,
+     "осумдесет": 80, "деведесет": 90, "сто": 100},
+)
+
+BE_GENERAL_RULES = _biscript_rules(
+    {"вул": "вуліца", "пр": "праспект", "пл": "плошча",
+     "тэл": "тэлефон", "д": "дом"},
+    {"адзін": 1, "два": 2, "тры": 3, "чатыры": 4, "пяць": 5,
+     "шэсць": 6, "сем": 7, "восем": 8, "дзевяць": 9, "дзесяць": 10,
+     "адзінаццаць": 11, "дванаццаць": 12, "трынаццаць": 13,
+     "чатырнаццаць": 14, "пятнаццаць": 15, "шаснаццаць": 16,
+     "сямнаццаць": 17, "васямнаццаць": 18, "дзевятнаццаць": 19,
+     "дваццаць": 20, "трыццаць": 30, "сорак": 40, "пяцьдзясят": 50,
+     "шэсцьдзясят": 60, "семдзесят": 70, "восемдзесят": 80,
+     "дзевяноста": 90, "сто": 100},
+)
+
+# IS pack — dictionaries/is content model (ð/þ/æ fold via latin_ascii)
+IS_ABBREV_RULES = _word_rules({
+    "gt": "gata", "str": "stræti", "vn": "vegurinn", "s": "sími",
+    "nr": "númer",
+})
+
+_IS_NUMS = {
+    "einn": 1, "tveir": 2, "þrír": 3, "fjórir": 4, "fimm": 5,
+    "sex": 6, "sjö": 7, "átta": 8, "níu": 9, "tíu": 10,
+    "ellefu": 11, "tólf": 12, "þrettán": 13, "fjórtán": 14,
+    "fimmtán": 15, "sextán": 16, "sautján": 17, "átján": 18,
+    "nítján": 19, "tuttugu": 20, "þrjátíu": 30, "fjörutíu": 40,
+    "fimmtíu": 50, "sextíu": 60, "sjötíu": 70, "áttatíu": 80,
+    "níutíu": 90, "hundrað": 100,
+}
+
+IS_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _IS_NUMS.items()
+)
+
+IS_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    IS_ABBREV_RULES + IS_NUMBER_RULES
+)
+
+# GA pack — dictionaries/ga content model
+GA_ABBREV_RULES = _word_rules({
+    "sr": "sráid", "br": "bóthar", "co": "contae", "teil": "teileafón",
+    "uimh": "uimhir",
+})
+
+_GA_NUMS = {
+    "aon": 1, "dó": 2, "trí": 3, "ceathair": 4, "cúig": 5,
+    "sé": 6, "seacht": 7, "ocht": 8, "naoi": 9, "deich": 10,
+    "fiche": 20, "tríocha": 30, "daichead": 40, "caoga": 50,
+    "seasca": 60, "seachtó": 70, "ochtó": 80, "nócha": 90,
+    "céad": 100,
+}
+
+GA_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _GA_NUMS.items()
+)
+
+GA_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    GA_ABBREV_RULES + GA_NUMBER_RULES
+)
+
+# AF pack — dictionaries/af content model
+AF_ABBREV_RULES = _word_rules({
+    "str": "straat", "ln": "laan", "wg": "weg", "tel": "telefoon",
+    "nr": "nommer", "posbus": "posbus",
+})
+
+_AF_NUMS = {
+    "een": 1, "twee": 2, "drie": 3, "vier": 4, "vyf": 5,
+    "ses": 6, "sewe": 7, "agt": 8, "nege": 9, "tien": 10,
+    "elf": 11, "twaalf": 12, "dertien": 13, "veertien": 14,
+    "vyftien": 15, "sestien": 16, "sewentien": 17, "agtien": 18,
+    "negentien": 19, "twintig": 20, "dertig": 30, "veertig": 40,
+    "vyftig": 50, "sestig": 60, "sewentig": 70, "tagtig": 80,
+    "negentig": 90, "honderd": 100,
+}
+
+AF_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _AF_NUMS.items()
+)
+
+AF_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    AF_ABBREV_RULES + AF_NUMBER_RULES
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -1059,6 +1167,12 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "uk": UK_GENERAL_RULES,
     "el": EL_GENERAL_RULES,
     "bg": BG_GENERAL_RULES,
+    "sr": SR_GENERAL_RULES,
+    "mk": MK_GENERAL_RULES,
+    "be": BE_GENERAL_RULES,
+    "is": IS_GENERAL_RULES,
+    "ga": GA_GENERAL_RULES,
+    "af": AF_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals

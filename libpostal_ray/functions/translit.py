@@ -49,6 +49,9 @@ _CYRILLIC = {
     "ю": "yu", "я": "ya", "ё": "e",
     # Ukrainian / Belarusian extras
     "є": "ye", "і": "i", "ї": "yi", "ґ": "g", "ў": "u",
+    # Serbian / Macedonian extras (BGN/PCGN-style)
+    "ђ": "dj", "ћ": "c", "џ": "dz", "љ": "lj", "њ": "nj", "ј": "j",
+    "ѓ": "gj", "ќ": "kj", "ѕ": "dz",
 }
 
 _LATIN_SPECIAL = {

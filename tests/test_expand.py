@@ -276,6 +276,7 @@ class TestLanguagePacks:
             "ro", "hu", "ca", "id", "sk", "hr",
             "lt", "lv", "et", "sl", "gl", "eu", "ms", "sq", "tl",
             "ru", "uk", "el", "bg",
+            "sr", "mk", "be", "is", "ga", "af",
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles

@@ -252,3 +252,52 @@ def test_biscript_packs_native_and_romanized():
     )
     assert out_t[0] == "ulitsa lenina 5"
     assert out_t[1] == "odos athinas 10" or out_t[1].endswith(" 10")
+
+
+def test_session14_packs_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "ул. Кнеза Милоша пет",   # sr (Cyrillic, native path)
+            "ул. Македонија пет",     # mk
+            "вул. Купалы дзесяць",    # be
+            "Laugavegur nr. tíu",     # is
+            "Sr. Uí Chonaill fiche",  # ga
+            "Kerk str. nr. twintig",  # af
+        ],
+        ["sr", "mk", "be", "is", "ga", "af"],
+    )
+    assert out[0] == "улица кнеза милоша 5"
+    assert out[1] == "улица македонија 5"
+    assert out[2] == "вуліца купалы 10"
+    assert out[3] == "laugavegur númer 10"
+    assert out[4] == "sráid uí chonaill 20"
+    assert out[5] == "kerk straat nommer 20"
+
+
+def test_session14_biscript_romanized_twins():
+    # transliterate=True runs latin_ascii BEFORE rules: the latin twin
+    # keys must fire on the same rows (incl. the new ђ/џ/љ/њ/ј letters)
+    stage_t = CanonicalizeStage(
+        PipelineConfig(lang_rules=True, transliterate=True)
+    )
+    out_t = _canon(
+        stage_t,
+        ["ул. Ђорђа пет", "бул. Јане десет"],
+        ["sr", "mk"],
+    )
+    assert out_t[0] == "ulitsa djordja 5"
+    assert out_t[1] == "bulevar jane 10"
+
+
+def test_session14_packs_do_not_cross_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    # the same texts under EN: no pack entry fires
+    out = _canon(
+        stage,
+        ["Laugavegur nr. tíu", "Kerk str. nr. twintig"],
+        ["en", "en"],
+    )
+    assert "10" not in out[0] and "númer" not in out[0]
+    assert "20" not in out[1] and "nommer" not in out[1]
