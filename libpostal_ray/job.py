@@ -350,6 +350,50 @@ def run_profile(args) -> dict:
     return manifest
 
 
+def run_validate(args) -> dict:
+    """--mode validate: data-expectations validation of the --input
+    corpus (id uniqueness via one exchange, non-null/non-empty row
+    rules) — the gate a user runs BEFORE submitting the flagship, so a
+    malformed delivery fails loudly here instead of surfacing as a
+    half-clustered output.  Writes validation/ parquet + manifest.json
+    with per-rule counts inline and ``passed`` = no violations."""
+    import ray
+
+    from libpostal_ray.pipelines.profile import corpus_expectations
+    from libpostal_ray.state.checkpoint import config_fingerprint
+
+    cfg = build_config(args.config)
+    t0 = time.time()
+    docs = _read_corpus(args)
+    out_dir = os.path.join(args.output, "validation")
+    rep = corpus_expectations(docs)
+    rep.write_parquet(out_dir)
+    import pyarrow.dataset as pds
+
+    tbl = pds.dataset(out_dir, format="parquet").to_table()
+    rules = {
+        r["rule"]: int(r["n_violations"]) for r in tbl.to_pylist()
+    }
+    manifest = {
+        "mode": "validate",
+        "config_fingerprint": config_fingerprint(cfg),
+        "input": args.input,
+        "wall_seconds": round(time.time() - t0, 3),
+        "rules": rules,
+        "passed": all(v == 0 for v in rules.values()),
+        "ray": {
+            "nodes": len(ray.nodes()),
+            "cpus": int(ray.cluster_resources().get("CPU", 0)),
+        },
+    }
+    os.makedirs(args.output, exist_ok=True)
+    tmp = os.path.join(args.output, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(args.output, "manifest.json"))
+    return manifest
+
+
 def run_simjoin(args) -> dict:
     """--mode simjoin: EXACT shingle-Jaccard pair set of --input (self-
     join), or --input vs --against (bipartite: the fuzzy train/eval
@@ -431,14 +475,15 @@ def main(argv=None) -> int:
     p.add_argument("--write-edges", action="store_true", help="also write verified pair edges")
     p.add_argument("--mode", default="cluster",
                    choices=["cluster", "incremental", "export", "diff",
-                            "profile", "simjoin"],
+                            "profile", "simjoin", "validate"],
                    help="cluster: flagship near-dup clustering of --input; "
                         "incremental: dedupe --input against a standing corpus; "
                         "export: seeded sharded training export; "
                         "diff: CDC audit of --input vs --against; "
                         "profile: column profile of --input; "
                         "simjoin: exact shingle-Jaccard pair set of --input "
-                        "(or --input vs --against, cross-side only)")
+                        "(or --input vs --against, cross-side only); "
+                        "validate: data-expectations gate over --input")
     p.add_argument("--sim-threshold", default="1/20",
                    help="simjoin: Jaccard threshold as a rational 'num/den'")
     p.add_argument("--shingle-k", type=int, default=4,
@@ -476,10 +521,13 @@ def main(argv=None) -> int:
         if args.mode == "diff"
         else run_profile(args)
         if args.mode == "profile"
-        else run_simjoin(args) if args.mode == "simjoin" else run_job(args)
+        else run_simjoin(args)
+        if args.mode == "simjoin"
+        else run_validate(args) if args.mode == "validate" else run_job(args)
     )
     json.dump(
-        {"status": "ok", "output": args.output, "rows": manifest["rows"],
+        {"status": "ok", "output": args.output,
+         "rows": manifest.get("rows", manifest.get("rules")),
          "wall_seconds": manifest["wall_seconds"]},
         sys.stdout,
     )

@@ -230,3 +230,153 @@ def column_profile(
         .groupby("column")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def corpus_expectations(ds, id_col: str = "doc_id", text_col: str = "content"):
+    """Data-validation over a corpus Dataset (the Great-Expectations
+    shape, job-CLI surface of queries.documents_expectations): per-rule
+    violation counts, uniqueness included.
+
+    Rules: ``id_col`` unique; ``text_col`` non-null; ``text_col``
+    non-empty; lang non-empty (when present); path non-empty (when
+    present).
+
+    Physical plan: per-row rules fold to ONE partial row per batch;
+    uniqueness ships per-batch distinct (id, count) partials tagged
+    rule=NULL through an id%P exchange (16 B/distinct-id).  One union
+    schema, one groupby, constant tail."""
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401
+
+    P = 16
+
+    EMPTY = pa.table(
+        {
+            "rule": pa.nulls(0, pa.large_string()),
+            "a": pa.nulls(0, pa.int64()),
+            "b": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def rowrules(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return EMPTY
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        isnull = pc.is_null(text).to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(pc.fill_null(text, "")).to_numpy(
+            zero_copy_only=False
+        )
+        rules = [f"{text_col}_nonnull", f"{text_col}_nonempty"]
+        viols = [int(isnull.sum()), int((isnull | (tlen == 0)).sum())]
+        for extra in ("lang", "path"):
+            if extra in batch.column_names:
+                col = batch[extra]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                bad = int(
+                    pc.sum(
+                        pc.or_(
+                            pc.is_null(col),
+                            pc.equal(pc.fill_null(col, ""), ""),
+                        )
+                    ).as_py()
+                    or 0
+                )
+                rules.append(f"{extra}_nonempty")
+                viols.append(bad)
+        return pa.table(
+            {
+                "rule": pa.array(rules, type=pa.large_string()),
+                "a": pa.array([0] * len(rules), type=pa.int64()),
+                "b": pa.array(viols, type=pa.int64()),
+                "part": pa.array(list(range(len(rules))), type=pa.int64()),
+            }
+        )
+
+    def id_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return EMPTY
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "rule": pa.nulls(uk.shape[0], pa.large_string()),
+                "a": pa.array(uk),
+                "b": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(uk % P + 8),  # offset past rowrule parts
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rule": pa.nulls(0, pa.large_string()),
+                "v": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "rule" not in group.column_names:
+            return empty
+        rules = np.asarray(group["rule"].to_pylist(), dtype=object)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        isid = np.asarray([r is None for r in rules], dtype=bool)
+        out_rules, out_v = [], []
+        if isid.any():
+            ids, n = a[isid].astype(np.int64), b[isid].astype(np.int64)
+            uk, inv = np.unique(ids, return_inverse=True)
+            tot = np.zeros(uk.shape[0], dtype=np.int64)
+            np.add.at(tot, inv, n)
+            out_rules.append(f"{id_col}_unique")
+            out_v.append(int((tot - 1).sum()))
+        if (~isid).any():
+            rl = rules[~isid].astype(str)
+            v = b[~isid].astype(np.int64)
+            ur, inv = np.unique(rl, return_inverse=True)
+            tot = np.zeros(ur.shape[0], dtype=np.int64)
+            np.add.at(tot, inv, v)
+            out_rules.extend(ur.tolist())
+            out_v.extend(tot.tolist())
+        return pa.table(
+            {
+                "rule": pa.array(out_rules, type=pa.large_string()),
+                "v": pa.array(out_v, type=pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rule": pa.nulls(0, pa.large_string()),
+                "n_violations": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "rule" not in batch.column_names:
+            return empty
+        rules = np.asarray(batch["rule"].to_pylist(), dtype=object)
+        keep = np.asarray([r is not None for r in rules], dtype=bool)
+        if not keep.any():
+            return empty
+        rules = rules[keep].astype(str)
+        v = batch["v"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        ur, inv = np.unique(rules, return_inverse=True)
+        tot = np.zeros(ur.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, v)
+        return pa.table(
+            {
+                "rule": pa.array(ur.tolist(), type=pa.large_string()),
+                "n_violations": pa.array(tot),
+            }
+        )
+
+    rows = ds.map_batches(rowrules, batch_format="pyarrow")
+    ids = ds.map_batches(id_partial, batch_format="pyarrow")
+    return (
+        rows.union(ids)
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

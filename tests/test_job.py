@@ -320,3 +320,42 @@ def test_job_simjoin_mode(job_corpus, tmp_path):
     )
     assert r2.returncode != 0
     assert "num/den" in (r2.stderr + r2.stdout)
+
+
+def test_job_validate_mode(job_corpus, tmp_path):
+    """--mode validate: the data-expectations gate.  A clean synth
+    corpus passes; planting a duplicate doc id and an empty content row
+    must flip passed=False with the right per-rule counts."""
+    out = str(tmp_path / "valrun")
+    r = _run_job("--mode", "validate", "--input", job_corpus, "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["passed"] is True
+    assert man["rules"]["doc_id_unique"] == 0
+    assert man["rules"]["content_nonempty"] == 0
+
+    # plant violations: duplicate a (repo, path) row -> same derived
+    # doc_id; blank one content
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pds.dataset(job_corpus, format="parquet").to_table()
+    dup = t.slice(0, 1)
+    bad = t.set_column(
+        t.column_names.index("content"),
+        "content",
+        pa.array(
+            [""] + t["content"].to_pylist()[1:],
+            type=t["content"].type,
+        ),
+    )
+    dirty = pa.concat_tables([bad, dup])
+    dirty_path = str(tmp_path / "dirty.parquet")
+    pq.write_table(dirty, dirty_path)
+    out2 = str(tmp_path / "valrun2")
+    r = _run_job("--mode", "validate", "--input", dirty_path, "--output", out2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    man2 = json.load(open(os.path.join(out2, "manifest.json")))
+    assert man2["passed"] is False
+    assert man2["rules"]["doc_id_unique"] == 1
+    assert man2["rules"]["content_nonempty"] == 1
