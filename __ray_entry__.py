@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_user_overlap": q.event_type_user_overlap,
         "lineitem_corr_matrix": q.lineitem_corr_matrix,
         "documents_expectations": q.documents_expectations,
+        "lang_source_contingency": q.lang_source_contingency,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2554,5 +2555,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT)
             FROM documents
+        """,
+    "lang_source_contingency": """
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nr
+                  FROM c GROUP BY 1),
+            s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+                  FROM c GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+            SELECT c.lang, c.source, c.n AS observed,
+                   CAST(r.nr AS DOUBLE) * CAST(s.ns AS DOUBLE)
+                       / CAST(t.nt AS DOUBLE) AS expected
+            FROM c
+            JOIN r ON c.lang = r.lang
+            JOIN s ON c.source = s.source, t
         """,
     }

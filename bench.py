@@ -323,6 +323,7 @@ def run_bench() -> dict:
     timed("event_type_user_overlap", q.event_type_user_overlap)
     timed("lineitem_corr_matrix", q.lineitem_corr_matrix)
     timed("documents_expectations", q.documents_expectations)
+    timed("lang_source_contingency", q.lang_source_contingency)
 
     ray.shutdown()
     return {

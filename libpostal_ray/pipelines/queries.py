@@ -13911,3 +13911,132 @@ def documents_expectations(sf_dir: str) -> ray.data.Dataset:
         merged.repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def lang_source_contingency(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-mix independence audit: the lang x source contingency
+    table with expected-under-independence counts — the chi-square
+    ingredients for "does each feed have the same language mix?".
+    Observed counts are exact; expected = row_total * col_total /
+    grand_total is ONE float expression evaluated in the same order on
+    both engines.
+
+    Physical plan: per-batch (lang, source, n) partials (the cell space
+    is dimension x dimension); ONE crc(lang)%P exchange finishes cell
+    counts; the constant-size tail derives the margins and the expected
+    values — margins never need their own exchanges because the cells
+    ARE the margins' partition."""
+    import zlib
+
+    P = 8
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "lang": pa.nulls(0, pa.large_string()),
+            "source": pa.nulls(0, pa.large_string()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "lang" not in batch.column_names:
+            return EMPTY
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        comp = np.asarray(
+            [f"{a}\x01{b}" for a, b in zip(lang, src)], dtype=object
+        )
+        uk, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        ul = [c.split("\x01")[0] for c in uk]
+        us = [c.split("\x01")[1] for c in uk]
+        parts = np.asarray(
+            [zlib.crc32(s.encode()) % P for s in ul], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "lang": pa.array(ul, type=pa.large_string()),
+                "source": pa.array(us, type=pa.large_string()),
+                "n": pa.array(cnt),
+                "part": pa.array(parts),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.large_string()),
+                "source": pa.nulls(0, pa.large_string()),
+                "n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "lang" not in group.column_names:
+            return empty
+        lang = np.asarray(group["lang"].to_pylist(), dtype=object)
+        src = np.asarray(group["source"].to_pylist(), dtype=object)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        comp = np.asarray(
+            [f"{a}\x01{b}" for a, b in zip(lang, src)], dtype=object
+        )
+        uk, inv = np.unique(comp, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [c.split("\x01")[0] for c in uk], type=pa.large_string()
+                ),
+                "source": pa.array(
+                    [c.split("\x01")[1] for c in uk], type=pa.large_string()
+                ),
+                "n": pa.array(tot),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.nulls(0, pa.large_string()),
+                "source": pa.nulls(0, pa.large_string()),
+                "observed": pa.nulls(0, pa.int64()),
+                "expected": pa.nulls(0, pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or "lang" not in batch.column_names:
+            return empty
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, linv = np.unique(lang.astype(str), return_inverse=True)
+        us, sinv = np.unique(src.astype(str), return_inverse=True)
+        row_tot = np.zeros(ul.shape[0], dtype=np.int64)
+        col_tot = np.zeros(us.shape[0], dtype=np.int64)
+        np.add.at(row_tot, linv, n)
+        np.add.at(col_tot, sinv, n)
+        grand = float(int(n.sum()))
+        expected = (
+            row_tot[linv].astype(np.float64)
+            * col_tot[sinv].astype(np.float64)
+            / grand
+        )
+        return pa.table(
+            {
+                "lang": pa.array(lang.tolist(), type=pa.large_string()),
+                "source": pa.array(src.tolist(), type=pa.large_string()),
+                "observed": pa.array(n),
+                "expected": pa.array(expected),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -95,6 +95,7 @@ ORACLE_QUERIES = [
     "event_type_user_overlap",
     "lineitem_corr_matrix",
     "documents_expectations",
+    "lang_source_contingency",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

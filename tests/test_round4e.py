@@ -229,6 +229,7 @@ def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
         "event_type_user_overlap",
         "lineitem_corr_matrix",
         "documents_expectations",
+        "lang_source_contingency",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
