@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": q.lineitem_corr_matrix,
         "documents_expectations": q.documents_expectations,
         "lang_source_contingency": q.lang_source_contingency,
+        "events_type_mad": q.events_type_mad,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2571,5 +2572,15 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             JOIN r ON c.lang = r.lang
             JOIN s ON c.source = s.source, t
+        """,
+    "events_type_mad": """
+            WITH m AS (SELECT event_type,
+                              median(CAST(value AS DOUBLE)) AS med
+                       FROM events GROUP BY 1)
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   median(abs(CAST(e.value AS DOUBLE) - m.med)) AS mad
+            FROM events e JOIN m ON e.event_type = m.event_type
+            GROUP BY 1
         """,
     }

@@ -324,6 +324,7 @@ def run_bench() -> dict:
     timed("lineitem_corr_matrix", q.lineitem_corr_matrix)
     timed("documents_expectations", q.documents_expectations)
     timed("lang_source_contingency", q.lang_source_contingency)
+    timed("events_type_mad", q.events_type_mad)
 
     ray.shutdown()
     return {

@@ -14040,3 +14040,59 @@ def lang_source_contingency(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def events_type_mad(sf_dir: str) -> ray.data.Dataset:
+    """EXACT per-group median absolute deviation (grouped robust
+    dispersion — the per-type counterpart of the global
+    events_value_mad): median_g(|v - median_g(v)|) with CONSTANT
+    exchange volume.
+
+    Two grouped radix-quantile passes (functions/quantile.py): pass 1
+    recovers each type's bit-exact interpolated median; the medians
+    broadcast (dimension-sized) and a streaming map derives
+    |v - med| — ONE float subtraction evaluated identically on both
+    engines — then pass 2 takes the grouped median of the deviations.
+    Eight streaming scans total, <= groups x 65536 skinny rows per
+    batch per pass, no per-group gather."""
+    from libpostal_ray.functions.quantile import grouped_exact_quantile_cont
+
+    def _events():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    med_tbl = grouped_exact_quantile_cont(_events(), "event_type", "value", 0.5)
+    meds = {
+        k: float(v)
+        for k, v in zip(
+            med_tbl.column(0).to_pylist(), med_tbl.column(2).to_pylist()
+        )
+    }
+    med_ref = ray.put(meds)
+
+    EMPTY = pa.table(
+        {
+            "event_type": pa.nulls(0, pa.large_string()),
+            "dev": pa.nulls(0, pa.float64()),
+        }
+    )
+
+    def to_dev(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        m = ray.get(med_ref)
+        et = batch["event_type"].to_pylist()
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        med = np.asarray([m.get(t, np.nan) for t in et], dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": pa.array(et, type=pa.large_string()),
+                "dev": pa.array(np.abs(v - med)),
+            }
+        )
+
+    devs = _events().map_batches(to_dev, batch_format="pyarrow")
+    mad_tbl = grouped_exact_quantile_cont(devs, "event_type", "dev", 0.5)
+    mad_tbl = mad_tbl.rename_columns(["event_type", "n_events", "mad"])
+    return ray.data.from_arrow(mad_tbl)

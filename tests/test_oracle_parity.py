@@ -96,6 +96,7 @@ ORACLE_QUERIES = [
     "lineitem_corr_matrix",
     "documents_expectations",
     "lang_source_contingency",
+    "events_type_mad",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -206,6 +206,28 @@ class TestExpectations:
         assert out.loc["source_nonempty", "n_violations"] == 2
 
 
+class TestGroupedMAD:
+    def test_planted_values(self, ray_session, tmp_path):
+        import pyarrow as pa
+        from libpostal_ray.pipelines.queries import events_type_mad
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # type A: values 1..5 -> median 3, |dev| = 2,1,0,1,2 -> MAD 1
+        # type B: values 10,20,40 -> median 20, devs 10,0,20 -> MAD 10
+        ev = pa.table(
+            {
+                "event_type": pa.array(["A"] * 5 + ["B"] * 3),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0, 40.0]),
+            }
+        )
+        pq.write_table(ev, str(d / "events.parquet"))
+        out = events_type_mad(str(d)).to_pandas().set_index("event_type")
+        assert out.loc["A", "mad"] == 1.0
+        assert out.loc["B", "mad"] == 10.0
+        assert out.loc["A", "n_events"] == 5
+
+
 def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
@@ -230,6 +252,7 @@ def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
         "lineitem_corr_matrix",
         "documents_expectations",
         "lang_source_contingency",
+        "events_type_mad",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
