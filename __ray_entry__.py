@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_expectations": q.documents_expectations,
         "lang_source_contingency": q.lang_source_contingency,
         "events_type_mad": q.events_type_mad,
+        "event_trigrams": q.event_trigrams,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2582,5 +2583,15 @@ def oracle_sql() -> dict[str, str]:
                    median(abs(CAST(e.value AS DOUBLE) - m.med)) AS mad
             FROM events e JOIN m ON e.event_type = m.event_type
             GROUP BY 1
+        """,
+    "event_trigrams": """
+            WITH o AS (SELECT event_type AS t1,
+                              lead(event_type, 1) OVER w AS t2,
+                              lead(event_type, 2) OVER w AS t3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
         """,
     }

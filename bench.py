@@ -325,6 +325,7 @@ def run_bench() -> dict:
     timed("documents_expectations", q.documents_expectations)
     timed("lang_source_contingency", q.lang_source_contingency)
     timed("events_type_mad", q.events_type_mad)
+    timed("event_trigrams", q.event_trigrams)
 
     ray.shutdown()
     return {

@@ -14096,3 +14096,22 @@ def events_type_mad(sf_dir: str) -> ray.data.Dataset:
     mad_tbl = grouped_exact_quantile_cont(devs, "event_type", "dev", 0.5)
     mad_tbl = mad_tbl.rename_columns(["event_type", "n_events", "mad"])
     return ray.data.from_arrow(mad_tbl)
+
+
+def event_trigrams(sf_dir: str) -> ray.data.Dataset:
+    """Second-order sequence mining: counts of every three-consecutive-
+    event-type pattern within each user's time-ordered stream (ties on
+    equal ts broken by event_id) — the width-3 sibling of
+    event_transitions, matching SQL's double-lead window formulation.
+    See pipelines/timeseries.trigram_counts for the exchange."""
+    from libpostal_ray.pipelines.timeseries import trigram_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    out = trigram_counts(ds, "user_id", "ts", "event_type", "event_id")
+    return out.map_batches(
+        lambda b: b.rename_columns(["t1", "t2", "t3", "n"]),
+        batch_format="pyarrow",
+    )

@@ -524,3 +524,136 @@ def grid_ffill(
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def trigram_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    parts: int = 32,
+    out_parts: int = 8,
+) -> ray.data.Dataset:
+    """Second-order sequence patterns: counts of each (l1, l2, l3) run
+    of three consecutive labels within a key's time-ordered sequence —
+    the sequence-mining big sibling of ``transition_counts`` (same
+    exchange, window width 3).  Ties on equal timestamps break by
+    ``tiebreak_col``; output <= |labels|^3 skinny rows."""
+
+    def exchange(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.nulls(0, pa.int64()),
+                "ts": pa.nulls(0, pa.int64()),
+                "tb": pa.nulls(0, pa.int64()),
+                "label": pa.nulls(0, pa.string()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or key_col not in batch.column_names:
+            return empty
+        k = _i64(batch[key_col])
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "ts": pa.array(_ts_us(batch[ts_col])),
+                "tb": pa.array(_i64(batch[tiebreak_col])),
+                "label": batch[label_col].cast(pa.string()),
+                "part": pa.array(k % parts),
+            }
+        )
+
+    def triples(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l1": pa.nulls(0, pa.string()),
+                "l2": pa.nulls(0, pa.string()),
+                "l3": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+                "g": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return empty
+        k = _i64(group["key"])
+        ts = _i64(group["ts"])
+        tb = _i64(group["tb"])
+        labels = np.asarray(group["label"].to_pylist(), dtype=object)
+        uniq, codes = np.unique(labels.astype(str), return_inverse=True)
+        order = np.lexsort((tb, ts, k))
+        ks, cs = k[order], codes[order]
+        same3 = (ks[2:] == ks[:-2]) & (ks[1:-1] == ks[:-2])
+        c1 = cs[:-2][same3]
+        c2 = cs[1:-1][same3]
+        c3 = cs[2:][same3]
+        if c1.shape[0] == 0:
+            return empty
+        L = np.int64(uniq.shape[0])
+        tri = (c1.astype(np.int64) * L + c2) * L + c3
+        ut, inv = np.unique(tri, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        l1 = uniq[(ut // (L * L))]
+        l2 = uniq[(ut // L) % L]
+        l3 = uniq[ut % L]
+        import zlib
+
+        g = np.asarray(
+            [
+                zlib.crc32((a + "\x01" + b + "\x01" + c).encode()) % out_parts
+                for a, b, c in zip(l1, l2, l3)
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "l1": pa.array(l1.astype(object), type=pa.string()),
+                "l2": pa.array(l2.astype(object), type=pa.string()),
+                "l3": pa.array(l3.astype(object), type=pa.string()),
+                "n": pa.array(cnt),
+                "g": pa.array(g),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l1": pa.nulls(0, pa.string()),
+                "l2": pa.nulls(0, pa.string()),
+                "l3": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "l1" not in group.column_names:
+            return empty
+        l1 = np.asarray(group["l1"].to_pylist(), dtype=object).astype(str)
+        l2 = np.asarray(group["l2"].to_pylist(), dtype=object).astype(str)
+        l3 = np.asarray(group["l3"].to_pylist(), dtype=object).astype(str)
+        n = _i64(group["n"])
+        comp = np.char.add(
+            np.char.add(np.char.add(np.char.add(l1, "\x01"), l2), "\x01"), l3
+        )
+        uniq, inv = np.unique(comp, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        out1, out2, out3 = [], [], []
+        for c in uniq:
+            a, b, d = c.split("\x01")
+            out1.append(a)
+            out2.append(b)
+            out3.append(d)
+        return pa.table(
+            {
+                "l1": pa.array(out1, type=pa.string()),
+                "l2": pa.array(out2, type=pa.string()),
+                "l3": pa.array(out3, type=pa.string()),
+                "n": pa.array(tot),
+            }
+        )
+
+    return (
+        ds.map_batches(exchange, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(triples, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )

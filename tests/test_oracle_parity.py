@@ -97,6 +97,7 @@ ORACLE_QUERIES = [
     "documents_expectations",
     "lang_source_contingency",
     "events_type_mad",
+    "event_trigrams",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -228,6 +228,32 @@ class TestGroupedMAD:
         assert out.loc["A", "n_events"] == 5
 
 
+class TestTrigrams:
+    def test_planted_sequence(self, ray_session, tmp_path):
+        import pyarrow as pa
+        from libpostal_ray.pipelines.queries import event_trigrams
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # user 1: A B A B -> (A,B,A), (B,A,B); user 2: C C -> no trigram
+        ev = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                "ts": pa.array(
+                    [1_000_000 * i for i in range(6)], type=pa.int64()
+                ).cast(pa.timestamp("us")),
+                "event_type": pa.array(["A", "B", "A", "B", "C", "C"]),
+            }
+        )
+        pq.write_table(ev, str(d / "events.parquet"))
+        out = event_trigrams(str(d)).to_pandas()
+        got = {
+            (r["t1"], r["t2"], r["t3"]): r["n"] for _, r in out.iterrows()
+        }
+        assert got == {("A", "B", "A"): 1, ("B", "A", "B"): 1}
+
+
 def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
     import __ray_entry__ as entrymod
 
@@ -253,6 +279,7 @@ def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
         "documents_expectations",
         "lang_source_contingency",
         "events_type_mad",
+        "event_trigrams",
     ):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
