@@ -112,7 +112,11 @@ def _nn_resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 def _numpy_image_feature(payload: bytes, media_type: str) -> np.ndarray:
+    if media_type == "audio":
+        return _numpy_audio_feature(payload)
     if media_type != "image":
+        # video needs a frame backend; deterministic zeros keep the
+        # feature matrix rectangular
         return np.zeros(MediaFeatureStage.FEATURE_DIM, dtype=np.float32)
     arr = ppm_bmp_to_array(payload)
     if arr is None:
@@ -130,6 +134,94 @@ def _numpy_image_feature(payload: bytes, media_type: str) -> np.ndarray:
     return (_nn_resize(gray[:, :, None], 8, 8)[:, :, 0] / np.float32(255.0)).reshape(-1)
 
 
+def wav_to_array(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure-numpy WAV (RIFF PCM) parser: 8/16-bit integer PCM -> float32
+    mono in [-1, 1] + sample rate.  Returns None when the payload is not
+    a readable PCM WAV (caller decides whether that's loud or soft).
+    Like the PPM/BMP image codec above: REAL audio decode with no
+    external library — WAV is just a chunked header over raw samples."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or n_channels < 1 or bits not in (8, 16):
+        return None  # only integer PCM has a numpy path
+    if bits == 16:
+        raw = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        samples = raw.astype(np.float32) / np.float32(32768.0)
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float32) - 128.0) / np.float32(128.0)
+    if n_channels > 1:
+        usable = samples.shape[0] // n_channels * n_channels
+        samples = samples[:usable].reshape(-1, n_channels).mean(axis=1)
+    return samples, sample_rate
+
+
+def array_to_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float32 mono [-1, 1] -> 16-bit PCM WAV bytes (the synth twin of
+    wav_to_array, used to build real test payloads)."""
+    pcm = np.clip(
+        np.asarray(samples, dtype=np.float32) * 32767.0, -32768, 32767
+    ).astype("<i2")
+    data = pcm.tobytes()
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def _numpy_audio_feature(payload: bytes) -> np.ndarray:
+    """64-dim audio feature from a PCM WAV: 32 windowed RMS energies +
+    32 windowed zero-crossing rates (the classic dependency-free
+    envelope/timbre pair).  Fails LOUDLY on non-WAV audio payloads —
+    same contract as the image codec."""
+    parsed = wav_to_array(payload)
+    if parsed is None:
+        raise NotImplementedError(
+            "audio payload is not integer-PCM WAV; decoding it requires an "
+            "audio library not importable in this environment"
+        )
+    samples, _rate = parsed
+    W = 32
+    if samples.shape[0] < W:
+        samples = np.pad(samples, (0, W - samples.shape[0]))
+    usable = samples.shape[0] // W * W
+    win = samples[:usable].reshape(W, -1)
+    rms = np.sqrt((win * win).mean(axis=1))
+    crossings = (np.signbit(win[:, 1:]) != np.signbit(win[:, :-1])).mean(
+        axis=1
+    )
+    return np.concatenate([rms, crossings]).astype(np.float32)
+
+
 def resolve_image_decode():
     """Real image decode -> 64-dim feature (8x8 grayscale): PIL when
     importable (all formats), else the pure-numpy PPM/BMP codec (never
@@ -142,9 +234,12 @@ def resolve_image_decode():
         return _numpy_image_feature
 
     def decode(payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == "audio":
+            # the WAV path is dependency-free; PIL adds nothing for audio
+            return _numpy_audio_feature(payload)
         if media_type != "image":
-            # non-image media needs its own backend; deterministic zeros
-            # keep the feature matrix rectangular
+            # video needs a frame backend; deterministic zeros keep the
+            # feature matrix rectangular
             return np.zeros(MediaFeatureStage.FEATURE_DIM, dtype=np.float32)
         img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
         return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)

@@ -290,18 +290,23 @@ def test_media_stages_real_decode_in_this_sandbox(ray_session):
         MediaFeatureStage,
         MediaResizeStage,
         array_to_ppm,
+        array_to_wav,
         ppm_bmp_to_array,
     )
 
     grey128 = np.full((64, 64, 3), 128, dtype=np.uint8)
     rng = np.random.default_rng(4)
     noisy = rng.integers(0, 256, (48, 32, 3), dtype=np.uint8)
+    tone = (
+        0.5 * np.sin(2 * np.pi * 440 * np.arange(800) / 8000.0)
+    ).astype(np.float32)
+    wav = array_to_wav(tone, 8000)
     t = pa.table(
         {
             "media_id": pa.array([0, 1, 2], type=pa.int64()),
             "media_type": pa.array(["image", "image", "audio"]),
             "payload": pa.array(
-                [array_to_ppm(grey128), _make_bmp24(noisy), b"pcm"],
+                [array_to_ppm(grey128), _make_bmp24(noisy), wav],
                 type=pa.large_binary(),
             ),
             "width": pa.array([64, 32, 0], type=pa.int32()),
@@ -323,7 +328,8 @@ def test_media_stages_real_decode_in_this_sandbox(ray_session):
     f0 = np.asarray(feats.loc[0, "feature"])
     assert f0.shape == (64,)
     assert np.allclose(f0, 128.0 / 255.0, atol=1e-3)  # uniform grey
-    assert np.asarray(feats.loc[2, "feature"]).sum() == 0.0  # audio zeros
+    f2 = np.asarray(feats.loc[2, "feature"])  # REAL WAV decode (session 14)
+    assert f2[:32].mean() > 0.2  # windowed RMS of the 440 Hz tone
 
     resized = (
         ray.data.from_arrow(t)
@@ -343,7 +349,7 @@ def test_media_stages_real_decode_in_this_sandbox(ray_session):
     # nearest-neighbor on the uniform image stays uniform
     arr0 = ppm_bmp_to_array(bytes(resized.loc[0, "payload"]))
     assert (arr0 == 128).all()
-    assert bytes(resized.loc[2, "payload"]) == b"pcm"  # pass-through
+    assert bytes(resized.loc[2, "payload"]) == wav  # pass-through
 
 
 def test_chunk_containment_pairs_embedded(ray_session):

@@ -284,3 +284,57 @@ def test_session14_queries_on_empty_corpus(ray_session, tmp_path):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
         assert len(df) == 0, (name, df.head())
+
+
+class TestWavCodec:
+    def test_round_trip_and_features(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        from libpostal_ray.stages.multimodal import (
+            MediaFeatureStage,
+            array_to_wav,
+            wav_to_array,
+            MEDIA_SCHEMA,
+        )
+
+        # round trip: 16-bit quantization only
+        t = np.arange(6400, dtype=np.float32) / 8000.0
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        payload = array_to_wav(sig, 8000)
+        parsed = wav_to_array(payload)
+        assert parsed is not None
+        got, rate = parsed
+        assert rate == 8000
+        # encode scales by 32767, decode by 32768: error <= ~1.5 LSB
+        assert np.abs(got - sig).max() < 2.0 / 32768
+
+        # loud first half, silent second half -> RMS features reflect it
+        half = np.concatenate([sig[:3200], np.zeros(3200, dtype=np.float32)])
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1], type=pa.int64()),
+                "media_type": pa.array(["audio"]),
+                "payload": pa.array(
+                    [array_to_wav(half, 8000)], type=pa.large_binary()
+                ),
+                "width": pa.array([0], type=pa.int32()),
+                "height": pa.array([0], type=pa.int32()),
+                "duration_ms": pa.array([800], type=pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+        out = MediaFeatureStage()(tbl)  # "auto": real WAV path, no libs
+        feat = np.asarray(out["feature"].to_pylist()[0])
+        rms = feat[:32]
+        assert rms[:16].mean() > 0.2
+        assert rms[16:].max() < 1e-6
+        # zero-crossing rate of a 440 Hz tone at 8 kHz ~ 0.11
+        zcr = feat[32:]
+        assert 0.05 < zcr[:16].mean() < 0.2
+
+    def test_non_wav_audio_raises(self, ray_session):
+        from libpostal_ray.stages.multimodal import _numpy_audio_feature
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            _numpy_audio_feature(b"\x00" * 100)
