@@ -177,6 +177,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_contingency": q.lang_source_contingency,
         "events_type_mad": q.events_type_mad,
         "event_trigrams": q.event_trigrams,
+        # --- block 1e: new in round-4 session 15, never driver-checked;
+        # part of the round-5 rotation set ---
+        "orders_mom_growth": q.orders_mom_growth,
+        "customer_cohort_orders": q.customer_cohort_orders,
+        "part_major_suppliers": q.part_major_suppliers,
+        "tpch_q12_shipping_lag": q.tpch_q12_shipping_lag,
+        "user_type_runs": q.user_type_runs,
+        "event_value_zscore": q.event_value_zscore,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2593,5 +2601,97 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY ts, event_id))
             SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
             FROM o WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+        """,
+    "orders_mom_growth": """
+            WITH m AS (
+                SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                       CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+                                           * 100) AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT ym, revenue_cents,
+                   lag(revenue_cents) OVER (ORDER BY ym)
+                       AS prev_revenue_cents,
+                   revenue_cents - lag(revenue_cents) OVER (ORDER BY ym)
+                       AS delta_cents
+            FROM m
+            QUALIFY lag(revenue_cents) OVER (ORDER BY ym) IS NOT NULL
+        """,
+    "customer_cohort_orders": """
+            WITH um AS (SELECT DISTINCT o_custkey,
+                               year(o_orderdate) * 100
+                               + month(o_orderdate) AS ym
+                        FROM orders),
+            c AS (SELECT o_custkey, min(ym) AS cohort_ym
+                  FROM um GROUP BY 1)
+            SELECT c.cohort_ym, um.ym, CAST(count(*) AS BIGINT) AS n_custs
+            FROM um JOIN c ON um.o_custkey = c.o_custkey
+            GROUP BY 1, 2
+        """,
+    "part_major_suppliers": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               CAST(SUM(CAST(l_quantity AS BIGINT))
+                                    AS BIGINT) AS q
+                        FROM lineitem GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tot
+                   FROM ps GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS n_major_parts
+            FROM ps
+            JOIN pt ON ps.l_partkey = pt.l_partkey
+            JOIN supplier ON s_suppkey = ps.l_suppkey
+            WHERE 8 * q > tot
+            GROUP BY 1, 2
+        """,
+    "tpch_q12_shipping_lag": """
+            WITH fl AS (SELECT l_orderkey, min(l_shipdate) AS f
+                        FROM lineitem GROUP BY 1)
+            SELECT LEAST(GREATEST((epoch_us(f) // 86400000000
+                                   - epoch_us(o_orderdate) // 86400000000)
+                                  // 7, 0), 8) AS lag_weeks,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_n
+            FROM orders JOIN fl ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
+    "user_type_runs": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rt
+                FROM events
+            ),
+            runs AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS len
+                FROM s GROUP BY user_id, event_type, rn - rt
+            )
+            SELECT user_id, event_type,
+                   CAST(max(len) AS BIGINT) AS longest_run,
+                   CAST(count(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1, 2
+        """,
+    "event_value_zscore": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(FLOOR(CAST(value AS DOUBLE) * 100)
+                                   AS BIGINT) AS value_cents
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(value_cents) AS HUGEINT) AS s,
+                         CAST(sum(CAST(value_cents AS HUGEINT)
+                                  * value_cents) AS HUGEINT) AS ss
+                  FROM e GROUP BY 1)
+            SELECT event_id, e.event_type, value_cents
+            FROM e JOIN m ON e.event_type = m.event_type
+            WHERE n >= 2
+              AND (n * value_cents - s) * (n * value_cents - s)
+                  > 9 * (n * ss - s * s)
         """,
     }

@@ -14115,3 +14115,647 @@ def event_trigrams(sf_dir: str) -> ray.data.Dataset:
         lambda b: b.rename_columns(["t1", "t2", "t3", "n"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# session-15 operators
+# ---------------------------------------------------------------------------
+
+
+def orders_mom_growth(sf_dir: str) -> ray.data.Dataset:
+    """Month-over-month revenue growth: the window-over-aggregate shape
+    (SQL lag() over a GROUP BY result).  Revenue is exact int cents per
+    (year*100+month); the lag/delta run on the FINAL month-dimension
+    table (one row per month — driver-scale by construction), so the
+    distributed work is only the monthly rollup.
+
+    Physical plan: per-batch (ym, cents) partials -> groupby(ym) Sum
+    (month cardinality, tiny exchange) -> repartition(1) -> one
+    vectorized lag kernel.  growth columns stay exact int64."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {"ym": pa.nulls(0, pa.int64()), "revenue_cents": pa.nulls(0, pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderdate" not in batch.column_names:
+            return EMPTY
+        y = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
+        m = pc.month(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
+        ym = y.astype(np.int64) * 100 + m.astype(np.int64)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uk, inv = np.unique(ym, return_inverse=True)
+        s = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"ym": pa.array(uk), "revenue_cents": pa.array(s)})
+
+    def lag_kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ym": pa.nulls(0, pa.int64()),
+                "revenue_cents": pa.nulls(0, pa.int64()),
+                "prev_revenue_cents": pa.nulls(0, pa.int64()),
+                "delta_cents": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "ym" not in batch.column_names:
+            return empty
+        ym = batch["ym"].to_numpy(zero_copy_only=False)
+        rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ym)
+        ym, rev = ym[o], rev[o]
+        if ym.shape[0] < 2:
+            return empty
+        # the earliest month has no predecessor — drop it so every output
+        # column is non-null int64 (the driver value-hash and the parity
+        # allclose both choke on NULL-as-NaN in numeric columns)
+        return pa.table(
+            {
+                "ym": pa.array(ym[1:]),
+                "revenue_cents": pa.array(rev[1:]),
+                "prev_revenue_cents": pa.array(rev[:-1]),
+                "delta_cents": pa.array(rev[1:] - rev[:-1]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .repartition(1)
+        .map_batches(lag_kernel, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def customer_cohort_orders(sf_dir: str) -> ray.data.Dataset:
+    """Cohort matrix over ORDERS: customers grouped by FIRST-order month
+    (cohort), counted distinct per (cohort month, order month) — the
+    canonical repeat-purchase retention operator (the events table spans
+    one month, so the sibling daily matrix lives in
+    user_retention_daily; orders span ~80 months).
+
+    Physical plan: per-batch DISTINCT (custkey, year*100+month) pairs
+    bound the exchange by active customer-months, not orders; ONE
+    custkey%P exchange co-locates each customer's months so the
+    partition computes the cohort (min ym) locally and emits
+    (cohort_ym, ym, n) partials; a tiny month-dimension groupby
+    finishes.  Counts are exact distinct customers by construction
+    (each (customer, ym) survives exactly once)."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "ym": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return EMPTY
+        u = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.year(batch["o_orderdate"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        m = pc.month(batch["o_orderdate"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ym = y * 100 + m
+        order = np.lexsort((ym, u))
+        u_s, ym_s = u[order], ym[order]
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (ym_s[1:] != ym_s[:-1]))
+        )
+        u_s, ym_s = u_s[keep], ym_s[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s),
+                "ym": pa.array(ym_s),
+                "part": pa.array(u_s % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_ym": pa.nulls(0, pa.int64()),
+                "ym": pa.nulls(0, pa.int64()),
+                "n_custs": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ym = group["ym"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ym, u))
+        u_s, ym_s = u[order], ym[order]
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (ym_s[1:] != ym_s[:-1]))
+        )
+        u_s, ym_s = u_s[keep], ym_s[keep]
+        ustarts = np.flatnonzero(
+            np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        )
+        counts = np.diff(np.append(ustarts, u_s.shape[0]))
+        cohort = np.repeat(ym_s[ustarts], counts)  # min ym per user
+        # partial counts per (cohort, ym): ym < 10^6 so the composite
+        # cohort*10^6 + ym stays far under 2^63
+        comp = cohort * 1_000_000 + ym_s
+        uc, cnt = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "cohort_ym": pa.array(uc // 1_000_000),
+                "ym": pa.array(uc % 1_000_000),
+                "n_custs": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["cohort_ym", "ym"])
+        .aggregate(Sum("n_custs", alias_name="n_custs"))
+    )
+
+
+def part_major_suppliers(sf_dir: str, mult: int = 8) -> ray.data.Dataset:
+    """TPC-H Q20 analog (excess-share suppliers): suppliers that shipped
+    MORE THAN 1/mult of some part's total lineitem quantity (default
+    mult=8: a supplier holding over 12.5% of a part's volume) — the
+    nested fraction-of-group-total threshold + semi-join-to-dimension
+    chain that Q20's availqty subquery expresses.  All-integer
+    comparison (mult*q > tot), no division.
+
+    Physical plan: per-batch (partkey, suppkey, qty) partials; ONE
+    partkey%P exchange finishes per-(part, supplier) totals AND the
+    per-part total in the same partition (co-partitioned by part), then
+    emits (suppkey, 1) partials; a supplier-cardinality groupby counts
+    and a broadcast name table (built in a remote task) decorates."""
+    P = 32
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_names(*refs) -> tuple:
+        parts = [t for t in refs if t.num_rows]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        t = pa.concat_tables(parts)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = np.asarray(t["s_name"].to_pylist(), dtype=object)
+        o = np.argsort(sk)
+        return sk[o], sn[o]
+
+    names_ref = build_names.remote(*supp.to_arrow_refs())
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "pk": pa.nulls(0, pa.int64()),
+            "sk": pa.nulls(0, pa.int64()),
+            "q": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return EMPTY
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if pk.size and (pk.max() >= 1 << 31 or sk.max() >= 1 << 31):
+            raise ValueError("part/supp keys must fit 31 bits for the composite")
+        comp = pk * (np.int64(1) << 31) + sk
+        uk, inv = np.unique(comp, return_inverse=True)
+        s = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(s, inv, q)
+        upk = uk >> 31
+        return pa.table(
+            {
+                "pk": pa.array(upk),
+                "sk": pa.array(uk & ((np.int64(1) << 31) - 1)),
+                "q": pa.array(s),
+                "part": pa.array(upk % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sk": pa.nulls(0, pa.int64()), "n": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "pk" not in group.column_names:
+            return empty
+        pk = group["pk"].to_numpy(zero_copy_only=False)
+        sk = group["sk"].to_numpy(zero_copy_only=False)
+        q = group["q"].to_numpy(zero_copy_only=False)
+        comp = pk * (np.int64(1) << 31) + sk
+        uk, inv = np.unique(comp, return_inverse=True)
+        qs = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(qs, inv, q)
+        upk = uk >> 31
+        # per-part totals over the (part, supplier) rows — co-partitioned
+        pstarts = np.flatnonzero(
+            np.concatenate(([True], upk[1:] != upk[:-1]))
+        )
+        tot = np.add.reduceat(qs, pstarts)
+        tot_row = np.repeat(tot, np.diff(np.append(pstarts, upk.shape[0])))
+        major = mult * qs > tot_row
+        if not major.any():
+            return empty
+        msk = uk[major] & ((np.int64(1) << 31) - 1)
+        us, cnt = np.unique(msk, return_counts=True)
+        return pa.table(
+            {"sk": pa.array(us), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Sum("n", alias_name="n_major_parts"))
+    )
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.nulls(0, pa.int64()),
+                "s_name": pa.nulls(0, pa.string()),
+                "n_major_parts": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "sk" not in batch.column_names:
+            return empty
+        keys, names = ray.get(names_ref)
+        sk = batch["sk"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        pos = np.clip(pos, 0, max(keys.shape[0] - 1, 0))
+        hit = keys[pos] == sk if keys.shape[0] else np.zeros(sk.shape[0], bool)
+        nm = np.where(hit, names[pos] if keys.shape[0] else "", "")
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array(nm.astype(object), type=pa.string()),
+                "n_major_parts": batch["n_major_parts"],
+            }
+        )
+
+    return agg.map_batches(decorate, batch_format="pyarrow")
+
+
+def tpch_q12_shipping_lag(sf_dir: str, cap_weeks: int = 8) -> ray.data.Dataset:
+    """TPC-H Q12 analog (shipping-mode priority mix): orders bucketed by
+    first-shipment lag in WEEKS (capped), counting high-priority
+    (1-URGENT/2-HIGH) vs low-priority orders per bucket — Q12's
+    conditional-count-by-shipping-class shape with the lag bucket
+    standing in for l_shipmode (absent from this schema).
+
+    Physical plan: lineitem pre-reduces per batch to (orderkey, min
+    shipdate); ONE orderkey%P exchange joins order headers (tagged
+    stream), buckets the day-difference, and emits per-bucket partial
+    counts; a bucket-cardinality groupby finishes."""
+    P = 32
+    DAY_US = np.int64(86_400_000_000)
+    HIGH = {"1-URGENT", "2-HIGH"}
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "ok": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "hi": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uk, inv = np.unique(ok, return_inverse=True)
+        mn = np.full(uk.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, inv, ts)
+        return pa.table(
+            {
+                "ok": pa.array(uk),
+                "v": pa.array(mn),
+                "hi": pa.array(np.full(uk.shape[0], -1, dtype=np.int64)),
+                "part": pa.array(uk % P),
+            }
+        )
+
+    def order_tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return EMPTY
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pr = batch["o_orderpriority"].to_pylist()
+        hi = np.fromiter((1 if p in HIGH else 0 for p in pr), dtype=np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(ok),
+                "v": pa.array(ts),
+                "hi": pa.array(hi),
+                "part": pa.array(ok % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lag_weeks": pa.nulls(0, pa.int64()),
+                "high_n": pa.nulls(0, pa.int64()),
+                "low_n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "ok" not in group.column_names:
+            return empty
+        ok = group["ok"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        hi = group["hi"].to_numpy(zero_copy_only=False)
+        isl = hi == -1
+        # fold lineitem min-shipdate partials per orderkey
+        lk, lv = ok[isl], v[isl]
+        o = np.lexsort((lv, lk))
+        lk, lv = lk[o], lv[o]
+        starts = np.flatnonzero(np.concatenate(([True], lk[1:] != lk[:-1])))
+        lk_u = lk[starts]
+        lv_u = lv[starts]  # sorted (key, value): first value = min
+        # orders probe
+        okk, ov, ohi = ok[~isl], v[~isl], hi[~isl]
+        pos = np.searchsorted(lk_u, okk)
+        pos_c = np.clip(pos, 0, max(lk_u.shape[0] - 1, 0))
+        hit = (lk_u.shape[0] > 0) & (lk_u[pos_c] == okk)
+        if not np.any(hit):
+            return empty
+        lag_days = lv_u[pos_c[hit]] // DAY_US - ov[hit] // DAY_US
+        # negative lags (synthetic shipdates may precede order dates)
+        # clamp to bucket 0 — truncate-vs-floor division on negatives
+        # never reaches the output, so both engines agree exactly
+        weeks = np.clip(lag_days // 7, 0, cap_weeks)
+        h = ohi[hit]
+        uw, inv = np.unique(weeks, return_inverse=True)
+        hc = np.zeros(uw.shape[0], dtype=np.int64)
+        lc = np.zeros(uw.shape[0], dtype=np.int64)
+        np.add.at(hc, inv, (h == 1).astype(np.int64))
+        np.add.at(lc, inv, (h == 0).astype(np.int64))
+        return pa.table(
+            {
+                "lag_weeks": pa.array(uw),
+                "high_n": pa.array(hc),
+                "low_n": pa.array(lc),
+            }
+        )
+
+    tagged = line.map_batches(line_partial, batch_format="pyarrow").union(
+        orders.map_batches(order_tag, batch_format="pyarrow")
+    )
+    return (
+        tagged.groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("lag_weeks")
+        .aggregate(
+            Sum("high_n", alias_name="high_n"),
+            Sum("low_n", alias_name="low_n"),
+        )
+    )
+
+
+def user_type_runs(sf_dir: str) -> ray.data.Dataset:
+    """Run-length encoding of each user's time-ordered event-type
+    sequence: per (user, event_type), the LONGEST consecutive run and
+    the number of runs — the sequence-compression view of behavior
+    (SQL's double row_number islands trick).  Ties on equal ts break by
+    event_id, pinning one order on both engines.
+
+    Physical plan: run structure is order-dependent, so raw (user, ts,
+    event_id, type) rows take ONE user%P exchange (no combiner exists);
+    the kernel lexsorts, finds run boundaries vectorized, and reduces
+    runs per (user, type-code) with reduceat."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "event_id": pa.nulls(0, pa.int64()),
+            "event_type": pa.nulls(0, pa.string()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "part": pa.array(u % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "event_type": pa.nulls(0, pa.string()),
+                "longest_run": pa.nulls(0, pa.int64()),
+                "n_runs": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        types, code = np.unique(
+            np.asarray(group["event_type"].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        order = np.lexsort((eid, ts, u))
+        u_s, c_s = u[order], code[order]
+        # run boundary: new user OR type change
+        rs = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1]))
+        )
+        starts = np.flatnonzero(rs)
+        run_len = np.diff(np.append(starts, u_s.shape[0])).astype(np.int64)
+        run_u = u_s[starts]
+        run_c = c_s[starts]
+        # reduce runs per (user, type): code count is dimension-bounded
+        ro = np.lexsort((run_c, run_u))
+        run_u, run_c, run_len = run_u[ro], run_c[ro], run_len[ro]
+        gs = np.flatnonzero(
+            np.concatenate(
+                ([True], (run_u[1:] != run_u[:-1]) | (run_c[1:] != run_c[:-1]))
+            )
+        )
+        longest = np.maximum.reduceat(run_len, gs)
+        n_runs = np.diff(np.append(gs, run_len.shape[0])).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(run_u[gs]),
+                "event_type": pa.array(
+                    types[run_c[gs]].astype(object), type=pa.string()
+                ),
+                "longest_run": pa.array(longest),
+                "n_runs": pa.array(n_runs),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def event_value_zscore(sf_dir: str) -> ray.data.Dataset:
+    """Grouped z-score outlier screen with an EXACT integer identity:
+    events whose value is more than 3 population standard deviations
+    from their event type's mean.  Values integerize to floor-cents per
+    row, then z^2 > 9 rewrites to (n*c - s)^2 > 9*(n*ss - s^2) — all
+    integers — so both engines compare exactly (DuckDB in HUGEINT; here
+    the RHS is a Python int and the per-row test becomes
+    |n*c - s| > isqrt(RHS), equivalent for integer LHS because isqrt
+    brackets the square root tightly).
+
+    Physical plan: moments pass = per-batch (type, n, s, ss) partials ->
+    type-cardinality groupby (tiny result, legitimately collected);
+    thresholds broadcast in the closure; filter pass streams events and
+    keeps outliers.  Two reads, zero row-level shuffles."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_M = pa.table(
+        {
+            "event_type": pa.nulls(0, pa.string()),
+            "n": pa.nulls(0, pa.int64()),
+            "s": pa.nulls(0, pa.int64()),
+            "ss": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def _cents_of(batch: pa.Table) -> np.ndarray:
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        if c.size and int(np.abs(c).max()) > 1 << 25:
+            raise ValueError("value cents too large for int64 ss partials")
+        return c
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY_M
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        c = _cents_of(batch)
+        ul, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(s, inv, c)
+        ss = np.zeros(ul.shape[0], dtype=np.int64)
+        np.add.at(ss, inv, c * c)
+        return pa.table(
+            {
+                "event_type": pa.array(ul.astype(object), type=pa.string()),
+                "n": pa.array(n),
+                "s": pa.array(s),
+                "ss": pa.array(ss),
+            }
+        )
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .take_all()
+    )
+    # type -> (n, s, isqrt(9*(n*ss - s^2))) with exact Python ints
+    thresh = {}
+    for row in mom:
+        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
+        if n < 2:
+            continue
+        rhs = 9 * (n * ss - s * s)
+        thresh[row["event_type"]] = (n, s, math.isqrt(rhs) if rhs >= 0 else -1)
+
+    EMPTY_O = pa.table(
+        {
+            "event_id": pa.nulls(0, pa.int64()),
+            "event_type": pa.nulls(0, pa.string()),
+            "value_cents": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def screen(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY_O
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        c = _cents_of(batch)
+        keep = np.zeros(c.shape[0], dtype=bool)
+        for tp, (n, s, r) in thresh.items():
+            m = et == tp
+            if not m.any():
+                continue
+            if n * int(np.abs(c[m]).max()) >= 1 << 62:
+                raise ValueError("n*c would overflow int64")
+            lhs = np.abs(n * c[m] - s)
+            keep[m] = lhs > r
+        if not keep.any():
+            return EMPTY_O
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "event_id": batch["event_id"].filter(mask),
+                "event_type": batch["event_type"].filter(mask),
+                "value_cents": pa.array(c[keep]),
+            }
+        )
+
+    return ds.map_batches(screen, batch_format="pyarrow")

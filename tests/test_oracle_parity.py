@@ -98,6 +98,12 @@ ORACLE_QUERIES = [
     "lang_source_contingency",
     "events_type_mad",
     "event_trigrams",
+    "orders_mom_growth",
+    "customer_cohort_orders",
+    "part_major_suppliers",
+    "tpch_q12_shipping_lag",
+    "user_type_runs",
+    "event_value_zscore",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",
