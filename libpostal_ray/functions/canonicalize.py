@@ -1130,6 +1130,67 @@ AF_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     AF_ABBREV_RULES + AF_NUMBER_RULES
 )
 
+# ---------------------------------------------------------------------------
+# Non-Latin-script packs beyond Cyrillic/Greek (dictionaries/{ar,fa,he,hi,ko}
+# content model).  Same biscript discipline: every entry ships the native
+# NFKC+casefolded key AND its latin_ascii twin (translit.py now romanizes
+# Arabic/Hebrew/Devanagari/Hangul), so rows reaching the rule pass in either
+# script state fold to one form.
+# ---------------------------------------------------------------------------
+
+AR_GENERAL_RULES = _biscript_rules(
+    {"ش": "شارع", "ط": "طريق", "م": "مدينة"},
+    {"واحد": 1, "اثنان": 2, "ثلاثة": 3, "أربعة": 4, "خمسة": 5,
+     "ستة": 6, "سبعة": 7, "ثمانية": 8, "تسعة": 9, "عشرة": 10,
+     "عشرون": 20, "ثلاثون": 30, "أربعون": 40, "خمسون": 50,
+     "ستون": 60, "سبعون": 70, "ثمانون": 80, "تسعون": 90,
+     "مائة": 100},
+)
+
+FA_GENERAL_RULES = _biscript_rules(
+    {"خ": "خیابان", "م": "میدان"},
+    {"یک": 1, "دو": 2, "سه": 3, "چهار": 4, "پنج": 5, "شش": 6,
+     "هفت": 7, "هشت": 8, "نه": 9, "ده": 10, "یازده": 11,
+     "دوازده": 12, "سیزده": 13, "چهارده": 14, "پانزده": 15,
+     "شانزده": 16, "هفده": 17, "هجده": 18, "نوزده": 19,
+     "بیست": 20, "چهل": 40, "پنجاه": 50, "شصت": 60,
+     "هفتاد": 70, "هشتاد": 80, "نود": 90, "صد": 100},
+)
+
+HE_GENERAL_RULES = _biscript_rules(
+    {"רח": "רחוב", "שד": "שדרות", "טל": "טלפון"},
+    {"אחת": 1, "שתיים": 2, "שלוש": 3, "ארבע": 4, "חמש": 5,
+     "שש": 6, "שבע": 7, "שמונה": 8, "תשע": 9, "עשר": 10,
+     "עשרים": 20, "שלושים": 30, "ארבעים": 40, "חמישים": 50,
+     "שישים": 60, "שבעים": 70, "שמונים": 80, "תשעים": 90,
+     "מאה": 100},
+)
+
+HI_GENERAL_RULES = _biscript_rules(
+    # keys must START and END on base letters (Lo): Python \b treats
+    # matras/anusvara (Mc/Mn) as non-word, so marks can only sit INSIDE
+    # a key ("डॉ" can never match word-bounded — it ends on the ॉ matra)
+    {"नम्बर": "नंबर", "रोड": "मार्ग"},
+    {"एक": 1, "दो": 2, "तीन": 3, "चार": 4, "पाँच": 5, "पांच": 5,
+     "छह": 6, "सात": 7, "आठ": 8, "नौ": 9, "दस": 10,
+     "ग्यारह": 11, "बारह": 12, "तेरह": 13, "चौदह": 14,
+     "पंद्रह": 15, "सोलह": 16, "सत्रह": 17, "अठारह": 18,
+     "उन्नीस": 19, "बीस": 20, "तीस": 30, "चालीस": 40,
+     "पचास": 50, "साठ": 60, "सत्तर": 70, "अस्सी": 80,
+     "नब्बे": 90, "सौ": 100},
+)
+
+KO_GENERAL_RULES = _biscript_rules(
+    {"전번": "전화번호"},
+    # native-Korean cardinals (the Sino-Korean series 일/이/삼 is one
+    # syllable and collides with common words — the reference's ko
+    # dictionary likewise keys multi-character forms)
+    {"하나": 1, "둘": 2, "셋": 3, "넷": 4, "다섯": 5, "여섯": 6,
+     "일곱": 7, "여덟": 8, "아홉": 9, "열": 10, "스물": 20,
+     "서른": 30, "마흔": 40, "쉰": 50, "예순": 60, "일흔": 70,
+     "여든": 80, "아흔": 90, "백": 100},
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -1173,6 +1234,11 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "is": IS_GENERAL_RULES,
     "ga": GA_GENERAL_RULES,
     "af": AF_GENERAL_RULES,
+    "ar": AR_GENERAL_RULES,
+    "fa": FA_GENERAL_RULES,
+    "he": HE_GENERAL_RULES,
+    "hi": HI_GENERAL_RULES,
+    "ko": KO_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals
@@ -1183,7 +1249,9 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
 # ÷ U+00F7 excluded) so SV/DA/NO/PL pack entries fold into the combined
 # pass and get the trailing-period consumption like ASCII entries
 _PLAIN_WORD_RE = re.compile(
-    r"^\\b([A-Za-z0-9À-ÖØ-öø-ÿĀ-ſͰ-ϿЀ-ӿ' -]+)\\b$"
+    r"^\\b([A-Za-z0-9À-ÖØ-öø-ÿĀ-ſͰ-ϿЀ-ӿ"
+    r"֐-ת؀-ۿऀ-ॿก-๛"
+    r"ᄀ-ᇿぁ-ヿㄱ-ㅣ가-힣' -]+)\\b$"
 )
 
 
@@ -1206,6 +1274,14 @@ def compile_rules(rules) -> list[tuple["re.Pattern[str]", object]]:
     # DELETE_FINAL_PERIOD / DELETE_ACRONYM_PERIODS normalize options
     # (normalize.h:23-40); the lookahead keeps "co.uk" intact
     _dot = r"(?:\.(?=\s|$))?"
+    # mark-aware word boundaries for the folded plain-word rules: Python
+    # \b treats dependent vowel signs (Mc, e.g. Devanagari matras) as
+    # NON-word, so \bदो\b can never match ("दो" ends on the ो matra).
+    # Lookarounds over [\w + Devanagari block] behave exactly like \b for
+    # keys edged by ordinary letters and additionally refuse to split a
+    # letter from its combining signs.
+    _bl = r"(?<![\wऀ-ॿ])"
+    _br = r"(?![\wऀ-ॿ])"
 
     def flush() -> None:
         if not run:
@@ -1213,7 +1289,7 @@ def compile_rules(rules) -> list[tuple["re.Pattern[str]", object]]:
         if len(run) == 1:
             out.append(
                 (
-                    re.compile(r"\b" + re.escape(run[0][0]) + r"\b" + _dot),
+                    re.compile(_bl + re.escape(run[0][0]) + _br + _dot),
                     run[0][1],
                 )
             )
@@ -1221,7 +1297,8 @@ def compile_rules(rules) -> list[tuple["re.Pattern[str]", object]]:
             mapping = {w: r for w, r in run}
             alts = sorted(mapping, key=len, reverse=True)
             pat = re.compile(
-                r"\b(" + "|".join(re.escape(w) for w in alts) + r")\b" + _dot
+                _bl + "(" + "|".join(re.escape(w) for w in alts) + ")"
+                + _br + _dot
             )
             out.append((pat, lambda m, _m=mapping: _m[m.group(1)]))
         run.clear()

@@ -277,6 +277,7 @@ class TestLanguagePacks:
             "lt", "lv", "et", "sl", "gl", "eu", "ms", "sq", "tl",
             "ru", "uk", "el", "bg",
             "sr", "mk", "be", "is", "ga", "af",
+            "ar", "fa", "he", "hi", "ko",
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles

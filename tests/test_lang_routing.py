@@ -301,3 +301,52 @@ def test_session14_packs_do_not_cross_route():
     )
     assert "10" not in out[0] and "númer" not in out[0]
     assert "20" not in out[1] and "nommer" not in out[1]
+
+
+def test_session15_packs_route():
+    # ar / fa / he / hi / ko — non-Latin scripts beyond Cyrillic/Greek,
+    # native-script path (transliterate off)
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "ش. النيل خمسة",       # ar: ش -> شارع, خمسة -> 5
+            "خ. ولیعصر پنج",       # fa: خ -> خیابان, پنج -> 5
+            "רח. הרצל שלוש",       # he: רח -> רחוב, שלוש -> 3
+            "रोड नम्बर पाँच",        # hi: रोड -> मार्ग, नम्बर -> नंबर, पाँच -> 5
+            "다섯 하나 전번",        # ko: numbers + 전번 -> 전화번호
+        ],
+        ["ar", "fa", "he", "hi", "ko"],
+    )
+    assert out[0] == "شارع النيل 5"
+    assert out[1] == "خیابان ولیعصر 5"
+    assert out[2] == "רחוב הרצל 3"
+    assert out[3] == "मार्ग नंबर 5"
+    assert out[4] == "5 1 전화번호"
+
+
+def test_session15_biscript_romanized_twins():
+    # transliterate=True romanizes BEFORE rules; the latin twin keys fire
+    stage_t = CanonicalizeStage(
+        PipelineConfig(lang_rules=True, transliterate=True)
+    )
+    out_t = _canon(
+        stage_t,
+        ["שלוש עשרים", "다섯 둘", "خمسة عشرون"],
+        ["he", "ko", "ar"],
+    )
+    assert out_t[0] == "3 20"
+    assert out_t[1] == "5 2"
+    assert out_t[2] == "5 20"
+
+
+def test_session15_packs_do_not_cross_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        ["רח. הרצל שלוש", "다섯 하나"],
+        ["en", "en"],
+    )
+    # EN routing: no he/ko entry fires (whitespace collapse still applies)
+    assert "3" not in out[0] and "רחוב" not in out[0]
+    assert "5" not in out[1]

@@ -135,3 +135,50 @@ def test_translit_pair_clusters(ray_session):
     # without the chain the spellings stay apart (absent from any edge, or
     # in different components)
     assert len(same) < 2 or same.nunique() == 2
+
+
+class TestSession15Scripts:
+    """Arabic / Hebrew / Devanagari / Hangul / Kana / Thai romanization —
+    per-codepoint deterministic equivalence (pinned, not a linguistic
+    standard); Hangul is real Revised Romanization via NFD jamo."""
+
+    def test_hangul_revised_romanization(self):
+        assert latin_ascii("한국") == "hanguk"
+        assert latin_ascii("서울") == "seoul"
+        assert latin_ascii("대한민국") == "daehanminguk"
+        # compat jamo (standalone letters) fold to the same values
+        assert latin_ascii("ㄱㅏ") == "ga"
+
+    def test_kana_scripts_collide(self):
+        assert latin_ascii("とうきょう") == "toukiyou"
+        assert latin_ascii("トウキョウ") == "toukiyou"
+        # NFD strips voicing marks: voiced/unvoiced kana fold
+        assert latin_ascii("がぎぐ") == "kakiku"
+        # long-vowel mark drops so both katakana spellings collide
+        assert latin_ascii("ラーメン") == latin_ascii("ラメン")
+
+    def test_arabic(self):
+        assert latin_ascii("شارع") == "shar"
+        assert latin_ascii("محمد") == "mhmd"
+        assert latin_ascii("٢٠٢٤") == "2024"
+        # Persian extras + extended digits
+        assert latin_ascii("پنج") == "pnj"
+        assert latin_ascii("۱۲۳") == "123"
+
+    def test_hebrew(self):
+        assert latin_ascii("שלום") == "shlvm"
+        assert latin_ascii("ירושלים") == "yrvshlym"
+
+    def test_devanagari(self):
+        assert latin_ascii("दिल्ली") == "dilli"
+        assert latin_ascii("नमस्ते") == "nmste"
+        assert latin_ascii("२०२४") == "2024"
+
+    def test_thai(self):
+        assert latin_ascii("กรุงเทพ") == "krungethph"
+        assert latin_ascii("๒๐๒๔") == "2024"
+
+    def test_kanji_still_passes_through(self):
+        # CJK ideographs stay unhandled (shingle layer treats them
+        # literally); kana inside mixed text romanizes
+        assert latin_ascii("東京タワー") == "東京tawa"
