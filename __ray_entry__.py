@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12_shipping_lag": q.tpch_q12_shipping_lag,
         "user_type_runs": q.user_type_runs,
         "event_value_zscore": q.event_value_zscore,
+        "doc_graph_bfs_levels": q.doc_graph_bfs_levels,
+        "doc_graph_triangles": q.doc_graph_triangles,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2693,5 +2695,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE n >= 2
               AND (n * value_cents - s) * (n * value_cents - s)
                   > 9 * (n * ss - s * s)
+        """,
+    # deterministic document graph: binary tree on k = doc_id + 1 plus
+    # data-derived skip edges k -> k + 1 + (n_chars % 64); UNION dedups
+    # coinciding tree/skip edges exactly like the Ray-side edge builder
+    "doc_graph_bfs_levels": """
+            WITH RECURSIVE
+            nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id + 1 AS u, (doc_id + 1) * 2 AS v
+                FROM documents, nn WHERE (doc_id + 1) * 2 <= nn.n
+                UNION
+                SELECT doc_id + 1, (doc_id + 1) * 2 + 1
+                FROM documents, nn WHERE (doc_id + 1) * 2 + 1 <= nn.n
+                UNION
+                SELECT doc_id + 1, doc_id + 2 + (n_chars % 64)
+                FROM documents, nn
+                WHERE doc_id + 2 + (n_chars % 64) <= nn.n
+            ),
+            bfs AS (
+                SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS level
+                UNION
+                SELECT e.v, bfs.level + 1
+                FROM bfs JOIN e ON e.u = bfs.node
+                WHERE bfs.level < 40
+            )
+            SELECT node - 1 AS doc_id, CAST(min(level) AS BIGINT) AS level
+            FROM bfs GROUP BY 1
+        """,
+    "doc_graph_triangles": """
+            WITH
+            nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id + 1 AS u, (doc_id + 1) * 2 AS v
+                FROM documents, nn WHERE (doc_id + 1) * 2 <= nn.n
+                UNION
+                SELECT doc_id + 1, (doc_id + 1) * 2 + 1
+                FROM documents, nn WHERE (doc_id + 1) * 2 + 1 <= nn.n
+                UNION
+                SELECT doc_id + 1, doc_id + 2 + (n_chars % 64)
+                FROM documents, nn
+                WHERE doc_id + 2 + (n_chars % 64) <= nn.n
+            ),
+            d AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS dg
+                FROM (SELECT u AS node FROM e
+                      UNION ALL SELECT v AS node FROM e)
+                GROUP BY 1
+            )
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM e a JOIN e b ON b.u = a.v
+                          JOIN e c ON c.u = a.u AND c.v = b.v)
+                    AS n_triangles,
+                (SELECT CAST(COALESCE(SUM(dg * (dg - 1) // 2), 0) AS BIGINT)
+                 FROM d) AS n_wedges
         """,
     }

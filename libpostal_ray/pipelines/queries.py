@@ -14759,3 +14759,273 @@ def event_value_zscore(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(screen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic document graph (session 15): binary-tree edges on the
+# 1-based id k = doc_id + 1 (k -> 2k, 2k+1) guarantee connectivity from
+# k=1 with diameter <= ceil(log2 n), plus DATA-DERIVED skip edges
+# k -> k + 1 + (n_chars % 64) so distances are not closed-form.  Every
+# edge increases k (a DAG), which (a) bounds the oracle's recursion and
+# (b) lets triangle counting orient each triangle u < v < w exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _doc_graph_edges(sf_dir: str) -> tuple[ray.data.Dataset, int]:
+    """(edges Dataset of (u, v) int64 with u < v, n_docs).  One streaming
+    pass over (doc_id, n_chars); <= 3 edges per doc, 16 B/row."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    EMPTY = pa.table(
+        {"u": pa.nulls(0, pa.int64()), "v": pa.nulls(0, pa.int64())}
+    )
+
+    def mk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return EMPTY
+        k = batch["doc_id"].to_numpy(zero_copy_only=False) + 1
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for tgt in (2 * k, 2 * k + 1, k + 1 + (nc % 64)):
+            m = tgt <= n
+            us.append(k[m])
+            vs.append(tgt[m])
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        # dedup within the batch (a skip edge can coincide with a tree
+        # edge); cross-batch dups are impossible (u is batch-local)
+        key = u * np.int64(n + 1) + v
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"u": pa.array(u[idx]), "v": pa.array(v[idx])})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(mk, batch_format="pyarrow"), n
+
+
+def doc_graph_bfs_levels(sf_dir: str, max_level: int = 40) -> "pd.DataFrame":
+    """BFS shortest-path levels from the root (doc_id 0) over the
+    deterministic document graph — the ITERATIVE frontier-expansion
+    operator shape (BSP): each round broadcasts the frontier id set and
+    streams the edge table once, emitting newly reached nodes.
+
+    Scale posture: edges materialize once (16 B/row) and stream per
+    round; node state (level array) is 8 B/node on the driver and the
+    frontier broadcast is <= 8 B/node — the same node-state-small,
+    edges-never-reshuffled posture as pipelines/graph.py pagerank.
+    Rounds = graph diameter (<= ceil(log2 n) + skip shortcuts), so the
+    job count is logarithmic in corpus size.  Oracle: WITH RECURSIVE
+    over the same edge definition, min(level) per node."""
+    import pandas as pd
+
+    edges, n = _doc_graph_edges(sf_dir)
+    if n == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "level": pd.Series(dtype="int64")}
+        )
+    edges = edges.materialize()
+
+    level = np.full(n + 1, -1, dtype=np.int64)
+    level[1] = 0
+    frontier = np.array([1], dtype=np.int64)
+
+    for lvl in range(1, max_level + 1):
+        if frontier.shape[0] == 0:
+            break
+        fref = ray.put(frontier)
+
+        def expand(batch: pa.Table, _f=fref) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return pa.table({"v": pa.nulls(0, pa.int64())})
+            f = ray.get(_f) if not isinstance(_f, np.ndarray) else _f
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            hit = np.isin(u, f)
+            return pa.table({"v": pa.array(np.unique(v[hit]))})
+
+        reached = edges.map_batches(expand, batch_format="pyarrow")
+        vs = [b["v"].to_numpy(zero_copy_only=False)
+              for b in reached.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+        cand = np.unique(np.concatenate(vs)) if vs else np.empty(0, np.int64)
+        new = cand[level[cand] < 0]
+        level[new] = lvl
+        frontier = new
+
+    hit = np.nonzero(level >= 0)[0]
+    return pd.DataFrame(
+        {"doc_id": (hit - 1).astype(np.int64), "level": level[hit]}
+    )
+
+
+def doc_graph_triangles(sf_dir: str) -> "pd.DataFrame":
+    """Triangle + wedge count over the deterministic document graph —
+    the wedge-generation/edge-semi-join shape (the MapReduce triangle
+    algorithm): orient edges u < v (true by construction), co-locate
+    each node's out-neighbors with ONE u%P exchange, emit candidate
+    wedges (v, w) with v < w per node (out-degree <= 3, so <= 3 wedges
+    per node — never quadratic), then probe the wedge keys against the
+    edge set co-partitioned on v%P.  Wedge totals for the clustering
+    coefficient ride as exact-int degree partials.
+
+    Oracle: the classic 3-way self-join (e a JOIN e b ON b.u = a.v JOIN
+    e c ON c.u = a.u AND c.v = b.v) + sum d*(d-1)/2 over undirected
+    degrees."""
+    import pandas as pd
+
+    edges, n = _doc_graph_edges(sf_dir)
+    if n == 0:
+        return pd.DataFrame(
+            {"n_triangles": pd.Series([0], dtype="int64"),
+             "n_wedges": pd.Series([0], dtype="int64")}
+        )
+    P = 32
+    span = np.int64(n + 1)
+
+    def part_u(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.table(
+                {"u": pa.nulls(0, pa.int64()), "v": pa.nulls(0, pa.int64()),
+                 "part": pa.nulls(0, pa.int64())}
+            )
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(u % P))
+
+    def wedges_of(group: pa.Table) -> pa.Table:
+        empty = pa.table({"wkey": pa.nulls(0, pa.int64())})
+        if group.num_rows == 0 or "u" not in group.column_names:
+            return empty
+        u = group["u"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        # per-u out-neighbor segments, vectorized: sort by (u, v), pair
+        # consecutive entries within a segment (out-degree <= 3 -> at
+        # most 3 pairs per node, enumerated by the two offset patterns)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        keys = []
+        # pairs at distance d inside each u-segment (d = 1, 2 covers
+        # out-degree <= 3; v is sorted within the segment so v_i < v_j)
+        for d in (1, 2):
+            m = np.zeros(u.shape[0], dtype=bool)
+            if u.shape[0] > d:
+                m[:-d] = u[:-d] == u[d:]
+            i = np.nonzero(m)[0]
+            if i.shape[0]:
+                keys.append(v[i] * span + v[i + d])
+        if not keys:
+            return empty
+        return pa.table({"wkey": pa.array(np.concatenate(keys))})
+
+    # wedge keys (v, w) encoded v*(n+1)+w, partitioned by v%P to meet the
+    # edge set partitioned the same way
+    wedge_part = (
+        edges.map_batches(part_u, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges_of, batch_format="pyarrow")
+        .map_batches(
+            lambda b: (
+                b.append_column(
+                    "part",
+                    pa.array(
+                        (b["wkey"].to_numpy(zero_copy_only=False) // span) % P
+                    ),
+                )
+                if b.num_rows and "wkey" in b.column_names
+                else pa.table(
+                    {"wkey": pa.nulls(0, pa.int64()),
+                     "part": pa.nulls(0, pa.int64())}
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.table(
+                {"wkey": pa.nulls(0, pa.int64()),
+                 "part": pa.nulls(0, pa.int64()), "is_edge": pa.nulls(0, pa.int64())}
+            )
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"wkey": pa.array(u * span + v),
+             "part": pa.array(u % P),
+             "is_edge": pa.array(np.ones(u.shape[0], dtype=np.int64))}
+        )
+
+    def probe(group: pa.Table) -> pa.Table:
+        empty = pa.table({"tri": pa.nulls(0, pa.int64())})
+        if group.num_rows == 0 or "wkey" not in group.column_names:
+            return empty
+        k = group["wkey"].to_numpy(zero_copy_only=False)
+        if "is_edge" in group.column_names:
+            is_e = group["is_edge"].to_numpy(zero_copy_only=False)
+        else:
+            is_e = np.zeros(k.shape[0], dtype=np.int64)
+        ek = k[is_e == 1]
+        wk = k[is_e != 1]
+        cnt = int(np.isin(wk, ek).sum()) if wk.shape[0] and ek.shape[0] else 0
+        return pa.table({"tri": pa.array([cnt], type=pa.int64())})
+
+    probe_in = wedge_part.map_batches(
+        lambda b: (
+            b.append_column(
+                "is_edge",
+                pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            )
+            if b.num_rows and "wkey" in b.column_names
+            else pa.table(
+                {"wkey": pa.nulls(0, pa.int64()),
+                 "part": pa.nulls(0, pa.int64()),
+                 "is_edge": pa.nulls(0, pa.int64())}
+            )
+        ),
+        batch_format="pyarrow",
+    ).union(edges.map_batches(edge_keys, batch_format="pyarrow"))
+
+    tri_parts = (
+        probe_in.groupby("part").map_groups(probe, batch_format="pyarrow")
+    )
+    tri = sum(
+        int(b["tri"].to_numpy(zero_copy_only=False).sum())
+        for b in tri_parts.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    )
+
+    # undirected degrees: bincount partials per batch, one small reduce
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.table(
+                {"node": pa.nulls(0, pa.int64()), "d": pa.nulls(0, pa.int64())}
+            )
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        c = np.bincount(np.concatenate([u, v]), minlength=n + 1)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"node": pa.array(nz.astype(np.int64)),
+             "d": pa.array(c[nz].astype(np.int64))}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    wedges = 0
+    for b in deg.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            d = b["d"].to_numpy(zero_copy_only=False)
+            wedges += int((d * (d - 1) // 2).sum())
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"n_triangles": pd.Series([tri], dtype="int64"),
+         "n_wedges": pd.Series([wedges], dtype="int64")}
+    )

@@ -104,6 +104,8 @@ ORACLE_QUERIES = [
     "tpch_q12_shipping_lag",
     "user_type_runs",
     "event_value_zscore",
+    "doc_graph_bfs_levels",
+    "doc_graph_triangles",
     "events_since_signup",
     "event_type_octiles",
     "part_association_rules",

@@ -272,3 +272,51 @@ def test_session15_queries_on_empty_corpus(ray_session, tmp_path):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
         assert len(df) == 0, (name, df.head())
+
+
+class TestDocGraph:
+    """Planted 6-node graph: k=1..6, tree edges 1-2,1-3,2-4,2-5,3-6 plus
+    skip edges chosen via n_chars: (2,3),(3,5),(4,5),(5,6).  Triangles:
+    (1,2,3),(2,3,5),(2,4,5),(3,5,6) = 4; degrees 2,4,4,2,4,2 -> 21
+    wedges; BFS levels 0,1,1,2,2,2."""
+
+    def _docs(self, tmp_path):
+        # n_chars % 64 picks the skip target k + 1 + (n_chars % 64)
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+                "n_chars": pa.array([64, 64, 1, 128, 64, 5], type=pa.int64()),
+            }
+        )
+        return _write(tmp_path, "documents", docs)
+
+    def test_bfs_levels(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import doc_graph_bfs_levels
+
+        out = doc_graph_bfs_levels(self._docs(tmp_path)).sort_values("doc_id")
+        assert list(out["doc_id"]) == [0, 1, 2, 3, 4, 5]
+        assert list(out["level"]) == [0, 1, 1, 2, 2, 2]
+
+    def test_triangles_and_wedges(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import doc_graph_triangles
+
+        out = doc_graph_triangles(self._docs(tmp_path))
+        assert out["n_triangles"].iloc[0] == 4
+        assert out["n_wedges"].iloc[0] == 21
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import (
+            doc_graph_bfs_levels,
+            doc_graph_triangles,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "documents", docs)
+        assert len(doc_graph_bfs_levels(d)) == 0
+        t = doc_graph_triangles(d)
+        assert t["n_triangles"].iloc[0] == 0 and t["n_wedges"].iloc[0] == 0
