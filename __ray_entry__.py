@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_zscore": q.event_value_zscore,
         "doc_graph_bfs_levels": q.doc_graph_bfs_levels,
         "doc_graph_triangles": q.doc_graph_triangles,
+        "sorted_neighborhood_pairs": q.sorted_neighborhood_pairs,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2750,5 +2751,20 @@ def oracle_sql() -> dict[str, str]:
                     AS n_triangles,
                 (SELECT CAST(COALESCE(SUM(dg * (dg - 1) // 2), 0) AS BIGINT)
                  FROM d) AS n_wedges
+        """,
+    # sorted-neighborhood blocking: rank by a 16-char text prefix (the
+    # documents corpus is ASCII, so char == byte semantics match the Ray
+    # side's byte prefix), pair ranks within the w=3 window
+    "sorted_neighborhood_pairs": """
+            WITH s AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY substr(text, 1, 16), doc_id
+                       ) - 1 AS rn
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS dist
+            FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND 3
         """,
     }

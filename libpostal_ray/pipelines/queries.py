@@ -15036,3 +15036,217 @@ def doc_graph_triangles(sf_dir: str) -> "pd.DataFrame":
         {"n_triangles": pd.Series([tri], dtype="int64"),
          "n_wedges": pd.Series([wedges], dtype="int64")}
     )
+
+
+def sorted_neighborhood_pairs(
+    sf_dir: str, w: int = 3, prefix: int = 16
+) -> ray.data.Dataset:
+    """Sorted-neighborhood candidate pairs — the classic record-linkage
+    blocking method (sort every record by a key, pair records within a
+    sliding rank window of w): emits (doc_id_a, doc_id_b, dist) for all
+    docs within rank distance 1..w under ORDER BY substr(text, 1,
+    prefix), doc_id.  Complements the repo's LSH/phonetic/acronym
+    blocking families with the third classic candidate generator.
+
+    Physical plan — a distributed ORDER BY with NO engine sort and no
+    sampling (the global_event_ranks radix pattern, generalized to a
+    string key):
+      1. one scan histograms the 2-BYTE key prefix (<= 65536 skinny
+         rows per batch, merged in one remote task); the cumulative
+         histogram gives every bucket its exact global rank offset;
+      2. rows exchange keyed by a balanced bucket->partition map (range
+         partitioning without sampling error); each partition lexsorts
+         (key, doc_id) per bucket and assigns offset + local position;
+      3. pairs exchange on rank // B with the first w ranks of each
+         block REPLICATED to the previous block, so every window pair
+         is emitted exactly once with no cross-partition coordination.
+    Exchange is 3 skinny passes (<= 8 + prefix + 8 B/row); content
+    never shuffles.  Oracle: row_number window + rank-distance self
+    join."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    P = 32
+
+    EMPTY_PAIRS = pa.table(
+        {
+            "doc_id_a": pa.nulls(0, pa.int64()),
+            "doc_id_b": pa.nulls(0, pa.int64()),
+            "dist": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def _keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = batch["text"].to_pylist()
+        key = np.array(
+            [(t or "").encode()[:prefix] for t in txt], dtype=f"S{prefix}"
+        )
+        return ids, key
+
+    def hist(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bucket": pa.nulls(0, pa.int64()), "cnt": pa.nulls(0, pa.int64())}
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        _, key = _keys(batch)
+        b2 = np.frombuffer(key.tobytes(), dtype=np.uint8).reshape(-1, prefix)
+        bucket = b2[:, 0].astype(np.int64) * 256 + b2[:, 1].astype(np.int64)
+        c = np.bincount(bucket, minlength=65536)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"bucket": pa.array(nz.astype(np.int64)),
+             "cnt": pa.array(c[nz].astype(np.int64))}
+        )
+
+    @ray.remote
+    def merge_hist(*tables) -> np.ndarray:
+        total = np.zeros(65536, dtype=np.int64)
+        for t in tables:
+            for tb in (t.to_batches() if hasattr(t, "to_batches") else [t]):
+                if tb.num_rows:
+                    np.add.at(
+                        total,
+                        tb["bucket"].to_numpy(zero_copy_only=False),
+                        tb["cnt"].to_numpy(zero_copy_only=False),
+                    )
+        return total
+
+    hparts = docs.map_batches(hist, batch_format="pyarrow").materialize()
+    counts = ray.get(merge_hist.remote(*hparts.to_arrow_refs()))
+    n = int(counts.sum())
+    if n < 2:
+        return ray.data.from_arrow(EMPTY_PAIRS)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # balanced bucket -> partition map: partition p owns the bucket range
+    # whose cumulative count covers (p/P .. (p+1)/P) of the rows
+    part_of_bucket = np.minimum(
+        (np.cumsum(counts) - 1) * P // max(n, 1), P - 1
+    ).astype(np.int64)
+    off_ref = ray.put(offsets)
+    pob_ref = ray.put(part_of_bucket)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.nulls(0, pa.int64()),
+                "key": pa.nulls(0, pa.binary(prefix)),
+                "bucket": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        ids, key = _keys(batch)
+        b2 = np.frombuffer(key.tobytes(), dtype=np.uint8).reshape(-1, prefix)
+        bucket = b2[:, 0].astype(np.int64) * 256 + b2[:, 1].astype(np.int64)
+        pob = ray.get(pob_ref)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "key": pa.array(
+                    # numpy S-item access strips trailing \x00 — re-pad
+                    # to the fixed width (sorts identically: SQL compares
+                    # the shorter string first, \x00 < any byte)
+                    [bytes(k).ljust(prefix, b"\x00") for k in key],
+                    type=pa.binary(prefix),
+                ),
+                "bucket": pa.array(bucket),
+                "part": pa.array(pob[bucket]),
+            }
+        )
+
+    def rank_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.nulls(0, pa.int64()), "rank": pa.nulls(0, pa.int64())}
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        key = np.array(
+            [k.as_py() for k in group["key"]], dtype=f"S{prefix}"
+        )
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
+        off = ray.get(off_ref)
+        o = np.lexsort((ids, key, bucket))
+        bucket_s = bucket[o]
+        # local position within each bucket run (buckets are contiguous
+        # after the sort): global rank = bucket offset + local position
+        change = np.concatenate(([True], bucket_s[1:] != bucket_s[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(bucket_s.shape[0]), 0)
+        )
+        local = np.arange(bucket_s.shape[0]) - run_start
+        rank = off[bucket_s] + local
+        return pa.table(
+            {"doc_id": pa.array(ids[o]), "rank": pa.array(rank)}
+        )
+
+    ranks = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_kernel, batch_format="pyarrow")
+    )
+
+    B = max((n + P - 1) // P, w + 1)
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.nulls(0, pa.int64()),
+                "rank": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "rank" not in batch.column_names:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        part = r // B
+        # replicate the first w ranks of each block to the previous
+        # block so its tail windows can complete locally
+        rep = (r % B < w) & (part > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids[rep]])),
+                "rank": pa.array(np.concatenate([r, r[rep]])),
+                "part": pa.array(np.concatenate([part, part[rep] - 1])),
+            }
+        )
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "rank" not in group.column_names:
+            return EMPTY_PAIRS
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        r = group["rank"].to_numpy(zero_copy_only=False)
+        part = int(group["part"][0].as_py())
+        o = np.argsort(r)
+        ids, r = ids[o], r[o]
+        lo, hi = part * B, (part + 1) * B
+        a_out, b_out, d_out = [], [], []
+        for d in range(1, w + 1):
+            if r.shape[0] <= d:
+                break
+            # ranks are a contiguous run, so the row at position i+d is
+            # rank r[i]+d exactly when the run has no gap — assert it
+            m = (r[:-d] + d == r[d:]) & (r[:-d] >= lo) & (r[:-d] < hi)
+            if m.any():
+                a_out.append(ids[:-d][m])
+                b_out.append(ids[d:][m])
+                d_out.append(np.full(int(m.sum()), d, dtype=np.int64))
+        if not a_out:
+            return EMPTY_PAIRS
+        return pa.table(
+            {
+                "doc_id_a": pa.array(np.concatenate(a_out)),
+                "doc_id_b": pa.array(np.concatenate(b_out)),
+                "dist": pa.array(np.concatenate(d_out)),
+            }
+        )
+
+    return (
+        ranks.map_batches(tag_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_kernel, batch_format="pyarrow")
+    )

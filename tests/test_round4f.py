@@ -320,3 +320,52 @@ class TestDocGraph:
         assert len(doc_graph_bfs_levels(d)) == 0
         t = doc_graph_triangles(d)
         assert t["n_triangles"].iloc[0] == 0 and t["n_wedges"].iloc[0] == 0
+
+
+class TestSortedNeighborhood:
+    def test_planted_window(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import sorted_neighborhood_pairs
+
+        # sort order by 16-byte prefix: doc 3 ("aaa..."), 0 ("abc"),
+        # 2 ("abd"), 1 ("zzz") -> ranks 0..3
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(["abc x", "zzz y", "abd z", "aaa w"]),
+            }
+        )
+        d = _write(tmp_path, "documents", docs)
+        out = sorted_neighborhood_pairs(d, w=2).to_pandas()
+        got = {
+            (r["doc_id_a"], r["doc_id_b"], r["dist"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            (3, 0, 1), (0, 2, 1), (2, 1, 1),   # adjacent
+            (3, 2, 2), (0, 1, 2),              # distance 2
+        }
+
+    def test_pair_count_identity(self, ray_session):
+        from libpostal_ray.pipelines.queries import sorted_neighborhood_pairs
+
+        # n ranks, window w: exactly sum_{d=1..w} (n - d) pairs
+        out = sorted_neighborhood_pairs(SF, w=3).to_pandas()
+        import duckdb
+
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{SF}/documents.parquet'"
+        ).fetchone()[0]
+        assert len(out) == sum(n - d for d in range(1, 4))
+        assert (out.groupby("dist").size() == [n - 1, n - 2, n - 3]).all()
+
+    def test_empty_and_tiny(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import sorted_neighborhood_pairs
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+        d = _write(tmp_path, "documents", docs)
+        assert sorted_neighborhood_pairs(d).to_pandas().shape[0] == 0
