@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_compression": q.bpe_compression,
         "refresh_dedup_cycle": q.refresh_dedup_cycle,
         "user_value_p50_sketch": q.user_value_p50_sketch,
+        # iterative graph primitives #4/#5 (Boruvka hooking, peel waves)
+        "doc_graph_mst": q.doc_graph_mst,
+        "doc_graph_kcore": q.doc_graph_kcore,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

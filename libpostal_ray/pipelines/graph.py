@@ -345,3 +345,508 @@ def list_rank(
                 batch_format="pyarrow",
             )
     raise RuntimeError(f"list_rank did not converge in {max_rounds} rounds")
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Boruvka) — iterative primitive #4
+# ---------------------------------------------------------------------------
+
+def _min_edge_per_comp(
+    comp: np.ndarray, w: np.ndarray, u: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """First edge per component under the TOTAL order (w, u, v) — the
+    deterministic tie-break every Boruvka step uses, so the chosen
+    forest is independent of block layout and partial-merge order."""
+    order = np.lexsort((v, u, w, comp))
+    c, ws, us, vs = comp[order], w[order], u[order], v[order]
+    first = np.concatenate(([True], c[1:] != c[:-1]))
+    return c[first], ws[first], us[first], vs[first]
+
+
+def _contract(
+    comps: np.ndarray, cu: np.ndarray, cv: np.ndarray, labels: np.ndarray
+) -> np.ndarray:
+    """Star-contraction hooking: comps[i] hooks toward the component at
+    the OTHER end of its chosen edge; 2-cycles (mutual choices) break to
+    the smaller id; pointer-jumping collapses chains.  Fully vectorized;
+    returns the new per-node label array."""
+    # parent over component VALUES -> dense index space first
+    univ = np.unique(np.concatenate((comps, cu, cv)))
+    parent = univ.copy()
+    ci = np.searchsorted(univ, comps)
+    # other endpoint's component for each chooser
+    other = np.where(cu == comps, cv, cu)
+    parent[ci] = other
+    # break 2-cycles: p[p[c]] == c keeps the smaller value as root
+    pi = np.searchsorted(univ, parent)
+    two = (parent[pi] == univ) & (univ < parent)
+    parent[two] = univ[two]
+    # pointer jump to fixpoint (<= log rounds, each vectorized)
+    while True:
+        nxt = parent[np.searchsorted(univ, parent)]
+        if (nxt == parent).all():
+            break
+        parent = nxt
+    # labels whose component had no live edge this round are NOT in univ
+    # (isolated components) — they keep their label unchanged
+    li = np.clip(np.searchsorted(univ, labels), 0, univ.shape[0] - 1)
+    hit = univ[li] == labels
+    out = labels.copy()
+    out[hit] = parent[li[hit]]
+    return out
+
+
+def _boruvka_rounds(
+    node: np.ndarray, u: np.ndarray, v: np.ndarray, w: np.ndarray,
+    max_rounds: int,
+) -> pa.Table:
+    """In-memory vectorized Boruvka over index-compressed edges —
+    shared by the local hybrid path and validated round-for-round by the
+    distributed plan's gather (same kernels)."""
+    labels = node.copy()
+    keep_u: list[np.ndarray] = []
+    keep_v: list[np.ndarray] = []
+    keep_w: list[np.ndarray] = []
+    ui = np.searchsorted(node, u)
+    vi = np.searchsorted(node, v)
+    for _ in range(max_rounds):
+        lu, lv = labels[ui], labels[vi]
+        live = lu != lv
+        if not live.any():
+            break
+        el_u, el_v, el_w = u[live], v[live], w[live]
+        llu, llv = lu[live], lv[live]
+        comp = np.concatenate((llu, llv))
+        ww = np.concatenate((el_w, el_w))
+        uu = np.concatenate((el_u, el_u))
+        vv = np.concatenate((el_v, el_v))
+        comps, mw, mu, mv = _min_edge_per_comp(comp, ww, uu, vv)
+        # dedup mutually chosen edges before recording (composite key is
+        # safe: ids <= max node id, and (max+1)^2 must fit int64 — loud)
+        if node[-1] > 3_000_000_000:
+            raise ValueError("boruvka_mst: node ids too large for composite key")
+        _, idx = np.unique(mu * (node[-1] + 1) + mv, return_index=True)
+        keep_u.append(mu[idx])
+        keep_v.append(mv[idx])
+        keep_w.append(mw[idx])
+        # component of each chosen edge's endpoints (for hooking)
+        cu = labels[np.searchsorted(node, mu)]
+        cv = labels[np.searchsorted(node, mv)]
+        labels = _contract(comps, cu, cv, labels)
+    else:
+        raise RuntimeError(f"boruvka_mst did not converge in {max_rounds} rounds")
+    if keep_u:
+        out_u = np.concatenate(keep_u)
+        out_v = np.concatenate(keep_v)
+        out_w = np.concatenate(keep_w)
+        order = np.lexsort((out_v, out_u, out_w))
+        out_u, out_v, out_w = out_u[order], out_v[order], out_w[order]
+    else:
+        out_u = out_v = out_w = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "u": pa.array(out_u, type=pa.int64()),
+            "v": pa.array(out_v, type=pa.int64()),
+            "w": pa.array(out_w, type=pa.int64()),
+        }
+    )
+
+
+MST_LOCAL_MAX = 4_000_000  # 24 B/edge -> <=~100 MB gathered in one task
+
+
+def boruvka_mst(
+    edges: ray.data.Dataset,
+    *,
+    max_rounds: int = 64,
+    local_max_edges: int = MST_LOCAL_MAX,
+) -> ray.data.Dataset:
+    """Minimum spanning FOREST (Boruvka) over an undirected weighted
+    edge list (u, v, w) int64 — the bulk-synchronous hooking primitive
+    behind single-linkage clustering dendrograms (cut the forest at a
+    threshold and you have the flagship's CC at that threshold).
+
+    Distributed plan per round (edges never reshuffle):
+
+      * labels (8 B/node) broadcast by ref, same posture as pagerank;
+      * edge blocks stream a stateless map: relabel endpoints, drop
+        intra-component edges, emit <= 2 x distinct-component skinny
+        (comp, w, u, v) per-block MINIMA — the classic Boruvka
+        "min outgoing edge per component" as a per-batch combiner;
+      * ONE gather task merges partials (same total order (w, u, v)),
+        hooks components star-wise, pointer-jumps labels — O(log n)
+        rounds total because every live component merges every round.
+
+    Chosen-edge total is <= n-1 across all rounds (24 B/node driver-side
+    accumulation — the keep-set budget class).  Deterministic at any
+    block layout: per-component minima under a total order are
+    associative, and hooking breaks ties to the smaller component id.
+
+    Hybrid crossover (near_dupe/cluster discipline): edge sets under
+    ``local_max_edges`` run the identical vectorized rounds in ONE
+    remote task.  Outputs are identical either way.
+    """
+    edges = edges.select_columns(["u", "v", "w"]).materialize()
+    edge_refs = edges.to_arrow_refs()
+    n_edges = edges.count()
+    EMPTY = pa.table(
+        {
+            "u": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "w": pa.nulls(0, pa.int64()),
+        }
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(EMPTY)
+
+    if n_edges <= local_max_edges:
+
+        @ray.remote
+        def _local(*blocks: pa.Table) -> pa.Table:
+            live = [b for b in blocks if b.num_rows and "u" in b.column_names]
+            u = np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            v = np.concatenate(
+                [b["v"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            w = np.concatenate(
+                [b["w"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            node = np.unique(np.concatenate((u, v)))
+            return _boruvka_rounds(node, u, v, w, max_rounds)
+
+        return ray.data.from_arrow_refs([_local.remote(*edge_refs)])
+
+    # ---- distributed rounds ----
+
+    @ray.remote
+    def _uv_nodes(*blocks: pa.Table) -> np.ndarray:
+        vals = [
+            np.concatenate(
+                (
+                    b["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    b["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+                )
+            )
+            for b in blocks
+            if b.num_rows and "u" in b.column_names
+        ]
+        if not vals:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(vals))
+
+    nodes = ray.get(_uv_nodes.remote(*edge_refs))
+    nodes_ref = ray.put(nodes)
+    labels = nodes.copy()
+    chosen: list[pa.Table] = []
+
+    @ray.remote
+    def _merge_and_hook(labels_in: np.ndarray, *parts: pa.Table):
+        live = [p for p in parts if p.num_rows and "comp" in p.column_names]
+        if not live:
+            return None, labels_in
+        comp = np.concatenate(
+            [p["comp"].to_numpy(zero_copy_only=False) for p in live]
+        )
+        w = np.concatenate([p["w"].to_numpy(zero_copy_only=False) for p in live])
+        u = np.concatenate([p["u"].to_numpy(zero_copy_only=False) for p in live])
+        v = np.concatenate([p["v"].to_numpy(zero_copy_only=False) for p in live])
+        comps, mw, mu, mv = _min_edge_per_comp(comp, w, u, v)
+        nd = ray.get(nodes_ref)
+        if nd[-1] > 3_000_000_000:
+            raise ValueError("boruvka_mst: node ids too large for composite key")
+        _, idx = np.unique(mu * (nd[-1] + 1) + mv, return_index=True)
+        tbl = pa.table(
+            {
+                "u": pa.array(mu[idx], type=pa.int64()),
+                "v": pa.array(mv[idx], type=pa.int64()),
+                "w": pa.array(mw[idx], type=pa.int64()),
+            }
+        )
+        cu = labels_in[np.searchsorted(nd, mu)]
+        cv = labels_in[np.searchsorted(nd, mv)]
+        new_labels = _contract(comps, cu, cv, labels_in)
+        return tbl, new_labels
+
+    for _ in range(max_rounds):
+        labels_ref = ray.put(labels)
+
+        def partial_min(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "comp": pa.nulls(0, pa.int64()),
+                    "w": pa.nulls(0, pa.int64()),
+                    "u": pa.nulls(0, pa.int64()),
+                    "v": pa.nulls(0, pa.int64()),
+                }
+            )
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return empty
+            nd = ray.get(nodes_ref)
+            lb = ray.get(labels_ref)
+            bu = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bv = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bw = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lu = lb[np.searchsorted(nd, bu)]
+            lv = lb[np.searchsorted(nd, bv)]
+            m = lu != lv
+            if not m.any():
+                return empty
+            comp = np.concatenate((lu[m], lv[m]))
+            ww = np.concatenate((bw[m], bw[m]))
+            uu = np.concatenate((bu[m], bu[m]))
+            vv = np.concatenate((bv[m], bv[m]))
+            c, w_, u_, v_ = _min_edge_per_comp(comp, ww, uu, vv)
+            return pa.table(
+                {
+                    "comp": pa.array(c),
+                    "w": pa.array(w_),
+                    "u": pa.array(u_),
+                    "v": pa.array(v_),
+                }
+            )
+
+        part_refs = (
+            edges.map_batches(partial_min, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        tbl_ref, labels_ref2 = _merge_and_hook.options(num_returns=2).remote(
+            labels, *part_refs
+        )
+        tbl, labels = ray.get([tbl_ref, labels_ref2])
+        if tbl is None:
+            break
+        chosen.append(tbl)
+    else:
+        raise RuntimeError(f"boruvka_mst did not converge in {max_rounds} rounds")
+
+    if not chosen:
+        return ray.data.from_arrow(EMPTY)
+    allt = pa.concat_tables(chosen)
+    u = allt["u"].to_numpy(zero_copy_only=False)
+    v = allt["v"].to_numpy(zero_copy_only=False)
+    w = allt["w"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u, w))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(u[order], type=pa.int64()),
+                "v": pa.array(v[order], type=pa.int64()),
+                "w": pa.array(w[order], type=pa.int64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (coreness peeling) — iterative primitive #5
+# ---------------------------------------------------------------------------
+
+def _peel_coreness(
+    node: np.ndarray, u: np.ndarray, v: np.ndarray, max_rounds: int
+) -> np.ndarray:
+    """Vectorized peeling over index-compressed edges: repeatedly remove
+    every alive node whose residual degree <= k (assigning coreness k),
+    raising k to the minimum residual degree when a wave empties.  Each
+    wave touches only the edges incident to newly removed nodes (CSR
+    slicing), so total edge work is O(E) across ALL waves."""
+    n = node.shape[0]
+    ui = np.searchsorted(node, u)
+    vi = np.searchsorted(node, v)
+    deg = np.bincount(ui, minlength=n) + np.bincount(vi, minlength=n)
+    # CSR over the symmetrized incidence: for node i, its neighbors
+    ends = np.concatenate((ui, vi))
+    nbrs = np.concatenate((vi, ui))
+    order = np.argsort(ends, kind="stable")
+    ends_s, nbrs_s = ends[order], nbrs[order]
+    starts = np.searchsorted(ends_s, np.arange(n))
+    stops = np.searchsorted(ends_s, np.arange(n) + 1)
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    rdeg = deg.astype(np.int64).copy()
+    k = 0
+    for _ in range(max_rounds):
+        if not alive.any():
+            return core
+        amin = rdeg[alive].min()
+        if amin > k:
+            k = int(amin)
+        wave = alive & (rdeg <= k)
+        core[wave] = k
+        alive[wave] = False
+        # decrement alive neighbors of the wave (vectorized gather of
+        # each removed node's CSR range)
+        widx = np.flatnonzero(wave)
+        if widx.size:
+            lens = stops[widx] - starts[widx]
+            total = int(lens.sum())
+            if total:
+                # flat positions: for each removed node, its slice
+                pos = np.repeat(starts[widx], lens) + (
+                    np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                )
+                touched = nbrs_s[pos]
+                touched = touched[alive[touched]]
+                np.subtract.at(rdeg, touched, 1)
+    raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+
+
+CORE_LOCAL_MAX = 4_000_000  # 16 B/edge -> <=~64 MB gathered in one task
+
+
+def coreness(
+    edges: ray.data.Dataset,
+    *,
+    max_rounds: int = 100_000,
+    local_max_edges: int = CORE_LOCAL_MAX,
+) -> ray.data.Dataset:
+    """k-core DECOMPOSITION over an undirected edge list (u, v) int64:
+    each node's coreness = the largest k such that it survives in the
+    k-core (every member has >= k neighbors inside the core) — the
+    density ladder behind spam-farm / boilerplate-hub detection on the
+    near-dup graph (high-coreness docs sit in densely mutually-similar
+    families; bridges and chains peel early).
+
+    Distributed plan (edges never reshuffle): degrees come from ONE
+    streamed pass (_node_state); each peel wave broadcasts the newly
+    removed id set (<= 8 B/node total across ALL waves) and streams the
+    edge blocks once, emitting per-batch (node, dec) partial counts for
+    alive neighbors of the wave; ONE gather task applies decrements and
+    selects the next wave.  Wave count is bounded by the degeneracy
+    ladder, not n.
+
+    Hybrid crossover: edge sets under ``local_max_edges`` peel in ONE
+    remote task with CSR slicing (identical waves).  Returns
+    (doc_id, coreness); isolated ids never appear (no edges).
+    """
+    edges = edges.select_columns(["u", "v"]).materialize()
+    edge_refs = edges.to_arrow_refs()
+    n_edges = edges.count()
+    EMPTY = pa.table(
+        {
+            "doc_id": pa.nulls(0, pa.int64()),
+            "coreness": pa.nulls(0, pa.int64()),
+        }
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(EMPTY)
+
+    @ray.remote
+    def _uv_nodes_deg(*blocks: pa.Table):
+        us, vs = [], []
+        for b in blocks:
+            if b.num_rows and "u" in b.column_names:
+                us.append(b["u"].to_numpy(zero_copy_only=False).astype(np.int64))
+                vs.append(b["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+        allv = np.concatenate(us + vs)
+        nodes, counts = np.unique(allv, return_counts=True)
+        return nodes, counts.astype(np.int64)
+
+    if n_edges <= local_max_edges:
+
+        @ray.remote
+        def _local(*blocks: pa.Table) -> pa.Table:
+            live = [b for b in blocks if b.num_rows and "u" in b.column_names]
+            u = np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            v = np.concatenate(
+                [b["v"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            node = np.unique(np.concatenate((u, v)))
+            core = _peel_coreness(node, u, v, max_rounds)
+            return pa.table(
+                {
+                    "doc_id": pa.array(node, type=pa.int64()),
+                    "coreness": pa.array(core, type=pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_local.remote(*edge_refs)])
+
+    # ---- distributed waves ----
+    nodes, deg = ray.get(_uv_nodes_deg.options(num_returns=2).remote(*edge_refs))
+    nodes_ref = ray.put(nodes)
+    n = nodes.shape[0]
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    rdeg = deg.copy()
+    k = 0
+
+    @ray.remote
+    def _apply_decs(rdeg_in: np.ndarray, alive_in: np.ndarray, *parts: pa.Table):
+        out = rdeg_in.copy()
+        for p in parts:
+            if p.num_rows == 0 or "node" not in p.column_names:
+                continue
+            ni = p["node"].to_numpy(zero_copy_only=False)
+            dc = p["dec"].to_numpy(zero_copy_only=False)
+            out[ni] -= dc
+        return out
+
+    for _ in range(max_rounds):
+        if not alive.any():
+            break
+        amin = rdeg[alive].min()
+        if amin > k:
+            k = int(amin)
+        wave = alive & (rdeg <= k)
+        core[wave] = k
+        alive[wave] = False
+        widx = np.flatnonzero(wave)
+        if widx.size == 0:
+            continue
+        wave_ref = ray.put(np.sort(widx))
+        alive_ref = ray.put(alive.copy())
+
+        def decs(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "node": pa.nulls(0, pa.int64()),
+                    "dec": pa.nulls(0, pa.int64()),
+                }
+            )
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return empty
+            nd = ray.get(nodes_ref)
+            wv = ray.get(wave_ref)
+            al = ray.get(alive_ref)
+            bu = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bv = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ui = np.searchsorted(nd, bu)
+            vi = np.searchsorted(nd, bv)
+            inw_u = np.isin(ui, wv, assume_unique=False)
+            inw_v = np.isin(vi, wv, assume_unique=False)
+            # neighbor loses 1 per incident wave endpoint, if still alive
+            t1 = vi[inw_u & al[vi]]
+            t2 = ui[inw_v & al[ui]]
+            touched = np.concatenate((t1, t2))
+            if touched.size == 0:
+                return empty
+            idx, cnt = np.unique(touched, return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(idx, type=pa.int64()),
+                    "dec": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        part_refs = (
+            edges.map_batches(decs, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        rdeg = ray.get(_apply_decs.remote(rdeg, alive, *part_refs))
+    else:
+        raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "coreness": pa.array(core, type=pa.int64()),
+            }
+        )
+    )

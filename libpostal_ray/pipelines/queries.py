@@ -15250,3 +15250,76 @@ def sorted_neighborhood_pairs(
         .groupby("part")
         .map_groups(pair_kernel, batch_format="pyarrow")
     )
+
+
+def doc_graph_mst(sf_dir: str) -> ray.data.Dataset:
+    """Minimum spanning forest of the weighted document graph — the
+    single-linkage dendrogram backbone (cut the forest at weight t and
+    the components ARE the flagship's threshold-t clusters; the MST
+    edge list is the full clustering hierarchy in n-1 rows).
+
+    Edge weights are a deterministic function of the endpoints
+    (w = (u*31 + v*7) % 97 + 1), so the graph is reproducible from the
+    corpus alone; ties are broken by the total order (w, u, v) inside
+    pipelines/graph.boruvka_mst, making the chosen forest independent
+    of block layout (pinned EXACT against an in-test Kruskal).
+
+    Scale posture: Boruvka rounds — labels broadcast 8 B/node, edges
+    stream a per-batch min-per-component combiner, ONE small gather per
+    round, O(log n) rounds.  Rows-only (MST is not SQL-expressible)."""
+    from libpostal_ray.pipelines.graph import boruvka_mst
+
+    edges, n = _doc_graph_edges(sf_dir)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.table(
+                {"u": pa.nulls(0, pa.int64()), "v": pa.nulls(0, pa.int64()),
+                 "w": pa.nulls(0, pa.int64())}
+            )
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return batch.append_column("w", pa.array((u * 31 + v * 7) % 97 + 1))
+
+    return boruvka_mst(edges.map_batches(weigh, batch_format="pyarrow"))
+
+
+def doc_graph_kcore(sf_dir: str) -> ray.data.Dataset:
+    """Coreness histogram of the document graph: how many docs sit at
+    each k-core level — the density ladder (high-coreness docs live in
+    densely mutually-connected families; chain/bridge docs peel at 1).
+
+    The peel itself is pipelines/graph.coreness (degrees from one
+    streamed pass; each wave broadcasts the removed id set and streams
+    the edges once for alive-neighbor decrements — <= 8 B/node of
+    broadcast across ALL waves).  The histogram tail is a tiny
+    aggregate over one row per node.  Rows-only (iterated peeling is
+    not SQL-expressible); pinned against an independent dict-based
+    peel in tests."""
+    from libpostal_ray.pipelines.graph import coreness
+
+    edges, n = _doc_graph_edges(sf_dir)
+    core = coreness(edges)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "coreness" not in batch.column_names:
+            return pa.table(
+                {"coreness": pa.nulls(0, pa.int64()),
+                 "n_docs": pa.nulls(0, pa.int64())}
+            )
+        c = batch["coreness"].to_numpy(zero_copy_only=False)
+        k, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {"coreness": pa.array(k), "n_docs": pa.array(cnt.astype(np.int64))}
+        )
+
+    return (
+        core.map_batches(hist, batch_format="pyarrow")
+        .groupby("coreness")
+        .sum("n_docs")
+        .map_batches(
+            lambda b: b.rename_columns(["coreness", "n_docs"]),
+            batch_format="pyarrow",
+        )
+        .sort("coreness")
+    )

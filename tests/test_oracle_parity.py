@@ -299,6 +299,8 @@ ROWS_ONLY = [
     "user_value_p50_sketch",
     "embedding_dups_bucketed",
     "semantic_dedup",
+    "doc_graph_mst",
+    "doc_graph_kcore",
 ]
 
 

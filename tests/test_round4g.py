@@ -1,0 +1,235 @@
+"""Round-4 session-16 graph primitives: Boruvka minimum spanning forest
+and k-core coreness peeling — both pinned EXACT against independent
+in-test references (Kruskal with the same (w, u, v) total order; a
+dict-based peel), on random graphs, on BOTH the local hybrid path and
+the forced-distributed path."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kruskal(u, v, w):
+    """Reference MST under the SAME total order (w, u, v)."""
+    order = np.lexsort((v, u, w))
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    out = []
+    for i in order:
+        a, b = find(int(u[i])), find(int(v[i]))
+        if a != b:
+            parent[a] = b
+            out.append((int(w[i]), int(u[i]), int(v[i])))
+    return sorted(out)
+
+
+def _ref_coreness(u, v):
+    """Independent dict-based peel."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {x: len(ns) for x, ns in adj.items()}
+    core = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        amin = min(deg[x] for x in alive)
+        if amin > k:
+            k = amin
+        wave = [x for x in alive if deg[x] <= k]
+        while wave:
+            for x in wave:
+                core[x] = k
+                alive.discard(x)
+            touched = defaultdict(int)
+            for x in wave:
+                for nb in adj[x]:
+                    if nb in alive:
+                        touched[nb] += 1
+            for nb, c in touched.items():
+                deg[nb] -= c
+            wave = [x for x in alive if deg[x] <= k]
+    return core
+
+
+def _random_graph(rng, n_max=300, m_factor=4):
+    n = rng.randint(2, n_max)
+    m = rng.randint(1, m_factor * n)
+    u = rng.randint(0, n, m).astype(np.int64)
+    v = rng.randint(0, n, m).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    key = lo * np.int64(n + 1) + hi
+    _, idx = np.unique(key, return_index=True)
+    return lo[idx], hi[idx], n
+
+
+class TestBoruvkaMST:
+    def _run(self, ray_session, local_max):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import boruvka_mst
+
+        rng = np.random.RandomState(7)
+        for _ in range(6):
+            u, v, n = _random_graph(rng)
+            if u.size == 0:
+                continue
+            w = rng.randint(1, 40, u.size).astype(np.int64)
+            ds = ray.data.from_arrow(
+                pa.table({"u": pa.array(u), "v": pa.array(v), "w": pa.array(w)})
+            )
+            got = boruvka_mst(ds, local_max_edges=local_max).to_pandas()
+            got_set = sorted(zip(got.w, got.u, got.v))
+            ref = _kruskal(u, v, w)
+            # the (w, u, v) total order makes the forest UNIQUE: exact
+            # edge-set equality, not just total weight
+            assert [tuple(map(int, t)) for t in got_set] == ref
+
+    def test_local_path_exact(self, ray_session):
+        self._run(ray_session, 10**9)
+
+    def test_distributed_path_exact(self, ray_session):
+        self._run(ray_session, 0)
+
+    def test_forest_on_disconnected(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import boruvka_mst
+
+        # two components: 0-1-2 (triangle) and 10-11
+        u = np.array([0, 1, 0, 10], dtype=np.int64)
+        v = np.array([1, 2, 2, 11], dtype=np.int64)
+        w = np.array([5, 3, 9, 1], dtype=np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"u": pa.array(u), "v": pa.array(v), "w": pa.array(w)})
+        )
+        got = boruvka_mst(ds).to_pandas()
+        assert sorted(zip(got.w, got.u, got.v)) == [(1, 10, 11), (3, 1, 2), (5, 0, 1)]
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import boruvka_mst
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.nulls(0, pa.int64()),
+                    "v": pa.nulls(0, pa.int64()),
+                    "w": pa.nulls(0, pa.int64()),
+                }
+            )
+        )
+        out = boruvka_mst(ds)
+        assert out.count() == 0
+        assert [f.name for f in out.schema().base_schema] == ["u", "v", "w"]
+
+    def test_doc_graph_mst_row(self, ray_session):
+        from libpostal_ray.pipelines.queries import doc_graph_mst
+
+        out = doc_graph_mst(SF).to_pandas()
+        n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        # the doc graph is connected (k -> 2k tree edges from the root),
+        # so the MST is a spanning TREE: exactly n-1 edges
+        assert len(out) == n - 1
+        # forest edges are a subset of the deterministic edge set with
+        # the deterministic weight
+        w = (out.u * 31 + out.v * 7) % 97 + 1
+        assert (out.w == w).all()
+
+
+class TestCoreness:
+    def _run(self, ray_session, local_max):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import coreness
+
+        rng = np.random.RandomState(11)
+        cases = [
+            # triangle + tail: coreness 2, 2, 2, 1
+            (
+                np.array([0, 1, 0, 2], dtype=np.int64),
+                np.array([1, 2, 2, 3], dtype=np.int64),
+            )
+        ]
+        for _ in range(5):
+            u, v, _ = _random_graph(rng, m_factor=5)
+            if u.size:
+                cases.append((u, v))
+        for u, v in cases:
+            ds = ray.data.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)}))
+            got = coreness(ds, local_max_edges=local_max).to_pandas()
+            gd = dict(zip(got.doc_id, got.coreness))
+            assert gd == _ref_coreness(u, v)
+
+    def test_local_path_exact(self, ray_session):
+        self._run(ray_session, 10**9)
+
+    def test_distributed_path_exact(self, ray_session):
+        self._run(ray_session, 0)
+
+    def test_known_triangle_tail(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import coreness
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([0, 1, 0, 2], type=pa.int64()),
+                    "v": pa.array([1, 2, 2, 3], type=pa.int64()),
+                }
+            )
+        )
+        got = coreness(ds).to_pandas()
+        assert dict(zip(got.doc_id, got.coreness)) == {0: 2, 1: 2, 2: 2, 3: 1}
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from libpostal_ray.pipelines.graph import coreness
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {"u": pa.nulls(0, pa.int64()), "v": pa.nulls(0, pa.int64())}
+            )
+        )
+        out = coreness(ds)
+        assert out.count() == 0
+        assert [f.name for f in out.schema().base_schema] == ["doc_id", "coreness"]
+
+    def test_doc_graph_kcore_row(self, ray_session):
+        from libpostal_ray.pipelines.queries import doc_graph_kcore
+        from libpostal_ray.pipelines.queries import _doc_graph_edges
+
+        hist = doc_graph_kcore(SF).to_pandas()
+        # pin against the dict peel over the SAME deterministic edges
+        edges, n = _doc_graph_edges(SF)
+        et = edges.to_pandas()
+        ref = _ref_coreness(
+            et.u.to_numpy().astype(np.int64), et.v.to_numpy().astype(np.int64)
+        )
+        import collections
+
+        rh = collections.Counter(ref.values())
+        got = dict(zip(hist.coreness, hist.n_docs))
+        assert got == dict(rh)
+        assert int(hist.n_docs.sum()) == len(ref)
