@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_bfs_levels": q.doc_graph_bfs_levels,
         "doc_graph_triangles": q.doc_graph_triangles,
         "sorted_neighborhood_pairs": q.sorted_neighborhood_pairs,
+        "user_time_weighted_value": q.user_time_weighted_value,
+        "events_cusum_changepoint": q.events_cusum_changepoint,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2769,5 +2771,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    CAST(b.rn - a.rn AS BIGINT) AS dist
             FROM s a JOIN s b ON b.rn - a.rn BETWEEN 1 AND 3
+        """,
+    # time-weighted mean: the EARLIER event's (floor-milli) value carries
+    # until the next event; (ts, event_id) pins equal timestamps to one
+    # order on both engines; single-event users have no gap (NULL lead)
+    "user_time_weighted_value": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(floor(value * 1000.0) AS BIGINT) AS milli,
+                       epoch_us(ts) AS t,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(milli * (nxt - t)) AS BIGINT) AS num_milli_us,
+                   CAST(sum(nxt - t) AS BIGINT) AS den_us,
+                   CAST(CAST(sum(milli * (nxt - t)) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(nxt - t) AS BIGINT) AS DOUBLE)
+                       AS twa_milli
+            FROM s
+            WHERE nxt IS NOT NULL
+            GROUP BY user_id
+        """,
+    # CUSUM mean-shift screen with the division cleared: dev_k =
+    # n*cumsum_k - k*total over the daily milli series, argmax |dev|,
+    # ties to the earliest day — every quantity an exact BIGINT
+    "events_cusum_changepoint": """
+            WITH d AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+                       CAST(sum(CAST(floor(value * 1000.0) AS BIGINT))
+                            AS BIGINT) AS milli
+                FROM events
+                GROUP BY 1
+            ), c AS (
+                SELECT day_idx,
+                       SUM(milli) OVER (ORDER BY day_idx) AS cum,
+                       row_number() OVER (ORDER BY day_idx) AS k,
+                       COUNT(*) OVER () AS n,
+                       SUM(milli) OVER () AS total
+                FROM d
+            )
+            SELECT CAST(day_idx AS BIGINT) AS day_idx,
+                   CAST(n * cum - k * total AS BIGINT) AS dev,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(total AS BIGINT) AS total_milli
+            FROM c
+            ORDER BY abs(n * cum - k * total) DESC, day_idx
+            LIMIT 1
         """,
     }

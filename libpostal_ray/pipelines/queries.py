@@ -15323,3 +15323,202 @@ def doc_graph_kcore(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("coreness")
     )
+
+
+def user_time_weighted_value(sf_dir: str) -> ray.data.Dataset:
+    """Per-user TIME-WEIGHTED mean value: a step function carries each
+    event's value until the next event, so the mean is
+    sum(milli_i * dur_i) / sum(dur_i) over the user's gaps — the metric
+    behind "average balance held", robust to burst sampling where the
+    plain mean over-weights rapid-fire events.
+
+    Exactness: value integerized per row (floor milli, the repo
+    convention), durations are int64 microseconds; num <= max_milli x
+    user_span_us < 2^63 (loud overflow check), so both moments ride as
+    exact BIGINTs and the ONE float64 division matches DuckDB
+    bit-for-bit.  Users with a single event have no gap and are
+    excluded (SQL NULL-skip of lead()).
+
+    Physical plan: ONE user%P exchange of 32 B/row (user, ts, event_id,
+    milli); users co-partition, so each partition lexsorts its own
+    users by (ts, event_id) — the tie-break pins equal timestamps to
+    ONE order on both engines — and reduces gaps per segment."""
+    P = 32
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "event_id": pa.nulls(0, pa.int64()),
+            "milli": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_col = batch["ts"]
+        ts = (
+            ts_col.combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if isinstance(ts_col, pa.ChunkedArray)
+            else ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(np.asarray(ts, dtype=np.int64)),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "milli": pa.array(np.floor(v * 1000.0).astype(np.int64)),
+                "part": pa.array(u % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "num_milli_us": pa.nulls(0, pa.int64()),
+                "den_us": pa.nulls(0, pa.int64()),
+                "twa_milli": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        mv = group["milli"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, mv_s = u[order], ts[order], mv[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return empty
+        gu = u_s[1:][same]
+        dur = ts_s[1:][same] - ts_s[:-1][same]
+        milli = mv_s[:-1][same]  # the EARLIER event's value carries
+        starts = np.flatnonzero(np.concatenate(([True], gu[1:] != gu[:-1])))
+        den = np.add.reduceat(dur, starts)
+        # overflow guard BEFORE the products: per-user |num| is bounded
+        # by max |milli| x that user's span — loud, not silent wraparound
+        mmax = int(np.abs(milli).max(initial=0))
+        if mmax and mmax > (2**62) // max(int(den.max(initial=1)), 1):
+            raise ValueError("user_time_weighted_value: int64 overflow risk")
+        prod = milli * dur
+        num = np.add.reduceat(prod, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(gu[starts]),
+                "num_milli_us": pa.array(num.astype(np.int64)),
+                "den_us": pa.array(den.astype(np.int64)),
+                "twa_milli": pa.array(
+                    num.astype(np.float64) / den.astype(np.float64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def events_cusum_changepoint(sf_dir: str) -> ray.data.Dataset:
+    """CUSUM change-point screen over the DAILY value series: the day k*
+    maximizing |n * cumsum_k - k * total| — the classic mean-shift
+    statistic with the division cleared (n x the usual cumsum-minus-
+    expected deviation), so every quantity stays an exact int64 and the
+    argmax is engine-independent (ties break to the earliest day).
+
+    Physical plan: per-batch (epoch-day, milli-sum) partials bound the
+    exchange by active days per batch; days are dimension-cardinality
+    (10^5 days = 300 years), so ONE final group scans the merged series
+    for the prefix-deviation argmax.  Overflow: |dev| <= n_days x
+    total_milli — loud-checked against 2^62."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    DAY_US = np.int64(86_400_000_000)
+
+    EMPTY_OUT = pa.table(
+        {
+            "day_idx": pa.nulls(0, pa.int64()),
+            "dev": pa.nulls(0, pa.int64()),
+            "n_days": pa.nulls(0, pa.int64()),
+            "total_milli": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.table(
+                {
+                    "day": pa.nulls(0, pa.int64()),
+                    "m": pa.nulls(0, pa.int64()),
+                    "g": pa.nulls(0, pa.int64()),
+                }
+            )
+        ts_col = batch["ts"]
+        ts = (
+            ts_col.combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if isinstance(ts_col, pa.ChunkedArray)
+            else ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        d = np.asarray(ts, dtype=np.int64) // DAY_US
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        milli = np.floor(v * 1000.0).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, milli)
+        return pa.table(
+            {
+                "day": pa.array(ud),
+                "m": pa.array(tot),
+                "g": pa.array(np.zeros(ud.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "day" not in group.column_names:
+            return EMPTY_OUT
+        d = group["day"].to_numpy(zero_copy_only=False)
+        m = group["m"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, m)
+        n = np.int64(ud.shape[0])
+        total = int(tot.sum())
+        if n * max(abs(total), 1) > 2**62:
+            raise ValueError("events_cusum_changepoint: int64 overflow risk")
+        cum = np.cumsum(tot)
+        k = np.arange(1, int(n) + 1, dtype=np.int64)
+        dev = n * cum - k * np.int64(total)
+        best = int(np.argmax(np.abs(dev)))  # first max -> earliest day
+        return pa.table(
+            {
+                "day_idx": pa.array([int(ud[best])], type=pa.int64()),
+                "dev": pa.array([int(dev[best])], type=pa.int64()),
+                "n_days": pa.array([int(n)], type=pa.int64()),
+                "total_milli": pa.array([total], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda t: kernel(t.drop_columns(["g"]))
+            if "g" in t.column_names
+            else kernel(t),
+            batch_format="pyarrow",
+        )
+    )

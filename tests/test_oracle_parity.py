@@ -216,6 +216,8 @@ ORACLE_QUERIES = [
     "scrub_boilerplate_tokens",
     "eval_overlap_pairs",
     "similar_docs_topk",
+    "user_time_weighted_value",
+    "events_cusum_changepoint",
 ]
 
 

@@ -233,3 +233,139 @@ class TestCoreness:
         got = dict(zip(hist.coreness, hist.n_docs))
         assert got == dict(rh)
         assert int(hist.n_docs.sum()) == len(ref)
+
+
+import pandas as pd
+
+US = 1_000_000
+DAY_US = 86_400_000_000
+
+
+def _write(tmp_path, name, table):
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def _events(tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, value)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), type=pa.string()),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    return _write(tmp_path, "events", tbl)
+
+
+class TestUserTimeWeightedValue:
+    def test_step_function_semantics(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_time_weighted_value
+
+        # user 1: value 2.0 held 10 s, then 4.0 held 30 s, then 0 (last
+        # event's value never counts) -> num = 2000*10e6 + 4000*30e6
+        d = _events(
+            tmp_path,
+            [
+                (1, 0, 1, 2.0),
+                (2, 10 * US, 1, 4.0),
+                (3, 40 * US, 1, 99.0),
+                (4, 0, 2, 7.0),  # single event -> excluded
+            ],
+        )
+        out = user_time_weighted_value(d).to_pandas()
+        assert list(out.user_id) == [1]
+        num = 2000 * 10 * US + 4000 * 30 * US
+        den = 40 * US
+        assert int(out.num_milli_us.iloc[0]) == num
+        assert int(out.den_us.iloc[0]) == den
+        assert out.twa_milli.iloc[0] == float(num) / float(den)
+
+    def test_equal_ts_tiebreak(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_time_weighted_value
+
+        # two events at the SAME ts: event_id order pins which value
+        # carries over the zero-length gap (value 5 carries 0 us), then
+        # event 2's value 9 carries 10 s
+        d = _events(
+            tmp_path,
+            [
+                (2, 0, 1, 9.0),
+                (1, 0, 1, 5.0),
+                (3, 10 * US, 1, 1.0),
+            ],
+        )
+        out = user_time_weighted_value(d).to_pandas()
+        assert int(out.num_milli_us.iloc[0]) == 9000 * 10 * US
+        assert int(out.den_us.iloc[0]) == 10 * US
+
+
+class TestEventsCusumChangepoint:
+    def test_planted_shift(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_cusum_changepoint
+
+        # days 0..5: milli 1000 each; days 6..11: 5000 each — the CUSUM
+        # max-deviation day is the last low day (day 5)
+        rows = []
+        eid = 0
+        for day in range(12):
+            val = 1.0 if day < 6 else 5.0
+            rows.append((eid, day * DAY_US + 1, 1, val))
+            eid += 1
+        d = _events(tmp_path, rows)
+        out = events_cusum_changepoint(d).to_pandas()
+        assert len(out) == 1
+        assert int(out.day_idx.iloc[0]) == 5
+        n, total = 12, 6 * 1000 + 6 * 5000
+        cum5 = 6 * 1000
+        assert int(out.dev.iloc[0]) == n * cum5 - 6 * total
+        assert int(out.n_days.iloc[0]) == 12
+        assert int(out.total_milli.iloc[0]) == total
+
+    def test_tie_breaks_to_earliest(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_cusum_changepoint
+
+        # symmetric V shape: |dev| ties — earliest day wins
+        d = _events(
+            tmp_path,
+            [
+                (0, 0 * DAY_US, 1, 3.0),
+                (1, 1 * DAY_US, 1, 1.0),
+                (2, 2 * DAY_US, 1, 3.0),
+            ],
+        )
+        out = events_cusum_changepoint(d).to_pandas()
+        # devs: k=1: 3*3000-1*7000=2000; k=2: 3*4000-2*7000=-2000 (tie)
+        assert int(out.day_idx.iloc[0]) == 0
+        assert int(out.dev.iloc[0]) == 2000
+
+
+def test_session16_queries_on_empty_corpus(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in (
+        "events", "lineitem", "orders", "customer", "documents",
+        "nation", "part", "supplier", "region",
+    ):
+        schema = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    qs = entrymod.queries()
+    for name in (
+        "user_time_weighted_value",
+        "doc_graph_mst",
+        "doc_graph_kcore",
+    ):
+        res = qs[name](str(d))
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        assert len(df) == 0, (name, df.head())
+    # cusum over an empty corpus: zero-row output
+    res = qs["events_cusum_changepoint"](str(d))
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    assert len(df) == 0
