@@ -1130,6 +1130,158 @@ AF_GENERAL_RULES: tuple[tuple[str, str], ...] = (
     AF_ABBREV_RULES + AF_NUMBER_RULES
 )
 
+# VI pack — dictionaries/vi content model (compound tens are multiword;
+# the pack keys single words, the reference's vi dictionary likewise)
+VI_ABBREV_RULES = _word_rules({
+    "đ": "đường", "tp": "thành phố", "q": "quận", "p": "phường",
+    "đt": "điện thoại",
+})
+
+_VI_NUMS = {
+    "một": 1, "hai": 2, "ba": 3, "bốn": 4, "năm": 5,
+    "sáu": 6, "bảy": 7, "tám": 8, "chín": 9, "mười": 10,
+    "trăm": 100,
+}
+
+VI_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _VI_NUMS.items()
+)
+
+VI_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    VI_ABBREV_RULES + VI_NUMBER_RULES
+)
+
+# SW pack — dictionaries/sw content model
+SW_ABBREV_RULES = _word_rules({
+    "brb": "barabara", "mtaa": "mtaa", "slp": "sanduku la posta",
+    "na": "namba",
+})
+
+_SW_NUMS = {
+    "moja": 1, "mbili": 2, "tatu": 3, "nne": 4, "tano": 5,
+    "sita": 6, "saba": 7, "nane": 8, "tisa": 9, "kumi": 10,
+    "ishirini": 20, "thelathini": 30, "arobaini": 40, "hamsini": 50,
+    "sitini": 60, "sabini": 70, "themanini": 80, "tisini": 90,
+    "mia": 100,
+}
+
+SW_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _SW_NUMS.items()
+)
+
+SW_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    SW_ABBREV_RULES + SW_NUMBER_RULES
+)
+
+# CY pack — dictionaries/cy content model
+CY_ABBREV_RULES = _word_rules({
+    "st": "stryd", "ffd": "ffordd", "rhif": "rhif", "ffôn": "ffôn",
+})
+
+_CY_NUMS = {
+    "un": 1, "dau": 2, "tri": 3, "pedwar": 4, "pump": 5,
+    "chwech": 6, "saith": 7, "wyth": 8, "naw": 9, "deg": 10,
+    "ugain": 20, "deugain": 40, "cant": 100,
+}
+
+CY_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _CY_NUMS.items()
+)
+
+CY_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    CY_ABBREV_RULES + CY_NUMBER_RULES
+)
+
+# MT pack — dictionaries/mt content model (ħ/għ stay distinct under
+# NFKC+casefold; latin_ascii folds ħ -> h via _LATIN_SPECIAL)
+MT_ABBREV_RULES = _word_rules({
+    "trq": "triq", "tel": "telefon", "nru": "numru",
+})
+
+_MT_NUMS = {
+    "wieħed": 1, "tnejn": 2, "tlieta": 3, "erbgħa": 4, "ħamsa": 5,
+    "sitta": 6, "sebgħa": 7, "tmienja": 8, "disgħa": 9, "għaxra": 10,
+    "għoxrin": 20, "tletin": 30, "erbgħin": 40, "ħamsin": 50,
+    "sittin": 60, "sebgħin": 70, "tmenin": 80, "disgħin": 90,
+    "mija": 100,
+}
+
+MT_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _MT_NUMS.items()
+)
+
+MT_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    MT_ABBREV_RULES + MT_NUMBER_RULES
+)
+
+# BS pack — dictionaries/bs content model (Latin script; the Cyrillic
+# twin is covered by the sr pack's shared south-Slavic keys)
+BS_ABBREV_RULES = _word_rules({
+    "ul": "ulica", "tel": "telefon", "br": "broj", "tr": "trg",
+})
+
+_BS_NUMS = {
+    "jedan": 1, "dva": 2, "tri": 3, "četiri": 4, "pet": 5,
+    "šest": 6, "sedam": 7, "osam": 8, "devet": 9, "deset": 10,
+    "dvadeset": 20, "trideset": 30, "četrdeset": 40, "pedeset": 50,
+    "šezdeset": 60, "sedamdeset": 70, "osamdeset": 80,
+    "devedeset": 90, "sto": 100,
+}
+
+BS_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _BS_NUMS.items()
+)
+
+BS_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    BS_ABBREV_RULES + BS_NUMBER_RULES
+)
+
+# AZ pack — dictionaries/az content model (Latin; ə folds to a plain
+# "e"?  No: NFKC keeps ə, latin_ascii has no rule so it passes through —
+# keys carry it verbatim, the biscript twin is unnecessary)
+AZ_ABBREV_RULES = _word_rules({
+    "küç": "küçə", "tel": "telefon", "pr": "prospekt",
+})
+
+_AZ_NUMS = {
+    "bir": 1, "iki": 2, "üç": 3, "dörd": 4, "beş": 5,
+    "altı": 6, "yeddi": 7, "səkkiz": 8, "doqquz": 9, "on": 10,
+    "iyirmi": 20, "otuz": 30, "qırx": 40, "əlli": 50,
+    "altmış": 60, "yetmiş": 70, "səksən": 80, "doxsan": 90,
+    "yüz": 100,
+}
+
+AZ_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _AZ_NUMS.items()
+)
+
+AZ_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    AZ_ABBREV_RULES + AZ_NUMBER_RULES
+)
+
+# UZ pack — dictionaries/uz content model (Latin orthography with
+# modifier-letter o'/g' — NFKC folds ʻ (U+02BB) to itself; keys use the
+# ASCII apostrophe the canonical pass normalizes typographic quotes to)
+UZ_ABBREV_RULES = _word_rules({
+    "ko'ch": "ko'cha", "tel": "telefon", "uy": "uy",
+})
+
+_UZ_NUMS = {
+    "bir": 1, "ikki": 2, "uch": 3, "to'rt": 4, "besh": 5,
+    "olti": 6, "yetti": 7, "sakkiz": 8, "to'qqiz": 9, "o'n": 10,
+    "yigirma": 20, "o'ttiz": 30, "qirq": 40, "ellik": 50,
+    "oltmish": 60, "yetmish": 70, "sakson": 80, "to'qson": 90,
+    "yuz": 100,
+}
+
+UZ_NUMBER_RULES: tuple[tuple[str, str], ...] = tuple(
+    (rf"\b{w}\b", str(v)) for w, v in _UZ_NUMS.items()
+)
+
+UZ_GENERAL_RULES: tuple[tuple[str, str], ...] = (
+    UZ_ABBREV_RULES + UZ_NUMBER_RULES
+)
+
 # ---------------------------------------------------------------------------
 # Non-Latin-script packs beyond Cyrillic/Greek (dictionaries/{ar,fa,he,hi,ko}
 # content model).  Same biscript discipline: every entry ships the native
@@ -1191,6 +1343,34 @@ KO_GENERAL_RULES = _biscript_rules(
      "여든": 80, "아흔": 90, "백": 100},
 )
 
+KK_GENERAL_RULES = _biscript_rules(
+    {"көш": "көше", "тел": "телефон", "қ": "қала", "даң": "даңғылы"},
+    {"бір": 1, "екі": 2, "үш": 3, "төрт": 4, "бес": 5,
+     "алты": 6, "жеті": 7, "сегіз": 8, "тоғыз": 9, "он": 10,
+     "жиырма": 20, "отыз": 30, "қырық": 40, "елу": 50,
+     "алпыс": 60, "жетпіс": 70, "сексен": 80, "тоқсан": 90,
+     "жүз": 100},
+)
+
+HY_GENERAL_RULES = _biscript_rules(
+    {"փ": "փողոց", "պող": "պողոտա", "հեռ": "հեռախոս"},
+    {"մեկ": 1, "երկու": 2, "երեք": 3, "չորս": 4, "հինգ": 5,
+     "վեց": 6, "յոթ": 7, "ութ": 8, "ինը": 9, "տասը": 10,
+     "քսան": 20, "երեսուն": 30, "քառասուն": 40, "հիսուն": 50,
+     "վաթսուն": 60, "յոթանասուն": 70, "ութսուն": 80,
+     "իննսուն": 90, "հարյուր": 100},
+)
+
+KA_GENERAL_RULES = _biscript_rules(
+    {"ქ": "ქუჩა", "გამზ": "გამზირი", "ტელ": "ტელეფონი"},
+    # vigesimal: the 30/50/70/90 forms are oc-da-X compounds, single words
+    {"ერთი": 1, "ორი": 2, "სამი": 3, "ოთხი": 4, "ხუთი": 5,
+     "ექვსი": 6, "შვიდი": 7, "რვა": 8, "ცხრა": 9, "ათი": 10,
+     "ოცი": 20, "ოცდაათი": 30, "ორმოცი": 40, "ორმოცდაათი": 50,
+     "სამოცი": 60, "სამოცდაათი": 70, "ოთხმოცი": 80,
+     "ოთხმოცდაათი": 90, "ასი": 100},
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -1239,6 +1419,16 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "he": HE_GENERAL_RULES,
     "hi": HI_GENERAL_RULES,
     "ko": KO_GENERAL_RULES,
+    "vi": VI_GENERAL_RULES,
+    "sw": SW_GENERAL_RULES,
+    "cy": CY_GENERAL_RULES,
+    "mt": MT_GENERAL_RULES,
+    "bs": BS_GENERAL_RULES,
+    "az": AZ_GENERAL_RULES,
+    "uz": UZ_GENERAL_RULES,
+    "kk": KK_GENERAL_RULES,
+    "hy": HY_GENERAL_RULES,
+    "ka": KA_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals
@@ -1249,8 +1439,8 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
 # ÷ U+00F7 excluded) so SV/DA/NO/PL pack entries fold into the combined
 # pass and get the trailing-period consumption like ASCII entries
 _PLAIN_WORD_RE = re.compile(
-    r"^\\b([A-Za-z0-9À-ÖØ-öø-ÿĀ-ſͰ-ϿЀ-ӿ"
-    r"֐-ת؀-ۿऀ-ॿก-๛"
+    r"^\\b([A-Za-z0-9À-ÖØ-öø-ÿĀ-ſə"
+    r"Ͱ-ϿЀ-ӿա-ֆ֐-ת؀-ۿऀ-ॿก-๛ა-ჿ"
     r"ᄀ-ᇿぁ-ヿㄱ-ㅣ가-힣' -]+)\\b$"
 )
 

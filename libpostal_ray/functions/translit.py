@@ -52,6 +52,33 @@ _CYRILLIC = {
     # Serbian / Macedonian extras (BGN/PCGN-style)
     "ђ": "dj", "ћ": "c", "џ": "dz", "љ": "lj", "њ": "nj", "ј": "j",
     "ѓ": "gj", "ќ": "kj", "ѕ": "dz",
+    # Kazakh / Central-Asian Cyrillic extras
+    "ә": "a", "ғ": "gh", "қ": "q", "ң": "ng", "ө": "o",
+    "ұ": "u", "ү": "u", "һ": "h",
+}
+
+# Armenian is CASED (Ա/ա) — goes through the uppercase-deriving loop
+# like Greek/Cyrillic ("և" uppercases to the 2-char ԵՎ, which the
+# len == 1 guard skips; NFKC upstream decomposes it to եւ anyway)
+_ARMENIAN = {
+    "ա": "a", "բ": "b", "գ": "g", "դ": "d", "ե": "e", "զ": "z",
+    "է": "e", "ը": "e", "թ": "t", "ժ": "zh", "ի": "i", "լ": "l",
+    "խ": "kh", "ծ": "ts", "կ": "k", "հ": "h", "ձ": "dz", "ղ": "gh",
+    "ճ": "ch", "մ": "m", "յ": "y", "ն": "n", "շ": "sh", "ո": "o",
+    "չ": "ch", "պ": "p", "ջ": "j", "ռ": "r", "ս": "s", "վ": "v",
+    "տ": "t", "ր": "r", "ց": "ts", "ւ": "w", "փ": "p", "ք": "k",
+    "օ": "o", "ֆ": "f", "և": "ev", "՞": "?", "՝": ",", "։": ".",
+}
+
+# Georgian Mkhedruli — effectively caseless in canonicalized text
+# (NFKC+casefold upstream folds Mtavruli U+1C90… back to Mkhedruli)
+_GEORGIAN = {
+    "ა": "a", "ბ": "b", "გ": "g", "დ": "d", "ე": "e", "ვ": "v",
+    "ზ": "z", "თ": "t", "ი": "i", "კ": "k", "ლ": "l", "მ": "m",
+    "ნ": "n", "ო": "o", "პ": "p", "ჟ": "zh", "რ": "r", "ს": "s",
+    "ტ": "t", "უ": "u", "ფ": "p", "ქ": "k", "ღ": "gh", "ყ": "q",
+    "შ": "sh", "ჩ": "ch", "ც": "ts", "ძ": "dz", "წ": "ts",
+    "ჭ": "ch", "ხ": "kh", "ჯ": "j", "ჰ": "h",
 }
 
 # -- caseless scripts (transliterate.c ships arabic-latin, hebrew-latin,
@@ -223,7 +250,7 @@ def _build_map() -> dict[int, str]:
         for cp in range(lo, hi + 1):
             if unicodedata.category(chr(cp)) == "Mn":
                 m[cp] = ""
-    for table in (_GREEK, _CYRILLIC):
+    for table in (_GREEK, _CYRILLIC, _ARMENIAN):
         for ch, rep in table.items():
             m[ord(ch)] = rep
             up = ch.upper()
@@ -233,7 +260,8 @@ def _build_map() -> dict[int, str]:
     # caseless scripts: plain entries (katakana derives from hiragana by
     # the fixed +0x60 block offset so both map to one romaji form)
     for table in (_ARABIC, _HEBREW, _DEVANAGARI, _HANGUL_LEAD,
-                  _HANGUL_VOWEL, _HANGUL_TAIL, _HANGUL_COMPAT, _THAI):
+                  _HANGUL_VOWEL, _HANGUL_TAIL, _HANGUL_COMPAT, _THAI,
+                  _GEORGIAN):
         for ch, rep in table.items():
             m[ord(ch)] = rep
     for ch, rep in _HIRAGANA.items():

@@ -278,6 +278,7 @@ class TestLanguagePacks:
             "ru", "uk", "el", "bg",
             "sr", "mk", "be", "is", "ga", "af",
             "ar", "fa", "he", "hi", "ko",
+            "vi", "sw", "cy", "mt", "bs", "az", "uz", "kk", "hy", "ka",
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles

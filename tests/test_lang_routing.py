@@ -350,3 +350,70 @@ def test_session15_packs_do_not_cross_route():
     # EN routing: no he/ko entry fires (whitespace collapse still applies)
     assert "3" not in out[0] and "רחוב" not in out[0]
     assert "5" not in out[1]
+
+
+def test_session16_latin_packs_route():
+    # vi / sw / cy / mt / bs / az / uz — Latin-script packs
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "đ. Lê Lợi năm",            # vi: đ -> đường, năm -> 5
+            "brb. Uhuru kumi",          # sw
+            "st. Fawr deg",             # cy
+            "trq. Repubblika ħamsa",    # mt
+            "ul. Ferhadija pet",        # bs
+            "küç. Nizami beş",          # az
+            "ko'ch. Navoiy o'n",        # uz
+        ],
+        ["vi", "sw", "cy", "mt", "bs", "az", "uz"],
+    )
+    assert out[0] == "đường lê lợi 5"
+    assert out[1] == "barabara uhuru 10"
+    assert out[2] == "stryd fawr 10"
+    assert out[3] == "triq repubblika 5"
+    assert out[4] == "ulica ferhadija 5"
+    assert out[5] == "küçə nizami 5"
+    assert out[6] == "ko'cha navoiy 10"
+
+
+def test_session16_biscript_packs_route():
+    # kk (Cyrillic) / hy (Armenian) / ka (Georgian), native-script path
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "көш. Абай бес",          # kk
+            "փ. Մաշտոց հինգ",         # hy
+            "ქ. რუსთაველი ხუთი",      # ka
+        ],
+        ["kk", "hy", "ka"],
+    )
+    assert out[0] == "көше абай 5"
+    assert out[1] == "փողոց մաշտոց 5"
+    assert out[2] == "ქუჩა რუსთაველი 5"
+
+
+def test_session16_biscript_romanized_twins():
+    # transliterate=True romanizes BEFORE rules: the latin twin keys fire
+    stage_t = CanonicalizeStage(
+        PipelineConfig(lang_rules=True, transliterate=True)
+    )
+    out_t = _canon(
+        stage_t,
+        ["көш. Абай бес", "փ. Մաշտոց հինգ", "ქ. რუსთაველი ხუთი"],
+        ["kk", "hy", "ka"],
+    )
+    assert out_t[0] == "koshe abai 5"
+    assert out_t[1] == "poghots mashtots 5"
+    assert out_t[2] == "kucha rustaveli 5"
+
+
+def test_session16_packs_do_not_cross_route():
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        ["đ. Lê Lợi năm", "köш. Абай бес"],
+        ["en", "en"],
+    )
+    assert "đường" not in out[0] and " 5" not in out[0]
