@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": q.sorted_neighborhood_pairs,
         "user_time_weighted_value": q.user_time_weighted_value,
         "events_cusum_changepoint": q.events_cusum_changepoint,
+        "linkage_agreement_patterns": q.linkage_agreement_patterns,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -282,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph primitives #4/#5 (Boruvka hooking, peel waves)
         "doc_graph_mst": q.doc_graph_mst,
         "doc_graph_kcore": q.doc_graph_kcore,
+        # EM fixpoint over exact pattern counts (not SQL-expressible)
+        "linkage_fs_em": q.linkage_fs_em,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),
@@ -2820,5 +2823,27 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             ORDER BY abs(n * cum - k * total) DESC, day_idx
             LIMIT 1
+        """,
+    # Fellegi-Sunter sufficient statistics: per-field agreement bits
+    # over id-window candidate pairs, LSB order lang/source/len/prefix
+    # (docs are ASCII so char substr == the Ray side's char prefix)
+    "linkage_agreement_patterns": """
+            WITH p AS (
+                SELECT
+                    (CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END)
+                    + 2 * (CASE WHEN a.source = b.source
+                           THEN 1 ELSE 0 END)
+                    + 4 * (CASE WHEN a.n_chars // 64 = b.n_chars // 64
+                           THEN 1 ELSE 0 END)
+                    + 8 * (CASE WHEN substr(a.text, 1, 8)
+                                    = substr(b.text, 1, 8)
+                           THEN 1 ELSE 0 END) AS pattern
+                FROM documents a
+                JOIN documents b ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+            )
+            SELECT CAST(pattern AS BIGINT) AS pattern,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p
+            GROUP BY 1
         """,
     }

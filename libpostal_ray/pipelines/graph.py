@@ -644,53 +644,142 @@ def boruvka_mst(
 # k-core decomposition (coreness peeling) — iterative primitive #5
 # ---------------------------------------------------------------------------
 
-def _peel_coreness(
-    node: np.ndarray, u: np.ndarray, v: np.ndarray, max_rounds: int
-) -> np.ndarray:
-    """Vectorized peeling over index-compressed edges: repeatedly remove
-    every alive node whose residual degree <= k (assigning coreness k),
-    raising k to the minimum residual degree when a wave empties.  Each
-    wave touches only the edges incident to newly removed nodes (CSR
-    slicing), so total edge work is O(E) across ALL waves."""
+def _csr(node: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Symmetrized CSR incidence over index-compressed edges."""
     n = node.shape[0]
     ui = np.searchsorted(node, u)
     vi = np.searchsorted(node, v)
-    deg = np.bincount(ui, minlength=n) + np.bincount(vi, minlength=n)
-    # CSR over the symmetrized incidence: for node i, its neighbors
     ends = np.concatenate((ui, vi))
     nbrs = np.concatenate((vi, ui))
     order = np.argsort(ends, kind="stable")
     ends_s, nbrs_s = ends[order], nbrs[order]
     starts = np.searchsorted(ends_s, np.arange(n))
     stops = np.searchsorted(ends_s, np.arange(n) + 1)
+    return nbrs_s, starts, stops
+
+
+def _gather_slices(
+    nbrs_s: np.ndarray, starts: np.ndarray, stops: np.ndarray,
+    widx: np.ndarray,
+) -> np.ndarray:
+    """Concatenate CSR ranges of the given nodes, vectorized."""
+    lens = stops[widx] - starts[widx]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=nbrs_s.dtype)
+    pos = np.repeat(starts[widx], lens) + (
+        np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    return nbrs_s[pos]
+
+
+def _peel_coreness(
+    node: np.ndarray, u: np.ndarray, v: np.ndarray, max_rounds: int
+) -> np.ndarray:
+    """FRONTIER-based peeling over index-compressed edges: remove every
+    alive node whose residual degree <= k (assigning coreness k); the
+    next wave's candidates are exactly the neighbors whose degree just
+    dropped — per-wave cost is O(wave + incident edges), NOT O(n), so
+    chain cascades (one node exposed per wave) stay linear overall.
+    When the cascade dries up, k advances to the minimum alive degree
+    (<= degeneracy such scans, each O(n))."""
+    n = node.shape[0]
+    nbrs_s, starts, stops = _csr(node, u, v)
     core = np.zeros(n, dtype=np.int64)
     alive = np.ones(n, dtype=bool)
-    rdeg = deg.astype(np.int64).copy()
+    rdeg = (stops - starts).astype(np.int64)
+    n_alive = n
     k = 0
-    for _ in range(max_rounds):
-        if not alive.any():
-            return core
-        amin = rdeg[alive].min()
+    waves = 0
+    while n_alive > 0:
+        amin = int(rdeg[alive].min())
         if amin > k:
-            k = int(amin)
-        wave = alive & (rdeg <= k)
-        core[wave] = k
-        alive[wave] = False
-        # decrement alive neighbors of the wave (vectorized gather of
-        # each removed node's CSR range)
-        widx = np.flatnonzero(wave)
-        if widx.size:
-            lens = stops[widx] - starts[widx]
-            total = int(lens.sum())
-            if total:
-                # flat positions: for each removed node, its slice
-                pos = np.repeat(starts[widx], lens) + (
-                    np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            k = amin
+        # seed frontier: O(n) scan, once per k-level advance
+        frontier = np.flatnonzero(alive & (rdeg <= k))
+        while frontier.size:
+            waves += 1
+            if waves > max_rounds:
+                raise RuntimeError(
+                    f"coreness did not converge in {max_rounds} waves"
                 )
-                touched = nbrs_s[pos]
-                touched = touched[alive[touched]]
-                np.subtract.at(rdeg, touched, 1)
-    raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+            core[frontier] = k
+            alive[frontier] = False
+            n_alive -= frontier.size
+            touched = _gather_slices(nbrs_s, starts, stops, frontier)
+            touched = touched[alive[touched]]
+            if touched.size == 0:
+                frontier = np.empty(0, dtype=np.int64)
+                continue
+            np.subtract.at(rdeg, touched, 1)
+            cand = np.unique(touched)
+            frontier = cand[alive[cand] & (rdeg[cand] <= k)]
+    return core
+
+
+def _bc_peel(
+    n_int: int,
+    iu: np.ndarray,
+    iv: np.ndarray,
+    ext_at: np.ndarray,
+    ext_val: np.ndarray,
+    max_waves: int,
+) -> np.ndarray:
+    """BOUNDARY-CONDITIONED frontier peel: coreness of the internal
+    nodes 0..n_int-1 of a subgraph whose edges are (iu, iv) internal
+    index pairs, where additionally internal node ext_at[j] has an
+    EXTERNAL neighbor pinned to peel exactly at level ext_val[j]
+    (its current coreness estimate).  This is one block-Jacobi update
+    of the core decomposition (Montresor/De Pellegrini/Miorandi 2011,
+    "Distributed k-core decomposition": local recomputation from
+    neighbor estimates, monotone from any upper bound): externals with
+    value <= k are subtracted when the level reaches k, internal
+    cascades run frontier-wise, removal level = new estimate."""
+    nbrs_s, starts, stops = _csr(
+        np.arange(n_int, dtype=np.int64), iu, iv
+    ) if iu.size else (
+        np.empty(0, dtype=np.int64),
+        np.zeros(n_int, dtype=np.int64),
+        np.zeros(n_int, dtype=np.int64),
+    )
+    rdeg = (stops - starts).astype(np.int64)
+    if ext_at.size:
+        np.add.at(rdeg, ext_at, 1)
+        o = np.argsort(ext_val, kind="stable")
+        ext_at, ext_val = ext_at[o], ext_val[o]
+    core = np.zeros(n_int, dtype=np.int64)
+    alive = np.ones(n_int, dtype=bool)
+    n_alive = n_int
+    p = 0  # pointer into value-sorted ext pairs (all <= k consumed)
+    k = 0
+    waves = 0
+    while n_alive > 0:
+        amin = int(rdeg[alive].min())
+        nxt = int(ext_val[p]) if p < ext_val.shape[0] else amin
+        k = max(k, min(amin, nxt))
+        # externals pinned at or below the new level leave now
+        while p < ext_val.shape[0] and ext_val[p] <= k:
+            if alive[ext_at[p]]:
+                rdeg[ext_at[p]] -= 1
+            p += 1
+        frontier = np.flatnonzero(alive & (rdeg <= k))
+        while frontier.size:
+            waves += 1
+            if waves > max_waves:
+                raise RuntimeError(
+                    f"_bc_peel did not converge in {max_waves} waves"
+                )
+            core[frontier] = k
+            alive[frontier] = False
+            n_alive -= frontier.size
+            touched = _gather_slices(nbrs_s, starts, stops, frontier)
+            touched = touched[alive[touched]]
+            if touched.size == 0:
+                break
+            np.subtract.at(rdeg, touched, 1)
+            cand = np.unique(touched)
+            frontier = cand[alive[cand] & (rdeg[cand] <= k)]
+    return core
 
 
 CORE_LOCAL_MAX = 4_000_000  # 16 B/edge -> <=~64 MB gathered in one task
@@ -709,18 +798,22 @@ def coreness(
     near-dup graph (high-coreness docs sit in densely mutually-similar
     families; bridges and chains peel early).
 
-    Distributed plan (edges never reshuffle): degrees come from ONE
-    streamed pass (_node_state); each peel wave broadcasts the newly
-    removed id set (<= 8 B/node total across ALL waves) and streams the
-    edge blocks once, emitting per-batch (node, dec) partial counts for
-    alive neighbors of the wave; ONE gather task applies decrements and
-    selects the next wave.  Wave count is bounded by the degeneracy
-    ladder, not n.
+    Distributed plan — the H-INDEX FIXPOINT (Lu et al. 2016: c <- deg,
+    then c_v <- H({c_n : n in N(v)}) until no change converges to
+    coreness), NOT distributed peeling: peel waves can cascade one node
+    at a time along chains (O(n) full edge passes — the failure mode
+    the first cut of this operator hit at 1M nodes), while the h-index
+    recurrence converges in rounds bounded by the graph's peel DEPTH
+    and updates every node per round.  Each round broadcasts the c
+    vector (8 B/node) and runs ONE node%P-co-partitioned exchange of
+    (node, neighbor_c) pairs whose kernel computes per-node h-indexes
+    vectorized; a gather task rebuilds c and tests the fixpoint.
 
     Hybrid crossover: edge sets under ``local_max_edges`` peel in ONE
-    remote task with CSR slicing (identical waves).  Returns
-    (doc_id, coreness); isolated ids never appear (no edges).
-    """
+    remote task with FRONTIER waves over CSR (per-wave cost is
+    O(wave + incident edges), chain-cascade safe).  Both paths are
+    exact coreness.  Returns (doc_id, coreness); isolated ids never
+    appear (no edges)."""
     edges = edges.select_columns(["u", "v"]).materialize()
     edge_refs = edges.to_arrow_refs()
     n_edges = edges.count()
@@ -766,87 +859,131 @@ def coreness(
 
         return ray.data.from_arrow_refs([_local.remote(*edge_refs)])
 
-    # ---- distributed waves ----
+    # ---- distributed block-Jacobi rounds (range-partitioned) ----
+    # Each round, every partition re-peels its contiguous node RANGE
+    # with external neighbors pinned at their current estimates
+    # (_bc_peel) — one block-Jacobi update of the core decomposition
+    # (Montresor et al. 2011).  Starting from c = degree (an upper
+    # bound), estimates decrease monotonically to exact coreness; a
+    # cascade that crosses partition boundaries b times needs ~b rounds
+    # (NOT chain-length rounds — the failure mode of both naive
+    # distributed peeling and the plain h-index fixpoint on chain-heavy
+    # graphs).  Range partitioning keeps id-local chains internal.
+    P = 32
     nodes, deg = ray.get(_uv_nodes_deg.options(num_returns=2).remote(*edge_refs))
     nodes_ref = ray.put(nodes)
     n = nodes.shape[0]
-    core = np.zeros(n, dtype=np.int64)
-    alive = np.ones(n, dtype=bool)
-    rdeg = deg.copy()
-    k = 0
+    # balanced contiguous ranges over the observed node ids
+    split_idx = (np.arange(1, P) * n) // P
+    splits = nodes[split_idx]  # part = searchsorted(splits, id, 'right')
+    splits_ref = ray.put(splits)
+    c = deg.copy()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "u": pa.nulls(0, pa.int64()),
+                "v": pa.nulls(0, pa.int64()),
+                "part": pa.nulls(0, pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return empty
+        sp = ray.get(splits_ref)
+        bu = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pu = np.searchsorted(sp, bu, side="right")
+        pv = np.searchsorted(sp, bv, side="right")
+        # boundary edges ship to BOTH endpoint partitions
+        cross = pu != pv
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate((bu, bu[cross]))),
+                "v": pa.array(np.concatenate((bv, bv[cross]))),
+                "part": pa.array(np.concatenate((pu, pv[cross]))),
+            }
+        )
+
+    tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
 
     @ray.remote
-    def _apply_decs(rdeg_in: np.ndarray, alive_in: np.ndarray, *parts: pa.Table):
-        out = rdeg_in.copy()
+    def _gather_c(n_: int, *parts: pa.Table) -> np.ndarray:
+        out = np.zeros(n_, dtype=np.int64)
         for p in parts:
             if p.num_rows == 0 or "node" not in p.column_names:
                 continue
             ni = p["node"].to_numpy(zero_copy_only=False)
-            dc = p["dec"].to_numpy(zero_copy_only=False)
-            out[ni] -= dc
+            hv = p["c"].to_numpy(zero_copy_only=False)
+            out[ni] = hv
         return out
 
-    for _ in range(max_rounds):
-        if not alive.any():
-            break
-        amin = rdeg[alive].min()
-        if amin > k:
-            k = int(amin)
-        wave = alive & (rdeg <= k)
-        core[wave] = k
-        alive[wave] = False
-        widx = np.flatnonzero(wave)
-        if widx.size == 0:
-            continue
-        wave_ref = ray.put(np.sort(widx))
-        alive_ref = ray.put(alive.copy())
+    rounds = min(max_rounds, 10_000)
+    for _ in range(rounds):
+        c_ref = ray.put(c)
 
-        def decs(batch: pa.Table) -> pa.Table:
+        def block_update(group: pa.Table) -> pa.Table:
             empty = pa.table(
-                {
-                    "node": pa.nulls(0, pa.int64()),
-                    "dec": pa.nulls(0, pa.int64()),
-                }
+                {"node": pa.nulls(0, pa.int64()), "c": pa.nulls(0, pa.int64())}
             )
-            if batch.num_rows == 0 or "u" not in batch.column_names:
+            if group.num_rows == 0 or "u" not in group.column_names:
                 return empty
             nd = ray.get(nodes_ref)
-            wv = ray.get(wave_ref)
-            al = ray.get(alive_ref)
-            bu = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-            bv = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ui = np.searchsorted(nd, bu)
-            vi = np.searchsorted(nd, bv)
-            inw_u = np.isin(ui, wv, assume_unique=False)
-            inw_v = np.isin(vi, wv, assume_unique=False)
-            # neighbor loses 1 per incident wave endpoint, if still alive
-            t1 = vi[inw_u & al[vi]]
-            t2 = ui[inw_v & al[ui]]
-            touched = np.concatenate((t1, t2))
-            if touched.size == 0:
-                return empty
-            idx, cnt = np.unique(touched, return_counts=True)
+            sp = ray.get(splits_ref)
+            cc = ray.get(c_ref)
+            my_part = int(group["part"][0].as_py())
+            bu = group["u"].to_numpy(zero_copy_only=False)
+            bv = group["v"].to_numpy(zero_copy_only=False)
+            pu = np.searchsorted(sp, bu, side="right")
+            pv = np.searchsorted(sp, bv, side="right")
+            u_in = pu == my_part
+            v_in = pv == my_part
+            # internal node universe: endpoints of my edges in my range
+            int_ids = np.unique(np.concatenate((bu[u_in], bv[v_in])))
+            n_int = int_ids.shape[0]
+            both = u_in & v_in
+            iu = np.searchsorted(int_ids, bu[both])
+            iv = np.searchsorted(int_ids, bv[both])
+            # boundary edges: internal endpoint + external pinned value
+            bo_u = u_in & ~v_in  # u internal, v external
+            bo_v = v_in & ~u_in
+            ext_at = np.concatenate(
+                (
+                    np.searchsorted(int_ids, bu[bo_u]),
+                    np.searchsorted(int_ids, bv[bo_v]),
+                )
+            )
+            ext_val = np.concatenate(
+                (
+                    cc[np.searchsorted(nd, bv[bo_u])],
+                    cc[np.searchsorted(nd, bu[bo_v])],
+                )
+            )
+            core = _bc_peel(n_int, iu, iv, ext_at, ext_val, 10 * n_int + 100)
             return pa.table(
                 {
-                    "node": pa.array(idx, type=pa.int64()),
-                    "dec": pa.array(cnt.astype(np.int64)),
+                    "node": pa.array(np.searchsorted(nd, int_ids)),
+                    "c": pa.array(core),
                 }
             )
 
         part_refs = (
-            edges.map_batches(decs, batch_format="pyarrow")
+            tagged.groupby("part")
+            .map_groups(block_update, batch_format="pyarrow")
             .materialize()
             .to_arrow_refs()
         )
-        rdeg = ray.get(_apply_decs.remote(rdeg, alive, *part_refs))
+        new_c = ray.get(_gather_c.remote(n, *part_refs))
+        if (new_c == c).all():
+            break
+        c = new_c
     else:
-        raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+        raise RuntimeError(f"coreness did not converge in {rounds} rounds")
 
     return ray.data.from_arrow(
         pa.table(
             {
                 "doc_id": pa.array(nodes, type=pa.int64()),
-                "coreness": pa.array(core, type=pa.int64()),
+                "coreness": pa.array(c, type=pa.int64()),
             }
         )
     )

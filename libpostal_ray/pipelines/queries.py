@@ -15522,3 +15522,33 @@ def events_cusum_changepoint(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def linkage_agreement_patterns(sf_dir: str, w: int = 3) -> ray.data.Dataset:
+    """Fellegi-Sunter sufficient statistics: exact counts of the 16
+    per-field agreement patterns over id-window candidate pairs
+    (0 < doc_id_b - doc_id_a <= 3; fields lang / source / n_chars//64
+    bucket / 8-char text prefix) — see pipelines/linkage.py for the
+    2^k-pattern decomposition that keeps the E-step off the pairs."""
+    from libpostal_ray.pipelines.linkage import agreement_patterns
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    return agreement_patterns(docs, w=w)
+
+
+def linkage_fs_em(sf_dir: str) -> "pd.DataFrame":
+    """Unsupervised Fellegi-Sunter parameter estimation: EM over the
+    exact agreement-pattern counts (ONE distributed pass; the fixpoint
+    itself runs on 16 float64s in a fixed order — deterministic, pinned
+    against an independent per-pattern EM in tests).  Returns one row
+    per field: m, u, the log2 agree/disagree weights, match prior."""
+    from libpostal_ray.pipelines.linkage import linkage_fs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    return linkage_fs(docs).to_pandas()

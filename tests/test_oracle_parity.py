@@ -218,6 +218,7 @@ ORACLE_QUERIES = [
     "similar_docs_topk",
     "user_time_weighted_value",
     "events_cusum_changepoint",
+    "linkage_agreement_patterns",
 ]
 
 
@@ -303,6 +304,7 @@ ROWS_ONLY = [
     "semantic_dedup",
     "doc_graph_mst",
     "doc_graph_kcore",
+    "linkage_fs_em",
 ]
 
 

@@ -369,3 +369,157 @@ def test_session16_queries_on_empty_corpus(ray_session, tmp_path):
     res = qs["events_cusum_changepoint"](str(d))
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     assert len(df) == 0
+
+
+class TestLinkageFS:
+    def _ref_em(self, counts, iters=30, p=0.1, m0=0.9, u0=0.1):
+        """Independent scalar-loop EM (no numpy broadcasting tricks)."""
+        import math
+
+        k = 4
+        m = [m0] * k
+        u = [u0] * k
+        total = sum(counts)
+        for _ in range(iters):
+            wc = []
+            for g in range(16):
+                bits = [(g >> f) & 1 for f in range(k)]
+                pm = 1.0
+                pu = 1.0
+                for f in range(k):
+                    pm *= m[f] if bits[f] else 1.0 - m[f]
+                    pu *= u[f] if bits[f] else 1.0 - u[f]
+                num = p * pm
+                den = num + (1.0 - p) * pu
+                wc.append(num / den if den > 0 else 0.0)
+            s = sum(wc[g] * counts[g] for g in range(16))
+            p = s / total
+            eps = 1e-12
+            new_m, new_u = [], []
+            for f in range(k):
+                am = sum(
+                    wc[g] * counts[g] for g in range(16) if (g >> f) & 1
+                )
+                au = sum(
+                    (1.0 - wc[g]) * counts[g]
+                    for g in range(16)
+                    if (g >> f) & 1
+                )
+                new_m.append(min(max(am / max(s, eps), eps), 1.0 - eps))
+                new_u.append(
+                    min(max(au / max(total - s, eps), eps), 1.0 - eps)
+                )
+            m, u = new_m, new_u
+        return p, m, u
+
+    def test_em_matches_independent_reference(self, ray_session):
+        from libpostal_ray.pipelines.linkage import fs_em
+
+        rng = np.random.RandomState(3)
+        counts = rng.randint(0, 10_000, 16).astype(np.int64)
+        got = fs_em(counts).to_pandas()
+        p_ref, m_ref, u_ref = self._ref_em(counts.tolist())
+        # same fixed-order float64 recurrences -> tight agreement
+        assert abs(got.match_prior.iloc[0] - p_ref) < 1e-12
+        for f in range(4):
+            assert abs(got.m.iloc[f] - m_ref[f]) < 1e-12
+            assert abs(got.u.iloc[f] - u_ref[f]) < 1e-12
+
+    def test_em_separates_planted_match_class(self, ray_session):
+        from libpostal_ray.pipelines.linkage import fs_em
+
+        # 1000 "match" pairs agree on everything (pattern 15); 99000
+        # random pairs agree on each field with prob ~0.2 independently
+        rng = np.random.RandomState(5)
+        counts = np.zeros(16, dtype=np.int64)
+        pats = (
+            (rng.rand(99_000, 4) < 0.2).astype(np.int64)
+            * np.array([1, 2, 4, 8])
+        ).sum(axis=1)
+        np.add.at(counts, pats, 1)
+        counts[15] += 1000
+        got = fs_em(counts).to_pandas()
+        # the match class must show high m and low u on every field
+        assert (got.m > 0.8).all(), got
+        assert (got.u < 0.3).all(), got
+        assert (got.weight_agree > 1.0).all()
+
+    def test_agreement_patterns_planted(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import linkage_agreement_patterns
+
+        # 6 docs, dense ids; fields chosen so pair (0,1) agrees on all
+        # four (pattern 15), (1,2) agrees on nothing (pattern 0)
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+                "text": pa.array(
+                    ["alpha one", "alpha two", "beta zzz",
+                     "gamma", "gamma", "delta"],
+                    type=pa.string(),
+                ),
+                "lang": pa.array(
+                    ["en", "en", "fr", "de", "de", "de"], type=pa.string()
+                ),
+                "source": pa.array(
+                    ["web", "web", "api", "web", "web", "api"],
+                    type=pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [10, 20, 500, 64, 65, 1000], type=pa.int64()
+                ),
+            }
+        )
+        d = _write(tmp_path, "documents", docs)
+        got = linkage_agreement_patterns(d).to_pandas()
+        import duckdb
+
+        want = duckdb.sql(
+            f"""
+            WITH p AS (
+                SELECT (CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END)
+                + 2*(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+                + 4*(CASE WHEN a.n_chars // 64 = b.n_chars // 64
+                     THEN 1 ELSE 0 END)
+                + 8*(CASE WHEN substr(a.text,1,8) = substr(b.text,1,8)
+                     THEN 1 ELSE 0 END) AS pattern
+                FROM '{d}/documents.parquet' a
+                JOIN '{d}/documents.parquet' b
+                  ON b.doc_id - a.doc_id BETWEEN 1 AND 3
+            ) SELECT pattern, count(*) n FROM p GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        gd = dict(zip(got.pattern, got.n_pairs))
+        wd = dict(zip(want.pattern, want.n))
+        assert gd == wd
+
+    def test_cross_block_pairs(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.linkage import agreement_patterns
+        import ray.data
+
+        # tiny block size forces every pair across a block boundary
+        n = 40
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), type=pa.int64()),
+                "text": pa.array([f"t{i}" for i in range(n)]),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["web"] * n),
+                "n_chars": pa.array([10] * n, type=pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(docs)
+        got = agreement_patterns(ds, w=3, block=4).to_pandas()
+        # all pairs agree on lang+source+len (pattern 7 minus prefix bit);
+        # prefixes "t0".."t39" differ -> pattern 7; total pairs =
+        # (n-1)+(n-2)+(n-3)
+        assert len(got) == 1
+        assert int(got.pattern.iloc[0]) == 7
+        assert int(got.n_pairs.iloc[0]) == (n - 1) + (n - 2) + (n - 3)
+
+    def test_linkage_fs_em_row(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        out = entrymod.queries()["linkage_fs_em"](SF)
+        assert list(out.field) == ["lang", "source", "len_bucket", "prefix"]
+        assert ((out.m > 0) & (out.m < 1)).all()
+        assert ((out.u > 0) & (out.u < 1)).all()
