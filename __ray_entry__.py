@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_weighted_value": q.user_time_weighted_value,
         "events_cusum_changepoint": q.events_cusum_changepoint,
         "linkage_agreement_patterns": q.linkage_agreement_patterns,
+        # --- block 1f: new in round-4 session 17, never driver-checked;
+        # part of the round-5 rotation set ---
+        "source_length_ks": q.source_length_ks,
+        "events_mannwhitney": q.events_mannwhitney,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2845,5 +2849,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM p
             GROUP BY 1
+        """,
+    # exact two-sample KS: ks_num = max |cum_a*n_b - cum_b*n_a| over the
+    # union value grid (all BIGINT); ks_d is the one float both engines
+    # derive identically from the same exact ints
+    "source_length_ks": """
+            WITH c AS (SELECT source, n_chars v, count(*) cnt
+                       FROM documents GROUP BY 1, 2),
+                 srcs AS (SELECT source, sum(cnt) n FROM c GROUP BY 1),
+                 vals AS (SELECT DISTINCT v FROM c),
+                 grid AS (SELECT s.source, s.n, vals.v
+                          FROM srcs s CROSS JOIN vals),
+                 cums AS (
+                   SELECT g.source, g.n, g.v,
+                          sum(COALESCE(c.cnt, 0)) OVER (
+                              PARTITION BY g.source ORDER BY g.v) AS cum
+                   FROM grid g
+                   LEFT JOIN c ON c.source = g.source AND c.v = g.v
+                 )
+            SELECT source_a, source_b, n_a, n_b, ks_num,
+                   CAST(ks_num AS DOUBLE) / (n_a * n_b) AS ks_d
+            FROM (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+                     CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT)
+                         AS ks_num
+              FROM cums a JOIN cums b ON a.v = b.v AND a.source < b.source
+              GROUP BY 1, 2, 3, 4
+            )
+            ORDER BY 1, 2
+        """,
+    # exact Mann-Whitney U with DOUBLED midranks (2*below + ties + 1) so
+    # tie-corrected rank sums stay integer; u2_a + u2_b == 2*n_a*n_b
+    "events_mannwhitney": """
+            WITH e AS (SELECT event_type t,
+                              CAST(floor(CAST(value AS DOUBLE) * 1000)
+                                   AS BIGINT) v
+                       FROM events),
+                 c AS (SELECT t, v, count(*) cnt FROM e GROUP BY 1, 2),
+                 n AS (SELECT t, sum(cnt) n FROM c GROUP BY 1),
+                 vals AS (SELECT DISTINCT v FROM c),
+                 grid AS (SELECT n.t, n.n, vals.v FROM n CROSS JOIN vals),
+                 cums AS (
+                   SELECT g.t, g.n, g.v, COALESCE(c.cnt, 0) AS cnt,
+                          sum(COALESCE(c.cnt, 0)) OVER (
+                              PARTITION BY g.t ORDER BY g.v) AS cum
+                   FROM grid g LEFT JOIN c ON c.t = g.t AND c.v = g.v
+                 ),
+                 agg AS (
+                   SELECT a.t AS type_a, b.t AS type_b,
+                          CAST(a.n AS BIGINT) AS n_a,
+                          CAST(b.n AS BIGINT) AS n_b,
+                          CAST(sum(a.cnt * (2 * ((a.cum - a.cnt)
+                                                 + (b.cum - b.cnt))
+                                            + (a.cnt + b.cnt) + 1))
+                               AS BIGINT) AS r1x2
+                   FROM cums a JOIN cums b ON a.v = b.v AND a.t < b.t
+                   GROUP BY 1, 2, 3, 4
+                 )
+            SELECT type_a, type_b, n_a, n_b,
+                   2 * n_a * n_b + n_a * (n_a + 1) - r1x2 AS u2_a,
+                   2 * n_a * n_b
+                       - (2 * n_a * n_b + n_a * (n_a + 1) - r1x2) AS u2_b
+            FROM agg
+            ORDER BY 1, 2
         """,
     }

@@ -15552,3 +15552,204 @@ def linkage_fs_em(sf_dir: str) -> "pd.DataFrame":
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
     return linkage_fs(docs).to_pandas()
+
+
+def _group_value_counts(
+    ds: ray.data.Dataset, group_col: str, value_fn, P: int = 8
+) -> "pd.DataFrame":
+    """Exact (group, value, cnt) counts — the shared sufficient-statistic
+    pass for the rank/ECDF test operators (KS, Mann-Whitney): per-batch
+    partials over the (group, int value) cell space, ONE value%P
+    exchange to finish cells, then the CONSTANT-SIZE count table gathers
+    to the driver (bounded by #groups x #distinct values, independent of
+    row count — the same "partial-aggregate the sufficient statistics"
+    discipline as lineitem_corr_matrix)."""
+    import pandas as pd
+
+    EMPTY = pa.table(
+        {
+            "g": pa.nulls(0, pa.large_string()),
+            "v": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or group_col not in batch.column_names:
+            return EMPTY
+        g = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        v = value_fn(batch)
+        comp = np.asarray(
+            [f"{a}\x01{b}" for a, b in zip(g, v)], dtype=object
+        )
+        uk, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        ug = [c.split("\x01")[0] for c in uk]
+        uv = np.asarray([int(c.split("\x01")[1]) for c in uk], dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(ug, type=pa.large_string()),
+                "v": pa.array(uv),
+                "n": pa.array(cnt),
+                "part": pa.array(np.abs(uv) % P),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.nulls(0, pa.large_string()),
+                "v": pa.nulls(0, pa.int64()),
+                "n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "g" not in group.column_names:
+            return empty
+        g = np.asarray(group["g"].to_pylist(), dtype=object)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        comp = np.asarray(
+            [f"{a}\x01{b}" for a, b in zip(g, v)], dtype=object
+        )
+        uk, inv = np.unique(comp, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table(
+            {
+                "g": pa.array(
+                    [c.split("\x01")[0] for c in uk], type=pa.large_string()
+                ),
+                "v": pa.array(
+                    np.asarray(
+                        [int(c.split("\x01")[1]) for c in uk], dtype=np.int64
+                    )
+                ),
+                "n": pa.array(tot),
+            }
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "g" not in df.columns:
+        return pd.DataFrame({"g": [], "v": [], "n": []})
+    return df
+
+
+def _cum_count_matrix(df: "pd.DataFrame"):
+    """(group names sorted, union values sorted, per-group cumulative
+    count matrix, per-group totals) from a (g, v, n) count table."""
+    groups = sorted(df["g"].unique())
+    vals = np.unique(df["v"].to_numpy())
+    cnt = np.zeros((len(groups), vals.shape[0]), dtype=np.int64)
+    gi = {s: i for i, s in enumerate(groups)}
+    rows = np.asarray([gi[s] for s in df["g"]], dtype=np.int64)
+    cols = np.searchsorted(vals, df["v"].to_numpy())
+    cnt[rows, cols] = df["n"].to_numpy()
+    cum = np.cumsum(cnt, axis=1)
+    return groups, vals, cnt, cum, cum[:, -1] if vals.size else np.zeros(
+        len(groups), dtype=np.int64
+    )
+
+
+def source_length_ks(sf_dir: str) -> "pd.DataFrame":
+    """EXACT two-sample Kolmogorov-Smirnov statistic between every pair
+    of sources over the document-length distribution — the
+    distribution-drift screen ("is feed B producing the same length mix
+    as feed A?") with the division cleared: ks_num = max over x of
+    |cum_a(x)*n_b - cum_b(x)*n_a| is an exact BIGINT (D = ks_num /
+    (n_a*n_b), emitted as the one float both engines compute
+    identically from the same ints).
+
+    Scale posture: the distributed pass is _group_value_counts — the
+    cell table is #sources x #distinct lengths regardless of corpus
+    size; the pairwise max runs vectorized on that constant-size
+    matrix."""
+    import pandas as pd
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def val(batch: pa.Table) -> np.ndarray:
+        return batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+
+    cdf = _group_value_counts(docs, "source", val)
+    out = {
+        "source_a": [], "source_b": [], "n_a": [], "n_b": [],
+        "ks_num": [], "ks_d": [],
+    }
+    if len(cdf):
+        groups, vals, cnt, cum, tot = _cum_count_matrix(cdf)
+        if int(tot.max()) ** 2 >= 1 << 62:
+            raise ValueError("source_length_ks: n_a*n_b overflows int64")
+        for i, a in enumerate(groups):
+            for j in range(i + 1, len(groups)):
+                num = int(
+                    np.abs(cum[i] * tot[j] - cum[j] * tot[i]).max()
+                ) if vals.size else 0
+                out["source_a"].append(a)
+                out["source_b"].append(groups[j])
+                out["n_a"].append(int(tot[i]))
+                out["n_b"].append(int(tot[j]))
+                out["ks_num"].append(num)
+                out["ks_d"].append(num / (int(tot[i]) * int(tot[j])))
+    return pd.DataFrame(out).astype(
+        {"n_a": "int64", "n_b": "int64", "ks_num": "int64"}
+    )
+
+
+def events_mannwhitney(sf_dir: str) -> "pd.DataFrame":
+    """EXACT Mann-Whitney U between every pair of event types over
+    value (floor-milli ints) — the nonparametric "do two segments draw
+    from the same value distribution?" test with ALL arithmetic integer:
+    midranks are carried DOUBLED (2*rank_below + ties + 1), so the tied
+    rank sum r1x2 and both U statistics (also doubled: u2_a, u2_b with
+    u2_a + u2_b = 2*n_a*n_b) are exact BIGINTs.
+
+    Scale posture: same constant-size sufficient-statistic pass as
+    source_length_ks (#types x #distinct milli values cells); the
+    pairwise rank sums are dot products on that matrix."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def val(batch: pa.Table) -> np.ndarray:
+        return np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+
+    cdf = _group_value_counts(ev, "event_type", val)
+    out = {
+        "type_a": [], "type_b": [], "n_a": [], "n_b": [],
+        "u2_a": [], "u2_b": [],
+    }
+    if len(cdf):
+        groups, vals, cnt, cum, tot = _cum_count_matrix(cdf)
+        if int(tot.max()) ** 2 * 4 >= 1 << 62:
+            raise ValueError("events_mannwhitney: 2*n_a*n_b overflows int64")
+        for i, a in enumerate(groups):
+            for j in range(i + 1, len(groups)):
+                below = (cum[i] - cnt[i]) + (cum[j] - cnt[j])
+                r1x2 = int(
+                    (cnt[i] * (2 * below + cnt[i] + cnt[j] + 1)).sum()
+                ) if vals.size else 0
+                na, nb = int(tot[i]), int(tot[j])
+                u2a = 2 * na * nb + na * (na + 1) - r1x2
+                out["type_a"].append(a)
+                out["type_b"].append(groups[j])
+                out["n_a"].append(na)
+                out["n_b"].append(nb)
+                out["u2_a"].append(u2a)
+                out["u2_b"].append(2 * na * nb - u2a)
+    return pd.DataFrame(out).astype(
+        {"n_a": "int64", "n_b": "int64", "u2_a": "int64", "u2_b": "int64"}
+    )

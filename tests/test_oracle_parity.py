@@ -219,6 +219,8 @@ ORACLE_QUERIES = [
     "user_time_weighted_value",
     "events_cusum_changepoint",
     "linkage_agreement_patterns",
+    "source_length_ks",
+    "events_mannwhitney",
 ]
 
 

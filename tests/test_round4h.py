@@ -1,0 +1,192 @@
+"""Round-4 session-17 exact rank/ECDF test operators: two-sample
+Kolmogorov-Smirnov (source_length_ks) and tie-corrected Mann-Whitney U
+(events_mannwhitney) — both pinned against brute-force references that
+walk the raw rows (no shared code with the cell-count plan)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+DAY_US = 86_400_000_000
+
+
+def _docs(tmp_path, rows):
+    """rows: list of (doc_id, source, n_chars)."""
+    d = tmp_path / "sf_docs"
+    d.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array(["x" * r[2] for r in rows], type=pa.string()),
+            "lang": pa.array(["en"] * len(rows), type=pa.string()),
+            "source": pa.array([r[1] for r in rows], type=pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _events(tmp_path, rows):
+    """rows: list of (event_id, event_type, value)."""
+    d = tmp_path / "sf_events"
+    d.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [r[0] * DAY_US for r in rows], type=pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def _brute_ks(samples: dict[str, np.ndarray]) -> pd.DataFrame:
+    """ECDF double loop over raw values (independent of the cell plan)."""
+    out = []
+    names = sorted(samples)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            x, y = samples[a], samples[b]
+            grid = np.unique(np.concatenate((x, y)))
+            best = 0
+            for g in grid:
+                ca = int((x <= g).sum())
+                cb = int((y <= g).sum())
+                best = max(best, abs(ca * y.size - cb * x.size))
+            out.append(
+                (a, b, x.size, y.size, best, best / (x.size * y.size))
+            )
+    return pd.DataFrame(
+        out,
+        columns=["source_a", "source_b", "n_a", "n_b", "ks_num", "ks_d"],
+    )
+
+
+def _brute_u2(x: np.ndarray, y: np.ndarray) -> int:
+    """Doubled tie-corrected U1 via explicit midranks over raw rows."""
+    comb = np.concatenate((x, y))
+    r1x2 = 0
+    for v in x:
+        below = int((comb < v).sum())
+        ties = int((comb == v).sum())
+        r1x2 += 2 * below + ties + 1
+    return 2 * x.size * y.size + x.size * (x.size + 1) - r1x2
+
+
+class TestSourceLengthKS:
+    def test_planted(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import source_length_ks
+
+        rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4])] + [
+            (10 + i, "b", v) for i, v in enumerate([3, 4, 5, 6])
+        ]
+        out = source_length_ks(_docs(tmp_path, rows))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r.source_a, r.source_b) == ("a", "b")
+        # cum diffs x4 peak at 2 -> num 8, D = 0.5
+        assert int(r.ks_num) == 8 and float(r.ks_d) == 0.5
+
+    def test_identical_distributions_zero(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import source_length_ks
+
+        rows = [(i, "a", (i % 5) + 1) for i in range(10)] + [
+            (100 + i, "b", (i % 5) + 1) for i in range(10)
+        ]
+        out = source_length_ks(_docs(tmp_path, rows))
+        assert int(out.ks_num.iloc[0]) == 0
+
+    def test_random_vs_brute(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import source_length_ks
+
+        rng = np.random.default_rng(7)
+        rows = []
+        samples = {}
+        i = 0
+        for s, lo, hi, n in (
+            ("s1", 1, 40, 60),
+            ("s2", 10, 60, 45),
+            ("s3", 1, 15, 30),
+        ):
+            vals = rng.integers(lo, hi, size=n)
+            samples[s] = vals.astype(np.int64)
+            for v in vals:
+                rows.append((i, s, int(v)))
+                i += 1
+        out = source_length_ks(_docs(tmp_path, rows)).reset_index(drop=True)
+        ref = _brute_ks(samples)
+        pd.testing.assert_frame_equal(
+            out, ref, check_dtype=False, check_exact=True
+        )
+
+
+class TestEventsMannWhitney:
+    def test_planted_with_ties(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_mannwhitney
+
+        # a: [1, 2, 2]; b: [2, 3] (milli 1000/2000/3000)
+        rows = [
+            (0, "a", 1.0),
+            (1, "a", 2.0),
+            (2, "a", 2.0),
+            (3, "b", 2.0),
+            (4, "b", 3.0),
+        ]
+        out = events_mannwhitney(_events(tmp_path, rows))
+        assert len(out) == 1
+        r = out.iloc[0]
+        x = np.array([1000, 2000, 2000])
+        y = np.array([2000, 3000])
+        assert int(r.u2_a) == _brute_u2(x, y)
+        assert int(r.u2_a) + int(r.u2_b) == 2 * 3 * 2
+
+    def test_random_vs_brute(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_mannwhitney
+
+        rng = np.random.default_rng(11)
+        types = ["t1", "t2", "t3"]
+        rows = []
+        vals = {t: [] for t in types}
+        i = 0
+        for t in types:
+            for _ in range(rng.integers(20, 40)):
+                v = float(rng.integers(0, 25)) / 4.0  # many exact ties
+                vals[t].append(np.int64(np.floor(v * 1000)))
+                rows.append((i, t, v))
+                i += 1
+        out = events_mannwhitney(_events(tmp_path, rows))
+        for _, r in out.iterrows():
+            x = np.array(vals[r.type_a])
+            y = np.array(vals[r.type_b])
+            assert int(r.u2_a) == _brute_u2(x, y), (r.type_a, r.type_b)
+            assert int(r.u2_a) + int(r.u2_b) == 2 * x.size * y.size
+
+
+def test_session17_queries_on_empty_corpus(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in ("events", "documents"):
+        schema = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    qs = entrymod.queries()
+    for name in ("source_length_ks", "events_mannwhitney"):
+        res = qs[name](str(d))
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        assert len(df) == 0, (name, df.head())
