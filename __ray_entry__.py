@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_kcore": q.doc_graph_kcore,
         # EM fixpoint over exact pattern counts (not SQL-expressible)
         "linkage_fs_em": q.linkage_fs_em,
+        # iterative graph primitive #6 (locally-dominant greedy matching)
+        "doc_graph_matching": q.doc_graph_matching,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

@@ -987,3 +987,245 @@ def coreness(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# maximal matching (locally-dominant edges) — iterative primitive #6
+# ---------------------------------------------------------------------------
+
+def _dominant_edges(
+    mw: np.ndarray, mu: np.ndarray, mv: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Given each node's MIN incident edge under the (w, u, v) total
+    order, the locally-dominant edges are exactly those chosen by BOTH
+    endpoints — they appear twice in the per-node minima.  Detected by
+    adjacent duplicates after a (w, u, v) lexsort (no composite-key
+    overflow risk)."""
+    order = np.lexsort((mv, mu, mw))
+    sw, su, sv = mw[order], mu[order], mv[order]
+    dup = (
+        (sw[1:] == sw[:-1]) & (su[1:] == su[:-1]) & (sv[1:] == sv[:-1])
+    )
+    i = np.flatnonzero(dup)
+    return sw[i], su[i], sv[i]
+
+
+def _match_rounds(
+    u: np.ndarray, v: np.ndarray, w: np.ndarray, max_rounds: int
+) -> pa.Table:
+    """In-memory vectorized locally-dominant matching — equals the
+    SEQUENTIAL greedy matching under the strict total order (w, u, v)
+    (Preis-style local-max: an edge minimal at both endpoints is always
+    greedy-chosen, and removing all such edges plus their neighbors
+    preserves the invariant).  Guaranteed progress every round (the
+    globally minimal live edge is always dominant), so rounds <=
+    matching size; pseudo-random weights finish in O(log m) rounds —
+    an adversarial sorted chain degrades to one match per round, same
+    caveat class as the coreness cascade."""
+    out_u: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    out_w: list[np.ndarray] = []
+    for _ in range(max_rounds):
+        if u.size == 0:
+            break
+        comp = np.concatenate((u, v))
+        ww = np.concatenate((w, w))
+        uu = np.concatenate((u, u))
+        vv = np.concatenate((v, v))
+        _, mw, mu, mv = _min_edge_per_comp(comp, ww, uu, vv)
+        dw, du, dv = _dominant_edges(mw, mu, mv)
+        out_u.append(du)
+        out_v.append(dv)
+        out_w.append(dw)
+        dead = np.unique(np.concatenate((du, dv)))
+        alive = ~(
+            np.isin(u, dead, assume_unique=False)
+            | np.isin(v, dead, assume_unique=False)
+        )
+        u, v, w = u[alive], v[alive], w[alive]
+    else:
+        raise RuntimeError(
+            f"maximal_matching did not converge in {max_rounds} rounds"
+        )
+    if out_u:
+        au = np.concatenate(out_u)
+        av = np.concatenate(out_v)
+        aw = np.concatenate(out_w)
+        order = np.lexsort((av, au, aw))
+        au, av, aw = au[order], av[order], aw[order]
+    else:
+        au = av = aw = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "u": pa.array(au, type=pa.int64()),
+            "v": pa.array(av, type=pa.int64()),
+            "w": pa.array(aw, type=pa.int64()),
+        }
+    )
+
+
+def maximal_matching(
+    edges: ray.data.Dataset,
+    *,
+    max_rounds: int = 4096,
+    local_max_edges: int = MST_LOCAL_MAX,
+) -> ray.data.Dataset:
+    """GREEDY MAXIMAL MATCHING over an undirected weighted edge list
+    (u, v, w) int64 — the "pair every near-dup doc with its single best
+    partner" primitive (dedup keep/drop arbitration, one-to-one record
+    linkage assignment).  Output = the matching the SEQUENTIAL greedy
+    algorithm produces under the strict total order (w, u, v), computed
+    in parallel rounds of locally-dominant edges (an edge minimal at
+    BOTH endpoints is greedy-safe; all such edges are independent).
+
+    Distributed plan per round (edges never reshuffle — same posture as
+    boruvka_mst):
+
+      * matched-vertex set broadcast by ref (8 B/matched node, <= n
+        total across all rounds);
+      * edge blocks stream a stateless map: drop edges touching matched
+        vertices, emit per-NODE (node, w, u, v) block minima — the
+        associative per-batch combiner (node plays boruvka's comp);
+      * ONE gather merges partials to final per-node minima; edges
+        appearing twice (chosen by both endpoints) are this round's
+        matches.
+
+    Hybrid crossover: edge sets under ``local_max_edges`` run the
+    identical vectorized rounds in one remote task; outputs identical.
+    """
+    edges = edges.select_columns(["u", "v", "w"]).materialize()
+    edge_refs = edges.to_arrow_refs()
+    n_edges = edges.count()
+    EMPTY = pa.table(
+        {
+            "u": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "w": pa.nulls(0, pa.int64()),
+        }
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(EMPTY)
+
+    if n_edges <= local_max_edges:
+
+        @ray.remote
+        def _local(*blocks: pa.Table) -> pa.Table:
+            live = [b for b in blocks if b.num_rows and "u" in b.column_names]
+            u = np.concatenate(
+                [b["u"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            v = np.concatenate(
+                [b["v"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            w = np.concatenate(
+                [b["w"].to_numpy(zero_copy_only=False) for b in live]
+            ).astype(np.int64)
+            return _match_rounds(u, v, w, max_rounds)
+
+        return ray.data.from_arrow_refs([_local.remote(*edge_refs)])
+
+    # ---- distributed rounds ----
+    matched = np.empty(0, dtype=np.int64)  # sorted matched-vertex ids
+    chosen: list[pa.Table] = []
+
+    @ray.remote
+    def _gather_round(*parts: pa.Table):
+        live = [p for p in parts if p.num_rows and "node" in p.column_names]
+        if not live:
+            return None
+        nodev = np.concatenate(
+            [p["node"].to_numpy(zero_copy_only=False) for p in live]
+        )
+        w = np.concatenate([p["w"].to_numpy(zero_copy_only=False) for p in live])
+        u = np.concatenate([p["u"].to_numpy(zero_copy_only=False) for p in live])
+        v = np.concatenate([p["v"].to_numpy(zero_copy_only=False) for p in live])
+        _, mw, mu, mv = _min_edge_per_comp(nodev, w, u, v)
+        dw, du, dv = _dominant_edges(mw, mu, mv)
+        if du.size == 0:
+            return None
+        return pa.table(
+            {
+                "u": pa.array(du, type=pa.int64()),
+                "v": pa.array(dv, type=pa.int64()),
+                "w": pa.array(dw, type=pa.int64()),
+            }
+        )
+
+    for _ in range(max_rounds):
+        matched_ref = ray.put(matched)
+
+        def partial_min(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "node": pa.nulls(0, pa.int64()),
+                    "w": pa.nulls(0, pa.int64()),
+                    "u": pa.nulls(0, pa.int64()),
+                    "v": pa.nulls(0, pa.int64()),
+                }
+            )
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return empty
+            dead = ray.get(matched_ref)
+            bu = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bv = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bw = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if dead.size:
+                iu = np.searchsorted(dead, bu)
+                iv = np.searchsorted(dead, bv)
+                du = (iu < dead.size) & (dead[np.minimum(iu, dead.size - 1)] == bu)
+                dv = (iv < dead.size) & (dead[np.minimum(iv, dead.size - 1)] == bv)
+                m = ~(du | dv)
+                bu, bv, bw = bu[m], bv[m], bw[m]
+            if bu.size == 0:
+                return empty
+            comp = np.concatenate((bu, bv))
+            ww = np.concatenate((bw, bw))
+            uu = np.concatenate((bu, bu))
+            vv = np.concatenate((bv, bv))
+            c, w_, u_, v_ = _min_edge_per_comp(comp, ww, uu, vv)
+            return pa.table(
+                {
+                    "node": pa.array(c),
+                    "w": pa.array(w_),
+                    "u": pa.array(u_),
+                    "v": pa.array(v_),
+                }
+            )
+
+        part_refs = (
+            edges.map_batches(partial_min, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        tbl = ray.get(_gather_round.remote(*part_refs))
+        if tbl is None:
+            break
+        chosen.append(tbl)
+        newly = np.concatenate(
+            (
+                tbl["u"].to_numpy(zero_copy_only=False),
+                tbl["v"].to_numpy(zero_copy_only=False),
+            )
+        )
+        matched = np.unique(np.concatenate((matched, newly)))
+    else:
+        raise RuntimeError(
+            f"maximal_matching did not converge in {max_rounds} rounds"
+        )
+
+    if not chosen:
+        return ray.data.from_arrow(EMPTY)
+    allt = pa.concat_tables(chosen)
+    u = allt["u"].to_numpy(zero_copy_only=False)
+    v = allt["v"].to_numpy(zero_copy_only=False)
+    w = allt["w"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u, w))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(u[order], type=pa.int64()),
+                "v": pa.array(v[order], type=pa.int64()),
+                "w": pa.array(w[order], type=pa.int64()),
+            }
+        )
+    )

@@ -15753,3 +15753,30 @@ def events_mannwhitney(sf_dir: str) -> "pd.DataFrame":
     return pd.DataFrame(out).astype(
         {"n_a": "int64", "n_b": "int64", "u2_a": "int64", "u2_b": "int64"}
     )
+
+
+def doc_graph_matching(sf_dir: str) -> ray.data.Dataset:
+    """Greedy maximal matching of the weighted document graph — the
+    "pair each doc with its single best partner" arbitration (one-to-one
+    keep/drop assignment over near-dup candidates).  Output equals the
+    SEQUENTIAL greedy matching under the strict total order (w, u, v),
+    computed in parallel locally-dominant rounds — see
+    pipelines/graph.maximal_matching for the per-round plan (per-node
+    block minima as the combiner, matched-vertex set broadcast, edges
+    never reshuffle).  Rows-only (iterated matching is not
+    SQL-expressible); pinned against an in-test sequential greedy."""
+    from libpostal_ray.pipelines.graph import maximal_matching
+
+    edges, n = _doc_graph_edges(sf_dir)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.table(
+                {"u": pa.nulls(0, pa.int64()), "v": pa.nulls(0, pa.int64()),
+                 "w": pa.nulls(0, pa.int64())}
+            )
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return batch.append_column("w", pa.array((u * 31 + v * 7) % 97 + 1))
+
+    return maximal_matching(edges.map_batches(weigh, batch_format="pyarrow"))

@@ -307,6 +307,7 @@ ROWS_ONLY = [
     "doc_graph_mst",
     "doc_graph_kcore",
     "linkage_fs_em",
+    "doc_graph_matching",
 ]
 
 

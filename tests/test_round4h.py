@@ -190,3 +190,115 @@ def test_session17_queries_on_empty_corpus(ray_session, tmp_path):
         res = qs[name](str(d))
         df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
         assert len(df) == 0, (name, df.head())
+
+
+def _seq_greedy_matching(u, v, w):
+    """Reference: sequential greedy under the (w, u, v) total order."""
+    order = np.lexsort((v, u, w))
+    used = set()
+    out = []
+    for i in order:
+        a, b = int(u[i]), int(v[i])
+        if a in used or b in used:
+            continue
+        used.add(a)
+        used.add(b)
+        out.append((int(w[i]), int(u[i]), int(v[i])))
+    return sorted(out)
+
+
+def _rand_graph(rng, n, m):
+    u = rng.integers(0, n, m).astype(np.int64)
+    v = rng.integers(0, n, m).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    key = lo * np.int64(n + 1) + hi
+    _, idx = np.unique(key, return_index=True)
+    u, v = lo[idx], hi[idx]
+    w = ((u * 13 + v * 29) % 53 + 1).astype(np.int64)
+    return u, v, w
+
+
+class TestMaximalMatching:
+    def _run(self, ray_session, u, v, w, local):
+        import ray as _ray
+        from libpostal_ray.pipelines.graph import maximal_matching
+
+        ds = _ray.data.from_arrow(
+            pa.table(
+                {"u": pa.array(u), "v": pa.array(v), "w": pa.array(w)}
+            )
+        ).repartition(4)
+        got = maximal_matching(
+            ds, local_max_edges=(10**9 if local else 0)
+        ).to_pandas()
+        return sorted(
+            zip(got.w.astype(int), got.u.astype(int), got.v.astype(int))
+        )
+
+    def test_matches_sequential_greedy_both_paths(self, ray_session):
+        rng = np.random.default_rng(23)
+        for trial in range(6):
+            n = int(rng.integers(8, 200))
+            m = int(rng.integers(n, 5 * n))
+            u, v, w = _rand_graph(rng, n, m)
+            if u.size == 0:
+                continue
+            ref = _seq_greedy_matching(u, v, w)
+            for local in (True, False):
+                got = self._run(ray_session, u, v, w, local)
+                assert got == ref, (trial, local)
+
+    def test_matching_is_maximal_and_valid(self, ray_session):
+        rng = np.random.default_rng(31)
+        u, v, w = _rand_graph(rng, 120, 400)
+        got = self._run(ray_session, u, v, w, True)
+        used = set()
+        for _, a, b in got:
+            assert a not in used and b not in used  # a matching
+            used.add(a)
+            used.add(b)
+        # maximal: every edge touches a matched vertex
+        for a, b in zip(u, v):
+            assert int(a) in used or int(b) in used
+
+    def test_adversarial_sorted_chain(self, ray_session):
+        # strictly increasing weights along a path: one match per round
+        n = 24
+        u = np.arange(n - 1, dtype=np.int64)
+        v = np.arange(1, n, dtype=np.int64)
+        w = np.arange(1, n, dtype=np.int64)
+        ref = _seq_greedy_matching(u, v, w)
+        for local in (True, False):
+            got = self._run(ray_session, u, v, w, local)
+            assert got == ref
+
+    def test_empty(self, ray_session, tmp_path):
+        import __ray_entry__ as entrymod
+
+        d = tmp_path / "sf_empty2"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/documents.parquet")
+        pq.write_table(schema.empty_table(), str(d / "documents.parquet"))
+        res = entrymod.queries()["doc_graph_matching"](str(d))
+        assert len(res.to_pandas()) == 0
+
+    def test_on_corpus(self, ray_session):
+        from libpostal_ray.pipelines.queries import (
+            _doc_graph_edges,
+            doc_graph_matching,
+        )
+
+        got = doc_graph_matching(SF).to_pandas()
+        edges, _ = _doc_graph_edges(SF)
+        et = edges.to_pandas()
+        u = et.u.to_numpy().astype(np.int64)
+        v = et.v.to_numpy().astype(np.int64)
+        w = ((u * 31 + v * 7) % 97 + 1).astype(np.int64)
+        ref = _seq_greedy_matching(u, v, w)
+        assert (
+            sorted(zip(got.w.astype(int), got.u.astype(int),
+                       got.v.astype(int)))
+            == ref
+        )
