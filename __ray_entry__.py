@@ -291,6 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_fs_em": q.linkage_fs_em,
         # iterative graph primitive #6 (locally-dominant greedy matching)
         "doc_graph_matching": q.doc_graph_matching,
+        # Poisson bootstrap (one-pass B-replicate resampling, exact int
+        # sufficient statistics; the resampling loop is not SQL)
+        "events_bootstrap_ci": q.events_bootstrap_ci,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

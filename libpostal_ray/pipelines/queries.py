@@ -15780,3 +15780,123 @@ def doc_graph_matching(sf_dir: str) -> ray.data.Dataset:
         return batch.append_column("w", pa.array((u * 31 + v * 7) % 97 + 1))
 
     return maximal_matching(edges.map_batches(weigh, batch_format="pyarrow"))
+
+
+# Poisson(1) inverse-CDF table (float64 cumsum of e^-1/k!) — weights
+# above 16 have probability < 1e-14 per draw; the table is the spec.
+_POIS1_CDF = np.cumsum(
+    np.exp(-1.0) / np.cumprod(np.concatenate(([1.0], np.arange(1.0, 17.0))))
+)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 (the repo's stateless-randomness
+    workhorse — same mixer as functions/hll.py)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _poisson1_weights(ids: np.ndarray, b: int, B: int) -> np.ndarray:
+    """Deterministic Poisson(1) draw per (event_id, replicate): u from
+    splitmix64(id*B + b) scaled to [0,1), inverted through the CDF
+    table.  A pure function of the row id — any block layout, any
+    engine, same weights (the Lehmer-hash discipline of
+    stratified_sample, lifted to resampling)."""
+    h = _splitmix64(ids.astype(np.uint64) * np.uint64(B) + np.uint64(b))
+    u = h.astype(np.float64) / 18446744073709551616.0  # / 2^64
+    return np.searchsorted(_POIS1_CDF, u).astype(np.int64)
+
+
+def events_bootstrap_ci(
+    sf_dir: str, B: int = 200, q_lo: float = 0.025, q_hi: float = 0.975
+) -> "pd.DataFrame":
+    """PERCENTILE BOOTSTRAP confidence interval for the mean event value
+    (milli ints) via the POISSON BOOTSTRAP — the web-scale resampling
+    method (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams"): instead of materializing B resamples, every row
+    contributes an independent Poisson(1) weight to each replicate, so
+    ONE streaming pass accumulates all B weighted (sum, count) pairs as
+    exact int64s.  Replicate means are then B float divisions of exact
+    ints and the CI is an order statistic (quantile_disc semantics:
+    index ceil(q*B)-1) — deterministic end to end, any block layout.
+
+    Scale posture: the exchange is 3 int64s x (B+1) keys per batch
+    regardless of row count; weights derive from splitmix64(event_id),
+    so no RNG state crosses tasks.  Rows-only (the resampling loop is
+    not SQL-expressible); pinned against an independent single-process
+    scalar implementation of the identical scheme in tests."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "b": pa.nulls(0, pa.int64()),
+            "s": pa.nulls(0, pa.int64()),
+            "c": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_id" not in batch.column_names:
+            return EMPTY
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        milli = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        if ids.size and int(np.abs(milli).max()) > 1 << 40:
+            raise ValueError("events_bootstrap_ci: milli values too large")
+        bs = np.empty(B + 1, dtype=np.int64)
+        ss = np.empty(B + 1, dtype=np.int64)
+        cs = np.empty(B + 1, dtype=np.int64)
+        for b in range(B):
+            w = _poisson1_weights(ids, b, B)
+            bs[b] = b
+            ss[b] = int((w * milli).sum())
+            cs[b] = int(w.sum())
+        # the b = -1 row carries the plain (unweighted) moments
+        bs[B] = -1
+        ss[B] = int(milli.sum())
+        cs[B] = ids.size
+        return pa.table(
+            {"b": pa.array(bs), "s": pa.array(ss), "c": pa.array(cs)}
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum(["s", "c"])
+        .to_pandas()
+    )
+    out = {
+        "n": [], "n_replicates": [], "mean_milli": [],
+        "ci_lo_milli": [], "ci_hi_milli": [],
+    }
+    if len(agg):
+        agg = agg.rename(
+            columns={"sum(s)": "s", "sum(c)": "c"}
+        )
+        plain = agg[agg.b == -1]
+        reps = agg[agg.b >= 0].sort_values("b")
+        n = int(plain.c.iloc[0])
+        if n > 0:
+            means = np.sort(
+                reps.s.to_numpy().astype(np.float64)
+                / np.maximum(reps.c.to_numpy().astype(np.float64), 1.0)
+            )
+            ilo = max(int(np.ceil(q_lo * B)) - 1, 0)
+            ihi = max(int(np.ceil(q_hi * B)) - 1, 0)
+            out["n"].append(n)
+            out["n_replicates"].append(B)
+            out["mean_milli"].append(float(plain.s.iloc[0]) / n)
+            out["ci_lo_milli"].append(float(means[ilo]))
+            out["ci_hi_milli"].append(float(means[ihi]))
+    return pd.DataFrame(out).astype(
+        {"n": "int64", "n_replicates": "int64"}
+    )

@@ -308,6 +308,7 @@ ROWS_ONLY = [
     "doc_graph_kcore",
     "linkage_fs_em",
     "doc_graph_matching",
+    "events_bootstrap_ci",
 ]
 
 

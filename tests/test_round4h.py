@@ -302,3 +302,85 @@ class TestMaximalMatching:
                        got.v.astype(int)))
             == ref
         )
+
+
+class TestPoissonBootstrap:
+    def _ref(self, ids, milli, B, q_lo=0.025, q_hi=0.975):
+        """Independent scalar implementation of the identical scheme
+        (pure-python splitmix64, per-row inverse-CDF loop)."""
+        import math
+
+        MASK = (1 << 64) - 1
+        cdf = []
+        acc = 0.0
+        fact = 1.0
+        for k in range(17):
+            if k:
+                fact *= k
+            acc += math.exp(-1.0) / fact
+            cdf.append(acc)
+
+        def mix(x):
+            z = (x + 0x9E3779B97F4A7C15) & MASK
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+            return z ^ (z >> 31)
+
+        def w(i, b):
+            u = mix(i * B + b) / 2.0**64
+            for k, c in enumerate(cdf):
+                if u < c:
+                    return k
+            return len(cdf)
+
+        means = []
+        for b in range(B):
+            s = c = 0
+            for i, m in zip(ids, milli):
+                wt = w(i, b)
+                s += wt * m
+                c += wt
+            means.append(s / max(c, 1.0))
+        means.sort()
+        ilo = max(int(np.ceil(q_lo * B)) - 1, 0)
+        ihi = max(int(np.ceil(q_hi * B)) - 1, 0)
+        return (
+            sum(milli) / len(ids), means[ilo], means[ihi]
+        )
+
+    def test_matches_scalar_reference(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_bootstrap_ci
+
+        rng = np.random.default_rng(3)
+        n, B = 240, 40
+        vals = (rng.integers(0, 5000) / 10.0 for _ in range(n))
+        rows = [(i, "t", float(v)) for i, v in enumerate(vals)]
+        d = _events(tmp_path, rows)
+        out = events_bootstrap_ci(d, B=B)
+        assert len(out) == 1
+        ids = [r[0] for r in rows]
+        milli = [int(np.floor(r[2] * 1000.0)) for r in rows]
+        mean, lo, hi = self._ref(ids, milli, B)
+        r = out.iloc[0]
+        assert int(r.n) == n and int(r.n_replicates) == B
+        assert float(r.mean_milli) == mean
+        assert float(r.ci_lo_milli) == lo
+        assert float(r.ci_hi_milli) == hi
+
+    def test_ci_brackets_mean_and_orders(self, ray_session):
+        from libpostal_ray.pipelines.queries import events_bootstrap_ci
+
+        out = events_bootstrap_ci(SF, B=100)
+        r = out.iloc[0]
+        assert r.ci_lo_milli <= r.mean_milli <= r.ci_hi_milli
+        # CI is materially narrower than the value range
+        assert (r.ci_hi_milli - r.ci_lo_milli) < 0.5 * r.mean_milli
+
+    def test_empty(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_bootstrap_ci
+
+        d = tmp_path / "sf_empty3"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+        assert len(events_bootstrap_ci(str(d), B=20)) == 0
