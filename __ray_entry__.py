@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Poisson bootstrap (one-pass B-replicate resampling, exact int
         # sufficient statistics; the resampling loop is not SQL)
         "events_bootstrap_ci": q.events_bootstrap_ci,
+        # exact-integer PAVA (pooling recursion is not SQL)
+        "events_isotonic_daily": q.events_isotonic_daily,
         # the embedding_dups SCALE plan forced on (approximate by design:
         # bucketed LSH pair emission; the exact brute plan is the oracle row)
         "embedding_dups_bucketed": lambda d: q.embedding_dups(d, brute_max=0),

@@ -15900,3 +15900,120 @@ def events_bootstrap_ci(
     return pd.DataFrame(out).astype(
         {"n": "int64", "n_replicates": "int64"}
     )
+
+
+def events_isotonic_daily(sf_dir: str) -> ray.data.Dataset:
+    """ISOTONIC (non-decreasing L2) regression of the daily mean value
+    series — the shape-constrained trend fit ("is activity value
+    trending up, and what is the best monotone approximation?").  The
+    pool-adjacent-violators solution is computed with EXACT arithmetic:
+    pools carry integer (milli-sum, count) and every pooling decision
+    compares means by cross-multiplication of Python ints (no float
+    enters until the final per-pool division), so the fit is
+    deterministic on any engine and any block layout.
+
+    Physical plan: per-batch (day, sum, count) partials bound the
+    exchange by active days per batch (the cusum discipline); ONE final
+    group runs PAVA over the merged day series — days are
+    dimension-cardinality, so the sequential stack scan is constant
+    work.  Rows-only (the pooling recursion is not SQL-expressible);
+    pinned against TWO independent references in tests (Fraction stack
+    PAVA and the max-min minimax formula)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    DAY_US = np.int64(86_400_000_000)
+
+    EMPTY_OUT = pa.table(
+        {
+            "day_idx": pa.nulls(0, pa.int64()),
+            "n_events": pa.nulls(0, pa.int64()),
+            "pool_start": pa.nulls(0, pa.int64()),
+            "iso_milli": pa.nulls(0, pa.float64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.table(
+                {
+                    "day": pa.nulls(0, pa.int64()),
+                    "s": pa.nulls(0, pa.int64()),
+                    "c": pa.nulls(0, pa.int64()),
+                    "g": pa.nulls(0, pa.int64()),
+                }
+            )
+        ts_col = batch["ts"]
+        ts = (
+            ts_col.combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            if isinstance(ts_col, pa.ChunkedArray)
+            else ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        d = np.asarray(ts, dtype=np.int64) // DAY_US
+        milli = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(ud.shape[0], dtype=np.int64)
+        c = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(s, inv, milli)
+        np.add.at(c, inv, 1)
+        return pa.table(
+            {
+                "day": pa.array(ud),
+                "s": pa.array(s),
+                "c": pa.array(c),
+                "g": pa.array(np.zeros(ud.shape[0], dtype=np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "day" not in group.column_names:
+            return EMPTY_OUT
+        d = group["day"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        S = np.zeros(ud.shape[0], dtype=np.int64)
+        C = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(S, inv, s)
+        np.add.at(C, inv, c)
+        d0 = int(ud.min())
+        # PAVA stack over (start_idx, S, C) pools — PYTHON ints so the
+        # cross-multiplied mean comparisons are exact at any magnitude
+        pools: list[list[int]] = []
+        for i in range(ud.shape[0]):
+            pools.append([i, int(S[i]), int(C[i])])
+            while (
+                len(pools) > 1
+                and pools[-2][1] * pools[-1][2]
+                >= pools[-1][1] * pools[-2][2]
+            ):
+                b = pools.pop()
+                pools[-1][1] += b[1]
+                pools[-1][2] += b[2]
+        day_idx = (ud - d0).astype(np.int64)
+        iso = np.empty(ud.shape[0], dtype=np.float64)
+        pstart = np.empty(ud.shape[0], dtype=np.int64)
+        bounds = [p[0] for p in pools] + [ud.shape[0]]
+        for k, p in enumerate(pools):
+            lo, hi = bounds[k], bounds[k + 1]
+            iso[lo:hi] = p[1] / p[2]
+            pstart[lo:hi] = day_idx[lo]
+        return pa.table(
+            {
+                "day_idx": pa.array(day_idx),
+                "n_events": pa.array(C),
+                "pool_start": pa.array(pstart),
+                "iso_milli": pa.array(iso),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(kernel, batch_format="pyarrow")
+        .sort("day_idx")
+    )

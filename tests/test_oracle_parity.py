@@ -309,6 +309,7 @@ ROWS_ONLY = [
     "linkage_fs_em",
     "doc_graph_matching",
     "events_bootstrap_ci",
+    "events_isotonic_daily",
 ]
 
 

@@ -384,3 +384,121 @@ class TestPoissonBootstrap:
         schema = pq.read_schema(f"{SF}/events.parquet")
         pq.write_table(schema.empty_table(), str(d / "events.parquet"))
         assert len(events_bootstrap_ci(str(d), B=20)) == 0
+
+
+class TestIsotonicDaily:
+    def _ref_pava(self, s, c):
+        """Independent Fraction-based stack PAVA."""
+        from fractions import Fraction
+
+        pools = []
+        for i in range(len(s)):
+            pools.append([i, Fraction(s[i]), c[i]])
+            while len(pools) > 1 and (
+                pools[-2][1] / pools[-2][2] >= pools[-1][1] / pools[-1][2]
+            ):
+                b = pools.pop()
+                pools[-1][1] += b[1]
+                pools[-1][2] += b[2]
+        iso = [None] * len(s)
+        bounds = [p[0] for p in pools] + [len(s)]
+        for k, p in enumerate(pools):
+            for i in range(bounds[k], bounds[k + 1]):
+                iso[i] = p[1] / p[2]
+        return iso
+
+    def _ref_minimax(self, s, c):
+        """Second independent reference: iso(k) = max_{i<=k} min_{j>=i}
+        avg(v[i..j]) with exact Fractions."""
+        from fractions import Fraction
+
+        n = len(s)
+        out = []
+        for k in range(n):
+            best = None
+            for i in range(k + 1):
+                worst = None
+                for j in range(i, n):
+                    a = Fraction(sum(s[i : j + 1]), sum(c[i : j + 1]))
+                    if worst is None or a < worst:
+                        worst = a
+                if best is None or worst > best:
+                    best = worst
+            out.append(best)
+        return out
+
+    def _run(self, tmp_path, day_vals):
+        """day_vals: list of (day, value) event rows."""
+        from libpostal_ray.pipelines.queries import events_isotonic_daily
+
+        rows = [
+            (i, "t", float(v)) for i, (d, v) in enumerate(day_vals)
+        ]
+        # _events uses event_id*DAY_US as ts; we need explicit days
+        d = tmp_path / "sf_iso"
+        d.mkdir(exist_ok=True)
+        t = pa.table(
+            {
+                "event_id": pa.array(
+                    list(range(len(day_vals))), type=pa.int64()
+                ),
+                "ts": pa.array(
+                    [dv[0] * DAY_US for dv in day_vals],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(day_vals), type=pa.int64()),
+                "event_type": pa.array(["t"] * len(day_vals)),
+                "value": pa.array(
+                    [float(dv[1]) for dv in day_vals], type=pa.float64()
+                ),
+                "props": pa.array(["{}"] * len(day_vals)),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        return events_isotonic_daily(str(d)).to_pandas()
+
+    def test_vs_both_references(self, ray_session, tmp_path):
+        rng = np.random.default_rng(13)
+        day_vals = []
+        days = list(range(12))
+        for dday in days:
+            for _ in range(int(rng.integers(1, 5))):
+                day_vals.append((dday, int(rng.integers(0, 100))))
+        out = self._run(tmp_path, day_vals)
+        # exact day aggregates
+        s = [0] * len(days)
+        c = [0] * len(days)
+        for dday, v in day_vals:
+            s[dday] += int(np.floor(v * 1000.0))
+            c[dday] += 1
+        ref1 = self._ref_pava(s, c)
+        ref2 = self._ref_minimax(s, c)
+        assert ref1 == ref2  # the two references agree
+        got = out.sort_values("day_idx").iso_milli.to_numpy()
+        assert got.shape[0] == len(days)
+        for g, r in zip(got, ref1):
+            assert float(g) == r.numerator / r.denominator
+
+    def test_monotone_input_is_identity(self, ray_session, tmp_path):
+        day_vals = [(d, d * 10) for d in range(8)]
+        out = self._run(tmp_path, day_vals).sort_values("day_idx")
+        assert (out.iso_milli.to_numpy()
+                == np.arange(8) * 10_000.0).all()
+        assert (out.pool_start.to_numpy() == np.arange(8)).all()
+
+    def test_decreasing_input_pools_to_global_mean(
+        self, ray_session, tmp_path
+    ):
+        day_vals = [(d, 100 - d * 10) for d in range(5)]
+        out = self._run(tmp_path, day_vals)
+        assert (out.pool_start == 0).all()
+        assert np.allclose(out.iso_milli, out.iso_milli.iloc[0])
+
+    def test_empty(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_isotonic_daily
+
+        d = tmp_path / "sf_empty4"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+        assert len(events_isotonic_daily(str(d)).to_pandas()) == 0
