@@ -1371,6 +1371,124 @@ KA_GENERAL_RULES = _biscript_rules(
      "ოთხმოცდაათი": 90, "ასი": 100},
 )
 
+
+# ---------------------------------------------------------------------------
+# Final packs completing the reference's FULL dictionaries/ language list
+# (dictionaries/{ast,br,gd,gsw,lb,oc,pap} Latin minority languages and
+# dictionaries/{ja,zh,th,ur,si} non-Latin).  CJK/Thai/Sinhala caveat,
+# matching the reference's own phrase-dictionary model: entries match as
+# standalone word-bounded tokens (kanji numerals inside a larger Han run
+# deliberately do NOT fire — no segmenter here, none in scope); kana and
+# Thai keys still get latin_ascii twins (translit.py romanizes those
+# scripts), Han/Sinhala keys are native-only (latin_ascii passes them
+# through, so _biscript_rules skips the twin automatically).
+# ---------------------------------------------------------------------------
+
+AST_GENERAL_RULES: tuple[tuple[str, str], ...] = _word_rules({
+    "avda": "avenida", "tel": "telefonu",
+}) + tuple((rf"\b{w}\b", str(v)) for w, v in {
+    "dos": 2, "tres": 3, "cuatro": 4, "cinco": 5,
+    "seis": 6, "siete": 7, "ocho": 8, "nueve": 9, "diez": 10,
+    "venti": 20, "trenta": 30, "cuarenta": 40, "cincuenta": 50,
+    "sesenta": 60, "setenta": 70, "ochenta": 80, "noventa": 90,
+    "cien": 100,
+}.items())
+
+BR_GENERAL_RULES: tuple[tuple[str, str], ...] = _word_rules({
+    "str": "straed", "pgz": "pennger",
+}) + tuple((rf"\b{w}\b", str(v)) for w, v in {
+    "unan": 1, "daou": 2, "tri": 3, "pevar": 4, "pemp": 5,
+    "c'hwec'h": 6, "seizh": 7, "eizh": 8, "nav": 9, "dek": 10,
+    "ugent": 20, "tregont": 30, "kant": 100,
+}.items())
+
+GD_GENERAL_RULES: tuple[tuple[str, str], ...] = _word_rules({
+    "sr": "sràid", "fon": "fòn",
+}) + tuple((rf"\b{w}\b", str(v)) for w, v in {
+    "aon": 1, "dhà": 2, "dà": 2, "trì": 3, "ceithir": 4,
+    "còig": 5, "sia": 6, "seachd": 7, "ochd": 8, "naoi": 9,
+    "deich": 10, "fichead": 20, "ceud": 100,
+}.items())
+
+GSW_GENERAL_RULES: tuple[tuple[str, str], ...] = _word_rules({
+    "str": "strass",
+}) + tuple((rf"\b{w}\b", str(v)) for w, v in {
+    "eis": 1, "zwöi": 2, "drü": 3, "vier": 4, "föif": 5,
+    "sächs": 6, "sibe": 7, "acht": 8, "nün": 9, "zäh": 10,
+    "zwänzg": 20, "drissg": 30, "hundert": 100,
+}.items())
+
+LB_GENERAL_RULES: tuple[tuple[str, str], ...] = _word_rules({
+    "str": "strooss", "tel": "telefon",
+}) + tuple((rf"\b{w}\b", str(v)) for w, v in {
+    "eent": 1, "zwee": 2, "dräi": 3, "véier": 4, "fënnef": 5,
+    "sechs": 6, "siwen": 7, "aacht": 8, "néng": 9, "zéng": 10,
+    "zwanzeg": 20, "drësseg": 30, "honnert": 100,
+}.items())
+
+OC_GENERAL_RULES: tuple[tuple[str, str], ...] = _word_rules({
+    "av": "avenguda", "tel": "telefòn",
+}) + tuple((rf"\b{w}\b", str(v)) for w, v in {
+    "dos": 2, "tres": 3, "quatre": 4, "cinc": 5,
+    "sièis": 6, "sèt": 7, "uèch": 8, "nòu": 9, "dètz": 10,
+    "vint": 20, "trenta": 30, "quaranta": 40, "cinquanta": 50,
+    "seissanta": 60, "setanta": 70, "ochanta": 80, "nonanta": 90,
+    "cent": 100,
+}.items())
+
+PAP_GENERAL_RULES: tuple[tuple[str, str], ...] = _word_rules({
+    "tel": "telefon",
+}) + tuple((rf"\b{w}\b", str(v)) for w, v in {
+    "dos": 2, "tres": 3, "kuater": 4, "sinku": 5,
+    "shete": 7, "ocho": 8, "nuebe": 9, "dies": 10,
+    "binti": 20, "trinta": 30, "kuarenta": 40, "sinkuenta": 50,
+    "sesenta": 60, "setenta": 70, "ochenta": 80, "nobenta": 90,
+    "shen": 100,
+}.items())
+
+# ja: kanji numerals (standalone-token semantics; 第三 stays) + kana
+# cardinals, which DO get romaji twins via the kana romanization
+JA_GENERAL_RULES = _biscript_rules(
+    {"でんわ": "電話"},
+    {"一": 1, "二": 2, "三": 3, "四": 4, "五": 5, "六": 6,
+     "七": 7, "八": 8, "九": 9, "十": 10, "百": 100,
+     "ひとつ": 1, "ふたつ": 2, "みっつ": 3, "よっつ": 4,
+     "いつつ": 5, "むっつ": 6, "ななつ": 7, "やっつ": 8,
+     "ここのつ": 9, "とお": 10},
+)
+
+ZH_GENERAL_RULES = _biscript_rules(
+    {},
+    {"一": 1, "二": 2, "三": 3, "四": 4, "五": 5, "六": 6,
+     "七": 7, "八": 8, "九": 9, "十": 10,
+     "二十": 20, "三十": 30, "四十": 40, "五十": 50,
+     "六十": 60, "七十": 70, "八十": 80, "九十": 90,
+     "一百": 100, "百": 100},
+)
+
+TH_GENERAL_RULES = _biscript_rules(
+    {"ถ": "ถนน", "ทล": "ทางหลวง"},
+    {"หนึ่ง": 1, "สอง": 2, "สาม": 3, "สี่": 4, "ห้า": 5,
+     "หก": 6, "เจ็ด": 7, "แปด": 8, "เก้า": 9, "สิบ": 10,
+     "ยี่สิบ": 20, "สามสิบ": 30, "สี่สิบ": 40, "ห้าสิบ": 50,
+     "ร้อย": 100},
+)
+
+UR_GENERAL_RULES = _biscript_rules(
+    {"ٹیل": "ٹیلیفون", "سڑ": "سڑک"},
+    {"ایک": 1, "دو": 2, "تین": 3, "چار": 4, "پانچ": 5,
+     "چھ": 6, "سات": 7, "آٹھ": 8, "نو": 9, "دس": 10,
+     "بیس": 20, "تیس": 30, "چالیس": 40, "پچاس": 50,
+     "ساٹھ": 60, "ستر": 70, "اسی": 80, "نوے": 90, "سو": 100},
+)
+
+SI_GENERAL_RULES = _biscript_rules(
+    {"දුක": "දුරකථන"},
+    {"එක": 1, "දෙක": 2, "තුන": 3, "හතර": 4, "පහ": 5,
+     "හය": 6, "හත": 7, "අට": 8, "නවය": 9, "දහය": 10,
+     "විස්ස": 20, "තිහ": 30, "සියය": 100},
+)
+
 # per-language registry: pick by the corpus lang column, concatenate for
 # mixed corpora (rule order = pack order; later packs never see earlier
 # packs' outputs within one word because replacements are full words)
@@ -1429,6 +1547,21 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     "kk": KK_GENERAL_RULES,
     "hy": HY_GENERAL_RULES,
     "ka": KA_GENERAL_RULES,
+    "ast": AST_GENERAL_RULES,
+    "br": BR_GENERAL_RULES,
+    "gd": GD_GENERAL_RULES,
+    "gsw": GSW_GENERAL_RULES,
+    "lb": LB_GENERAL_RULES,
+    "oc": OC_GENERAL_RULES,
+    "pap": PAP_GENERAL_RULES,
+    "ja": JA_GENERAL_RULES,
+    "zh": ZH_GENERAL_RULES,
+    "th": TH_GENERAL_RULES,
+    "ur": UR_GENERAL_RULES,
+    "si": SI_GENERAL_RULES,
+    # ISO-code aliases the reference ships as separate dictionary dirs
+    "fil": TL_GENERAL_RULES,
+    "nb": NO_GENERAL_RULES,
     # latin: Roman numerals, exactly the reference's lang="la" routing
     # (numex.c:1260-1335); opt-in because english prose contains valid
     # accidental numerals

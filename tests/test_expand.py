@@ -279,6 +279,8 @@ class TestLanguagePacks:
             "sr", "mk", "be", "is", "ga", "af",
             "ar", "fa", "he", "hi", "ko",
             "vi", "sw", "cy", "mt", "bs", "az", "uz", "kk", "hy", "ka",
+            "ast", "br", "gd", "gsw", "lb", "oc", "pap",
+            "ja", "zh", "th", "ur", "si", "fil", "nb",
         }
         for pack in LANG_RULE_PACKS.values():
             assert compile_rules(pack)  # every pack compiles

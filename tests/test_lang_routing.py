@@ -417,3 +417,44 @@ def test_session16_packs_do_not_cross_route():
         ["en", "en"],
     )
     assert "đường" not in out[0] and " 5" not in out[0]
+
+
+def test_session18_final_packs_route():
+    # the last dictionaries/ batch: Latin minority langs + CJK/Thai/Urdu/
+    # Sinhala (standalone-token semantics — no segmenter, matching the
+    # reference's phrase-dictionary model)
+    stage = CanonicalizeStage(PipelineConfig(lang_rules=True))
+    out = _canon(
+        stage,
+        [
+            "avda uviéu dos",          # ast
+            "str kirchberg dräi",      # lb
+            "av tolosa cinc",          # oc
+            "でんわ 三",                # ja: abbrev + standalone kanji numeral
+            "第三 三十 五",             # zh: 三 inside 第三 must NOT fire
+            "ถ สอง",                   # th
+            "سڑ دو",                   # ur
+            "දුක දෙක",                 # si
+        ],
+        ["ast", "lb", "oc", "ja", "zh", "th", "ur", "si"],
+    )
+    assert out[0] == "avenida uviéu 2"
+    assert out[1] == "strooss kirchberg 3"
+    assert out[2] == "avenguda tolosa 5"
+    assert out[3] == "電話 3"
+    assert out[4] == "第三 30 5"
+    assert out[5] == "ถนน 2"
+    assert out[6] == "سڑک 2"
+    assert out[7] == "දුරකථන 2"
+
+
+def test_session18_iso_alias_packs():
+    # fil routes tl's pack, nb routes no's — separate dirs in the reference
+    from libpostal_ray.functions.canonicalize import (
+        LANG_RULE_PACKS,
+        NO_GENERAL_RULES,
+        TL_GENERAL_RULES,
+    )
+
+    assert LANG_RULE_PACKS["fil"] is TL_GENERAL_RULES
+    assert LANG_RULE_PACKS["nb"] is NO_GENERAL_RULES
