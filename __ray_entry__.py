@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # part of the round-5 rotation set ---
         "source_length_ks": q.source_length_ks,
         "events_mannwhitney": q.events_mannwhitney,
+        # --- block 1g: new in round-4 session 18, never driver-checked;
+        # part of the round-5 rotation set ---
+        "doc_graph_sssp": q.doc_graph_sssp,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2742,6 +2745,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node - 1 AS doc_id, CAST(min(level) AS BIGINT) AS level
             FROM bfs GROUP BY 1
+        """,
+    # bounded-radius weighted SSSP: same edge CTE, weight 1 + (u+v)%3,
+    # prune at d_max=48 (prefix weights never exceed the total, so the
+    # prune is exact); semi-naive recursion terminates because (node, d)
+    # pairs are bounded integers
+    "doc_graph_sssp": """
+            WITH RECURSIVE
+            nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id + 1 AS u, (doc_id + 1) * 2 AS v
+                FROM documents, nn WHERE (doc_id + 1) * 2 <= nn.n
+                UNION
+                SELECT doc_id + 1, (doc_id + 1) * 2 + 1
+                FROM documents, nn WHERE (doc_id + 1) * 2 + 1 <= nn.n
+                UNION
+                SELECT doc_id + 1, doc_id + 2 + (n_chars % 64)
+                FROM documents, nn
+                WHERE doc_id + 2 + (n_chars % 64) <= nn.n
+            ),
+            sp AS (
+                SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+                UNION
+                SELECT e.v, sp.d + 1 + (e.u + e.v) % 3
+                FROM sp JOIN e ON e.u = sp.node
+                WHERE sp.d + 1 + (e.u + e.v) % 3 <= 48
+            )
+            SELECT node - 1 AS doc_id, CAST(min(d) AS BIGINT) AS dist
+            FROM sp GROUP BY 1
         """,
     "doc_graph_triangles": """
             WITH

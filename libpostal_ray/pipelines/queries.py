@@ -14862,6 +14862,99 @@ def doc_graph_bfs_levels(sf_dir: str, max_level: int = 40) -> "pd.DataFrame":
     )
 
 
+def doc_graph_sssp(sf_dir: str, d_max: int = 48) -> "pd.DataFrame":
+    """Bounded-radius weighted single-source shortest paths from the root
+    over the deterministic document graph — Bellman-Ford as BSP frontier
+    relaxation (iterative graph primitive 7).  Edge weight is the
+    data-derived 1 + (u + v) % 3; a node is reported iff its shortest
+    distance is <= d_max, and that distance is EXACT: every prefix of a
+    path with total weight <= d_max itself weighs <= d_max, so pruning
+    tentative distances > d_max never cuts an optimal path.
+
+    Scale posture: identical to doc_graph_bfs_levels — edges materialize
+    once (16 B/row) and stream per round, node state is 8 B/node, the
+    frontier broadcast ships only (id, dist) pairs for nodes that
+    IMPROVED last round.  Rounds <= d_max (min edge weight 1 bounds hop
+    count), each a single edge-table pass with per-batch min-combining
+    so the driver gather is <= one row per distinct reached node.
+    Oracle: WITH RECURSIVE carrying (node, d), pruned at d_max, min(d)
+    per node — semi-naive evaluation terminates because distances are
+    bounded integers."""
+    import pandas as pd
+
+    edges, n = _doc_graph_edges(sf_dir)
+    if n == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="int64")}
+        )
+    edges = edges.materialize()
+
+    INF = np.int64(2**62)
+    dist = np.full(n + 1, INF, dtype=np.int64)
+    dist[1] = 0
+    f_ids = np.array([1], dtype=np.int64)  # sorted ascending, invariant
+    f_d = np.array([0], dtype=np.int64)
+
+    for _ in range(d_max + 1):
+        if f_ids.shape[0] == 0:
+            break
+        fref = ray.put((f_ids, f_d))
+
+        def relax(batch: pa.Table, _f=fref) -> pa.Table:
+            empty = pa.table(
+                {"v": pa.nulls(0, pa.int64()), "d": pa.nulls(0, pa.int64())}
+            )
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return empty
+            ids, dd = ray.get(_f) if not isinstance(_f, tuple) else _f
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, u)
+            pos = np.minimum(pos, ids.shape[0] - 1)
+            hit = ids[pos] == u
+            if not hit.any():
+                return empty
+            u_h, v_h = u[hit], v[hit]
+            cand = dd[pos[hit]] + 1 + (u_h + v_h) % 3
+            keep = cand <= d_max
+            v_h, cand = v_h[keep], cand[keep]
+            if v_h.shape[0] == 0:
+                return empty
+            # per-batch min per target: sort by (v, cand), keep firsts
+            o = np.lexsort((cand, v_h))
+            v_h, cand = v_h[o], cand[o]
+            first = np.ones(v_h.shape[0], dtype=bool)
+            first[1:] = v_h[1:] != v_h[:-1]
+            return pa.table(
+                {"v": pa.array(v_h[first]), "d": pa.array(cand[first])}
+            )
+
+        reached = edges.map_batches(relax, batch_format="pyarrow")
+        vs, cs = [], []
+        for b in reached.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                vs.append(b["v"].to_numpy(zero_copy_only=False))
+                cs.append(b["d"].to_numpy(zero_copy_only=False))
+        if not vs:
+            break
+        v = np.concatenate(vs)
+        d = np.concatenate(cs)
+        o = np.lexsort((d, v))
+        v, d = v[o], d[o]
+        first = np.ones(v.shape[0], dtype=bool)
+        first[1:] = v[1:] != v[:-1]
+        v, d = v[first], d[first]
+        imp = d < dist[v]
+        f_ids, f_d = v[imp], d[imp]
+        dist[f_ids] = f_d
+
+    hit = np.nonzero(dist <= d_max)[0]
+    return pd.DataFrame(
+        {"doc_id": (hit - 1).astype(np.int64), "dist": dist[hit]}
+    )
+
+
 def doc_graph_triangles(sf_dir: str) -> "pd.DataFrame":
     """Triangle + wedge count over the deterministic document graph —
     the wedge-generation/edge-semi-join shape (the MapReduce triangle

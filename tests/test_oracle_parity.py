@@ -105,6 +105,7 @@ ORACLE_QUERIES = [
     "user_type_runs",
     "event_value_zscore",
     "doc_graph_bfs_levels",
+    "doc_graph_sssp",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",
