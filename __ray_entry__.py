@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expand_multi_forms": q.expand_multi_forms,
         "approx_distinct_users_hll": q.approx_distinct_users_hll,
         "heavy_hitter_tokens": q.heavy_hitter_tokens,
+        "user_event_count_cms": q.user_event_count_cms,
         "prepare_training_corpus": _prepare_training_corpus,
         "incremental_dedup": q.incremental_dedup,
         "approx_price_quantiles": q.approx_price_quantiles,

@@ -2311,6 +2311,57 @@ def approx_distinct_users_hll(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def user_event_count_cms(
+    sf_dir: str, width: int = 2048, depth: int = 4, n_probe: int = 100
+) -> pd.DataFrame:
+    """Per-user event-count point estimates via a count-min sketch
+    (functions/cms.py): each batch ships ONE depth x width int64 grid
+    (64 KB at the defaults) and the merge is a cell-wise SUM — linear,
+    associative, blocking-independent — so at 100 TB the exchange is
+    (batches x 64 KB) regardless of user cardinality, where an exact
+    per-user count would shuffle every distinct user id.  Probes the
+    first n_probe user ids; estimates NEVER undercount and overshoot by
+    <= (e/width) * N w.p. >= 1 - e^-depth.  Rows-only (approximate by
+    design; the bound is pytest-covered against exact groupby counts)."""
+    from libpostal_ray.functions.cms import (
+        cms_add,
+        cms_merge,
+        cms_query,
+        empty_sketch,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cells = width * depth
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"grid": pa.nulls(0, pa.binary(cells * 8))})
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return empty
+        sk = empty_sketch(width, depth)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cms_add(sk, u)
+        return pa.table(
+            {"grid": pa.array([sk.tobytes()], type=pa.binary(cells * 8))}
+        )
+
+    grids = [
+        np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+        for batch in ds.map_batches(sketch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")  # one 64 KB row per batch
+        for b in batch["grid"].to_pylist()
+    ]
+    if not grids:
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"),
+             "est_count": pd.Series(dtype="int64")}
+        )
+    merged = cms_merge(grids)
+    probe = np.arange(n_probe, dtype=np.int64)
+    return pd.DataFrame(
+        {"user_id": probe, "est_count": cms_query(merged, probe)}
+    )
+
+
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-dup pairs over documents: (src, dst, hamming) with
     hamming <= max_hamming, found via chunk-key blocking (pigeonhole) —

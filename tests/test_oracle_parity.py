@@ -290,6 +290,7 @@ ROWS_ONLY = [
     "expand_multi_forms",
     "approx_distinct_users_hll",
     "heavy_hitter_tokens",
+    "user_event_count_cms",
     "prepare_training_corpus",
     "incremental_dedup",
     "approx_price_quantiles",

@@ -75,3 +75,88 @@ def test_sssp_empty_corpus(ray_session, tmp_path):
     out = doc_graph_sssp(str(d))
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "dist"]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (functions/cms.py) — completes the sketch family
+# ---------------------------------------------------------------------------
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_bound_holds(self):
+        from libpostal_ray.functions.cms import (
+            cms_add, cms_query, empty_sketch,
+        )
+
+        rng = np.random.default_rng(7)
+        # zipf-ish key stream: heavy hitters + long tail
+        keys = rng.zipf(1.3, size=200_000).astype(np.int64)
+        sk = empty_sketch(width=2048, depth=4)
+        cms_add(sk, keys)
+        probe, true = np.unique(keys, return_counts=True)
+        est = cms_query(sk, probe)
+        assert (est >= true).all()  # NEVER undercounts
+        # CM bound: overshoot <= (e/width)*N w.p. >= 1 - e^-depth; check
+        # the 99th percentile of overshoot sits under the bound
+        bound = np.e / 2048 * keys.shape[0]
+        overshoot = est - true
+        assert np.quantile(overshoot, 0.99) <= bound
+
+    def test_merge_is_linear(self):
+        from libpostal_ray.functions.cms import (
+            cms_add, cms_merge, cms_query, empty_sketch,
+        )
+
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 5000, size=30_000).astype(np.int64)
+        whole = cms_add(empty_sketch(512, 3), keys)
+        parts = [
+            cms_add(empty_sketch(512, 3), part)
+            for part in np.array_split(keys, 7)
+        ]
+        merged = cms_merge(parts)
+        assert (merged == whole).all()  # any blocking, same sketch
+        probe = np.arange(100, dtype=np.int64)
+        assert (cms_query(merged, probe) == cms_query(whole, probe)).all()
+
+    def test_negative_counts_rejected(self):
+        from libpostal_ray.functions.cms import cms_add, empty_sketch
+
+        with np.testing.assert_raises(ValueError):
+            cms_add(
+                empty_sketch(64, 2),
+                np.array([1, 2], dtype=np.int64),
+                np.array([1, -1], dtype=np.int64),
+            )
+
+    def test_query_vs_exact_on_events(self, ray_session):
+        import duckdb
+
+        from libpostal_ray.pipelines.queries import user_event_count_cms
+
+        out = user_event_count_cms(SF).sort_values("user_id")
+        con = duckdb.connect()
+        exact = con.execute(
+            f"""SELECT user_id, count(*) AS c
+                FROM read_parquet('{SF}/events.parquet')
+                WHERE user_id < 100 GROUP BY 1"""
+        ).df().set_index("user_id")["c"]
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        assert len(out) == 100
+        for uid, est in zip(out.user_id, out.est_count):
+            true = int(exact.get(uid, 0))
+            assert est >= true
+            assert est - true <= np.e / 2048 * n + 1
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_event_count_cms
+
+        d = tmp_path / "sf_empty_cms"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+        out = user_event_count_cms(str(d))
+        assert len(out) == 0
+        assert list(out.columns) == ["user_id", "est_count"]
