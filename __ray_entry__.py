@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- block 1g: new in round-4 session 18, never driver-checked;
         # part of the round-5 rotation set ---
         "doc_graph_sssp": q.doc_graph_sssp,
+        "tpch_q2_min_cost_supplier": q.tpch_q2_min_cost_supplier,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2774,6 +2775,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node - 1 AS doc_id, CAST(min(d) AS BIGINT) AS dist
             FROM sp GROUP BY 1
+        """,
+    # Q2 analog: partsupp is DERIVED — s supplies p iff (s+p) % 2 = 0 at
+    # integer-cents cost retail*(60+(s*7+p)%40)//100; min-cost EUROPE
+    # supplier per bracket part, cost ties -> smallest s_suppkey
+    "tpch_q2_min_cost_supplier": """
+            WITH eu AS (
+                SELECT s.s_suppkey, s.s_name,
+                       CAST(floor(CAST(s.s_acctbal AS DOUBLE) * 100)
+                            AS BIGINT) AS acctbal_cents,
+                       n.n_name
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            p AS (
+                SELECT p_partkey,
+                       CAST(floor(CAST(p_retailprice AS DOUBLE) * 100)
+                            AS BIGINT) AS retail_cents
+                FROM part WHERE p_size % 10 = 3
+            ),
+            ps AS (
+                SELECT p.p_partkey, eu.s_suppkey, eu.s_name, eu.n_name,
+                       eu.acctbal_cents,
+                       p.retail_cents
+                           * (60 + (eu.s_suppkey * 7 + p.p_partkey) % 40)
+                           // 100 AS cost_cents
+                FROM p JOIN eu ON (eu.s_suppkey + p.p_partkey) % 2 = 0
+            ),
+            m AS (
+                SELECT p_partkey, min(cost_cents) AS min_cost_cents
+                FROM ps GROUP BY 1
+            ),
+            sel AS (
+                SELECT ps.p_partkey, min(ps.s_suppkey) AS s_suppkey
+                FROM ps JOIN m ON ps.p_partkey = m.p_partkey
+                            AND ps.cost_cents = m.min_cost_cents
+                GROUP BY 1
+            )
+            SELECT sel.p_partkey, CAST(m.min_cost_cents AS BIGINT)
+                       AS min_cost_cents,
+                   sel.s_suppkey, eu.s_name, eu.n_name, eu.acctbal_cents
+            FROM sel
+            JOIN m ON m.p_partkey = sel.p_partkey
+            JOIN eu ON eu.s_suppkey = sel.s_suppkey
         """,
     "doc_graph_triangles": """
             WITH

@@ -16161,3 +16161,146 @@ def events_isotonic_daily(sf_dir: str) -> ray.data.Dataset:
         .map_groups(kernel, batch_format="pyarrow")
         .sort("day_idx")
     )
+
+
+def tpch_q2_min_cost_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q2 analog (minimum-cost supplier): for each part in the
+    size bracket (p_size % 10 == 3, scale-free), the EUROPE supplier
+    with the lowest supply cost.  The reference schema's partsupp is
+    derived deterministically — supplier s can supply part p iff
+    (s_suppkey + p_partkey) % 2 == 0, at integer-cents cost
+    retail_cents * (60 + (s*7 + p) % 40) // 100 — so both engines
+    evaluate the identical relation without a stored table.  Ties on
+    cost resolve to the smallest s_suppkey (Q2's ORDER BY tail made
+    deterministic).
+
+    Physical plan: supplier x nation x region is a dimension -> ONE
+    remote build + broadcast of the EUROPE supplier arrays (the Q9
+    shape); part streams, and each batch evaluates its cost matrix
+    against only the parity-compatible supplier slice — the correlated
+    min-cost subquery collapses to a vectorized row argmin with no
+    partsupp materialization and no shuffle.  Assumes the supplier
+    dimension is broadcastable (true at every TPC-H scale: |supplier|
+    = 0.01% of |lineitem|)."""
+    part_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def build_state(ns: int, nn: int, *refs) -> tuple:
+        sp = [t for t in refs[:ns] if t.num_rows]
+        nt = [t for t in refs[ns:ns + nn] if t.num_rows]
+        rt = [t for t in refs[ns + nn:] if t.num_rows]
+        e = np.empty(0, dtype=np.int64)
+        if not sp or not nt or not rt:
+            return e, e, [], []
+        r = pa.concat_tables(rt)
+        eu_rk = {
+            k for k, nm in zip(
+                r["r_regionkey"].to_pylist(), r["r_name"].to_pylist()
+            ) if nm == "EUROPE"
+        }
+        n = pa.concat_tables(nt)
+        nation_name = {
+            k: nm for k, nm, rk in zip(
+                n["n_nationkey"].to_pylist(), n["n_name"].to_pylist(),
+                n["n_regionkey"].to_pylist(),
+            ) if rk in eu_rk
+        }
+        s = pa.concat_tables(sp)
+        sk = s["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snk = s["s_nationkey"].to_numpy(zero_copy_only=False)
+        acct = np.floor(
+            s["s_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+        ).astype(np.int64)
+        names = s["s_name"].to_pylist()
+        keep = np.asarray([k in nation_name for k in snk], dtype=bool)
+        sk, acct = sk[keep], acct[keep]
+        names = [nm for nm, k in zip(names, keep) if k]
+        nnames = [nation_name[k] for k, kp in zip(snk, keep) if kp]
+        o = np.argsort(sk)  # ascending -> argmin tie = smallest suppkey
+        return sk[o], acct[o], [names[i] for i in o], [nnames[i] for i in o]
+
+    s_refs = supp.to_arrow_refs()
+    n_refs = nation.to_arrow_refs()
+    state_ref = build_state.remote(
+        len(s_refs), len(n_refs), *s_refs, *n_refs, *region.to_arrow_refs()
+    )
+
+    EMPTY = pa.table(
+        {
+            "p_partkey": pa.nulls(0, pa.int64()),
+            "min_cost_cents": pa.nulls(0, pa.int64()),
+            "s_suppkey": pa.nulls(0, pa.int64()),
+            "s_name": pa.nulls(0, pa.string()),
+            "n_name": pa.nulls(0, pa.string()),
+            "acctbal_cents": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def best(batch: pa.Table, _st=state_ref) -> pa.Table:
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return EMPTY
+        sk, acct, names, nnames = (
+            ray.get(_st) if not isinstance(_st, tuple) else _st
+        )
+        if sk.shape[0] == 0:
+            return EMPTY
+        size = batch["p_size"].to_numpy(zero_copy_only=False)
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        retail = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ) * 100.0
+        ).astype(np.int64)
+        bracket = (size % 10) == 3
+        out_pk, out_cost, out_si = [], [], []
+        for parity in (0, 1):
+            sm = (sk % 2) == parity
+            if not sm.any():
+                continue
+            pm = bracket & ((pk % 2) == parity)
+            if not pm.any():
+                continue
+            p_keys, p_ret = pk[pm], retail[pm]
+            s_keys = sk[sm]
+            cost = (
+                p_ret[:, None]
+                * (60 + (s_keys[None, :] * 7 + p_keys[:, None]) % 40)
+            ) // 100
+            j = np.argmin(cost, axis=1)  # first min = smallest suppkey
+            out_pk.append(p_keys)
+            out_cost.append(cost[np.arange(cost.shape[0]), j])
+            out_si.append(np.nonzero(sm)[0][j])
+        if not out_pk:
+            return EMPTY
+        p_all = np.concatenate(out_pk)
+        c_all = np.concatenate(out_cost)
+        si = np.concatenate(out_si)
+        return pa.table(
+            {
+                "p_partkey": pa.array(p_all),
+                "min_cost_cents": pa.array(c_all),
+                "s_suppkey": pa.array(sk[si]),
+                "s_name": pa.array([names[i] for i in si], type=pa.string()),
+                "n_name": pa.array([nnames[i] for i in si], type=pa.string()),
+                "acctbal_cents": pa.array(acct[si]),
+            }
+        )
+
+    return part_ds.map_batches(best, batch_format="pyarrow")

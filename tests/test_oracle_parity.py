@@ -106,6 +106,7 @@ ORACLE_QUERIES = [
     "event_value_zscore",
     "doc_graph_bfs_levels",
     "doc_graph_sssp",
+    "tpch_q2_min_cost_supplier",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

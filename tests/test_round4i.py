@@ -160,3 +160,16 @@ class TestCountMinSketch:
         out = user_event_count_cms(str(d))
         assert len(out) == 0
         assert list(out.columns) == ["user_id", "est_count"]
+
+
+def test_q2_empty_dims(ray_session, tmp_path):
+    from libpostal_ray.pipelines.queries import tpch_q2_min_cost_supplier
+
+    d = tmp_path / "sf_empty_q2"
+    d.mkdir()
+    for t in ("part", "supplier", "nation", "region"):
+        schema = pq.read_schema(f"{SF}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    out = tpch_q2_min_cost_supplier(str(d))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(out) == 0
