@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # part of the round-5 rotation set ---
         "doc_graph_sssp": q.doc_graph_sssp,
         "tpch_q2_min_cost_supplier": q.tpch_q2_min_cost_supplier,
+        "event_click_auc": q.event_click_auc,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2820,6 +2821,40 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
             JOIN m ON m.p_partkey = sel.p_partkey
             JOIN eu ON eu.s_suppkey = sel.s_suppkey
+        """,
+    # exact tie-corrected ROC-AUC: doubled midrank = 2*rank + ties - 1,
+    # doubled U1 = sum(dr | pos) - n_pos*(n_pos+1); the one float is
+    # double(u2)/double(2*n_pos*n_neg) on both engines
+    "event_click_auc": """
+            WITH r AS (
+                SELECT CASE WHEN event_type = 'click'
+                            THEN 'pos' ELSE 'neg' END AS y,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000)
+                            AS BIGINT) AS v
+                FROM events
+            ),
+            rk AS (
+                SELECT y,
+                       2 * rank() OVER (ORDER BY v)
+                           + count(*) OVER (PARTITION BY v) - 1 AS dr
+                FROM r
+            ),
+            s AS (
+                SELECT CAST(COALESCE(
+                           sum(CASE WHEN y = 'pos' THEN dr END), 0)
+                           AS BIGINT) AS r1x2,
+                       CAST(count(*) FILTER (WHERE y = 'pos')
+                            AS BIGINT) AS n_pos,
+                       CAST(count(*) FILTER (WHERE y = 'neg')
+                            AS BIGINT) AS n_neg
+                FROM rk
+            )
+            SELECT n_pos, n_neg,
+                   CAST(r1x2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+                   CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE)
+                       / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+            FROM s
+            WHERE n_pos > 0 AND n_neg > 0
         """,
     "doc_graph_triangles": """
             WITH

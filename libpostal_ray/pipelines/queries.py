@@ -16304,3 +16304,77 @@ def tpch_q2_min_cost_supplier(sf_dir: str) -> ray.data.Dataset:
         )
 
     return part_ds.map_batches(best, batch_format="pyarrow")
+
+
+def event_click_auc(sf_dir: str, pos_type: str = "click") -> "pd.DataFrame":
+    """EXACT ROC-AUC of ``value`` as a ranker for "is this event a
+    {pos_type}" — the model-evaluation metric, distributed: AUC is the
+    tie-corrected Mann-Whitney statistic U1/(n_pos*n_neg), so the whole
+    computation rides the same constant-size sufficient-statistic pass
+    as events_mannwhitney (_group_value_counts over 2 label groups x
+    #distinct floor-milli values).  All rank arithmetic is integer
+    (doubled midranks); the single float is produced as
+    double(u2) / double(2*n_pos*n_neg) on BOTH engines, so it is
+    bit-identical whenever the ints fit a double's mantissa and
+    correctly rounded regardless."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_L = pa.table(
+        {"y": pa.nulls(0, pa.large_string()), "value": pa.nulls(0, pa.float64())}
+    )
+
+    def lab(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY_L
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        y = np.where(et == pos_type, "pos", "neg").tolist()
+        return pa.table(
+            {
+                "y": pa.array(y, type=pa.large_string()),
+                "value": batch["value"],
+            }
+        )
+
+    def val(batch: pa.Table) -> np.ndarray:
+        return np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+
+    cdf = _group_value_counts(
+        ev.map_batches(lab, batch_format="pyarrow"), "y", val
+    )
+    empty = pd.DataFrame(
+        {
+            "n_pos": pd.Series(dtype="int64"),
+            "n_neg": pd.Series(dtype="int64"),
+            "u2": pd.Series(dtype="int64"),
+            "auc": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(cdf):
+        return empty
+    groups, vals, cnt, cum, tot = _cum_count_matrix(cdf)
+    if "pos" not in groups or "neg" not in groups:
+        return empty
+    ip, ineg = groups.index("pos"), groups.index("neg")
+    n1, n0 = int(tot[ip]), int(tot[ineg])
+    if 4 * (n1 + n0) ** 2 >= 1 << 62:
+        raise ValueError("event_click_auc: doubled rank sums overflow int64")
+    below = (cum[ip] - cnt[ip]) + (cum[ineg] - cnt[ineg])
+    # doubled midrank at v = 2*below + ties + 1; doubled rank sum of pos
+    r1x2 = int((cnt[ip] * (2 * below + cnt[ip] + cnt[ineg] + 1)).sum())
+    u2 = r1x2 - n1 * (n1 + 1)
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([n1], dtype="int64"),
+            "n_neg": pd.Series([n0], dtype="int64"),
+            "u2": pd.Series([u2], dtype="int64"),
+            "auc": pd.Series(
+                [float(u2) / float(2 * n1 * n0)], dtype="float64"
+            ),
+        }
+    )

@@ -107,6 +107,7 @@ ORACLE_QUERIES = [
     "doc_graph_bfs_levels",
     "doc_graph_sssp",
     "tpch_q2_min_cost_supplier",
+    "event_click_auc",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

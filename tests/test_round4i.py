@@ -173,3 +173,89 @@ def test_q2_empty_dims(ray_session, tmp_path):
     out = tpch_q2_min_cost_supplier(str(d))
     out = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (tie-corrected Mann-Whitney) — ML-eval operator
+# ---------------------------------------------------------------------------
+
+
+class TestEventClickAuc:
+    def _write(self, tmp_path, rows):
+        import pyarrow as pa
+
+        d = tmp_path / "sf_auc"
+        d.mkdir(exist_ok=True)
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        cols = {n: [] for n in schema.names}
+        for i, (et, v) in enumerate(rows):
+            for n in schema.names:
+                if n == "event_type":
+                    cols[n].append(et)
+                elif n == "value":
+                    cols[n].append(float(v))
+                elif n == "event_id":
+                    cols[n].append(i)
+                else:
+                    f = schema.field(n)
+                    if pa.types.is_integer(f.type):
+                        cols[n].append(0)
+                    elif pa.types.is_floating(f.type):
+                        cols[n].append(0.0)
+                    elif pa.types.is_timestamp(f.type):
+                        cols[n].append(0)
+                    else:
+                        cols[n].append("x")
+        pq.write_table(
+            pa.table(
+                {n: pa.array(cols[n], type=schema.field(n).type)
+                 for n in schema.names}
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    def test_perfect_ranker(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import event_click_auc
+
+        rows = [("click", 10 + i) for i in range(5)] + [
+            ("view", i) for i in range(5)
+        ]
+        out = event_click_auc(self._write(tmp_path, rows))
+        assert len(out) == 1
+        assert out.auc.iloc[0] == 1.0
+        assert out.u2.iloc[0] == 2 * 5 * 5
+
+    def test_inverted_ranker(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import event_click_auc
+
+        rows = [("click", i) for i in range(5)] + [
+            ("view", 10 + i) for i in range(5)
+        ]
+        out = event_click_auc(self._write(tmp_path, rows))
+        assert out.auc.iloc[0] == 0.0
+
+    def test_all_tied_is_half(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import event_click_auc
+
+        rows = [("click", 7)] * 4 + [("view", 7)] * 6
+        out = event_click_auc(self._write(tmp_path, rows))
+        assert out.auc.iloc[0] == 0.5
+
+    def test_single_class_empty(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import event_click_auc
+
+        rows = [("view", i) for i in range(5)]
+        out = event_click_auc(self._write(tmp_path, rows))
+        assert len(out) == 0
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import event_click_auc
+
+        d = tmp_path / "sf_empty_auc"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+        out = event_click_auc(str(d))
+        assert len(out) == 0
+        assert list(out.columns) == ["n_pos", "n_neg", "u2", "auc"]
