@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_sssp": q.doc_graph_sssp,
         "tpch_q2_min_cost_supplier": q.tpch_q2_min_cost_supplier,
         "event_click_auc": q.event_click_auc,
+        "event_value_ols2": q.event_value_ols2,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2855,6 +2856,53 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
             FROM s
             WHERE n_pos > 0 AND n_neg > 0
+        """,
+    # grouped 2-feature OLS by Cramer's rule over exact HUGEINT moments;
+    # hour/dow by INTEGER epoch arithmetic (no date functions — byte
+    # parity with the Ray kernel); floats = double(det_k)/double(det)
+    "event_value_ols2": """
+            WITH f AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) % 24 AS h,
+                       (epoch_us(ts) // 86400000000 + 4) % 7 AS d,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000)
+                            AS BIGINT) AS y
+                FROM events
+            ),
+            m AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(h) AS HUGEINT) AS sh,
+                       CAST(sum(d) AS HUGEINT) AS sd,
+                       CAST(sum(h * h) AS HUGEINT) AS shh,
+                       CAST(sum(h * d) AS HUGEINT) AS shd,
+                       CAST(sum(d * d) AS HUGEINT) AS sdd,
+                       CAST(sum(y) AS HUGEINT) AS sy,
+                       CAST(sum(h * y) AS HUGEINT) AS shy,
+                       CAST(sum(d * y) AS HUGEINT) AS sdy
+                FROM f GROUP BY 1
+            ),
+            dets AS (
+                SELECT event_type, n,
+                       n * (shh * sdd - shd * shd)
+                           - sh * (sh * sdd - shd * sd)
+                           + sd * (sh * shd - shh * sd) AS det,
+                       sy * (shh * sdd - shd * shd)
+                           - sh * (shy * sdd - shd * sdy)
+                           + sd * (shy * shd - shh * sdy) AS det0,
+                       n * (shy * sdd - shd * sdy)
+                           - sy * (sh * sdd - shd * sd)
+                           + sd * (sh * sdy - shy * sd) AS det1,
+                       n * (shh * sdy - shy * shd)
+                           - sh * (sh * sdy - shy * sd)
+                           + sy * (sh * shd - shh * sd) AS det2
+                FROM m
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+                   CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+                   CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+            FROM dets WHERE det <> 0
         """,
     "doc_graph_triangles": """
             WITH

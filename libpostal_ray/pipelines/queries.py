@@ -16378,3 +16378,138 @@ def event_click_auc(sf_dir: str, pos_type: str = "click") -> "pd.DataFrame":
             ),
         }
     )
+
+
+def event_value_ols2(sf_dir: str) -> ray.data.Dataset:
+    """Grouped MULTIPLE regression, exact: per event type, the ordinary
+    least squares fit value_milli ~ b0 + b1*hour + b2*dow (hour-of-day
+    and day-of-week both derived by INTEGER epoch arithmetic so the two
+    engines agree byte-for-byte).  The 3x3 normal equations solve by
+    Cramer's rule over EXACT integer moments — per-batch per-type
+    partial sums ride as decimal strings (the lineitem_corr_matrix
+    discipline: cross-batch totals and determinant PRODUCTS exceed
+    int64, so the constant-size tail re-parses to Python ints), and the
+    only floats are the final double(det_k)/double(det) divisions —
+    correctly-rounded conversions both engines produce identically.
+
+    Physical plan: ONE streaming pass, each batch emits <= #types rows
+    of 9 decimal-string moments; repartition(1) folds the constant-size
+    tail and solves per group.  Exchange is O(batches x types), never
+    the rows."""
+    MCOLS = ["n", "sh", "sd", "shh", "shd", "sdd", "sy", "shy", "sdy"]
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "event_type": pa.nulls(0, pa.large_string()),
+            **{c: pa.nulls(0, pa.large_string()) for c in MCOLS},
+        }
+    )
+    CHUNK = 65_536
+
+    def _exact_sum(prod: np.ndarray) -> int:
+        tot = 0
+        for lo in range(0, prod.shape[0], CHUNK):
+            tot += int(prod[lo:lo + CHUNK].sum())
+        return tot
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us // 3_600_000_000) % 24
+        d = (us // 86_400_000_000 + 4) % 7  # 1970-01-01 was a Thursday
+        y = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        out = {"event_type": []}
+        out.update({c: [] for c in MCOLS})
+        for t in np.unique(et):
+            m = et == t
+            hh, dd, yy = h[m], d[m], y[m]
+            out["event_type"].append(str(t))
+            out["n"].append(str(int(m.sum())))
+            out["sh"].append(str(_exact_sum(hh)))
+            out["sd"].append(str(_exact_sum(dd)))
+            out["shh"].append(str(_exact_sum(hh * hh)))
+            out["shd"].append(str(_exact_sum(hh * dd)))
+            out["sdd"].append(str(_exact_sum(dd * dd)))
+            out["sy"].append(str(_exact_sum(yy)))
+            out["shy"].append(str(_exact_sum(hh * yy)))
+            out["sdy"].append(str(_exact_sum(dd * yy)))
+        return pa.table(
+            {c: pa.array(v, type=pa.large_string()) for c, v in out.items()}
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.large_string()),
+                "n": pa.nulls(0, pa.int64()),
+                "b0": pa.nulls(0, pa.float64()),
+                "b1": pa.nulls(0, pa.float64()),
+                "b2": pa.nulls(0, pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return empty
+        acc: dict = {}
+        ets = batch["event_type"].to_pylist()
+        cols = {c: batch[c].to_pylist() for c in MCOLS}
+        for i, t in enumerate(ets):
+            a = acc.setdefault(t, dict.fromkeys(MCOLS, 0))
+            for c in MCOLS:
+                a[c] += int(cols[c][i])
+        rows = {"event_type": [], "n": [], "b0": [], "b1": [], "b2": []}
+        for t in sorted(acc):
+            a = acc[t]
+            n, sh, sd = a["n"], a["sh"], a["sd"]
+            shh, shd, sdd = a["shh"], a["shd"], a["sdd"]
+            sy, shy, sdy = a["sy"], a["shy"], a["sdy"]
+            det = (
+                n * (shh * sdd - shd * shd)
+                - sh * (sh * sdd - shd * sd)
+                + sd * (sh * shd - shh * sd)
+            )
+            if det == 0:
+                continue
+            det0 = (
+                sy * (shh * sdd - shd * shd)
+                - sh * (shy * sdd - shd * sdy)
+                + sd * (shy * shd - shh * sdy)
+            )
+            det1 = (
+                n * (shy * sdd - shd * sdy)
+                - sy * (sh * sdd - shd * sd)
+                + sd * (sh * sdy - shy * sd)
+            )
+            det2 = (
+                n * (shh * sdy - shy * shd)
+                - sh * (sh * sdy - shy * sd)
+                + sy * (sh * shd - shh * sd)
+            )
+            rows["event_type"].append(t)
+            rows["n"].append(n)
+            rows["b0"].append(float(det0) / float(det))
+            rows["b1"].append(float(det1) / float(det))
+            rows["b2"].append(float(det2) / float(det))
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    rows["event_type"], type=pa.large_string()
+                ),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "b0": pa.array(rows["b0"], type=pa.float64()),
+                "b1": pa.array(rows["b1"], type=pa.float64()),
+                "b2": pa.array(rows["b2"], type=pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

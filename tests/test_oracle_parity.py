@@ -108,6 +108,7 @@ ORACLE_QUERIES = [
     "doc_graph_sssp",
     "tpch_q2_min_cost_supplier",
     "event_click_auc",
+    "event_value_ols2",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

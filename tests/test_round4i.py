@@ -259,3 +259,81 @@ class TestEventClickAuc:
         out = event_click_auc(str(d))
         assert len(out) == 0
         assert list(out.columns) == ["n_pos", "n_neg", "u2", "auc"]
+
+
+# ---------------------------------------------------------------------------
+# Grouped 2-feature exact OLS (Cramer over exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+class TestEventValueOls2:
+    def test_exact_fit_recovered(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from libpostal_ray.pipelines.queries import event_value_ols2
+
+        d = tmp_path / "sf_ols"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        # value = 5 + 3*hour + 2*dow exactly -> b = (5000, 3000, 2000) milli
+        rows = []
+        for i in range(200):
+            us = i * 5_123_000_000_000  # spreads hours and weekdays
+            h = (us // 3_600_000_000) % 24
+            dow = (us // 86_400_000_000 + 4) % 7
+            rows.append((i, us, 5.0 + 3.0 * h + 2.0 * dow))
+        cols = {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([0] * len(rows), type=pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), type=pa.string()),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+            "props": pa.array(["x"] * len(rows), type=pa.string()),
+        }
+        pq.write_table(
+            pa.table({n: cols[n] for n in schema.names}),
+            str(d / "events.parquet"),
+        )
+        out = event_value_ols2(str(d)).to_pandas()
+        assert len(out) == 1
+        assert out.b0.iloc[0] == 5000.0
+        assert out.b1.iloc[0] == 3000.0
+        assert out.b2.iloc[0] == 2000.0
+
+    def test_matches_numpy_lstsq(self, ray_session):
+        from libpostal_ray.pipelines.queries import event_value_ols2
+
+        out = event_value_ols2(SF).to_pandas().set_index("event_type")
+        tbl = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_type", "ts", "value"]
+        )
+        us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us // 3_600_000_000) % 24
+        dw = (us // 86_400_000_000 + 4) % 7
+        y = np.floor(
+            tbl["value"].to_numpy(zero_copy_only=False) * 1000.0
+        )
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        for t in np.unique(et):
+            m = et == t
+            X = np.stack(
+                [np.ones(m.sum()), h[m].astype(float), dw[m].astype(float)],
+                axis=1,
+            )
+            beta, *_ = np.linalg.lstsq(X, y[m], rcond=None)
+            got = out.loc[str(t)]
+            assert np.allclose(
+                [got.b0, got.b1, got.b2], beta, rtol=1e-9, atol=1e-6
+            ), t
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import event_value_ols2
+
+        d = tmp_path / "sf_empty_ols"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+        out = event_value_ols2(str(d)).to_pandas()
+        assert len(out) == 0
