@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q2_min_cost_supplier": q.tpch_q2_min_cost_supplier,
         "event_click_auc": q.event_click_auc,
         "event_value_ols2": q.event_value_ols2,
+        "user_survival_km": q.user_survival_km,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2903,6 +2904,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
                    CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
             FROM dets WHERE det <> 0
+        """,
+    # Kaplan-Meier ingredients: entry = min signup, event = min purchase
+    # >= entry, censored at the global max ts; n_risk = reverse
+    # cumulative of per-duration totals; event days only
+    "user_survival_km": """
+            WITH hz AS (SELECT max(epoch_us(ts)) AS h FROM events),
+            s AS (
+                SELECT user_id, min(epoch_us(ts)) AS su
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS pu
+                FROM events e JOIN s ON e.user_id = s.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+                GROUP BY 1
+            ),
+            u AS (
+                SELECT s.user_id,
+                       CASE WHEN p.pu IS NULL
+                            THEN (hz.h - s.su) // 86400000000
+                            ELSE (p.pu - s.su) // 86400000000 END AS dur,
+                       CASE WHEN p.pu IS NULL THEN 0 ELSE 1 END AS ev
+                FROM s LEFT JOIN p ON s.user_id = p.user_id, hz
+            ),
+            d AS (
+                SELECT dur,
+                       CAST(sum(ev) AS BIGINT) AS n_event,
+                       CAST(count(*) AS BIGINT) AS n_total
+                FROM u GROUP BY 1
+            ),
+            k AS (
+                SELECT dur AS dur_day, n_event,
+                       CAST(sum(n_total) OVER (ORDER BY dur DESC)
+                            AS BIGINT) AS n_risk
+                FROM d
+            )
+            SELECT dur_day, n_event, n_risk FROM k WHERE n_event > 0
         """,
     "doc_graph_triangles": """
             WITH

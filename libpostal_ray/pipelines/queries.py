@@ -16513,3 +16513,160 @@ def event_value_ols2(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def user_survival_km(sf_dir: str) -> "pd.DataFrame":
+    """Kaplan-Meier survival ingredients for the signup -> first-purchase
+    duration, right-censored at the corpus horizon (global max event ts)
+    — the survival-analysis operator: one row per day with >= 1
+    conversion, carrying (n_event, n_risk) as EXACT BIGINTs.  The KM
+    estimate S(t) = prod(1 - n_event/n_risk) is left to the consumer
+    because a float product is order-dependent; the table IS the
+    sufficient statistic.
+
+    Semantics: per user, entry = min signup ts; event = min purchase ts
+    >= entry (event, dur = whole days) else censored at (horizon -
+    entry) days.  Users without a signup are out of the study.
+
+    Physical plan: one cheap ts-column pass for the horizon, then prune
+    to signup/purchase rows at the scan, ONE user%P exchange, and a
+    vectorized per-partition kernel (lexsort + two masked
+    minimum.reduceat passes, the user_funnel shape) that emits per-(dur,
+    ev) COUNT partials — the driver folds a histogram bounded by the day
+    span, never user rows.  n_risk is a reverse cumulative sum over that
+    constant-size histogram."""
+    import pandas as pd
+
+    P = 32
+    DAY = np.int64(86_400_000_000)
+
+    empty_out = pd.DataFrame(
+        {
+            "dur_day": pd.Series(dtype="int64"),
+            "n_event": pd.Series(dtype="int64"),
+            "n_risk": pd.Series(dtype="int64"),
+        }
+    )
+
+    ts_ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def maxp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.table({"m": pa.nulls(0, pa.int64())})
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(us.max())], type=pa.int64())})
+
+    parts = [
+        int(b["m"][i].as_py())
+        for b in ts_ds.map_batches(maxp, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for i in range(b.num_rows)
+    ]
+    if not parts:
+        return empty_out
+    horizon = max(parts)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "is_purchase": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        if not keep.any():
+            return EMPTY
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[keep]
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "is_purchase": pa.array(
+                    (et[keep] == "purchase").astype(np.int64)
+                ),
+                "ts": pa.array(us),
+                "part": pa.array(uid % P),
+            }
+        )
+
+    BIG = np.int64(2**62)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dur": pa.nulls(0, pa.int64()),
+                "ev": pa.nulls(0, pa.int64()),
+                "cnt": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        isp = group["is_purchase"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ts, uid))
+        uid, isp, ts = uid[o], isp[o], ts[o]
+        first = np.ones(uid.shape[0], dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(first)[0]
+        # entry = per-user min signup ts
+        su = np.minimum.reduceat(np.where(isp == 0, ts, BIG), starts)
+        seg = np.cumsum(first) - 1  # row -> user segment index
+        # event = per-user min purchase ts >= entry
+        cand = np.where((isp == 1) & (ts >= su[seg]), ts, BIG)
+        pu = np.minimum.reduceat(cand, starts)
+        insu = su < BIG
+        su, pu = su[insu], pu[insu]
+        ev = (pu < BIG).astype(np.int64)
+        dur = np.where(ev == 1, (pu - su) // DAY, (horizon - su) // DAY)
+        key = dur * 2 + ev
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "dur": pa.array(uk // 2),
+                "ev": pa.array(uk % 2),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()  # <= 2 x day-span x P rows — the histogram, not users
+    )
+    if not len(hist):
+        return empty_out
+    agg = hist.groupby(["dur", "ev"], as_index=False)["cnt"].sum()
+    durs = np.sort(agg["dur"].unique())
+    n_total = np.zeros(durs.shape[0], dtype=np.int64)
+    n_event = np.zeros(durs.shape[0], dtype=np.int64)
+    pos = np.searchsorted(durs, agg["dur"].to_numpy())
+    np.add.at(n_total, pos, agg["cnt"].to_numpy())
+    np.add.at(
+        n_event, pos, np.where(agg["ev"].to_numpy() == 1, agg["cnt"], 0)
+    )
+    n_risk = np.cumsum(n_total[::-1])[::-1]
+    keep = n_event > 0
+    return pd.DataFrame(
+        {
+            "dur_day": durs[keep],
+            "n_event": n_event[keep],
+            "n_risk": n_risk[keep],
+        }
+    ).astype({"dur_day": "int64", "n_event": "int64", "n_risk": "int64"})

@@ -109,6 +109,7 @@ ORACLE_QUERIES = [
     "tpch_q2_min_cost_supplier",
     "event_click_auc",
     "event_value_ols2",
+    "user_survival_km",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

@@ -337,3 +337,81 @@ class TestEventValueOls2:
         pq.write_table(schema.empty_table(), str(d / "events.parquet"))
         out = event_value_ols2(str(d)).to_pandas()
         assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival ingredients (signup -> first purchase)
+# ---------------------------------------------------------------------------
+
+
+class TestUserSurvivalKm:
+    def _write(self, tmp_path, rows):
+        import pyarrow as pa
+
+        d = tmp_path / "sf_km"
+        d.mkdir(exist_ok=True)
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        DAY = 86_400_000_000
+        cols = {
+            "event_id": [], "ts": [], "user_id": [],
+            "event_type": [], "value": [], "props": [],
+        }
+        for i, (uid, et, day) in enumerate(rows):
+            cols["event_id"].append(i)
+            cols["ts"].append(day * DAY)
+            cols["user_id"].append(uid)
+            cols["event_type"].append(et)
+            cols["value"].append(1.0)
+            cols["props"].append("x")
+        import pyarrow as pa
+        t = pa.table({
+            "event_id": pa.array(cols["event_id"], type=pa.int64()),
+            "ts": pa.array(cols["ts"], type=pa.int64()).cast(
+                pa.timestamp("us")),
+            "user_id": pa.array(cols["user_id"], type=pa.int64()),
+            "event_type": pa.array(cols["event_type"], type=pa.string()),
+            "value": pa.array(cols["value"], type=pa.float64()),
+            "props": pa.array(cols["props"], type=pa.string()),
+        })
+        pq.write_table(
+            t.select(schema.names), str(d / "events.parquet")
+        )
+        return str(d)
+
+    def test_planted_table(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_survival_km
+
+        rows = [
+            (1, "signup", 0), (1, "purchase", 3),   # event at dur 3
+            (2, "signup", 0),                       # censored at dur 10
+            (3, "signup", 2), (3, "purchase", 2),   # event at dur 0
+            (4, "purchase", 1),                     # no signup: excluded
+            (5, "signup", 1), (5, "purchase", 0),   # purchase BEFORE
+            (0, "view", 10),                        # horizon = day 10
+        ]
+        out = user_survival_km(self._write(tmp_path, rows))
+        # users in study: 1 (dur 3, ev), 2 (dur 10, cens), 3 (dur 0, ev),
+        # 5 (dur 9, cens — its pre-signup purchase doesn't count)
+        assert out.dur_day.tolist() == [0, 3]
+        assert out.n_event.tolist() == [1, 1]
+        assert out.n_risk.tolist() == [4, 3]
+
+    def test_nontrivial_on_sf(self, ray_session):
+        from libpostal_ray.pipelines.queries import user_survival_km
+
+        out = user_survival_km(SF)
+        assert len(out) > 0
+        assert (out.n_risk >= out.n_event).all()
+        # n_risk non-increasing in dur
+        assert (np.diff(out.n_risk.to_numpy()) <= 0).all()
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_survival_km
+
+        d = tmp_path / "sf_empty_km"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+        out = user_survival_km(str(d))
+        assert len(out) == 0
+        assert list(out.columns) == ["dur_day", "n_event", "n_risk"]
