@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_click_auc": q.event_click_auc,
         "event_value_ols2": q.event_value_ols2,
         "user_survival_km": q.user_survival_km,
+        "value_decile_calibration": q.value_decile_calibration,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2941,6 +2942,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT dur_day, n_event, n_risk FROM k WHERE n_event > 0
+        """,
+    # calibration by score decile: quantile_disc edges (index rule
+    # ceil(q*n)-1), bucket = count of edges strictly below v (list
+    # lambda), exact counts + one int/int double division
+    "value_decile_calibration": """
+            WITH r AS (
+                SELECT CAST(floor(CAST(value AS DOUBLE) * 1000)
+                            AS BIGINT) AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS y
+                FROM events
+            ),
+            e AS (
+                SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS ed
+                FROM r
+            ),
+            b AS (
+                SELECT r.y,
+                       CAST(list_sum(list_transform(
+                           e.ed, x -> CASE WHEN r.v > x THEN 1 ELSE 0 END
+                       )) AS BIGINT) AS bucket
+                FROM r, e
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS rate
+            FROM b GROUP BY 1
         """,
     "doc_graph_triangles": """
             WITH

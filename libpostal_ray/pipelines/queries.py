@@ -16670,3 +16670,89 @@ def user_survival_km(sf_dir: str) -> "pd.DataFrame":
             "n_risk": n_risk[keep],
         }
     ).astype({"dur_day": "int64", "n_event": "int64", "n_risk": "int64"})
+
+
+def value_decile_calibration(sf_dir: str) -> "pd.DataFrame":
+    """Model-calibration table: bucket events by score decile (value,
+    quantile_disc edges at q = 0.1..0.9 — tied scores stay in one
+    bucket, the stable definition for score-based calibration) and
+    report the exact click rate per bucket.  Together with
+    event_click_auc this gives the eval pair every ranking pipeline
+    ships: discrimination (AUC) + calibration (rate by decile).
+
+    All counting is exact integers on the SAME constant-size (label x
+    distinct-milli-value) sufficient-statistic pass as the AUC/KS/MW
+    operators; decile edges fall out of the cumulative histogram at
+    DuckDB's quantile_disc rank ceil(q*n)-1 (verified rule, round-3
+    session 2), and the only float is double(n_pos)/double(n)."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY_L = pa.table(
+        {"y": pa.nulls(0, pa.large_string()),
+         "value": pa.nulls(0, pa.float64())}
+    )
+
+    def lab(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY_L
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        y = np.where(et == "click", "pos", "neg").tolist()
+        return pa.table(
+            {"y": pa.array(y, type=pa.large_string()),
+             "value": batch["value"]}
+        )
+
+    def val(batch: pa.Table) -> np.ndarray:
+        return np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+
+    cdf = _group_value_counts(
+        ev.map_batches(lab, batch_format="pyarrow"), "y", val
+    )
+    empty = pd.DataFrame(
+        {
+            "bucket": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "n_pos": pd.Series(dtype="int64"),
+            "rate": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(cdf):
+        return empty
+    groups, vals, cnt, cum, tot = _cum_count_matrix(cdf)
+    n_all = int(tot.sum())
+    if n_all == 0 or vals.size == 0:
+        return empty
+    pos_cnt = (
+        cnt[groups.index("pos")]
+        if "pos" in groups
+        else np.zeros(vals.shape[0], dtype=np.int64)
+    )
+    all_cnt = cnt.sum(axis=0)
+    cum_all = np.cumsum(all_cnt)
+    # quantile_disc edge at q = value whose 0-based rank is ceil(q*n)-1
+    ranks = np.array(
+        [-(-(k * n_all) // 10) - 1 for k in range(1, 10)], dtype=np.int64
+    )
+    edges = vals[np.searchsorted(cum_all, ranks, side="right")]
+    # bucket of a distinct value = #edges strictly below it (duplicate
+    # edges from tied quantiles collapse buckets on both engines)
+    bucket = (vals[:, None] > edges[None, :]).sum(axis=1)
+    rows = {"bucket": [], "n": [], "n_pos": [], "rate": []}
+    for b in np.unique(bucket):
+        m = bucket == b
+        n = int(all_cnt[m].sum())
+        npos = int(pos_cnt[m].sum())
+        rows["bucket"].append(int(b))
+        rows["n"].append(n)
+        rows["n_pos"].append(npos)
+        rows["rate"].append(float(npos) / float(n))
+    return pd.DataFrame(rows).astype(
+        {"bucket": "int64", "n": "int64", "n_pos": "int64",
+         "rate": "float64"}
+    )

@@ -110,6 +110,7 @@ ORACLE_QUERIES = [
     "event_click_auc",
     "event_value_ols2",
     "user_survival_km",
+    "value_decile_calibration",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

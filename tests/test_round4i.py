@@ -415,3 +415,27 @@ class TestUserSurvivalKm:
         out = user_survival_km(str(d))
         assert len(out) == 0
         assert list(out.columns) == ["dur_day", "n_event", "n_risk"]
+
+
+def test_decile_calibration_invariants(ray_session):
+    from libpostal_ray.pipelines.queries import value_decile_calibration
+
+    out = value_decile_calibration(SF)
+    assert len(out) == 10  # sf values are spread enough for 10 buckets
+    assert int(out.n.sum()) == pq.read_metadata(
+        f"{SF}/events.parquet"
+    ).num_rows
+    assert (out.n_pos <= out.n).all()
+    assert ((out.rate >= 0) & (out.rate <= 1)).all()
+
+
+def test_decile_calibration_empty(ray_session, tmp_path):
+    from libpostal_ray.pipelines.queries import value_decile_calibration
+
+    d = tmp_path / "sf_empty_cal"
+    d.mkdir()
+    schema = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+    out = value_decile_calibration(str(d))
+    assert len(out) == 0
+    assert list(out.columns) == ["bucket", "n", "n_pos", "rate"]
