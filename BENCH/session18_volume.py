@@ -73,6 +73,12 @@ def gen():
         for lo in range(0, N, B):
             i = np.arange(lo, min(lo + B, N), dtype=np.uint64)
             h = _h(i, 12)
+            # type from an INDEPENDENT hash: N_USER = 2^6 x 3125, so
+            # h % N_USER pins bits 0-5 of h and (h >> 5) % 4 would fix
+            # half the type selector PER USER (no user would ever have
+            # both 'signup' and 'purchase' — found by the KM operator
+            # returning an empty study at volume)
+            h2 = _h(i, 15)
             t = pa.table({
                 "event_id": pa.array(i.astype(np.int64)),
                 "ts": pa.array(
@@ -80,7 +86,7 @@ def gen():
                 ).cast(pa.timestamp("us")),
                 "user_id": pa.array((h % np.uint64(N_USER)).astype(np.int64)),
                 "event_type": pa.array(
-                    [E_TYPES[int(v)] for v in (h >> np.uint64(5)) % 4],
+                    [E_TYPES[int(v)] for v in h2 % 4],
                     type=pa.string()),
                 "value": pa.array(
                     ((h >> np.uint64(29)) % 10_000).astype(np.float64)
@@ -250,6 +256,27 @@ def main():
     assert over <= 5, f"cms: {over} of 100 probes above the eN bound"
     print(f"user_event_count_cms: 100 probes at {N} rows, 0 undercounts, "
           f"{over} above the eps*N bound (allowed 5; ray {rw:.1f} s)")
+
+    # ---- grouped OLS2 / KM survival / decile calibration at 10M ----
+    for name in ("event_value_ols2", "user_survival_km",
+                 "value_decile_calibration"):
+        t0 = time.time()
+        res = qs[name](DIR)
+        got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        rw = time.time() - t0
+        t0 = time.time()
+        want = con.sql(sql[name]).df()
+        dw = time.time() - t0
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), (name, cols)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(want), (name, len(got), len(want))
+        for c in cols:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            assert (a == b).all(), (name, c)
+        print(f"{name}: {len(got)} rows EXACT at {N} events "
+              f"(ray {rw:.1f} s, duckdb {dw:.1f} s)")
 
     # ---- Q2 at 2M parts vs DuckDB ----
     name = "tpch_q2_min_cost_supplier"
