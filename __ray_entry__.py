@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_fs_em": q.linkage_fs_em,
         # iterative graph primitive #6 (locally-dominant greedy matching)
         "doc_graph_matching": q.doc_graph_matching,
+        # iterative graph primitive #8 (synchronous label propagation)
+        "doc_graph_communities": q.doc_graph_communities,
         # Poisson bootstrap (one-pass B-replicate resampling, exact int
         # sufficient statistics; the resampling loop is not SQL)
         "events_bootstrap_ci": q.events_bootstrap_ci,

@@ -1229,3 +1229,154 @@ def maximal_matching(
             }
         )
     )
+
+
+def label_propagation(
+    edges: ray.data.Dataset, *, rounds: int = 8
+) -> ray.data.Dataset:
+    """Synchronous label-propagation communities over an UNDIRECTED edge
+    list (u, v) — iterative graph primitive #8.  Deterministic spec
+    (every engine computing it gets the identical result): labels start
+    as node ids; each round, EVERY node simultaneously adopts the
+    smallest among the most frequent labels over its neighbors plus ONE
+    self-vote for its current label; fixed round count (convergence is
+    not required — the spec is the round count).  Unlike the min-label
+    propagation of connected components, the MODE update respects local
+    density, so bridges between dense regions do not instantly merge
+    communities.
+
+    Scale posture: edges materialize once and stream per round; labels
+    broadcast 8 B/node; each round is ONE node%P exchange of per-batch
+    (node, nbr_label, cnt) combiners (<= 2 rows per edge before in-batch
+    combining), and the kernel's mode/tie-break is a vectorized lexsort
+    — no per-node Python.  Returns (doc_id, community)."""
+    P = 32
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    @ray.remote
+    def _nodes(*blocks: pa.Table) -> np.ndarray:
+        parts = [
+            np.concatenate(
+                (
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                )
+            )
+            for b in blocks
+            if b.num_rows and "u" in b.column_names
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts)).astype(np.int64)
+
+    nodes = ray.get(_nodes.remote(*edges.to_arrow_refs()))
+    n = nodes.shape[0]
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "community": pa.nulls(0, pa.int64()),
+                }
+            )
+        )
+    if int(nodes.min()) < 0 or int(nodes.max()) >= 2**31:
+        # (node, label) pairs pack into one int64 key; labels are node
+        # ids, so both must sit in [0, 2^31) — loud, not silent
+        raise ValueError("label_propagation: node ids must be in [0, 2^31)")
+    nodes_ref = ray.put(nodes)
+    labels = nodes.copy()  # label init = node id
+
+    EMPTY = pa.table(
+        {
+            "node": pa.nulls(0, pa.int64()),
+            "lab": pa.nulls(0, pa.int64()),
+            "cnt": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+
+        def emit(batch: pa.Table, _l=lab_ref) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return EMPTY
+            nd = ray.get(nodes_ref)
+            lb = ray.get(_l)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ui = np.searchsorted(nd, u)
+            vi = np.searchsorted(nd, v)
+            node = np.concatenate((u, v))
+            lab = np.concatenate((lb[vi], lb[ui]))
+            # in-batch combine: (node, lab) -> count
+            key = node * np.int64(2**31) + lab  # labels are node ids < 2^31
+            uk, inv = np.unique(key, return_inverse=True)
+            cnt = np.bincount(inv).astype(np.int64)
+            kn = (uk // np.int64(2**31)).astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(kn),
+                    "lab": pa.array(uk % np.int64(2**31)),
+                    "cnt": pa.array(cnt),
+                    "part": pa.array(kn % P),
+                }
+            )
+
+        def modek(group: pa.Table, _l=lab_ref) -> pa.Table:
+            empty = pa.table(
+                {
+                    "node": pa.nulls(0, pa.int64()),
+                    "new_lab": pa.nulls(0, pa.int64()),
+                }
+            )
+            if group.num_rows == 0 or "node" not in group.column_names:
+                return empty
+            nd = ray.get(nodes_ref)
+            lb = ray.get(_l)
+            node = group["node"].to_numpy(zero_copy_only=False)
+            lab = group["lab"].to_numpy(zero_copy_only=False)
+            cnt = group["cnt"].to_numpy(zero_copy_only=False)
+            # fold cross-batch partials + ONE self-vote per node
+            un = np.unique(node)
+            node = np.concatenate((node, un))
+            lab = np.concatenate((lab, lb[np.searchsorted(nd, un)]))
+            cnt = np.concatenate((cnt, np.ones(un.shape[0], np.int64)))
+            key = node * np.int64(2**31) + lab
+            uk, inv = np.unique(key, return_inverse=True)
+            tot = np.zeros(uk.shape[0], dtype=np.int64)
+            np.add.at(tot, inv, cnt)
+            kn = uk // np.int64(2**31)
+            kl = uk % np.int64(2**31)
+            # per node: max count, tie -> smallest label (lexsort asc by
+            # (node, -cnt, lab) then first row per node)
+            o = np.lexsort((kl, -tot, kn))
+            kn, kl = kn[o], kl[o]
+            first = np.ones(kn.shape[0], dtype=bool)
+            first[1:] = kn[1:] != kn[:-1]
+            return pa.table(
+                {"node": pa.array(kn[first]), "new_lab": pa.array(kl[first])}
+            )
+
+        new = (
+            edges.map_batches(emit, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(modek, batch_format="pyarrow")
+        )
+        nxt = labels.copy()
+        for b in new.iter_batches(batch_format="pyarrow"):
+            if b.num_rows and "node" in b.column_names:
+                nn = b["node"].to_numpy(zero_copy_only=False)
+                nl = b["new_lab"].to_numpy(zero_copy_only=False)
+                nxt[np.searchsorted(nodes, nn)] = nl
+        labels = nxt
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "community": pa.array(labels, type=pa.int64()),
+            }
+        )
+    )

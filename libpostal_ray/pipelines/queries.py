@@ -16756,3 +16756,19 @@ def value_decile_calibration(sf_dir: str) -> "pd.DataFrame":
         {"bucket": "int64", "n": "int64", "n_pos": "int64",
          "rate": "float64"}
     )
+
+
+def doc_graph_communities(sf_dir: str, rounds: int = 8) -> ray.data.Dataset:
+    """Community detection over the deterministic document graph via
+    synchronous label propagation (graph.label_propagation, iterative
+    primitive #8): every node simultaneously adopts the smallest of the
+    most frequent labels among neighbors + one self-vote, for a fixed
+    round count — fully deterministic, so the distributed result is
+    pinned row-for-row against an independent per-round dict reference
+    in tests.  Rows-only (simultaneous-update fixpoints are not
+    SQL-expressible).  Returns (doc_id, community) in GRAPH ids (k =
+    doc_id + 1, the _doc_graph_edges convention)."""
+    from libpostal_ray.pipelines.graph import label_propagation
+
+    edges, n = _doc_graph_edges(sf_dir)
+    return label_propagation(edges, rounds=rounds)

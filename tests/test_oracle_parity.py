@@ -315,6 +315,7 @@ ROWS_ONLY = [
     "doc_graph_kcore",
     "linkage_fs_em",
     "doc_graph_matching",
+    "doc_graph_communities",
     "events_bootstrap_ci",
     "events_isotonic_daily",
 ]

@@ -439,3 +439,95 @@ def test_decile_calibration_empty(ray_session, tmp_path):
     out = value_decile_calibration(str(d))
     assert len(out) == 0
     assert list(out.columns) == ["bucket", "n", "n_pos", "rate"]
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (iterative graph primitive #8)
+# ---------------------------------------------------------------------------
+
+
+def _ref_lpa(edges, rounds):
+    """Independent per-round dict reference for the exact LPA spec:
+    simultaneous update, most-frequent neighbor label + one self-vote,
+    ties -> smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    lab = {x: x for x in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for x in adj:
+            c = Counter(lab[y] for y in adj[x])
+            c[lab[x]] += 1
+            best = max(c.values())
+            nxt[x] = min(l for l, k in c.items() if k == best)
+        lab = nxt
+    return lab
+
+
+class TestLabelPropagation:
+    def _run(self, edges, rounds=8):
+        import ray
+
+        from libpostal_ray.pipelines.graph import label_propagation
+
+        tbl = pa.table(
+            {
+                "u": pa.array([e[0] for e in edges], type=pa.int64()),
+                "v": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+        out = label_propagation(
+            ray.data.from_arrow(tbl), rounds=rounds
+        ).to_pandas()
+        return dict(zip(out.doc_id.astype(int), out.community.astype(int)))
+
+    def test_two_cliques_with_bridge(self, ray_session):
+        # two 4-cliques joined by one bridge edge: LPA keeps them apart
+        # (min-label CC would merge them)
+        a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        b = [(i + 10, j + 10) for i in range(4) for j in range(i + 1, 4)]
+        got = self._run(a + b + [(3, 10)])
+        assert len({got[i] for i in range(4)}) == 1
+        assert len({got[i + 10] for i in range(4)}) == 1
+        assert got[0] != got[10]
+
+    def test_matches_reference_on_random_graphs(self, ray_session):
+        rng = np.random.default_rng(23)
+        for trial in range(3):
+            n = 60
+            m = 150
+            edges = set()
+            while len(edges) < m:
+                u, v = sorted(rng.integers(0, n, size=2).tolist())
+                if u != v:
+                    edges.add((u, v))
+            edges = sorted(edges)
+            for rounds in (1, 3, 8):
+                got = self._run(edges, rounds=rounds)
+                want = _ref_lpa(edges, rounds)
+                assert got == want, (trial, rounds)
+
+    def test_doc_graph_runs(self, ray_session):
+        from libpostal_ray.pipelines.queries import doc_graph_communities
+
+        out = doc_graph_communities(SF).to_pandas()
+        assert len(out) == 500  # all nodes labeled
+        assert out.community.nunique() > 1
+
+    def test_node_id_bound_is_loud(self, ray_session):
+        import ray
+
+        from libpostal_ray.pipelines.graph import label_propagation
+
+        tbl = pa.table(
+            {"u": pa.array([2**31], type=pa.int64()),
+             "v": pa.array([1], type=pa.int64())}
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="2\\^31"):
+            label_propagation(ray.data.from_arrow(tbl), rounds=1)
