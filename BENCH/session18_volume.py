@@ -257,6 +257,44 @@ def main():
     print(f"user_event_count_cms: 100 probes at {N} rows, 0 undercounts, "
           f"{over} above the eps*N bound (allowed 5; ray {rw:.1f} s)")
 
+    # ---- label propagation at 1M nodes vs dict reference ----
+    from collections import Counter, defaultdict
+
+    from libpostal_ray.pipelines.queries import doc_graph_communities
+
+    LPA_ROUNDS = 4
+    t0 = time.time()
+    got_lpa = doc_graph_communities(DIR, rounds=LPA_ROUNDS).to_pandas()
+    rw = time.time() - t0
+    t0 = time.time()
+    tbl = pq.read_table(f"{DIR}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+    nn = tbl.num_rows
+    kk = tbl["doc_id"].to_numpy(zero_copy_only=False) + 1
+    nc = tbl["n_chars"].to_numpy(zero_copy_only=False)
+    adj = defaultdict(set)
+    for tgt in (2 * kk, 2 * kk + 1, kk + 1 + (nc % 64)):
+        m = tgt <= nn
+        for a, b in zip(kk[m].tolist(), tgt[m].tolist()):
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {x: x for x in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for x, nb in adj.items():
+            c = Counter(lab[y] for y in nb)
+            c[lab[x]] += 1
+            best = max(c.values())
+            nxt[x] = min(l for l, k2 in c.items() if k2 == best)
+        lab = nxt
+    dw = time.time() - t0
+    gd = dict(zip(got_lpa.doc_id.astype(int), got_lpa.community.astype(int)))
+    assert gd == lab, "label_propagation MISMATCH vs dict reference"
+    ncomm = len(set(lab.values()))
+    print(f"doc_graph_communities: {len(gd)} nodes, {ncomm} communities "
+          f"after {LPA_ROUNDS} rounds EXACT vs dict LPA "
+          f"(ray {rw:.1f} s, dict {dw:.1f} s)")
+
     # ---- grouped OLS2 / KM survival / decile calibration at 10M ----
     for name in ("event_value_ols2", "user_survival_km",
                  "value_decile_calibration"):
