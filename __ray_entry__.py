@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_ols2": q.event_value_ols2,
         "user_survival_km": q.user_survival_km,
         "value_decile_calibration": q.value_decile_calibration,
+        "event_type_top_values": q.event_type_top_values,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2973,6 +2974,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                        AS rate
             FROM b GROUP BY 1
+        """,
+    # grouped top-k distinct values: DENSE_RANK over value desc, exact
+    # counts per surviving value
+    "event_type_top_values": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000)
+                            AS BIGINT) AS value_milli,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT event_type, value_milli, cnt,
+                       CAST(dense_rank() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value_milli DESC
+                       ) AS BIGINT) AS rk
+                FROM c
+            )
+            SELECT event_type, value_milli, cnt, rk FROM r WHERE rk <= 3
         """,
     "doc_graph_triangles": """
             WITH

@@ -16772,3 +16772,102 @@ def doc_graph_communities(sf_dir: str, rounds: int = 8) -> ray.data.Dataset:
 
     edges, n = _doc_graph_edges(sf_dir)
     return label_propagation(edges, rounds=rounds)
+
+
+def event_type_top_values(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k DISTINCT values per event type with exact counts and dense
+    ranks (SQL DENSE_RANK() <= k over value DESC) — grouped top-k with a
+    provably bounded combiner.  Each batch ships its per-type top-CAP
+    (CAP = 64 >= k) distinct values WITH their in-batch counts; the
+    constant-size candidate tail merges counts and re-ranks.
+
+    EXACTNESS of both the value set and the counts, for k <= CAP: if a
+    value X has global dense rank <= k, then fewer than CAP distinct
+    values exceed X globally — hence in EVERY batch where X occurs,
+    fewer than CAP batch-distinct values exceed it, so every such batch
+    emits X with its full in-batch count.  Top-k membership and exact
+    totals both survive the cap; the exchange is <= CAP x types x
+    batches rows regardless of row count."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    CAP = 64
+    EMPTY = pa.table(
+        {
+            "event_type": pa.nulls(0, pa.large_string()),
+            "v": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        out_t, out_v, out_n = [], [], []
+        for t in np.unique(et):
+            m = et == t
+            uv, cn = np.unique(v[m], return_counts=True)
+            take = min(CAP, uv.shape[0])
+            # values are the ranking key: the batch's top-CAP by value
+            # always contains any global top-k value present in it
+            out_t.extend([str(t)] * take)
+            out_v.extend(uv[-take:].tolist())
+            out_n.extend(cn[-take:].astype(np.int64).tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, type=pa.large_string()),
+                "v": pa.array(out_v, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.large_string()),
+                "value_milli": pa.nulls(0, pa.int64()),
+                "cnt": pa.nulls(0, pa.int64()),
+                "rk": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "event_type" not in group.column_names:
+            return empty
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        out = {"event_type": [], "value_milli": [], "cnt": [], "rk": []}
+        for t in np.unique(et):
+            m = et == t
+            uv, inv = np.unique(v[m], return_inverse=True)
+            tot = np.zeros(uv.shape[0], dtype=np.int64)
+            np.add.at(tot, inv, n[m])
+            take = min(k, uv.shape[0])
+            top = uv[-take:][::-1]
+            cnts = tot[-take:][::-1]
+            out["event_type"].extend([str(t)] * take)
+            out["value_milli"].extend(top.tolist())
+            out["cnt"].extend(cnts.tolist())
+            out["rk"].extend(range(1, take + 1))
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    out["event_type"], type=pa.large_string()
+                ),
+                "value_milli": pa.array(out["value_milli"], type=pa.int64()),
+                "cnt": pa.array(out["cnt"], type=pa.int64()),
+                "rk": pa.array(out["rk"], type=pa.int64()),
+            }
+        )
+
+    # candidate rows are <= CAP x types x batches — one small engine
+    # groupby by type collapses them; P would be overkill
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )

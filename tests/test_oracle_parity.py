@@ -111,6 +111,7 @@ ORACLE_QUERIES = [
     "event_value_ols2",
     "user_survival_km",
     "value_decile_calibration",
+    "event_type_top_values",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

@@ -531,3 +531,14 @@ class TestLabelPropagation:
 
         with pytest.raises(ValueError, match="2\\^31"):
             label_propagation(ray.data.from_arrow(tbl), rounds=1)
+
+
+def test_top_values_empty(ray_session, tmp_path):
+    from libpostal_ray.pipelines.queries import event_type_top_values
+
+    d = tmp_path / "sf_empty_topv"
+    d.mkdir()
+    schema = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+    out = event_type_top_values(str(d)).to_pandas()
+    assert len(out) == 0
