@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_survival_km": q.user_survival_km,
         "value_decile_calibration": q.value_decile_calibration,
         "event_type_top_values": q.event_type_top_values,
+        "events_grouping_sets": q.events_grouping_sets,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -2994,6 +2995,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             SELECT event_type, value_milli, cnt, rk FROM r WHERE rk <= 3
+        """,
+    # GROUPING SETS: four granularities in one statement; sentinels
+    # ('ALL', -1) stand in for the aggregated-out keys (hour is 0..23
+    # and types are non-null, so COALESCE is unambiguous)
+    "events_grouping_sets": """
+            WITH f AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) % 24 AS hr,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000)
+                            AS BIGINT) AS v
+                FROM events
+            )
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(COALESCE(hr, -1) AS BIGINT) AS hr,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_milli
+            FROM f
+            GROUP BY GROUPING SETS ((event_type, hr), (event_type),
+                                    (hr), ())
         """,
     "doc_graph_triangles": """
             WITH

@@ -16871,3 +16871,93 @@ def event_type_top_values(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         .groupby("event_type")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def events_grouping_sets(sf_dir: str) -> "pd.DataFrame":
+    """GROUP BY GROUPING SETS analog — (event_type, hour), (event_type),
+    (hour) and the grand total from ONE streaming pass: every batch
+    ships its exact (type, hour) cell partials (<= types x 24 rows) and
+    the constant-size tail derives the three coarser granularities by
+    rolling the finest cells up, so the multi-granularity report costs
+    exactly one scan and a cell-table exchange.  Aggregated-out keys use
+    sentinels ('ALL', -1) instead of SQL's NULLs — the repo's
+    cross-engine hash discipline (hour is 0..23, so -1 cannot collide).
+    All sums are exact integers (milli values)."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    EMPTY = pa.table(
+        {
+            "event_type": pa.nulls(0, pa.large_string()),
+            "hr": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "sum_milli": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = (us // 3_600_000_000) % 24
+        v = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        comp = np.asarray(
+            [f"{t}\x01{h}" for t, h in zip(et, hr)], dtype=object
+        )
+        uk, inv = np.unique(comp, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [c.split("\x01")[0] for c in uk], type=pa.large_string()
+                ),
+                "hr": pa.array(
+                    np.asarray(
+                        [int(c.split("\x01")[1]) for c in uk], dtype=np.int64
+                    )
+                ),
+                "n": pa.array(n),
+                "sum_milli": pa.array(s),
+            }
+        )
+
+    cells = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_cols = ["event_type", "hr", "n", "sum_milli"]
+    if not len(cells):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "hr": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "sum_milli": pd.Series(dtype="int64"),
+            }
+        )
+    fine = cells.groupby(["event_type", "hr"], as_index=False).sum()
+    by_type = fine.groupby("event_type", as_index=False)[
+        ["n", "sum_milli"]
+    ].sum()
+    by_type["hr"] = np.int64(-1)
+    by_hr = fine.groupby("hr", as_index=False)[["n", "sum_milli"]].sum()
+    by_hr["event_type"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "hr": np.array([-1], dtype=np.int64),
+            "n": [fine.n.sum()],
+            "sum_milli": [fine.sum_milli.sum()],
+        }
+    )
+    out = pd.concat(
+        [fine[out_cols], by_type[out_cols], by_hr[out_cols],
+         total[out_cols]],
+        ignore_index=True,
+    )
+    return out.astype({"hr": "int64", "n": "int64", "sum_milli": "int64"})

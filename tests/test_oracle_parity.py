@@ -112,6 +112,7 @@ ORACLE_QUERIES = [
     "user_survival_km",
     "value_decile_calibration",
     "event_type_top_values",
+    "events_grouping_sets",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

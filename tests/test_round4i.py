@@ -542,3 +542,27 @@ def test_top_values_empty(ray_session, tmp_path):
     pq.write_table(schema.empty_table(), str(d / "events.parquet"))
     out = event_type_top_values(str(d)).to_pandas()
     assert len(out) == 0
+
+
+def test_grouping_sets_internal_consistency(ray_session):
+    from libpostal_ray.pipelines.queries import events_grouping_sets
+
+    out = events_grouping_sets(SF)
+    fine = out[(out.event_type != "ALL") & (out.hr >= 0)]
+    total = out[(out.event_type == "ALL") & (out.hr == -1)]
+    assert len(total) == 1
+    assert int(fine.n.sum()) == int(total.n.iloc[0])
+    assert int(fine.sum_milli.sum()) == int(total.sum_milli.iloc[0])
+    by_type = out[(out.event_type != "ALL") & (out.hr == -1)]
+    assert int(by_type.n.sum()) == int(total.n.iloc[0])
+
+
+def test_grouping_sets_empty(ray_session, tmp_path):
+    from libpostal_ray.pipelines.queries import events_grouping_sets
+
+    d = tmp_path / "sf_empty_gs"
+    d.mkdir()
+    schema = pq.read_schema(f"{SF}/events.parquet")
+    pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+    out = events_grouping_sets(str(d))
+    assert len(out) == 0
