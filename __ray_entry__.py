@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": q.ann_topk_lsh,
         "ann_topk_ivf": q.ann_topk_ivf,
         "ann_topk_ivf_sq8": q.ann_topk_ivf_sq8,
+        "mmr_topk": q.mmr_topk,
         "cluster_size_topk": q.cluster_size_topk,
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "hot_buckets": q.hot_buckets,

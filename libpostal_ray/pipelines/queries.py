@@ -16961,3 +16961,75 @@ def events_grouping_sets(sf_dir: str) -> "pd.DataFrame":
         ignore_index=True,
     )
     return out.astype({"hr": "int64", "n": "int64", "sum_milli": "int64"})
+
+
+def mmr_topk(
+    sf_dir: str, k: int = 10, m: int = 100, lam: float = 0.7
+) -> "pd.DataFrame":
+    """Maximal-marginal-relevance diversified top-k retrieval — the
+    re-rank stage every embedding-retrieval stack runs after ANN: greedy
+    argmax of lam*cos(q,d) - (1-lam)*max_cos(d, selected), ties ->
+    smallest vec_id.  The distributed part is the candidate prefilter
+    (the existing brute-force top-M scan, broadcast query matrix); the
+    greedy re-rank then runs on the M-candidate set in ONE task — the
+    production pattern (ANN narrows, exact MMR diversifies), so the
+    quadratic term is M^2, never corpus^2.  Rows-only (iterated greedy
+    is not SQL); pinned against an independent reference in tests.
+    Returns (rank, vec_id, mmr_score)."""
+    import pyarrow.parquet as pq
+
+    from libpostal_ray.pipelines.ann import brute_force_topk
+
+    emb = _embeddings(sf_dir)
+    qrow = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "mmr_score": pd.Series(dtype="float64"),
+        }
+    )
+    if qrow.num_rows == 0:
+        return empty
+    qm = np.array(qrow["embedding"].to_pylist(), dtype=np.float64)
+    cands = brute_force_topk(emb, qm, np.array([0]), k=m).to_pandas()
+    if not len(cands):
+        return empty
+    ids = np.sort(cands["vec_id"].to_numpy().astype(np.int64))
+    # point-read ONLY the candidate vectors (row-group pushdown)
+    crow = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids.tolist())],
+    )
+    cid = crow["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(cid)  # ascending ids -> argmax tie = smallest id
+    cid = cid[o]
+    V = np.array(crow["embedding"].to_pylist(), dtype=np.float64)[o]
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    q = qm[0] / max(float(np.linalg.norm(qm[0])), 1e-30)
+    rel = V @ q
+    sel: list[int] = []
+    div = np.full(cid.shape[0], -1.0)
+    picked = np.zeros(cid.shape[0], dtype=bool)
+    out = {"rank": [], "vec_id": [], "mmr_score": []}
+    for r in range(1, min(k, cid.shape[0]) + 1):
+        score = np.where(
+            picked, -np.inf,
+            lam * rel - (1.0 - lam) * np.maximum(div, 0.0)
+        )
+        j = int(np.argmax(score))  # first max = smallest vec_id on ties
+        picked[j] = True
+        out["rank"].append(r)
+        out["vec_id"].append(int(cid[j]))
+        out["mmr_score"].append(float(score[j]))
+        div = np.maximum(div, V @ V[j])
+    return pd.DataFrame(out).astype(
+        {"rank": "int64", "vec_id": "int64", "mmr_score": "float64"}
+    )

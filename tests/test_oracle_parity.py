@@ -289,6 +289,7 @@ ROWS_ONLY = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_ivf_sq8",
+    "mmr_topk",
     "cluster_size_topk",
     "simhash_dup_pairs",
     "hot_buckets",

@@ -566,3 +566,62 @@ def test_grouping_sets_empty(ray_session, tmp_path):
     pq.write_table(schema.empty_table(), str(d / "events.parquet"))
     out = events_grouping_sets(str(d))
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (ANN prefilter -> exact greedy re-rank)
+# ---------------------------------------------------------------------------
+
+
+def _ref_mmr(q, ids, V, k, lam):
+    """Independent MMR reference: same spec, plain python loop."""
+    q = q / np.linalg.norm(q)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rel = Vn @ q
+    sel, out = [], []
+    for r in range(1, min(k, len(ids)) + 1):
+        best_j, best_s = None, None
+        for j in range(len(ids)):
+            if j in sel:
+                continue
+            d = max((float(Vn[j] @ Vn[s]) for s in sel), default=0.0)
+            s = lam * rel[j] - (1 - lam) * max(d, 0.0)
+            if best_s is None or s > best_s:
+                best_j, best_s = j, s
+        sel.append(best_j)
+        out.append((r, int(ids[best_j]), float(best_s)))
+    return out
+
+
+def test_mmr_matches_reference(ray_session):
+    from libpostal_ray.pipelines.queries import mmr_topk
+
+    out = mmr_topk(SF, k=8, m=40)
+    tbl = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_all = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    V_all = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = V_all[ids_all == 0][0]
+    # reference prefilter: exact top-40 by cosine, then same greedy
+    Vn = V_all / np.linalg.norm(V_all, axis=1, keepdims=True)
+    rel = Vn @ (q / np.linalg.norm(q))
+    top = np.argsort(-rel, kind="stable")[:40]
+    o = np.argsort(ids_all[top])
+    cand_ids, cand_V = ids_all[top][o], V_all[top][o]
+    want = _ref_mmr(q, cand_ids, cand_V, 8, 0.7)
+    got = list(zip(out["rank"], out.vec_id, out.mmr_score))
+    assert [(r, v) for r, v, _ in got] == [(r, v) for r, v, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-12
+
+
+def test_mmr_diversifies(ray_session):
+    # rank-1 is the best match (vec 0 itself, rel=1); the rest must not
+    # all be the plain cosine top-k when lam < 1
+    from libpostal_ray.pipelines.queries import ann_topk, mmr_topk
+
+    plain = ann_topk(SF, k=8).vec_id.tolist()
+    mmr = mmr_topk(SF, k=8, m=60, lam=0.3).vec_id.tolist()
+    assert mmr[0] == 0  # self-match first
+    assert set(mmr) != set(plain)  # low lambda trades off relevance
