@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_decile_calibration": q.value_decile_calibration,
         "event_type_top_values": q.event_type_top_values,
         "events_grouping_sets": q.events_grouping_sets,
+        "events_quantile_normalize": q.events_quantile_normalize,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -3015,6 +3016,34 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             GROUP BY GROUPING SETS ((event_type, hr), (event_type),
                                     (hr), ())
+        """,
+    # quantile normalization: within-group rank (v, event_id order) ->
+    # pooled order statistic at floor(r * n_pool / n_group)
+    "events_quantile_normalize": """
+            WITH f AS (
+                SELECT event_id, event_type,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000)
+                            AS BIGINT) AS v
+                FROM events
+            ),
+            r AS (
+                SELECT event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY v, event_id
+                       ) - 1 AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS ng
+                FROM f
+            ),
+            pool AS (
+                SELECT v,
+                       row_number() OVER (ORDER BY v, event_id) - 1 AS j
+                FROM f
+            ),
+            n AS (SELECT count(*) AS np FROM f)
+            SELECT r.event_id,
+                   CAST(pool.v AS BIGINT) AS normalized_milli
+            FROM r CROSS JOIN n
+            JOIN pool ON pool.j = (r.rk * n.np) // r.ng
         """,
     "doc_graph_triangles": """
             WITH

@@ -17033,3 +17033,139 @@ def mmr_topk(
     return pd.DataFrame(out).astype(
         {"rank": "int64", "vec_id": "int64", "mmr_score": "float64"}
     )
+
+
+def events_quantile_normalize(sf_dir: str) -> ray.data.Dataset:
+    """QUANTILE NORMALIZATION of value across event types — the ML
+    preprocessing transform that forces every group onto the pooled
+    distribution: a row at within-group rank r (total order (v,
+    event_id), 0-based) maps to the POOLED order statistic at index
+    floor(r * n_pool / n_group).  Exact and deterministic on both
+    engines: the pooled order statistic at an index depends only on the
+    value histogram (ids break ties among EQUAL values, which share one
+    value), so the pooled side broadcasts as a constant-size cumulative
+    histogram; the within-group rank decomposes as (# strictly smaller
+    in group, from the same broadcast histogram) + (tie index by
+    event_id, computed where the tied rows are co-located).
+
+    Physical plan: one _group_value_counts sufficient-statistic pass
+    builds the per-group and pooled histograms (broadcast once); then
+    ONE (group, value)-hash exchange co-locates tied rows and a
+    vectorized kernel emits (event_id, normalized_milli) — per-row
+    output, constant broadcast state, no sort of the full table."""
+    P = 32
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def val(batch: pa.Table) -> np.ndarray:
+        return np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+
+    cdf = _group_value_counts(
+        ev.map_batches(
+            lambda b: (
+                pa.table(
+                    {
+                        "g": pa.array(
+                            [str(x) for x in b["event_type"].to_pylist()],
+                            type=pa.large_string(),
+                        ),
+                        "value": b["value"],
+                    }
+                )
+                if b.num_rows and "event_type" in b.column_names
+                else pa.table(
+                    {
+                        "g": pa.nulls(0, pa.large_string()),
+                        "value": pa.nulls(0, pa.float64()),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        ),
+        "g",
+        val,
+    )
+    EMPTY_OUT = pa.table(
+        {
+            "event_id": pa.nulls(0, pa.int64()),
+            "normalized_milli": pa.nulls(0, pa.int64()),
+        }
+    )
+    if not len(cdf):
+        return ray.data.from_arrow(EMPTY_OUT)
+    groups, vals, cnt, cum, tot = _cum_count_matrix(cdf)
+    below = cum - cnt  # per (group, distinct value): # strictly smaller
+    pooled_cum = np.cumsum(cnt.sum(axis=0))
+    n_pool = int(pooled_cum[-1])
+    gi_map = {g: i for i, g in enumerate(groups)}
+    state_ref = ray.put(
+        (gi_map, vals, below, tot.astype(np.int64), pooled_cum, n_pool)
+    )
+
+    EMPTY_MID = pa.table(
+        {
+            "event_id": pa.nulls(0, pa.int64()),
+            "gid": pa.nulls(0, pa.int64()),
+            "v": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def prep(batch: pa.Table, _st=state_ref) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY_MID
+        gi_map_, *_rest = ray.get(_st) if not isinstance(_st, tuple) else _st
+        et = batch["event_type"].to_pylist()
+        gid = np.asarray([gi_map_[str(t)] for t in et], dtype=np.int64)
+        v = val(batch)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # co-locate tied (group, value) rows: mix both into the part key
+        part = ((gid * np.int64(1_000_003) + v) % P + P) % P
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "gid": pa.array(gid),
+                "v": pa.array(v),
+                "part": pa.array(part),
+            }
+        )
+
+    def kernel(group: pa.Table, _st=state_ref) -> pa.Table:
+        if group.num_rows == 0 or "event_id" not in group.column_names:
+            return EMPTY_OUT
+        (_gi, vals_, below_, tot_, pooled_cum_, n_pool_) = (
+            ray.get(_st) if not isinstance(_st, tuple) else _st
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        gid = group["gid"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, v, gid))
+        eid, gid, v = eid[o], gid[o], v[o]
+        first = np.ones(gid.shape[0], dtype=bool)
+        first[1:] = (gid[1:] != gid[:-1]) | (v[1:] != v[:-1])
+        seg_start = np.nonzero(first)[0]
+        # tie index within the (gid, v) segment, ordered by event_id
+        t = np.arange(gid.shape[0], dtype=np.int64)
+        t -= np.repeat(seg_start, np.diff(np.append(seg_start, gid.shape[0])))
+        pos = np.searchsorted(vals_, v)
+        r = below_[gid, pos] + t
+        j = (r * n_pool_) // tot_[gid]
+        norm = vals_[np.searchsorted(pooled_cum_, j, side="right")]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "normalized_milli": pa.array(norm.astype(np.int64)),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -113,6 +113,7 @@ ORACLE_QUERIES = [
     "value_decile_calibration",
     "event_type_top_values",
     "events_grouping_sets",
+    "events_quantile_normalize",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

@@ -625,3 +625,65 @@ def test_mmr_diversifies(ray_session):
     mmr = mmr_topk(SF, k=8, m=60, lam=0.3).vec_id.tolist()
     assert mmr[0] == 0  # self-match first
     assert set(mmr) != set(plain)  # low lambda trades off relevance
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization
+# ---------------------------------------------------------------------------
+
+
+class TestQuantileNormalize:
+    def test_equal_size_groups_become_identical(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from libpostal_ray.pipelines.queries import events_quantile_normalize
+
+        d = tmp_path / "sf_qn"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(100):  # type A: uniform-ish
+            rows.append(("click", float(rng.integers(0, 1000)) / 10.0))
+        for i in range(100):  # type B: shifted + scaled
+            rows.append(("view", 500.0 + float(rng.integers(0, 100))))
+        t = pa.table({
+            "event_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "ts": pa.array([0] * len(rows), type=pa.int64()).cast(
+                pa.timestamp("us")),
+            "user_id": pa.array([0] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "value": pa.array([r[1] for r in rows], type=pa.float64()),
+            "props": pa.array(["x"] * len(rows), type=pa.string()),
+        })
+        pq.write_table(t.select(schema.names), str(d / "events.parquet"))
+        out = events_quantile_normalize(str(d)).to_pandas()
+        assert len(out) == 200
+        a = np.sort(out[out.event_id < 100].normalized_milli.to_numpy())
+        b = np.sort(out[out.event_id >= 100].normalized_milli.to_numpy())
+        # equal-size groups land on the SAME pooled order statistics
+        assert (a == b).all()
+
+    def test_monotone_within_group(self, ray_session):
+        from libpostal_ray.pipelines.queries import events_quantile_normalize
+
+        out = events_quantile_normalize(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "event_type", "value"]
+        ).to_pandas()
+        ev["v"] = np.floor(ev.value * 1000).astype(np.int64)
+        m = ev.merge(out, on="event_id")
+        assert len(m) == len(ev)
+        for t, g in m.groupby("event_type"):
+            g = g.sort_values(["v", "event_id"])
+            assert (np.diff(g.normalized_milli.to_numpy()) >= 0).all(), t
+
+    def test_empty(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import events_quantile_normalize
+
+        d = tmp_path / "sf_empty_qn"
+        d.mkdir()
+        schema = pq.read_schema(f"{SF}/events.parquet")
+        pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+        out = events_quantile_normalize(str(d)).to_pandas()
+        assert len(out) == 0
