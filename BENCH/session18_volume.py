@@ -297,7 +297,8 @@ def main():
 
     # ---- grouped OLS2 / KM survival / decile calibration at 10M ----
     for name in ("event_value_ols2", "user_survival_km",
-                 "value_decile_calibration", "event_type_top_values"):
+                 "value_decile_calibration", "event_type_top_values",
+                 "events_quantile_normalize"):
         t0 = time.time()
         res = qs[name](DIR)
         got = res if isinstance(res, pd.DataFrame) else res.to_pandas()

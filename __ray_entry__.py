@@ -3039,11 +3039,16 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY v, event_id) - 1 AS j
                 FROM f
             ),
-            n AS (SELECT count(*) AS np FROM f)
-            SELECT r.event_id,
+            n AS (SELECT count(*) AS np FROM f),
+            rr AS (
+                -- materialize the join key so the planner hash-joins
+                -- (joining on the inline expression nested-loops at 10M)
+                SELECT r.event_id, (r.rk * n.np) // r.ng AS j
+                FROM r CROSS JOIN n
+            )
+            SELECT rr.event_id,
                    CAST(pool.v AS BIGINT) AS normalized_milli
-            FROM r CROSS JOIN n
-            JOIN pool ON pool.j = (r.rk * n.np) // r.ng
+            FROM rr JOIN pool ON pool.j = rr.j
         """,
     "doc_graph_triangles": """
             WITH
