@@ -274,6 +274,16 @@ def run_bench() -> dict:
     timed("user_value_hourly_ffill", q.user_value_hourly_ffill)
     timed("doc_dir_rollup", q.doc_dir_rollup)
     timed("top_collocations", q.top_collocations)
+    timed("doc_graph_sssp", q.doc_graph_sssp)
+    timed("tpch_q2_min_cost_supplier", q.tpch_q2_min_cost_supplier)
+    timed("event_click_auc", q.event_click_auc)
+    timed("event_value_ols2", q.event_value_ols2)
+    timed("user_survival_km", q.user_survival_km)
+    timed("value_decile_calibration", q.value_decile_calibration)
+    timed("events_quantile_normalize", q.events_quantile_normalize)
+    timed("doc_graph_communities", q.doc_graph_communities)
+    timed("user_event_count_cms", q.user_event_count_cms)
+    timed("mmr_topk", q.mmr_topk)
     timed(
         "returnflag_weighted_median",
         lambda d: __import__("ray").data.from_arrow(
