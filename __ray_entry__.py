@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_matching": q.doc_graph_matching,
         # iterative graph primitive #8 (synchronous label propagation)
         "doc_graph_communities": q.doc_graph_communities,
+        # iterative graph primitive #9 (Weisfeiler-Lehman refinement)
+        "doc_graph_wl_colors": q.doc_graph_wl_colors,
         # Poisson bootstrap (one-pass B-replicate resampling, exact int
         # sufficient statistics; the resampling loop is not SQL)
         "events_bootstrap_ci": q.events_bootstrap_ci,

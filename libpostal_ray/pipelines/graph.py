@@ -1380,3 +1380,162 @@ def label_propagation(
             }
         )
     )
+
+
+def wl_refinement(
+    edges: ray.data.Dataset, *, rounds: int = 3
+) -> ray.data.Dataset:
+    """Weisfeiler-Lehman color refinement over an UNDIRECTED edge list
+    (u, v) — iterative graph primitive #9, the structural fingerprint
+    behind graph-isomorphism screening and WL graph kernels.  Round 0
+    colors every node by its degree; round r+1 hashes (own color,
+    sorted multiset of neighbor colors) with splitmix64 chaining.
+    Deterministic by construction: the multiset is folded in sorted
+    order, so any partitioning computes the identical 63-bit color.
+
+    Scale posture: identical to label_propagation — edges materialize
+    once and stream per round, colors broadcast 8 B/node, each round is
+    ONE node%P exchange of (node, nbr_color) pairs whose kernel sorts
+    each node's segment and chains the hash vectorized (np.lexsort +
+    reduce by segment, no per-node Python).  Returns (doc_id, wl_color)
+    with colors in [0, 2^63)."""
+    P = 32
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    @ray.remote
+    def _nodes_deg(*blocks: pa.Table):
+        us, vs = [], []
+        for b in blocks:
+            if b.num_rows and "u" in b.column_names:
+                us.append(b["u"].to_numpy(zero_copy_only=False))
+                vs.append(b["v"].to_numpy(zero_copy_only=False))
+        if not us:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        ends = np.concatenate(us + vs)
+        nodes, deg = np.unique(ends, return_counts=True)
+        return nodes.astype(np.int64), deg.astype(np.int64)
+
+    nodes, deg = ray.get(_nodes_deg.remote(*edges.to_arrow_refs()))
+    n = nodes.shape[0]
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "wl_color": pa.nulls(0, pa.int64()),
+                }
+            )
+        )
+    nodes_ref = ray.put(nodes)
+
+    MASK63 = np.uint64((1 << 63) - 1)
+
+    def _mix(z: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            z = z + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+    color = (_mix(deg.astype(np.uint64)) & MASK63).astype(np.int64)
+
+    EMPTY = pa.table(
+        {
+            "node": pa.nulls(0, pa.int64()),
+            "c": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    for _ in range(rounds):
+        col_ref = ray.put(color)
+
+        def emit(batch: pa.Table, _c=col_ref) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return EMPTY
+            nd = ray.get(nodes_ref)
+            cl = ray.get(_c)
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ui = np.searchsorted(nd, u)
+            vi = np.searchsorted(nd, v)
+            node = np.concatenate((u, v))
+            c = np.concatenate((cl[vi], cl[ui]))
+            return pa.table(
+                {
+                    "node": pa.array(node),
+                    "c": pa.array(c),
+                    "part": pa.array(node % P),
+                }
+            )
+
+        def refine(group: pa.Table, _c=col_ref) -> pa.Table:
+            empty = pa.table(
+                {
+                    "node": pa.nulls(0, pa.int64()),
+                    "new_c": pa.nulls(0, pa.int64()),
+                }
+            )
+            if group.num_rows == 0 or "node" not in group.column_names:
+                return empty
+            nd = ray.get(nodes_ref)
+            cl = ray.get(_c)
+            node = group["node"].to_numpy(zero_copy_only=False)
+            c = group["c"].to_numpy(zero_copy_only=False)
+            # sorted multiset fold per node: order by (node, color) then
+            # chain acc = mix(acc ^ mix(color)) left-to-right; the chain
+            # is order-dependent, which is exactly why we SORT first
+            o = np.lexsort((c, node))
+            node, c = node[o], c[o]
+            first = np.ones(node.shape[0], dtype=bool)
+            first[1:] = node[1:] != node[:-1]
+            un = node[first]
+            # seed with the node's OWN current color
+            acc = _mix(cl[np.searchsorted(nd, un)].astype(np.uint64))
+            mc = _mix(c.astype(np.uint64))
+            seg = np.cumsum(first) - 1
+            # sequential within segment but vectorized across nodes:
+            # iterate positions-within-segment (max neighbor count per
+            # node bounds the loop, typically small for bounded-degree
+            # graphs; the doc graph has degree <= ~6)
+            pos = np.arange(node.shape[0], dtype=np.int64)
+            seg_start = np.nonzero(first)[0]
+            pos -= np.repeat(
+                seg_start, np.diff(np.append(seg_start, node.shape[0]))
+            )
+            max_deg = int(pos.max()) + 1
+            for step in range(max_deg):
+                m = pos == step
+                with np.errstate(over="ignore"):
+                    upd = _mix(acc[seg[m]] ^ mc[m])
+                acc[seg[m]] = upd
+            return pa.table(
+                {
+                    "node": pa.array(un),
+                    "new_c": pa.array(
+                        (acc & MASK63).astype(np.int64)
+                    ),
+                }
+            )
+
+        nxt = color.copy()
+        out = (
+            edges.map_batches(emit, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(refine, batch_format="pyarrow")
+        )
+        for b in out.iter_batches(batch_format="pyarrow"):
+            if b.num_rows and "node" in b.column_names:
+                nn = b["node"].to_numpy(zero_copy_only=False)
+                nc = b["new_c"].to_numpy(zero_copy_only=False)
+                nxt[np.searchsorted(nodes, nn)] = nc
+        color = nxt
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "wl_color": pa.array(color, type=pa.int64()),
+            }
+        )
+    )

@@ -17169,3 +17169,17 @@ def events_quantile_normalize(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def doc_graph_wl_colors(sf_dir: str, rounds: int = 3) -> ray.data.Dataset:
+    """Weisfeiler-Lehman structural colors of the deterministic document
+    graph (graph.wl_refinement, iterative primitive #9): after r rounds
+    two nodes share a color only if their radius-r neighborhoods are
+    WL-indistinguishable — the structural fingerprint behind graph
+    dedup/isomorphism screening.  Rows-only (hash-chained multiset
+    folding is not SQL); pinned against an independent dict reference
+    and an id-relabeling invariance property in tests."""
+    from libpostal_ray.pipelines.graph import wl_refinement
+
+    edges, n = _doc_graph_edges(sf_dir)
+    return wl_refinement(edges, rounds=rounds)

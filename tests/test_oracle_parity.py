@@ -320,6 +320,7 @@ ROWS_ONLY = [
     "linkage_fs_em",
     "doc_graph_matching",
     "doc_graph_communities",
+    "doc_graph_wl_colors",
     "events_bootstrap_ci",
     "events_isotonic_daily",
 ]

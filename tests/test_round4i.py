@@ -687,3 +687,97 @@ class TestQuantileNormalize:
         pq.write_table(schema.empty_table(), str(d / "events.parquet"))
         out = events_quantile_normalize(str(d)).to_pandas()
         assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman refinement (iterative graph primitive #9)
+# ---------------------------------------------------------------------------
+
+
+def _ref_wl(edges, rounds):
+    """Independent dict WL reference: degree-seeded splitmix colors,
+    round = mix-chain over (own color, sorted neighbor colors)."""
+    from collections import defaultdict
+
+    M = (1 << 64) - 1
+    M63 = (1 << 63) - 1
+
+    def mix(z):
+        z = (z + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    col = {x: mix(len(nb)) & M63 for x, nb in adj.items()}
+    for _ in range(rounds):
+        nxt = {}
+        for x, nb in adj.items():
+            acc = mix(col[x])
+            for c in sorted(col[y] for y in nb):
+                acc = mix(acc ^ mix(c))
+            nxt[x] = acc & M63
+        col = nxt
+    return col
+
+
+class TestWlRefinement:
+    def _run(self, edges, rounds=3):
+        import ray
+
+        from libpostal_ray.pipelines.graph import wl_refinement
+
+        tbl = pa.table(
+            {
+                "u": pa.array([e[0] for e in edges], type=pa.int64()),
+                "v": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+        out = wl_refinement(ray.data.from_arrow(tbl), rounds=rounds).to_pandas()
+        return dict(zip(out.doc_id.astype(int), out.wl_color.astype(int)))
+
+    def test_matches_reference_on_random_graphs(self, ray_session):
+        rng = np.random.default_rng(31)
+        for trial in range(3):
+            edges = set()
+            while len(edges) < 120:
+                u, v = sorted(rng.integers(0, 50, size=2).tolist())
+                if u != v:
+                    edges.add((u, v))
+            edges = sorted(edges)
+            for rounds in (0, 1, 3):
+                got = self._run(edges, rounds=rounds)
+                want = _ref_wl(edges, rounds)
+                assert got == want, (trial, rounds)
+
+    def test_relabeling_invariance(self, ray_session):
+        # WL colors are structural: permuting node ids permutes rows but
+        # the color MULTISET is identical
+        rng = np.random.default_rng(37)
+        edges = set()
+        while len(edges) < 100:
+            u, v = sorted(rng.integers(0, 40, size=2).tolist())
+            if u != v:
+                edges.add((u, v))
+        edges = sorted(edges)
+        perm = rng.permutation(1000)[:40]  # sparse relabeling
+        relabeled = [(int(perm[u]), int(perm[v])) for u, v in edges]
+        a = sorted(self._run(edges).values())
+        b = sorted(self._run(relabeled).values())
+        assert a == b
+
+    def test_path_ends_distinguished(self, ray_session):
+        # path a-b-c-d: after 1 round ends get one color, middles another
+        got = self._run([(0, 1), (1, 2), (2, 3)], rounds=1)
+        assert got[0] == got[3] and got[1] == got[2]
+        assert got[0] != got[1]
+
+    def test_doc_graph_runs(self, ray_session):
+        from libpostal_ray.pipelines.queries import doc_graph_wl_colors
+
+        out = doc_graph_wl_colors(SF).to_pandas()
+        assert len(out) == 500
+        assert out.wl_color.nunique() > 50  # 3-round refinement separates
