@@ -295,6 +295,48 @@ def main():
           f"after {LPA_ROUNDS} rounds EXACT vs dict LPA "
           f"(ray {rw:.1f} s, dict {dw:.1f} s)")
 
+    # ---- WL refinement at 1M nodes vs dict reference ----
+    from libpostal_ray.pipelines.queries import doc_graph_wl_colors
+
+    M64 = (1 << 64) - 1
+    M63 = (1 << 63) - 1
+
+    def _pmix(z):
+        z = (z + 0x9E3779B97F4A7C15) & M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+        return z ^ (z >> 31)
+
+    WL_ROUNDS = 2
+    t0 = time.time()
+    got_wl = doc_graph_wl_colors(DIR, rounds=WL_ROUNDS).to_pandas()
+    rw = time.time() - t0
+    t0 = time.time()
+    adj2 = defaultdict(list)
+    for tgt in (2 * kk, 2 * kk + 1, kk + 1 + (nc % 64)):
+        m = tgt <= nn
+        for a, b in zip(kk[m].tolist(), tgt[m].tolist()):
+            if b not in adj2[a]:
+                adj2[a].append(b)
+            if a not in adj2[b]:
+                adj2[b].append(a)
+    wc = {x: _pmix(len(nb)) & M63 for x, nb in adj2.items()}
+    for _ in range(WL_ROUNDS):
+        nxt = {}
+        for x, nb in adj2.items():
+            acc = _pmix(wc[x])
+            for c in sorted(wc[y] for y in nb):
+                acc = _pmix(acc ^ _pmix(c))
+            nxt[x] = acc & M63
+        wc = nxt
+    dw = time.time() - t0
+    gw = dict(zip(got_wl.doc_id.astype(int), got_wl.wl_color.astype(int)))
+    assert gw == wc, "wl_refinement MISMATCH vs dict reference"
+    ncol = len(set(wc.values()))
+    print(f"doc_graph_wl_colors: {len(gw)} nodes, {ncol} distinct colors "
+          f"after {WL_ROUNDS} rounds EXACT vs dict WL "
+          f"(ray {rw:.1f} s, dict {dw:.1f} s)")
+
     # ---- grouped OLS2 / KM survival / decile calibration at 10M ----
     for name in ("event_value_ols2", "user_survival_km",
                  "value_decile_calibration", "event_type_top_values",
