@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_top_values": q.event_type_top_values,
         "events_grouping_sets": q.events_grouping_sets,
         "events_quantile_normalize": q.events_quantile_normalize,
+        "similar_doc_degree": q.similar_doc_degree,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
@@ -3051,6 +3052,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT rr.event_id,
                    CAST(pool.v AS BIGINT) AS normalized_milli
             FROM rr JOIN pool ON pool.j = rr.j
+        """,
+    # bitmask set-similarity degree: per doc, # others with word-set
+    # jaccard >= 0.95; integer cross-multiplied test, bit_or/bit_count
+    "similar_doc_degree": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(string_split(trim(text), ' ')) AS w
+                    FROM documents
+                )
+            ),
+            vocab AS (
+                SELECT w, row_number() OVER (ORDER BY w) - 1 AS bit
+                FROM (SELECT DISTINCT w FROM tok)
+            ),
+            mask AS (
+                SELECT doc_id, bit_or(1::BIGINT << bit) AS m,
+                       CAST(count(*) AS BIGINT) AS sz
+                FROM tok JOIN vocab USING (w) GROUP BY 1
+            )
+            SELECT a.doc_id,
+                   CAST(COALESCE(sum(CASE WHEN
+                       bit_count(a.m & b.m) * 1000 >=
+                       950 * (a.sz + b.sz - bit_count(a.m & b.m))
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_similar
+            FROM mask a JOIN mask b ON a.doc_id <> b.doc_id
+            GROUP BY 1
         """,
     "doc_graph_triangles": """
             WITH

@@ -17183,3 +17183,134 @@ def doc_graph_wl_colors(sf_dir: str, rounds: int = 3) -> ray.data.Dataset:
 
     edges, n = _doc_graph_edges(sf_dir)
     return wl_refinement(edges, rounds=rounds)
+
+
+def similar_doc_degree(sf_dir: str, t_milli: int = 950) -> ray.data.Dataset:
+    """Exact set-similarity DEGREE per document — for every doc, how
+    many OTHER docs have word-set Jaccard >= t — the all-pairs
+    threshold-join made scale-safe for enumerable vocabularies (tags,
+    categories, token alphabets): token sets pack into int64 BITMASKS
+    (loud error past 63 bits), identical sets collapse to one of D
+    distinct masks, and the D x D popcount matrix (cache-chunked) plus
+    per-mask multiplicities answers every doc's degree with ZERO pair
+    materialization.  Jaccard tests are integer cross-multiplications
+    (inter * 1000 >= t_milli * union) — no floats anywhere.
+
+    Physical plan: pass 1 gathers the (tiny, loud-capped) vocabulary;
+    pass 2 streams docs to (doc_id, mask) with a broadcast vocab; ONE
+    engine groupby collapses to D (mask, count) rows; the D^2 popcount
+    table runs in one remote task; per-doc degrees come from a final
+    broadcast-dict map over the mask stream.  Exchange: D rows + the
+    16 B/doc mask stream."""
+    ds = _docs(sf_dir)
+
+    def batch_vocab(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return pa.table({"w": pa.nulls(0, pa.large_string())})
+        ws: set = set()
+        for t in batch["text"].to_pylist():
+            ws.update((t or "").split())
+        return pa.table({"w": pa.array(sorted(ws), type=pa.large_string())})
+
+    vocab_rows = [
+        w
+        for b in ds.map_batches(batch_vocab, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        for w in b["w"].to_pylist()
+    ]
+    vocab = np.asarray(sorted(set(vocab_rows)), dtype=object)
+    EMPTY_OUT = pa.table(
+        {
+            "doc_id": pa.nulls(0, pa.int64()),
+            "n_similar": pa.nulls(0, pa.int64()),
+        }
+    )
+    if vocab.shape[0] == 0:
+        return ray.data.from_arrow(EMPTY_OUT)
+    if vocab.shape[0] > 63:
+        raise ValueError(
+            f"similar_doc_degree: vocabulary {vocab.shape[0]} > 63 bits — "
+            "bitmask plan needs an enumerable alphabet (use the MinHash "
+            "near-dup family for open vocabularies)"
+        )
+    vset = {w: i for i, w in enumerate(vocab)}
+    vref = ray.put(vset)
+
+    EMPTY_MASK = pa.table(
+        {"doc_id": pa.nulls(0, pa.int64()), "m": pa.nulls(0, pa.int64())}
+    )
+
+    def to_mask(batch: pa.Table, _v=vref) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return EMPTY_MASK
+        vs = ray.get(_v) if not isinstance(_v, dict) else _v
+        masks = []
+        for t in batch["text"].to_pylist():
+            m = 0
+            for w in set((t or "").split()):
+                m |= 1 << vs[w]
+            masks.append(m)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "m": pa.array(masks, type=pa.int64()),
+            }
+        )
+
+    mask_ds = ds.map_batches(to_mask, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    dm = mask_ds.groupby("m").aggregate(Count()).to_pandas()
+    if not len(dm):
+        return ray.data.from_arrow(EMPTY_OUT)
+    masks = dm["m"].to_numpy().astype(np.int64)
+    cnts = dm["count()"].to_numpy().astype(np.int64)
+
+    # 16-bit popcount lookup — vectorized popcount for numpy int64
+    pc16 = np.array(
+        [bin(i).count("1") for i in range(1 << 16)], dtype=np.int64
+    )
+
+    def popcnt(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        out = pc16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+        for s in (16, 32, 48):
+            out = out + pc16[
+                ((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)
+            ]
+        return out
+
+    sizes = popcnt(masks)
+    D = masks.shape[0]
+    degree = np.zeros(D, dtype=np.int64)
+    CH = 512  # D x CH cells per block ~ cache-friendly
+    for lo in range(0, D, CH):
+        blk = masks[lo:lo + CH]
+        inter = popcnt(
+            np.bitwise_and(blk[:, None], masks[None, :])
+        )
+        un = sizes[lo:lo + CH, None] + sizes[None, :] - inter
+        ok = inter * 1000 >= t_milli * un
+        # neighbors over OTHER masks; same-mask group handled below
+        np.fill_diagonal(ok[:, lo:lo + CH], False)
+        degree[lo:lo + CH] = (ok * cnts[None, :]).sum(axis=1)
+    # docs sharing my exact mask: jaccard 1.0 >= t, minus myself
+    degree += cnts - 1
+    deg_map = dict(zip(masks.tolist(), degree.tolist()))
+    dref = ray.put(deg_map)
+
+    def assign(batch: pa.Table, _d=dref) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return EMPTY_OUT
+        dm_ = ray.get(_d) if not isinstance(_d, dict) else _d
+        m = batch["m"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_similar": pa.array(
+                    [dm_[int(x)] for x in m], type=pa.int64()
+                ),
+            }
+        )
+
+    return mask_ds.map_batches(assign, batch_format="pyarrow")

@@ -114,6 +114,7 @@ ORACLE_QUERIES = [
     "event_type_top_values",
     "events_grouping_sets",
     "events_quantile_normalize",
+    "similar_doc_degree",
     "doc_graph_triangles",
     "sorted_neighborhood_pairs",
     "events_since_signup",

@@ -781,3 +781,86 @@ class TestWlRefinement:
         out = doc_graph_wl_colors(SF).to_pandas()
         assert len(out) == 500
         assert out.wl_color.nunique() > 50  # 3-round refinement separates
+
+
+# ---------------------------------------------------------------------------
+# Bitmask set-similarity degree
+# ---------------------------------------------------------------------------
+
+
+def test_similar_doc_degree_planted(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from libpostal_ray.pipelines.queries import similar_doc_degree
+
+    d = tmp_path / "sf_deg"
+    d.mkdir()
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    texts = [
+        "a b c d e",      # 0: identical to 1
+        "a b c d e",      # 1
+        "a b c d f",      # 2: jac 4/6 = 0.667 vs 0/1
+        "x y z",          # 3: disjoint
+    ]
+    cols = {}
+    for n in schema.names:
+        f = schema.field(n)
+        if n == "doc_id":
+            cols[n] = pa.array(list(range(4)), type=f.type)
+        elif n == "text":
+            cols[n] = pa.array(texts, type=f.type)
+        elif pa.types.is_integer(f.type):
+            cols[n] = pa.array([0] * 4, type=f.type)
+        elif pa.types.is_floating(f.type):
+            cols[n] = pa.array([0.0] * 4, type=f.type)
+        else:
+            cols[n] = pa.array(["x"] * 4, type=f.type)
+    pq.write_table(pa.table(cols).select(schema.names),
+                   str(d / "documents.parquet"))
+    out = similar_doc_degree(str(d), t_milli=950).to_pandas()
+    got = dict(zip(out.doc_id.astype(int), out.n_similar.astype(int)))
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0}
+    # at a looser threshold the 0.667 pair joins in
+    out2 = similar_doc_degree(str(d), t_milli=600).to_pandas()
+    got2 = dict(zip(out2.doc_id.astype(int), out2.n_similar.astype(int)))
+    assert got2 == {0: 2, 1: 2, 2: 2, 3: 0}
+
+
+def test_similar_doc_degree_vocab_guard(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+
+    from libpostal_ray.pipelines.queries import similar_doc_degree
+
+    d = tmp_path / "sf_deg_big"
+    d.mkdir()
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    texts = [" ".join(f"w{i}" for i in range(80))]
+    cols = {}
+    for n in schema.names:
+        f = schema.field(n)
+        if n == "doc_id":
+            cols[n] = pa.array([0], type=f.type)
+        elif n == "text":
+            cols[n] = pa.array(texts, type=f.type)
+        elif pa.types.is_integer(f.type):
+            cols[n] = pa.array([0], type=f.type)
+        elif pa.types.is_floating(f.type):
+            cols[n] = pa.array([0.0], type=f.type)
+        else:
+            cols[n] = pa.array(["x"], type=f.type)
+    pq.write_table(pa.table(cols).select(schema.names),
+                   str(d / "documents.parquet"))
+    with pytest.raises(ValueError, match="63"):
+        similar_doc_degree(str(d))
+
+
+def test_similar_doc_degree_empty(ray_session, tmp_path):
+    from libpostal_ray.pipelines.queries import similar_doc_degree
+
+    d = tmp_path / "sf_deg_empty"
+    d.mkdir()
+    schema = pq.read_schema(f"{SF}/documents.parquet")
+    pq.write_table(schema.empty_table(), str(d / "documents.parquet"))
+    out = similar_doc_degree(str(d)).to_pandas()
+    assert len(out) == 0
