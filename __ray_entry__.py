@@ -59,6 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # attribution_pairs, global_event_ranks), block 1b (3 rows), and
         # block 1c (the 22 session-13 rows) — promote those 34 to the
         # top next round with 16 core rows filling out the gate.
+        # Session-18 update: blocks 1d/1e/1f and the 11 session-18
+        # oracle rows of block 1g (doc_graph_sssp ... similar_doc_degree)
+        # also remain driver-unchecked — the round-5 rotation should
+        # cycle 1 tail + 1b + 1c first (oldest debt), then 1d-1g in a
+        # later round; all are continuously green in the repo parity
+        # suite at sf0.001/0.01/0.1.
         # --- block 0: rows new in round 4 (never driver-checked) ---
         "events_since_signup": q.events_since_signup,
         "event_type_octiles": q.event_type_octiles,
