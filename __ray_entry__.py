@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_communities": q.doc_graph_communities,
         # iterative graph primitive #9 (Weisfeiler-Lehman refinement)
         "doc_graph_wl_colors": q.doc_graph_wl_colors,
+        # iterative graph primitive #10 (HITS hubs/authorities)
+        "doc_graph_hits": q.doc_graph_hits,
         # Poisson bootstrap (one-pass B-replicate resampling, exact int
         # sufficient statistics; the resampling loop is not SQL)
         "events_bootstrap_ci": q.events_bootstrap_ci,

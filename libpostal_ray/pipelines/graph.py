@@ -1539,3 +1539,105 @@ def wl_refinement(
             }
         )
     )
+
+
+def hits(
+    edges: ray.data.Dataset, *, iters: int = 10
+) -> ray.data.Dataset:
+    """HITS hubs-and-authorities over a DIRECTED edge list (u, v) —
+    iterative graph primitive #10.  Per round: auth(v) = sum of hub(u)
+    over in-edges, hub(u) = sum of auth(v) over out-edges, each vector
+    L2-normalized.  Deterministic at any partitioning the same way
+    pagerank is: per-batch partials scatter-add into the node vector in
+    a fixed reduction order, and the norm is a single float64 reduction
+    over the gathered vector.
+
+    Scale posture: the pagerank shape — edges materialize once and
+    stream per round, node state (hub, auth float64) broadcasts 16
+    B/node, each half-round is one stateless map + one gather task (tree
+    reduce at cluster scale).  Returns (doc_id, hub, authority)."""
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    @ray.remote
+    def _nodes(*blocks: pa.Table) -> np.ndarray:
+        parts = [
+            np.concatenate(
+                (
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                )
+            )
+            for b in blocks
+            if b.num_rows and "u" in b.column_names
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts)).astype(np.int64)
+
+    nodes = ray.get(_nodes.remote(*edges.to_arrow_refs()))
+    n = nodes.shape[0]
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "hub": pa.nulls(0, pa.float64()),
+                    "authority": pa.nulls(0, pa.float64()),
+                }
+            )
+        )
+    nodes_ref = ray.put(nodes)
+    hub = np.full(n, 1.0, dtype=np.float64)
+    auth = np.full(n, 1.0, dtype=np.float64)
+
+    def _half(src_vec: np.ndarray, forward: bool) -> np.ndarray:
+        vec_ref = ray.put(src_vec)
+
+        def contrib(batch: pa.Table, _v=vec_ref, _fw=forward) -> pa.Table:
+            empty = pa.table(
+                {
+                    "node": pa.nulls(0, pa.int64()),
+                    "contrib": pa.nulls(0, pa.float64()),
+                }
+            )
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return empty
+            nd = ray.get(nodes_ref)
+            vv = ray.get(_v) if not isinstance(_v, np.ndarray) else _v
+            u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ui = np.searchsorted(nd, u)
+            vi = np.searchsorted(nd, v)
+            if _fw:  # auth(v) += hub(u)
+                tgt, val = vi, vv[ui]
+            else:  # hub(u) += auth(v)
+                tgt, val = ui, vv[vi]
+            uq, inv = np.unique(tgt, return_inverse=True)
+            acc = np.zeros(uq.shape[0], dtype=np.float64)
+            np.add.at(acc, inv, val)
+            return pa.table(
+                {"node": pa.array(nd[uq]), "contrib": pa.array(acc)}
+            )
+
+        blocks = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        out = ray.get(_gather_ranks.remote(nodes_ref, *blocks))
+        nrm = float(np.sqrt(np.sum(out * out)))
+        return out / nrm if nrm > 0.0 else out
+
+    for _ in range(iters):
+        auth = _half(hub, True)
+        hub = _half(auth, False)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "hub": pa.array(hub),
+                "authority": pa.array(auth),
+            }
+        )
+    )

@@ -17314,3 +17314,16 @@ def similar_doc_degree(sf_dir: str, t_milli: int = 950) -> ray.data.Dataset:
         )
 
     return mask_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def doc_graph_hits(sf_dir: str, iters: int = 10) -> ray.data.Dataset:
+    """HITS hubs/authorities of the deterministic document graph
+    (directed u -> v as generated; graph.hits, iterative primitive
+    #10): authorities = docs many hubs point at, hubs = docs pointing
+    at many authorities.  Rows-only (mutually-recursive normalized
+    fixpoint is not SQL); pinned against a dense numpy power iteration
+    to 1e-12 in tests, the pagerank discipline."""
+    from libpostal_ray.pipelines.graph import hits
+
+    edges, n = _doc_graph_edges(sf_dir)
+    return hits(edges, iters=iters)

@@ -322,6 +322,7 @@ ROWS_ONLY = [
     "doc_graph_matching",
     "doc_graph_communities",
     "doc_graph_wl_colors",
+    "doc_graph_hits",
     "events_bootstrap_ci",
     "events_isotonic_daily",
 ]

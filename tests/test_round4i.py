@@ -864,3 +864,67 @@ def test_similar_doc_degree_empty(ray_session, tmp_path):
     pq.write_table(schema.empty_table(), str(d / "documents.parquet"))
     out = similar_doc_degree(str(d)).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (iterative graph primitive #10)
+# ---------------------------------------------------------------------------
+
+
+class TestHits:
+    def _run(self, edges, iters=10):
+        import ray
+
+        from libpostal_ray.pipelines.graph import hits
+
+        tbl = pa.table(
+            {
+                "u": pa.array([e[0] for e in edges], type=pa.int64()),
+                "v": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+        return hits(ray.data.from_arrow(tbl), iters=iters).to_pandas()
+
+    def _dense_ref(self, edges, iters):
+        nodes = sorted({x for e in edges for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n))
+        for u, v in edges:
+            A[idx[u], idx[v]] = 1.0
+        hub = np.ones(n)
+        auth = np.ones(n)
+        for _ in range(iters):
+            auth = A.T @ hub
+            auth /= np.linalg.norm(auth)
+            hub = A @ auth
+            hub /= np.linalg.norm(hub)
+        return nodes, hub, auth
+
+    def test_matches_dense_power_iteration(self, ray_session):
+        rng = np.random.default_rng(41)
+        edges = set()
+        while len(edges) < 150:
+            u, v = rng.integers(0, 40, size=2).tolist()
+            if u != v:
+                edges.add((u, v))
+        edges = sorted(edges)
+        out = self._run(edges).sort_values("doc_id")
+        nodes, hub, auth = self._dense_ref(edges, 10)
+        assert out.doc_id.tolist() == nodes
+        assert np.allclose(out.hub.to_numpy(), hub, atol=1e-12)
+        assert np.allclose(out.authority.to_numpy(), auth, atol=1e-12)
+
+    def test_star_graph(self, ray_session):
+        # hub 0 points at 1..4: node 0 is the pure hub, others pure auths
+        out = self._run([(0, i) for i in range(1, 5)]).set_index("doc_id")
+        assert out.loc[0].hub > 0.99
+        assert out.loc[0].authority < 1e-12
+        assert all(abs(out.loc[i].authority - 0.5) < 1e-12 for i in range(1, 5))
+
+    def test_doc_graph_runs(self, ray_session):
+        from libpostal_ray.pipelines.queries import doc_graph_hits
+
+        out = doc_graph_hits(SF, iters=5).to_pandas()
+        assert len(out) == 500
+        assert (out.hub >= 0).all() and (out.authority >= 0).all()
