@@ -284,6 +284,9 @@ def run_bench() -> dict:
     timed("doc_graph_communities", q.doc_graph_communities)
     timed("user_event_count_cms", q.user_event_count_cms)
     timed("mmr_topk", q.mmr_topk)
+    timed("similar_doc_degree", q.similar_doc_degree)
+    timed("doc_graph_wl_colors", q.doc_graph_wl_colors)
+    timed("doc_graph_hits", lambda d: q.doc_graph_hits(d, iters=5))
     timed(
         "returnflag_weighted_median",
         lambda d: __import__("ray").data.from_arrow(
