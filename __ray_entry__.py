@@ -45,78 +45,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # oracle-checked (SQL-expressible).
-        # ROTATION (round 4, session 11 audit; session 13 update): the
-        # driver gate verifies the FIRST 50 oracle entries; rounds 1-3
-        # verified 50 rows (CORRECTNESS_r03 green 50/50).  The first 50
-        # slots below are ALL rows that had never seen a driver check
-        # when round 4 started (zero already-checked rows waste a slot).
-        # Awaiting the ROUND-5 rotation (repo parity green at
-        # sf0.001/0.01 meanwhile; full suite + sf0.01 dry runs in the
-        # session-13 log): the 9 tail rows of block 1 (source_top_lang,
-        # event_type_distinct_users, user_value_trend,
-        # segment_revenue_share, events_zorder,
-        # cosine_threshold_calibration, dedup_eval_prefix_vs_exact,
-        # attribution_pairs, global_event_ranks), block 1b (3 rows), and
-        # block 1c (the 22 session-13 rows) — promote those 34 to the
-        # top next round with 16 core rows filling out the gate.
-        # Session-18 update: blocks 1d/1e/1f and the 11 session-18
-        # oracle rows of block 1g (doc_graph_sssp ... similar_doc_degree)
-        # also remain driver-unchecked — the round-5 rotation should
-        # cycle 1 tail + 1b + 1c first (oldest debt), then 1d-1g in a
-        # later round; all are continuously green in the repo parity
-        # suite at sf0.001/0.01/0.1.
-        # --- block 0: rows new in round 4 (never driver-checked) ---
-        "events_since_signup": q.events_since_signup,
-        "event_type_octiles": q.event_type_octiles,
-        "part_association_rules": q.part_association_rules,
-        "documents_checksum": q.documents_checksum,
-        "part_pair_counts": q.part_pair_counts,
-        "user_behavior_profiles": q.user_behavior_profiles,
-        "doc_chain_ranks": q.doc_chain_ranks,
-        "event_value_winsorized": q.event_value_winsorized,
-        "doc_chunk_windows": q.doc_chunk_windows,
-        "order_price_allocation": q.order_price_allocation,
-        "user_busy_intervals": q.user_busy_intervals,
-        "event_transitions": q.event_transitions,
-        "user_retention_daily": q.user_retention_daily,
-        "user_value_hourly_ffill": q.user_value_hourly_ffill,
-        "lang_chain_components": q.lang_chain_components,
-        "order_skyline": q.order_skyline,
-        "name_typo_pairs": q.name_typo_pairs,
-        "user_top_event": q.user_top_event,
-        "doc_dir_rollup": q.doc_dir_rollup,
-        "top_collocations": q.top_collocations,
-        "returnflag_weighted_median": q.returnflag_weighted_median,
-        "events_type_median_exact": q.events_type_median_exact,
-        "weighted_doc_sample": q.weighted_doc_sample,
-        "source_ngram_overlap": q.source_ngram_overlap,
-        "similar_doc_pairs": q.similar_doc_pairs,
-        "pack_sequences": q.pack_sequences,
-        "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
-        "eval_overlap_pairs": q.eval_overlap_pairs,
-        "similar_docs_topk": q.similar_docs_topk,
-        # --- block 1: rows never driver-checked before round 4 (30) ---
-        "stratified_sample": q.stratified_sample,
-        "orders_above_customer_avg": q.orders_above_customer_avg,
-        "lineitem_unpivot": q.lineitem_unpivot,
-        "tpch_q5_local_revenue": q.tpch_q5_local_revenue,
-        "export_training_shards": q.export_shards_summary,
-        "doc_rarity_score": q.doc_rarity_score,
-        "label_centroids": q.label_centroids,
-        "user_funnel": q.user_funnel,
-        "documents_upsert": q.documents_upsert,
-        "brand_type_margin": q.brand_type_margin,
-        "event_debounce": q.event_debounce,
-        "events_value_p99_outliers": q.events_value_p99_outliers,
-        "events_value_mad": q.events_value_mad,
-        "embedding_quantize_int8": q.embedding_quantize_int8,
-        "user_order_full_outer": q.user_order_full_outer,
-        "documents_snapshot_diff": q.documents_snapshot_diff,
-        "user_activity_histogram": q.user_activity_histogram,
-        "documents_profile": q.documents_profile,
-        "priority_price_iqr": q.priority_price_iqr,
-        "documents_scd2": q.documents_scd2,
-        "embedding_covariance": q.embedding_covariance,
+        # ROTATION (round 5): the driver gate verifies the FIRST 50
+        # oracle entries.  Rounds 1-4 cumulatively driver-verified 100
+        # rows (r04 green 50/50 over blocks 0 + 1-head).  Per the
+        # round-4 verdict's directive #1 the first 50 slots below are
+        # the OLDEST never-driver-checked debt: the block-1 tail (9,
+        # incl. the three LLM-slate rows events_zorder /
+        # cosine_threshold_calibration / dedup_eval_prefix_vs_exact
+        # named by directive #6), block 1b (3), block 1c (34), and the
+        # head of block 1d (4) — zero already-checked rows waste a
+        # slot.  After r05 the cumulative count is 150/182+; the
+        # remaining 1d tail + 1e/1f/1g rows stay continuously green in
+        # the repo parity suite at sf0.001/0.01/0.1 (they follow
+        # immediately after the gate, oldest first, should a further
+        # rotation ever run).
+        # --- ROUND-5 GATE head: block 1 tail (9) ---
         "source_top_lang": q.source_top_lang,
         "event_type_distinct_users": q.event_type_distinct_users,
         "user_value_trend": q.user_value_trend,
@@ -126,13 +69,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_eval_prefix_vs_exact": q.dedup_eval_prefix_vs_exact,
         "attribution_pairs": q.attribution_pairs,
         "global_event_ranks": q.global_event_ranks,
-        # --- block 1b: new in round-4 session 12, never driver-checked;
-        # part of the round-5 rotation set with the 9 above ---
+        # --- ROUND-5 GATE: block 1b (3) ---
         "user_event_diversity": q.user_event_diversity,
         "tpch_q3_top_orders": q.tpch_q3_top_orders,
         "term_postings": q.term_postings,
-        # --- block 1c: new in round-4 session 13, never driver-checked;
-        # part of the round-5 rotation set ---
+        # --- ROUND-5 GATE: block 1c (34) ---
         "tpch_q13_custdist": q.tpch_q13_custdist,
         "tpch_q4_late_shipments": q.tpch_q4_late_shipments,
         "user_longest_streak": q.user_longest_streak,
@@ -163,18 +104,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7_nation_volume": q.tpch_q7_nation_volume,
         "tpch_q21_waiting_suppliers": q.tpch_q21_waiting_suppliers,
         "tpch_q8_market_share": q.tpch_q8_market_share,
-        "bpe_fertility_by_lang": q.bpe_fertility_by_lang,
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
         "tpch_q17_small_quantity_revenue": q.tpch_q17_small_quantity_revenue,
         "tpch_q19_bracket_revenue": q.tpch_q19_bracket_revenue,
-        # --- block 1d: new in round-4 session 14, never driver-checked;
-        # part of the round-5 rotation set (promote with blocks 1 tail,
-        # 1b, 1c next round) ---
+        # --- ROUND-5 GATE: block 1d head (5) — completes the 50
+        # (bpe_fertility_by_lang is rows-only, so the gate takes one
+        # extra 1d row rather than waste an oracle slot) ---
         "tpch_q18_large_orders": q.tpch_q18_large_orders,
         "tpch_q16_supplier_counts": q.tpch_q16_supplier_counts,
         "tpch_q22_dormant_customers": q.tpch_q22_dormant_customers,
         "tpch_q9_product_profit": q.tpch_q9_product_profit,
         "tpch_q11_important_parts": q.tpch_q11_important_parts,
+        # ================= past the 50-row gate =================
+        # never driver-checked (parity-green), oldest first:
+        # --- block 1c rows-only straggler + block 1d tail (8) ---
+        "bpe_fertility_by_lang": q.bpe_fertility_by_lang,
         "orders_totalprice_recon": q.orders_totalprice_recon,
         "orders_benford": q.orders_benford,
         "event_type_user_overlap": q.event_type_user_overlap,
@@ -183,8 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_contingency": q.lang_source_contingency,
         "events_type_mad": q.events_type_mad,
         "event_trigrams": q.event_trigrams,
-        # --- block 1e: new in round-4 session 15, never driver-checked;
-        # part of the round-5 rotation set ---
+        # --- block 1e: new in round-4 session 15, never driver-checked ---
         "orders_mom_growth": q.orders_mom_growth,
         "customer_cohort_orders": q.customer_cohort_orders,
         "part_major_suppliers": q.part_major_suppliers,
@@ -197,12 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_weighted_value": q.user_time_weighted_value,
         "events_cusum_changepoint": q.events_cusum_changepoint,
         "linkage_agreement_patterns": q.linkage_agreement_patterns,
-        # --- block 1f: new in round-4 session 17, never driver-checked;
-        # part of the round-5 rotation set ---
+        # --- block 1f: new in round-4 session 17, never driver-checked ---
         "source_length_ks": q.source_length_ks,
         "events_mannwhitney": q.events_mannwhitney,
-        # --- block 1g: new in round-4 session 18, never driver-checked;
-        # part of the round-5 rotation set ---
+        # --- block 1g: new in round-4 session 18, never driver-checked ---
         "doc_graph_sssp": q.doc_graph_sssp,
         "tpch_q2_min_cost_supplier": q.tpch_q2_min_cost_supplier,
         "event_click_auc": q.event_click_auc,
@@ -213,6 +154,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": q.events_grouping_sets,
         "events_quantile_normalize": q.events_quantile_normalize,
         "similar_doc_degree": q.similar_doc_degree,
+        # --- block 0: rows driver-green in r04 (29) ---
+        "events_since_signup": q.events_since_signup,
+        "event_type_octiles": q.event_type_octiles,
+        "part_association_rules": q.part_association_rules,
+        "documents_checksum": q.documents_checksum,
+        "part_pair_counts": q.part_pair_counts,
+        "user_behavior_profiles": q.user_behavior_profiles,
+        "doc_chain_ranks": q.doc_chain_ranks,
+        "event_value_winsorized": q.event_value_winsorized,
+        "doc_chunk_windows": q.doc_chunk_windows,
+        "order_price_allocation": q.order_price_allocation,
+        "user_busy_intervals": q.user_busy_intervals,
+        "event_transitions": q.event_transitions,
+        "user_retention_daily": q.user_retention_daily,
+        "user_value_hourly_ffill": q.user_value_hourly_ffill,
+        "lang_chain_components": q.lang_chain_components,
+        "order_skyline": q.order_skyline,
+        "name_typo_pairs": q.name_typo_pairs,
+        "user_top_event": q.user_top_event,
+        "doc_dir_rollup": q.doc_dir_rollup,
+        "top_collocations": q.top_collocations,
+        "returnflag_weighted_median": q.returnflag_weighted_median,
+        "events_type_median_exact": q.events_type_median_exact,
+        "weighted_doc_sample": q.weighted_doc_sample,
+        "source_ngram_overlap": q.source_ngram_overlap,
+        "similar_doc_pairs": q.similar_doc_pairs,
+        "pack_sequences": q.pack_sequences,
+        "scrub_boilerplate_tokens": q.scrub_boilerplate_tokens,
+        "eval_overlap_pairs": q.eval_overlap_pairs,
+        "similar_docs_topk": q.similar_docs_topk,
+        # --- block 1 head: rows driver-green in r04 (21) ---
+        "stratified_sample": q.stratified_sample,
+        "orders_above_customer_avg": q.orders_above_customer_avg,
+        "lineitem_unpivot": q.lineitem_unpivot,
+        "tpch_q5_local_revenue": q.tpch_q5_local_revenue,
+        "export_training_shards": q.export_shards_summary,
+        "doc_rarity_score": q.doc_rarity_score,
+        "label_centroids": q.label_centroids,
+        "user_funnel": q.user_funnel,
+        "documents_upsert": q.documents_upsert,
+        "brand_type_margin": q.brand_type_margin,
+        "event_debounce": q.event_debounce,
+        "events_value_p99_outliers": q.events_value_p99_outliers,
+        "events_value_mad": q.events_value_mad,
+        "embedding_quantize_int8": q.embedding_quantize_int8,
+        "user_order_full_outer": q.user_order_full_outer,
+        "documents_snapshot_diff": q.documents_snapshot_diff,
+        "user_activity_histogram": q.user_activity_histogram,
+        "documents_profile": q.documents_profile,
+        "priority_price_iqr": q.priority_price_iqr,
+        "documents_scd2": q.documents_scd2,
+        "embedding_covariance": q.embedding_covariance,
         # --- block 2: representative core, driver-green in r01-r03 (20) ---
         "exact_dedup": q.exact_dedup,
         "canonicalize_basic": q.canonicalize_basic,
