@@ -35,8 +35,8 @@ import ray
 import ray.data
 
 
-@ray.remote
-def _node_state(*blocks: pa.Table) -> dict:
+@ray.remote(num_returns=2)
+def _node_state(*blocks: pa.Table):
     """Sorted node ids + degrees from symmetrized edge blocks."""
     srcs = [
         b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -49,23 +49,122 @@ def _node_state(*blocks: pa.Table) -> dict:
         if b.num_rows > 0 and "dst" in b.column_names
     ]
     if not srcs:
-        return {"nodes": np.empty(0, dtype=np.int64), "deg": np.empty(0, dtype=np.int64)}
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     allv = np.concatenate(srcs + dsts)
     nodes, counts = np.unique(allv, return_counts=True)
     # symmetrized multiplicity == undirected degree
-    return {"nodes": nodes, "deg": counts}
+    return nodes, counts
+
+
+# ---- small driver-free plumbing tasks (round-5 discipline: per-node
+# state NEVER lands on the driver — every round's gathered vector stays
+# an ObjectRef passed straight into the next round's broadcast, and the
+# driver only ever ray.get()s SCALAR convergence signals) ----
 
 
 @ray.remote
-def _gather_ranks(nodes: np.ndarray, *blocks: pa.Table) -> np.ndarray:
-    out = np.zeros(nodes.shape[0], dtype=np.float64)
+def _arr_len(a: np.ndarray) -> int:
+    return int(a.shape[0])
+
+
+@ray.remote
+def _arr_stats(a: np.ndarray):
+    """(len, min, max) scalars — for id-range guards without a gather."""
+    if a.shape[0] == 0:
+        return 0, 0, 0
+    return int(a.shape[0]), int(a.min()), int(a.max())
+
+
+@ray.remote
+def _copy_arr(a: np.ndarray) -> np.ndarray:
+    return a.copy()
+
+
+@ray.remote(num_returns=2)
+def _pr_round(
+    nodes: np.ndarray, deg: np.ndarray, damping: float, *blocks: pa.Table
+):
+    """One PageRank fold: scatter-add partial contribs, apply the
+    damping affine, and emit BOTH the new rank vector and the next
+    round's outgoing-share broadcast — all off-driver."""
+    n = nodes.shape[0]
+    out = np.zeros(n, dtype=np.float64)
     for b in blocks:
         if b.num_rows == 0 or "node" not in b.column_names:
             continue
-        n = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         c = b.column("contrib").to_numpy(zero_copy_only=False)
-        out[np.searchsorted(nodes, n)] += c
+        out[np.searchsorted(nodes, nn)] += c
+    ranks = (1.0 - damping) / n + damping * out
+    return ranks, ranks / deg
+
+
+@ray.remote
+def _init_share(deg: np.ndarray, n: int) -> np.ndarray:
+    return np.full(n, 1.0 / n, dtype=np.float64) / deg
+
+
+@ray.remote
+def _full_f64(n: int, val: float) -> np.ndarray:
+    return np.full(n, val, dtype=np.float64)
+
+
+@ray.remote
+def _scatter_i64(
+    nodes: np.ndarray, vec: np.ndarray, val_col: str, *blocks: pa.Table
+) -> np.ndarray:
+    """Copy the int64 node vector and scatter (node, val) update blocks
+    into it — node-disjoint blocks, so application order is irrelevant."""
+    out = vec.copy()
+    for b in blocks:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            continue
+        nn = b["node"].to_numpy(zero_copy_only=False)
+        nv = b[val_col].to_numpy(zero_copy_only=False)
+        out[np.searchsorted(nodes, nn)] = nv
     return out
+
+
+@ray.remote
+def _concat_sort_uvw(*tables: pa.Table) -> pa.Table:
+    """Concat per-round chosen-edge tables and apply the deterministic
+    (w, u, v) output order — off-driver (tables arrive as refs)."""
+    allt = pa.concat_tables([t for t in tables if t is not None])
+    u = allt["u"].to_numpy(zero_copy_only=False)
+    v = allt["v"].to_numpy(zero_copy_only=False)
+    w = allt["w"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u, w))
+    return pa.table(
+        {
+            "u": pa.array(u[order], type=pa.int64()),
+            "v": pa.array(v[order], type=pa.int64()),
+            "w": pa.array(w[order], type=pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _emit_f64_table(
+    nodes: np.ndarray, vec: np.ndarray, id_name: str, val_name: str
+) -> pa.Table:
+    return pa.table(
+        {
+            id_name: pa.array(nodes, type=pa.int64()),
+            val_name: pa.array(vec, type=pa.float64()),
+        }
+    )
+
+
+@ray.remote
+def _emit_i64_table(
+    nodes: np.ndarray, vec: np.ndarray, id_name: str, val_name: str
+) -> pa.Table:
+    return pa.table(
+        {
+            id_name: pa.array(nodes, type=pa.int64()),
+            val_name: pa.array(vec, type=pa.int64()),
+        }
+    )
 
 
 def pagerank(
@@ -82,9 +181,8 @@ def pagerank(
     float64 updates in a fixed reduction order per block set."""
     edges = edges.select_columns(["src", "dst"]).materialize()
     edge_refs = edges.to_arrow_refs()
-    state = ray.get(_node_state.remote(*edge_refs))
-    nodes, deg = state["nodes"], state["deg"]
-    n = nodes.shape[0]
+    nodes_ref, deg_ref = _node_state.remote(*edge_refs)
+    n = ray.get(_arr_len.remote(nodes_ref))
     if n == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -94,11 +192,14 @@ def pagerank(
                 }
             )
         )
-    nodes_ref = ray.put(nodes)
-    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    # per-node state stays an ObjectRef end-to-end: the share vector is
+    # built off-driver, each round's _pr_round output feeds the next
+    # round's broadcast directly, and the final table is emitted by a
+    # remote task — the driver only holds refs and the scalar n.
+    share_ref = _init_share.remote(deg_ref, n)
+    ranks_ref = _full_f64.remote(n, 1.0 / n)
 
     for _ in range(iters):
-        share_ref = ray.put(ranks / deg)  # per-node outgoing share
 
         def contrib(batch: pa.Table) -> pa.Table:
             empty = pa.table(
@@ -128,7 +229,7 @@ def pagerank(
                 }
             )
 
-        # no engine groupby: _gather_ranks scatter-adds every block's
+        # no engine groupby: _pr_round scatter-adds every block's
         # partials into the rank vector directly, so an extra sort-based
         # aggregate barrier per iteration buys nothing (the per-batch
         # partials are already deduplicated within a batch; across-batch
@@ -140,16 +241,12 @@ def pagerank(
             .materialize()
             .to_arrow_refs()
         )
-        gathered = ray.get(_gather_ranks.remote(nodes_ref, *partial_blocks))
-        ranks = (1.0 - damping) / n + damping * gathered
-
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(nodes, type=pa.int64()),
-                "rank": pa.array(ranks),
-            }
+        ranks_ref, share_ref = _pr_round.remote(
+            nodes_ref, deg_ref, damping, *partial_blocks
         )
+
+    return ray.data.from_arrow_refs(
+        [_emit_f64_table.remote(nodes_ref, ranks_ref, "doc_id", "rank")]
     )
 
 
@@ -536,16 +633,20 @@ def boruvka_mst(
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(vals))
 
-    nodes = ray.get(_uv_nodes.remote(*edge_refs))
-    nodes_ref = ray.put(nodes)
-    labels = nodes.copy()
-    chosen: list[pa.Table] = []
+    # per-node state (sorted node ids, labels) stays an ObjectRef
+    # end-to-end: _merge_and_hook's new-label output IS the next round's
+    # broadcast, chosen-edge tables stay refs until the final off-driver
+    # concat, and the driver only ray.get()s the per-round scalar
+    # chosen-edge count (the convergence signal).
+    nodes_ref = _uv_nodes.remote(*edge_refs)
+    labels_ref = _copy_arr.remote(nodes_ref)
+    chosen_refs: list = []
 
-    @ray.remote
-    def _merge_and_hook(labels_in: np.ndarray, *parts: pa.Table):
+    @ray.remote(num_returns=3)
+    def _merge_and_hook(nd: np.ndarray, labels_in: np.ndarray, *parts: pa.Table):
         live = [p for p in parts if p.num_rows and "comp" in p.column_names]
         if not live:
-            return None, labels_in
+            return None, labels_in, 0
         comp = np.concatenate(
             [p["comp"].to_numpy(zero_copy_only=False) for p in live]
         )
@@ -553,7 +654,6 @@ def boruvka_mst(
         u = np.concatenate([p["u"].to_numpy(zero_copy_only=False) for p in live])
         v = np.concatenate([p["v"].to_numpy(zero_copy_only=False) for p in live])
         comps, mw, mu, mv = _min_edge_per_comp(comp, w, u, v)
-        nd = ray.get(nodes_ref)
         if nd[-1] > 3_000_000_000:
             raise ValueError("boruvka_mst: node ids too large for composite key")
         _, idx = np.unique(mu * (nd[-1] + 1) + mv, return_index=True)
@@ -567,10 +667,12 @@ def boruvka_mst(
         cu = labels_in[np.searchsorted(nd, mu)]
         cv = labels_in[np.searchsorted(nd, mv)]
         new_labels = _contract(comps, cu, cv, labels_in)
-        return tbl, new_labels
+        return tbl, new_labels, int(tbl.num_rows)
 
-    for _ in range(max_rounds):
-        labels_ref = ray.put(labels)
+    converged = False
+    # max_rounds + 1: the final iteration may be a pure zero-progress
+    # probe observing that the previous round finished the forest
+    for _ in range(max_rounds + 1):
 
         def partial_min(batch: pa.Table) -> pa.Table:
             empty = pa.table(
@@ -612,31 +714,20 @@ def boruvka_mst(
             .materialize()
             .to_arrow_refs()
         )
-        tbl_ref, labels_ref2 = _merge_and_hook.options(num_returns=2).remote(
-            labels, *part_refs
+        tbl_ref, labels_ref, n_new_ref = _merge_and_hook.remote(
+            nodes_ref, labels_ref, *part_refs
         )
-        tbl, labels = ray.get([tbl_ref, labels_ref2])
-        if tbl is None:
+        if ray.get(n_new_ref) == 0:  # scalar signal only
+            converged = True
             break
-        chosen.append(tbl)
-    else:
+        chosen_refs.append(tbl_ref)
+    if not converged:
         raise RuntimeError(f"boruvka_mst did not converge in {max_rounds} rounds")
 
-    if not chosen:
+    if not chosen_refs:
         return ray.data.from_arrow(EMPTY)
-    allt = pa.concat_tables(chosen)
-    u = allt["u"].to_numpy(zero_copy_only=False)
-    v = allt["v"].to_numpy(zero_copy_only=False)
-    w = allt["w"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((v, u, w))
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "u": pa.array(u[order], type=pa.int64()),
-                "v": pa.array(v[order], type=pa.int64()),
-                "w": pa.array(w[order], type=pa.int64()),
-            }
-        )
+    return ray.data.from_arrow_refs(
+        [_concat_sort_uvw.remote(*chosen_refs)]
     )
 
 
@@ -691,6 +782,10 @@ def _peel_coreness(
     n_alive = n
     k = 0
     waves = 0
+    # every wave removes >= 1 node, so total waves <= n structurally; the
+    # cap scales with node count rather than charging chain cascades
+    # (~n/2 waves of linear total work) against a fixed round budget
+    wave_cap = max(max_rounds, n + 1)
     while n_alive > 0:
         amin = int(rdeg[alive].min())
         if amin > k:
@@ -699,9 +794,9 @@ def _peel_coreness(
         frontier = np.flatnonzero(alive & (rdeg <= k))
         while frontier.size:
             waves += 1
-            if waves > max_rounds:
+            if waves > wave_cap:
                 raise RuntimeError(
-                    f"coreness did not converge in {max_rounds} waves"
+                    f"coreness did not converge in {wave_cap} waves"
                 )
             core[frontier] = k
             alive[frontier] = False
@@ -870,14 +965,20 @@ def coreness(
     # distributed peeling and the plain h-index fixpoint on chain-heavy
     # graphs).  Range partitioning keeps id-local chains internal.
     P = 32
-    nodes, deg = ray.get(_uv_nodes_deg.options(num_returns=2).remote(*edge_refs))
-    nodes_ref = ray.put(nodes)
-    n = nodes.shape[0]
-    # balanced contiguous ranges over the observed node ids
-    split_idx = (np.arange(1, P) * n) // P
-    splits = nodes[split_idx]  # part = searchsorted(splits, id, 'right')
-    splits_ref = ray.put(splits)
-    c = deg.copy()
+    # per-node state (ids, splits, estimates) stays an ObjectRef
+    # end-to-end — the driver holds refs plus the scalar n and the
+    # per-round changed count (the convergence signal)
+    nodes_ref, deg_ref = _uv_nodes_deg.options(num_returns=2).remote(*edge_refs)
+    n = ray.get(_arr_len.remote(nodes_ref))
+
+    @ray.remote
+    def _mk_splits(nd: np.ndarray) -> np.ndarray:
+        # balanced contiguous ranges over the observed node ids
+        split_idx = (np.arange(1, P) * nd.shape[0]) // P
+        return nd[split_idx]  # part = searchsorted(splits, id, 'right')
+
+    splits_ref = _mk_splits.remote(nodes_ref)
+    c_ref = _copy_arr.remote(deg_ref)
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -906,8 +1007,8 @@ def coreness(
 
     tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
 
-    @ray.remote
-    def _gather_c(n_: int, *parts: pa.Table) -> np.ndarray:
+    @ray.remote(num_returns=2)
+    def _gather_c(n_: int, c_prev: np.ndarray, *parts: pa.Table):
         out = np.zeros(n_, dtype=np.int64)
         for p in parts:
             if p.num_rows == 0 or "node" not in p.column_names:
@@ -915,11 +1016,11 @@ def coreness(
             ni = p["node"].to_numpy(zero_copy_only=False)
             hv = p["c"].to_numpy(zero_copy_only=False)
             out[ni] = hv
-        return out
+        return out, int((out != c_prev).sum())
 
     rounds = min(max_rounds, 10_000)
+    converged = False
     for _ in range(rounds):
-        c_ref = ray.put(c)
 
         def block_update(group: pa.Table) -> pa.Table:
             empty = pa.table(
@@ -972,20 +1073,17 @@ def coreness(
             .materialize()
             .to_arrow_refs()
         )
-        new_c = ray.get(_gather_c.remote(n, *part_refs))
-        if (new_c == c).all():
+        new_c_ref, changed_ref = _gather_c.remote(n, c_ref, *part_refs)
+        changed = ray.get(changed_ref)  # scalar signal only
+        if changed == 0:
+            converged = True
             break
-        c = new_c
-    else:
+        c_ref = new_c_ref
+    if not converged:
         raise RuntimeError(f"coreness did not converge in {rounds} rounds")
 
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(nodes, type=pa.int64()),
-                "coreness": pa.array(c, type=pa.int64()),
-            }
-        )
+    return ray.data.from_arrow_refs(
+        [_emit_i64_table.remote(nodes_ref, c_ref, "doc_id", "coreness")]
     )
 
 
@@ -1025,9 +1123,16 @@ def _match_rounds(
     out_u: list[np.ndarray] = []
     out_v: list[np.ndarray] = []
     out_w: list[np.ndarray] = []
-    for _ in range(max_rounds):
-        if u.size == 0:
-            break
+    rounds = 0
+    # while-with-counter (not for/else): an edge set emptied exactly on
+    # the final permitted round IS convergence — only live edges left
+    # after the budget are a failure
+    while u.size:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"maximal_matching did not converge in {max_rounds} rounds"
+            )
+        rounds += 1
         comp = np.concatenate((u, v))
         ww = np.concatenate((w, w))
         uu = np.concatenate((u, u))
@@ -1043,10 +1148,6 @@ def _match_rounds(
             | np.isin(v, dead, assume_unique=False)
         )
         u, v, w = u[alive], v[alive], w[alive]
-    else:
-        raise RuntimeError(
-            f"maximal_matching did not converge in {max_rounds} rounds"
-        )
     if out_u:
         au = np.concatenate(out_u)
         av = np.concatenate(out_v)
@@ -1125,14 +1226,18 @@ def maximal_matching(
         return ray.data.from_arrow_refs([_local.remote(*edge_refs)])
 
     # ---- distributed rounds ----
-    matched = np.empty(0, dtype=np.int64)  # sorted matched-vertex ids
-    chosen: list[pa.Table] = []
+    # matched-vertex state stays an ObjectRef end-to-end (the gather
+    # task folds this round's matches into the sorted dead set and that
+    # output is the next round's broadcast); the driver only ray.get()s
+    # the scalar per-round match count.
+    matched_ref = ray.put(np.empty(0, dtype=np.int64))
+    chosen_refs: list = []
 
-    @ray.remote
-    def _gather_round(*parts: pa.Table):
+    @ray.remote(num_returns=3)
+    def _gather_round(matched_in: np.ndarray, *parts: pa.Table):
         live = [p for p in parts if p.num_rows and "node" in p.column_names]
         if not live:
-            return None
+            return None, matched_in, 0
         nodev = np.concatenate(
             [p["node"].to_numpy(zero_copy_only=False) for p in live]
         )
@@ -1142,17 +1247,22 @@ def maximal_matching(
         _, mw, mu, mv = _min_edge_per_comp(nodev, w, u, v)
         dw, du, dv = _dominant_edges(mw, mu, mv)
         if du.size == 0:
-            return None
-        return pa.table(
+            return None, matched_in, 0
+        tbl = pa.table(
             {
                 "u": pa.array(du, type=pa.int64()),
                 "v": pa.array(dv, type=pa.int64()),
                 "w": pa.array(dw, type=pa.int64()),
             }
         )
+        newly = np.concatenate((du, dv))
+        new_matched = np.unique(np.concatenate((matched_in, newly)))
+        return tbl, new_matched, int(du.size)
 
-    for _ in range(max_rounds):
-        matched_ref = ray.put(matched)
+    converged = False
+    # max_rounds + 1: the final iteration may be a pure zero-progress
+    # probe observing that the previous round emptied the edge set
+    for _ in range(max_rounds + 1):
 
         def partial_min(batch: pa.Table) -> pa.Table:
             empty = pa.table(
@@ -1197,37 +1307,22 @@ def maximal_matching(
             .materialize()
             .to_arrow_refs()
         )
-        tbl = ray.get(_gather_round.remote(*part_refs))
-        if tbl is None:
-            break
-        chosen.append(tbl)
-        newly = np.concatenate(
-            (
-                tbl["u"].to_numpy(zero_copy_only=False),
-                tbl["v"].to_numpy(zero_copy_only=False),
-            )
+        tbl_ref, matched_ref, n_new_ref = _gather_round.remote(
+            matched_ref, *part_refs
         )
-        matched = np.unique(np.concatenate((matched, newly)))
-    else:
+        if ray.get(n_new_ref) == 0:  # scalar signal only
+            converged = True
+            break
+        chosen_refs.append(tbl_ref)
+    if not converged:
         raise RuntimeError(
             f"maximal_matching did not converge in {max_rounds} rounds"
         )
 
-    if not chosen:
+    if not chosen_refs:
         return ray.data.from_arrow(EMPTY)
-    allt = pa.concat_tables(chosen)
-    u = allt["u"].to_numpy(zero_copy_only=False)
-    v = allt["v"].to_numpy(zero_copy_only=False)
-    w = allt["w"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((v, u, w))
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "u": pa.array(u[order], type=pa.int64()),
-                "v": pa.array(v[order], type=pa.int64()),
-                "w": pa.array(w[order], type=pa.int64()),
-            }
-        )
+    return ray.data.from_arrow_refs(
+        [_concat_sort_uvw.remote(*chosen_refs)]
     )
 
 
@@ -1269,8 +1364,10 @@ def label_propagation(
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(parts)).astype(np.int64)
 
-    nodes = ray.get(_nodes.remote(*edges.to_arrow_refs()))
-    n = nodes.shape[0]
+    # per-node state stays an ObjectRef end-to-end; the driver holds
+    # refs plus three scalars (count / min / max for the id-range guard)
+    nodes_ref = _nodes.remote(*edges.to_arrow_refs())
+    n, nmin, nmax = ray.get(_arr_stats.remote(nodes_ref))
     if n == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -1280,12 +1377,11 @@ def label_propagation(
                 }
             )
         )
-    if int(nodes.min()) < 0 or int(nodes.max()) >= 2**31:
+    if nmin < 0 or nmax >= 2**31:
         # (node, label) pairs pack into one int64 key; labels are node
         # ids, so both must sit in [0, 2^31) — loud, not silent
         raise ValueError("label_propagation: node ids must be in [0, 2^31)")
-    nodes_ref = ray.put(nodes)
-    labels = nodes.copy()  # label init = node id
+    lab_ref = _copy_arr.remote(nodes_ref)  # label init = node id
 
     EMPTY = pa.table(
         {
@@ -1297,7 +1393,6 @@ def label_propagation(
     )
 
     for _ in range(rounds):
-        lab_ref = ray.put(labels)
 
         def emit(batch: pa.Table, _l=lab_ref) -> pa.Table:
             if batch.num_rows == 0 or "u" not in batch.column_names:
@@ -1359,26 +1454,19 @@ def label_propagation(
                 {"node": pa.array(kn[first]), "new_lab": pa.array(kl[first])}
             )
 
-        new = (
+        new_refs = (
             edges.map_batches(emit, batch_format="pyarrow")
             .groupby("part")
             .map_groups(modek, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
         )
-        nxt = labels.copy()
-        for b in new.iter_batches(batch_format="pyarrow"):
-            if b.num_rows and "node" in b.column_names:
-                nn = b["node"].to_numpy(zero_copy_only=False)
-                nl = b["new_lab"].to_numpy(zero_copy_only=False)
-                nxt[np.searchsorted(nodes, nn)] = nl
-        labels = nxt
+        # scatter the per-part updates into the label vector OFF-DRIVER;
+        # parts are node-disjoint so application order is irrelevant
+        lab_ref = _scatter_i64.remote(nodes_ref, lab_ref, "new_lab", *new_refs)
 
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(nodes, type=pa.int64()),
-                "community": pa.array(labels, type=pa.int64()),
-            }
-        )
+    return ray.data.from_arrow_refs(
+        [_emit_i64_table.remote(nodes_ref, lab_ref, "doc_id", "community")]
     )
 
 
@@ -1415,8 +1503,11 @@ def wl_refinement(
         nodes, deg = np.unique(ends, return_counts=True)
         return nodes.astype(np.int64), deg.astype(np.int64)
 
-    nodes, deg = ray.get(_nodes_deg.remote(*edges.to_arrow_refs()))
-    n = nodes.shape[0]
+    # per-node state stays an ObjectRef end-to-end (round-5 discipline)
+    nodes_ref, deg_ref = _nodes_deg.options(num_returns=2).remote(
+        *edges.to_arrow_refs()
+    )
+    n = ray.get(_arr_len.remote(nodes_ref))
     if n == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -1426,7 +1517,6 @@ def wl_refinement(
                 }
             )
         )
-    nodes_ref = ray.put(nodes)
 
     MASK63 = np.uint64((1 << 63) - 1)
 
@@ -1437,7 +1527,11 @@ def wl_refinement(
             z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
             return z ^ (z >> np.uint64(31))
 
-    color = (_mix(deg.astype(np.uint64)) & MASK63).astype(np.int64)
+    @ray.remote
+    def _wl_init(deg: np.ndarray) -> np.ndarray:
+        return (_mix(deg.astype(np.uint64)) & MASK63).astype(np.int64)
+
+    col_ref = _wl_init.remote(deg_ref)
 
     EMPTY = pa.table(
         {
@@ -1448,7 +1542,6 @@ def wl_refinement(
     )
 
     for _ in range(rounds):
-        col_ref = ray.put(color)
 
         def emit(batch: pa.Table, _c=col_ref) -> pa.Table:
             if batch.num_rows == 0 or "u" not in batch.column_names:
@@ -1518,26 +1611,17 @@ def wl_refinement(
                 }
             )
 
-        nxt = color.copy()
-        out = (
+        out_refs = (
             edges.map_batches(emit, batch_format="pyarrow")
             .groupby("part")
             .map_groups(refine, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
         )
-        for b in out.iter_batches(batch_format="pyarrow"):
-            if b.num_rows and "node" in b.column_names:
-                nn = b["node"].to_numpy(zero_copy_only=False)
-                nc = b["new_c"].to_numpy(zero_copy_only=False)
-                nxt[np.searchsorted(nodes, nn)] = nc
-        color = nxt
+        col_ref = _scatter_i64.remote(nodes_ref, col_ref, "new_c", *out_refs)
 
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(nodes, type=pa.int64()),
-                "wl_color": pa.array(color, type=pa.int64()),
-            }
-        )
+    return ray.data.from_arrow_refs(
+        [_emit_i64_table.remote(nodes_ref, col_ref, "doc_id", "wl_color")]
     )
 
 
@@ -1547,10 +1631,12 @@ def hits(
     """HITS hubs-and-authorities over a DIRECTED edge list (u, v) —
     iterative graph primitive #10.  Per round: auth(v) = sum of hub(u)
     over in-edges, hub(u) = sum of auth(v) over out-edges, each vector
-    L2-normalized.  Deterministic at any partitioning the same way
-    pagerank is: per-batch partials scatter-add into the node vector in
-    a fixed reduction order, and the norm is a single float64 reduction
-    over the gathered vector.
+    L2-normalized.  Reproducible to float64 tolerance (the pagerank
+    precedent): the gather scatter-adds per-BATCH partials block by
+    block, so re-blocking the edge input can drift the last ulp of the
+    sums — tests pin at 1e-12 against dense power iteration, and any
+    tighter claim would need per-row integerization (the repo's exact
+    reduction discipline, not warranted for a power method).
 
     Scale posture: the pagerank shape — edges materialize once and
     stream per round, node state (hub, auth float64) broadcasts 16
@@ -1574,8 +1660,9 @@ def hits(
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(parts)).astype(np.int64)
 
-    nodes = ray.get(_nodes.remote(*edges.to_arrow_refs()))
-    n = nodes.shape[0]
+    # per-node state stays an ObjectRef end-to-end (round-5 discipline)
+    nodes_ref = _nodes.remote(*edges.to_arrow_refs())
+    n = ray.get(_arr_len.remote(nodes_ref))
     if n == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -1586,12 +1673,22 @@ def hits(
                 }
             )
         )
-    nodes_ref = ray.put(nodes)
-    hub = np.full(n, 1.0, dtype=np.float64)
-    auth = np.full(n, 1.0, dtype=np.float64)
+    hub_ref = _full_f64.remote(n, 1.0)
+    auth_ref = _full_f64.remote(n, 1.0)
 
-    def _half(src_vec: np.ndarray, forward: bool) -> np.ndarray:
-        vec_ref = ray.put(src_vec)
+    @ray.remote
+    def _gather_norm(nd: np.ndarray, *blocks: pa.Table) -> np.ndarray:
+        out = np.zeros(nd.shape[0], dtype=np.float64)
+        for b in blocks:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                continue
+            nn = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            c = b.column("contrib").to_numpy(zero_copy_only=False)
+            out[np.searchsorted(nd, nn)] += c
+        nrm = float(np.sqrt(np.sum(out * out)))
+        return out / nrm if nrm > 0.0 else out
+
+    def _half(vec_ref, forward: bool):
 
         def contrib(batch: pa.Table, _v=vec_ref, _fw=forward) -> pa.Table:
             empty = pa.table(
@@ -1624,20 +1721,24 @@ def hits(
             .materialize()
             .to_arrow_refs()
         )
-        out = ray.get(_gather_ranks.remote(nodes_ref, *blocks))
-        nrm = float(np.sqrt(np.sum(out * out)))
-        return out / nrm if nrm > 0.0 else out
+        return _gather_norm.remote(nodes_ref, *blocks)
 
     for _ in range(iters):
-        auth = _half(hub, True)
-        hub = _half(auth, False)
+        auth_ref = _half(hub_ref, True)
+        hub_ref = _half(auth_ref, False)
 
-    return ray.data.from_arrow(
-        pa.table(
+    @ray.remote
+    def _emit_hits(
+        nd: np.ndarray, hub: np.ndarray, auth: np.ndarray
+    ) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": pa.array(nodes, type=pa.int64()),
+                "doc_id": pa.array(nd, type=pa.int64()),
                 "hub": pa.array(hub),
                 "authority": pa.array(auth),
             }
         )
+
+    return ray.data.from_arrow_refs(
+        [_emit_hits.remote(nodes_ref, hub_ref, auth_ref)]
     )

@@ -14864,7 +14864,9 @@ def doc_graph_bfs_levels(sf_dir: str, max_level: int = 40) -> "pd.DataFrame":
     streams the edge table once, emitting newly reached nodes.
 
     Scale posture: edges materialize once (16 B/row) and stream per
-    round; node state (level array) is 8 B/node on the driver and the
+    round; node state (level array, 8 B/node) lives OFF-DRIVER as an
+    ObjectRef passed ref-to-ref between rounds (round-5 discipline:
+    the driver only ray.get()s the scalar frontier size), and the
     frontier broadcast is <= 8 B/node — the same node-state-small,
     edges-never-reshuffled posture as pipelines/graph.py pagerank.
     Rounds = graph diameter (<= ceil(log2 n) + skip shortcuts), so the
@@ -14880,16 +14882,44 @@ def doc_graph_bfs_levels(sf_dir: str, max_level: int = 40) -> "pd.DataFrame":
         )
     edges = edges.materialize()
 
-    level = np.full(n + 1, -1, dtype=np.int64)
-    level[1] = 0
-    frontier = np.array([1], dtype=np.int64)
+    @ray.remote
+    def _bfs_init(n_: int):
+        level = np.full(n_ + 1, -1, dtype=np.int64)
+        level[1] = 0
+        return level
+
+    @ray.remote(num_returns=3)
+    def _bfs_fold(level: np.ndarray, lvl: int, *blocks: pa.Table):
+        vs = [
+            b["v"].to_numpy(zero_copy_only=False)
+            for b in blocks
+            if b.num_rows and "v" in b.column_names
+        ]
+        cand = np.unique(np.concatenate(vs)) if vs else np.empty(0, np.int64)
+        new = cand[level[cand] < 0]
+        out = level.copy()
+        out[new] = lvl
+        return out, new, int(new.shape[0])
+
+    @ray.remote
+    def _bfs_emit(level: np.ndarray) -> pa.Table:
+        hit = np.nonzero(level >= 0)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array((hit - 1).astype(np.int64)),
+                "level": pa.array(level[hit]),
+            }
+        )
+
+    level_ref = _bfs_init.remote(n)
+    frontier_ref = ray.put(np.array([1], dtype=np.int64))
+    n_front = 1
 
     for lvl in range(1, max_level + 1):
-        if frontier.shape[0] == 0:
+        if n_front == 0:
             break
-        fref = ray.put(frontier)
 
-        def expand(batch: pa.Table, _f=fref) -> pa.Table:
+        def expand(batch: pa.Table, _f=frontier_ref) -> pa.Table:
             if batch.num_rows == 0 or "u" not in batch.column_names:
                 return pa.table({"v": pa.nulls(0, pa.int64())})
             f = ray.get(_f) if not isinstance(_f, np.ndarray) else _f
@@ -14898,19 +14928,17 @@ def doc_graph_bfs_levels(sf_dir: str, max_level: int = 40) -> "pd.DataFrame":
             hit = np.isin(u, f)
             return pa.table({"v": pa.array(np.unique(v[hit]))})
 
-        reached = edges.map_batches(expand, batch_format="pyarrow")
-        vs = [b["v"].to_numpy(zero_copy_only=False)
-              for b in reached.iter_batches(batch_format="pyarrow")
-              if b.num_rows]
-        cand = np.unique(np.concatenate(vs)) if vs else np.empty(0, np.int64)
-        new = cand[level[cand] < 0]
-        level[new] = lvl
-        frontier = new
+        reached_refs = (
+            edges.map_batches(expand, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        level_ref, frontier_ref, n_ref = _bfs_fold.remote(
+            level_ref, lvl, *reached_refs
+        )
+        n_front = ray.get(n_ref)  # scalar signal only
 
-    hit = np.nonzero(level >= 0)[0]
-    return pd.DataFrame(
-        {"doc_id": (hit - 1).astype(np.int64), "level": level[hit]}
-    )
+    return ray.get(_bfs_emit.remote(level_ref)).to_pandas()
 
 
 def doc_graph_sssp(sf_dir: str, d_max: int = 48) -> "pd.DataFrame":
@@ -14923,14 +14951,16 @@ def doc_graph_sssp(sf_dir: str, d_max: int = 48) -> "pd.DataFrame":
     tentative distances > d_max never cuts an optimal path.
 
     Scale posture: identical to doc_graph_bfs_levels — edges materialize
-    once (16 B/row) and stream per round, node state is 8 B/node, the
-    frontier broadcast ships only (id, dist) pairs for nodes that
-    IMPROVED last round.  Rounds <= d_max (min edge weight 1 bounds hop
-    count), each a single edge-table pass with per-batch min-combining
-    so the driver gather is <= one row per distinct reached node.
-    Oracle: WITH RECURSIVE carrying (node, d), pruned at d_max, min(d)
-    per node — semi-naive evaluation terminates because distances are
-    bounded integers."""
+    once (16 B/row) and stream per round, node state (dist array,
+    8 B/node) lives OFF-DRIVER as an ObjectRef passed ref-to-ref
+    between rounds (round-5 discipline: the driver only ray.get()s the
+    scalar improved-count), the frontier broadcast ships only (id,
+    dist) pairs for nodes that IMPROVED last round.  Rounds <= d_max
+    (min edge weight 1 bounds hop count), each a single edge-table
+    pass with per-batch min-combining so the gather task folds <= one
+    row per distinct reached node.  Oracle: WITH RECURSIVE carrying
+    (node, d), pruned at d_max, min(d) per node — semi-naive
+    evaluation terminates because distances are bounded integers."""
     import pandas as pd
 
     edges, n = _doc_graph_edges(sf_dir)
@@ -14942,15 +14972,54 @@ def doc_graph_sssp(sf_dir: str, d_max: int = 48) -> "pd.DataFrame":
     edges = edges.materialize()
 
     INF = np.int64(2**62)
-    dist = np.full(n + 1, INF, dtype=np.int64)
-    dist[1] = 0
-    f_ids = np.array([1], dtype=np.int64)  # sorted ascending, invariant
-    f_d = np.array([0], dtype=np.int64)
+
+    @ray.remote
+    def _sssp_init(n_: int):
+        dist = np.full(n_ + 1, INF, dtype=np.int64)
+        dist[1] = 0
+        return dist
+
+    @ray.remote(num_returns=3)
+    def _sssp_fold(dist: np.ndarray, *blocks: pa.Table):
+        vs, cs = [], []
+        for b in blocks:
+            if b.num_rows and "v" in b.column_names:
+                vs.append(b["v"].to_numpy(zero_copy_only=False))
+                cs.append(b["d"].to_numpy(zero_copy_only=False))
+        if not vs:
+            return dist, (np.empty(0, np.int64), np.empty(0, np.int64)), 0
+        v = np.concatenate(vs)
+        d = np.concatenate(cs)
+        o = np.lexsort((d, v))
+        v, d = v[o], d[o]
+        first = np.ones(v.shape[0], dtype=bool)
+        first[1:] = v[1:] != v[:-1]
+        v, d = v[first], d[first]
+        imp = d < dist[v]
+        f_ids, f_d = v[imp], d[imp]
+        out = dist.copy()
+        out[f_ids] = f_d
+        return out, (f_ids, f_d), int(f_ids.shape[0])
+
+    @ray.remote
+    def _sssp_emit(dist: np.ndarray, bound: int) -> pa.Table:
+        hit = np.nonzero(dist <= bound)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array((hit - 1).astype(np.int64)),
+                "dist": pa.array(dist[hit]),
+            }
+        )
+
+    dist_ref = _sssp_init.remote(n)
+    fref = ray.put(
+        (np.array([1], dtype=np.int64), np.array([0], dtype=np.int64))
+    )
+    n_imp = 1
 
     for _ in range(d_max + 1):
-        if f_ids.shape[0] == 0:
+        if n_imp == 0:
             break
-        fref = ray.put((f_ids, f_d))
 
         def relax(batch: pa.Table, _f=fref) -> pa.Table:
             empty = pa.table(
@@ -14981,29 +15050,15 @@ def doc_graph_sssp(sf_dir: str, d_max: int = 48) -> "pd.DataFrame":
                 {"v": pa.array(v_h[first]), "d": pa.array(cand[first])}
             )
 
-        reached = edges.map_batches(relax, batch_format="pyarrow")
-        vs, cs = [], []
-        for b in reached.iter_batches(batch_format="pyarrow"):
-            if b.num_rows:
-                vs.append(b["v"].to_numpy(zero_copy_only=False))
-                cs.append(b["d"].to_numpy(zero_copy_only=False))
-        if not vs:
-            break
-        v = np.concatenate(vs)
-        d = np.concatenate(cs)
-        o = np.lexsort((d, v))
-        v, d = v[o], d[o]
-        first = np.ones(v.shape[0], dtype=bool)
-        first[1:] = v[1:] != v[:-1]
-        v, d = v[first], d[first]
-        imp = d < dist[v]
-        f_ids, f_d = v[imp], d[imp]
-        dist[f_ids] = f_d
+        reached_refs = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        dist_ref, fref, n_ref = _sssp_fold.remote(dist_ref, *reached_refs)
+        n_imp = ray.get(n_ref)  # scalar signal only
 
-    hit = np.nonzero(dist <= d_max)[0]
-    return pd.DataFrame(
-        {"doc_id": (hit - 1).astype(np.int64), "dist": dist[hit]}
-    )
+    return ray.get(_sssp_emit.remote(dist_ref, d_max)).to_pandas()
 
 
 def doc_graph_triangles(sf_dir: str) -> "pd.DataFrame":
@@ -16511,7 +16566,11 @@ def event_value_ols2(sf_dir: str) -> ray.data.Dataset:
     return (
         ev.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(final, batch_format="pyarrow")
+        # batch_size=None: the moment fold must see the single
+        # repartitioned block WHOLE (the established repo pattern) —
+        # a fixed-size default would split the tail and emit duplicate
+        # per-type rows with partial-data coefficients
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -49,14 +49,19 @@ def read_code_corpus(path: str, *, extra_columns: list[str] | None = None) -> ra
 
 
 def _docs_adapt(batch: pa.Table) -> pa.Table:
-    n = batch.num_rows
+    import pyarrow.compute as pc
+
+    ids = batch["doc_id"].cast(pa.int64())
+    # vectorized path synthesis ("doc/<id>") — this adapter sits on
+    # every documents-corpus read, so no per-row Python here
+    path = pc.binary_join_element_wise(
+        "doc/", pc.cast(ids, pa.string()), ""
+    ).combine_chunks()
     return pa.table(
         {
-            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "doc_id": ids,
             "repo": batch["source"],
-            "path": pa.array(
-                [f"doc/{i}" for i in batch["doc_id"].to_pylist()], type=pa.string()
-            ),
+            "path": path.cast(pa.string()),
             "lang": batch["lang"],
             "content": batch["text"].cast(pa.large_string()),
         }
