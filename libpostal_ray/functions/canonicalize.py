@@ -19,6 +19,7 @@ Rules (fixed order, all optional via PipelineConfig):
 
 from __future__ import annotations
 
+import os
 import re
 import unicodedata
 
@@ -1567,6 +1568,139 @@ LANG_RULE_PACKS: dict[str, tuple[tuple[str, object], ...]] = {
     # accidental numerals
     "la": ROMAN_NUMERAL_RULES,
 }
+
+
+# ---------------------------------------------------------------------------
+# File-driven dictionary packs — the reference's data-file model
+# (resources/dictionaries/<lang>/<dict>.txt compiled by
+# address_dictionary_builder.c:1-200): pack CONTENT grows by editing plain
+# text files, no code changes.  Line format is the reference's own:
+#
+#     canonical|variant1|variant2...      ("street|st|str")
+#
+# — every variant becomes a full-word rewrite to the canonical form.  Each
+# form is NFKC+casefolded like the in-code packs, and any form whose
+# latin_ascii transliteration differs gets the romanized twin rule too
+# (the _biscript_rules discipline), so Cyrillic/Greek/Arabic-script files
+# work with no per-language loader code.  File rules APPEND to the
+# in-code pack for the language (code rules run first; all are plain-word
+# rules, so compile_rules folds each pack into one alternation pass).
+# ---------------------------------------------------------------------------
+
+_DICT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "dictionaries",
+)
+
+
+def parse_dictionary_lines(lines) -> dict[str, str]:
+    """``canonical|variant...`` lines -> {variant: canonical} (skips
+    blanks, ``#`` comments, and single-form lines)."""
+    out: dict[str, str] = {}
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        forms = [f.strip() for f in line.split("|") if f.strip()]
+        if len(forms) < 2:
+            continue
+        canon = forms[0]
+        for v in forms[1:]:
+            out[v] = canon
+    return out
+
+
+def _pack_plain_words(rules) -> set[str]:
+    """The set of plain words an existing rule pack already rewrites
+    (pattern shape \\b<word>\\b) — file entries for those words are
+    DROPPED so data files can only ADD content, never silently override
+    an in-code rule inside the folded alternation's dict."""
+    out: set[str] = set()
+    for pat, _ in rules:
+        if not isinstance(pat, str):
+            continue
+        m = re.fullmatch(r"\\b(.*)\\b", pat)
+        if m:
+            out.add(re.sub(r"\\(.)", r"\1", m.group(1)))
+    return out
+
+
+def _file_pack_rules(
+    entries: dict[str, str], reserved: set[str] | None = None
+) -> tuple[tuple[str, str], ...]:
+    """Variant->canonical entries to word rules with biscript twins.
+    Skips variants the in-code pack already maps (``reserved``) and any
+    form whose casefolded/romanized text has no word character — a
+    wordless pattern would degenerate to \\b\\b and fire at every word
+    boundary (the Thai-sign failure mode caught by the pack fixtures)."""
+    import unicodedata as _ud
+
+    from libpostal_ray.functions.translit import latin_ascii as _la
+
+    def _cf(s: str) -> str:
+        return _ud.normalize("NFKC", s).casefold()
+
+    reserved = reserved or set()
+    rules: list[tuple[str, str]] = []
+    for w, r in entries.items():
+        wc, rc = _cf(w), _cf(r)
+        if wc in reserved or not re.search(r"\w", wc):
+            continue
+        rules.append((rf"\b{re.escape(wc)}\b", rc))
+        rw, rr = _la(wc), _la(rc)
+        if rw != wc and rw not in reserved and re.search(r"\w", rw):
+            rules.append((rf"\b{re.escape(rw)}\b", rr))
+    return tuple(rules)
+
+
+def load_dictionary_entries(
+    base_dir: str | None = None,
+) -> dict[str, dict[str, str]]:
+    """Walk ``<base_dir>/<lang>/*.txt`` into per-language
+    {variant: canonical} maps.  Deterministic: languages and files load
+    in sorted order; later files override earlier variants of the same
+    word (dict semantics)."""
+    base = os.path.abspath(base_dir or _DICT_DIR)
+    packs: dict[str, dict[str, str]] = {}
+    if not os.path.isdir(base):
+        return packs
+    for lang in sorted(os.listdir(base)):
+        d = os.path.join(base, lang)
+        if not os.path.isdir(d):
+            continue
+        entries: dict[str, str] = {}
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".txt"):
+                continue
+            with open(os.path.join(d, fn), encoding="utf-8") as fh:
+                entries.update(parse_dictionary_lines(fh))
+        if entries:
+            packs[lang.lower()] = entries
+    return packs
+
+
+def load_dictionary_packs(
+    base_dir: str | None = None,
+) -> dict[str, tuple[tuple[str, str], ...]]:
+    """File rule packs, unfiltered (no in-code pack to defer to) — the
+    standalone form for tests and external corpora."""
+    return {
+        lang: _file_pack_rules(entries)
+        for lang, entries in load_dictionary_entries(base_dir).items()
+    }
+
+
+FILE_DICT_PACKS: dict[str, tuple[tuple[str, str], ...]] = {}
+for _lang, _entries in load_dictionary_entries().items():
+    _code = tuple(LANG_RULE_PACKS.get(_lang, ()))
+    _rules = _file_pack_rules(_entries, _pack_plain_words(_code))
+    FILE_DICT_PACKS[_lang] = _rules
+    LANG_RULE_PACKS[_lang] = _code + _rules
+# ISO aliases re-point AFTER the merge (tuples are immutable — without
+# this, "fil"/"nb" would keep referencing the pre-merge tl/no packs)
+LANG_RULE_PACKS["fil"] = LANG_RULE_PACKS["tl"]
+LANG_RULE_PACKS["nb"] = LANG_RULE_PACKS["no"]
 
 # Latin-1 supplement + Latin Extended-A letter ranges (× U+00D7 and
 # ÷ U+00F7 excluded) so SV/DA/NO/PL pack entries fold into the combined
