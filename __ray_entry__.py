@@ -40,6 +40,12 @@ def _license_tagger(sf_dir: str):
     return license_tagger(sf_dir)
 
 
+def _license_tagger_crf(sf_dir: str):
+    from libpostal_ray.pipelines.tagger import license_tagger_crf
+
+    return license_tagger_crf(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpostal_ray.pipelines import queries as q
 
@@ -289,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": q.media_frame_sample,
         "train_code_lang": _train_code_lang,
         "license_tagger": _license_tagger,
+        # CRF/Viterbi layer over the same feature templates (the
+        # reference's crf.c decoder; round-5 directive #4)
+        "license_tagger_crf": _license_tagger_crf,
         "semantic_dedup": q.semantic_dedup,
         "near_dupe_pagerank": q.near_dupe_pagerank,
         "doc_lm_perplexity": q.doc_lm_perplexity,

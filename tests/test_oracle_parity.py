@@ -246,8 +246,8 @@ def test_parity_lists_cover_registry():
     assert set(ORACLE_QUERIES) == oracle, (
         sorted(set(ORACLE_QUERIES) ^ oracle)
     )
-    # license_tagger trains multi-epoch — exercised in test_tagger.py
-    excluded = {"license_tagger"}
+    # the taggers train multi-epoch — exercised in test_tagger.py
+    excluded = {"license_tagger", "license_tagger_crf"}
     assert set(ROWS_ONLY) | excluded == registry - oracle, (
         sorted((set(ROWS_ONLY) | excluded) ^ (registry - oracle))
     )
