@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": q.events_grouping_sets,
         "events_quantile_normalize": q.events_quantile_normalize,
         "similar_doc_degree": q.similar_doc_degree,
+        # --- block 1h: new in round-5 session 19 (privacy-audit family) ---
+        "events_k_anonymity": q.events_k_anonymity,
+        "events_l_diversity": q.events_l_diversity,
         # --- block 0: rows driver-green in r04 (29) ---
         "events_since_signup": q.events_since_signup,
         "event_type_octiles": q.event_type_octiles,
@@ -3089,6 +3092,31 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_similar
             FROM mask a JOIN mask b ON a.doc_id <> b.doc_id
             GROUP BY 1
+        """,
+    "events_k_anonymity": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   CAST(user_id % 100 AS BIGINT) AS cohort,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events
+            GROUP BY 1, 2, 3
+            HAVING count(*) < 5
+        """,
+    "events_l_diversity": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       CAST(user_id % 100 AS BIGINT) AS cohort,
+                       CAST(floor(CAST(value AS DOUBLE) * 100)
+                            AS BIGINT) // 2000 AS sens
+                FROM events
+            )
+            SELECT event_type, day, cohort,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT sens) AS BIGINT) AS n_sens
+            FROM c
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 3 AND count(DISTINCT sens) < 3
         """,
     "doc_graph_triangles": """
             WITH

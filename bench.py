@@ -339,6 +339,8 @@ def run_bench() -> dict:
     timed("lang_source_contingency", q.lang_source_contingency)
     timed("events_type_mad", q.events_type_mad)
     timed("event_trigrams", q.event_trigrams)
+    timed("events_k_anonymity", q.events_k_anonymity)
+    timed("events_l_diversity", q.events_l_diversity)
 
     ray.shutdown()
     return {

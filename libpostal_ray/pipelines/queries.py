@@ -17386,3 +17386,237 @@ def doc_graph_hits(sf_dir: str, iters: int = 10) -> ray.data.Dataset:
 
     edges, n = _doc_graph_edges(sf_dir)
     return hits(edges, iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# Privacy-audit family (round 5): k-anonymity / l-diversity cell audits —
+# the pre-release privacy screens a training-data pipeline runs before a
+# corpus ships (the quality/expectations gates' sibling: instead of "is
+# the data well-formed", "does any quasi-identifier cell isolate people").
+# ---------------------------------------------------------------------------
+
+
+def _qi_cells(batch: pa.Table, with_sens: bool):
+    """(event_type, epoch-day, user cohort[, sensitive bucket]) arrays for
+    the privacy audits.  Sensitive bucket = floor(value*100)//2000 in
+    exact int64 after ONE double multiply — the repo's per-row
+    integerization discipline, mirrored verbatim in the oracle SQL."""
+    et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+    ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    day = ts_us // np.int64(86_400_000_000)
+    cohort = (
+        batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 100
+    )
+    if not with_sens:
+        return et, day, cohort, None
+    v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sens = np.floor(v * 100.0).astype(np.int64) // 2000
+    return et, day, cohort, sens
+
+
+def events_k_anonymity(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """k-ANONYMITY audit: quasi-identifier cells (event_type, day,
+    user-cohort) with fewer than ``k`` rows — each is a cell where the
+    QI combination narrows to under k individuals (Sweeney's k-anonymity
+    model; public formulation).  Returns (event_type, day, cohort,
+    n_rows) for every violating cell.
+
+    Physical plan: per-batch cell-count partials (np.unique over a
+    composite key — the exchange is bounded by DISTINCT CELLS, not
+    rows), ONE crc32(cell)%P exchange, kernel sums partials and filters
+    < k.  Scale posture: cells with huge counts cost one partial row
+    per batch; the violating output is small by definition (< k rows
+    per cell reported)."""
+    import zlib as _zlib
+
+    P = 32
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id"],
+    )
+
+    EMPTY = pa.table(
+        {
+            "key": pa.nulls(0, pa.large_string()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        et, day, cohort, _ = _qi_cells(batch, False)
+        key = np.char.add(
+            np.char.add(et.astype(str), "\x01"),
+            np.char.add(
+                np.char.add(day.astype(str), "\x01"), cohort.astype(str)
+            ),
+        )
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        part = np.fromiter(
+            (_zlib.crc32(s.encode()) % P for s in uk),
+            dtype=np.int64,
+            count=uk.shape[0],
+        )
+        return pa.table(
+            {
+                "key": pa.array(uk.tolist(), type=pa.large_string()),
+                "n": pa.array(cnt),
+                "part": pa.array(part),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.string()),
+                "day": pa.nulls(0, pa.int64()),
+                "cohort": pa.nulls(0, pa.int64()),
+                "n_rows": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return empty
+        key = np.asarray(group["key"].to_pylist(), dtype=object)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(key.astype(str), return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        viol = tot < k
+        if not viol.any():
+            return empty
+        parts = [s.split("\x01") for s in uk[viol]]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [p[0] for p in parts], type=pa.string()
+                ),
+                "day": pa.array([int(p[1]) for p in parts], type=pa.int64()),
+                "cohort": pa.array(
+                    [int(p[2]) for p in parts], type=pa.int64()
+                ),
+                "n_rows": pa.array(tot[viol]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def events_l_diversity(
+    sf_dir: str, k: int = 3, l_min: int = 3
+) -> ray.data.Dataset:
+    """l-DIVERSITY audit (Machanavajjhala et al.'s public refinement of
+    k-anonymity): among QI cells that LOOK safe (>= ``k`` rows), flag
+    those whose sensitive attribute (value bucket) takes fewer than
+    ``l_min`` distinct values — a homogeneous cell leaks the sensitive
+    value even without isolating a row.  Returns (event_type, day,
+    cohort, n_rows, n_sens) per flagged cell.
+
+    Physical plan: per-batch (cell, sens)->count partials, ONE
+    crc32(cell)%P exchange (the sens rides the key's tail so a cell's
+    whole distribution lands in one partition), kernel folds counts,
+    derives n_rows and distinct-sens per cell, filters."""
+    import zlib as _zlib
+
+    P = 32
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id", "value"],
+    )
+
+    EMPTY = pa.table(
+        {
+            "cell": pa.nulls(0, pa.large_string()),
+            "sens": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        et, day, cohort, sens = _qi_cells(batch, True)
+        cell = np.char.add(
+            np.char.add(et.astype(str), "\x01"),
+            np.char.add(
+                np.char.add(day.astype(str), "\x01"), cohort.astype(str)
+            ),
+        )
+        pair = np.char.add(np.char.add(cell, "\x02"), sens.astype(str))
+        uk, inv = np.unique(pair, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        cells = np.asarray([s.split("\x02")[0] for s in uk], dtype=object)
+        svals = np.asarray(
+            [int(s.split("\x02")[1]) for s in uk], dtype=np.int64
+        )
+        part = np.fromiter(
+            (_zlib.crc32(s.encode()) % P for s in cells),
+            dtype=np.int64,
+            count=cells.shape[0],
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cells.tolist(), type=pa.large_string()),
+                "sens": pa.array(svals),
+                "n": pa.array(cnt),
+                "part": pa.array(part),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.string()),
+                "day": pa.nulls(0, pa.int64()),
+                "cohort": pa.nulls(0, pa.int64()),
+                "n_rows": pa.nulls(0, pa.int64()),
+                "n_sens": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "cell" not in group.column_names:
+            return empty
+        cell = np.asarray(group["cell"].to_pylist(), dtype=object)
+        sens = group["sens"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        # fold cross-batch duplicates of (cell, sens) first
+        pair = np.char.add(
+            np.char.add(cell.astype(str), "\x02"), sens.astype(str)
+        )
+        up, inv = np.unique(pair, return_inverse=True)
+        pn = np.zeros(up.shape[0], dtype=np.int64)
+        np.add.at(pn, inv, n)
+        pc_ = np.asarray([s.split("\x02")[0] for s in up], dtype=object)
+        uc, cinv = np.unique(pc_.astype(str), return_inverse=True)
+        n_rows = np.zeros(uc.shape[0], dtype=np.int64)
+        np.add.at(n_rows, cinv, pn)
+        n_sens = np.bincount(cinv).astype(np.int64)
+        viol = (n_rows >= k) & (n_sens < l_min)
+        if not viol.any():
+            return empty
+        parts = [s.split("\x01") for s in uc[viol]]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [p[0] for p in parts], type=pa.string()
+                ),
+                "day": pa.array([int(p[1]) for p in parts], type=pa.int64()),
+                "cohort": pa.array(
+                    [int(p[2]) for p in parts], type=pa.int64()
+                ),
+                "n_rows": pa.array(n_rows[viol]),
+                "n_sens": pa.array(n_sens[viol]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -231,6 +231,8 @@ ORACLE_QUERIES = [
     "linkage_agreement_patterns",
     "source_length_ks",
     "events_mannwhitney",
+    "events_k_anonymity",
+    "events_l_diversity",
 ]
 
 

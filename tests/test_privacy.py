@@ -1,0 +1,115 @@
+"""Privacy-audit family: k-anonymity / l-diversity cell audits (round 5).
+
+Planted-fixture units (the synthetic events tables are audited in the
+oracle-parity suite; here the semantics are pinned on hand-built data)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from libpostal_ray.pipelines.queries import events_k_anonymity, events_l_diversity
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_type, day, user_id, value)."""
+    day_us = 86_400_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
+                [r[1] * day_us + 3600_000_000 for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+class TestKAnonymity:
+    def test_planted_small_cells(self, ray_session, tmp_path):
+        # cell A: 6 rows (safe at k=5); cell B: 2 rows; cell C: 1 row
+        rows = (
+            [("click", 100, 7, 1.0)] * 6
+            + [("view", 100, 7, 1.0)] * 2
+            + [("click", 101, 7, 1.0)]
+        )
+        sf = _write_events(tmp_path, rows)
+        df = events_k_anonymity(sf).to_pandas().sort_values(
+            ["event_type", "day"]
+        ).reset_index(drop=True)
+        got = list(
+            zip(df.event_type, df.day, df.cohort, df.n_rows)
+        )
+        assert got == [("click", 101, 7, 1), ("view", 100, 7, 2)]
+
+    def test_cohort_is_user_mod_100(self, ray_session, tmp_path):
+        sf = _write_events(tmp_path, [("click", 5, 1234, 1.0)])
+        df = events_k_anonymity(sf).to_pandas()
+        assert df.cohort.tolist() == [34]
+
+    def test_blocking_independent(self, ray_session, tmp_path):
+        # the same cell split across many batches must fold to ONE count
+        rows = [("click", 100, 7, 1.0)] * 4  # 4 < k=5 -> one violating cell
+        sf = _write_events(tmp_path, rows)
+        ds = ray.data.read_parquet(f"{sf}/events.parquet").repartition(4)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.concat_tables(
+                [b for b in ds.iter_batches(batch_format="pyarrow")]
+            ),
+            f"{sf}/events.parquet",
+        )
+        df = events_k_anonymity(sf).to_pandas()
+        assert len(df) == 1 and df.n_rows.tolist() == [4]
+
+
+class TestLDiversity:
+    def test_homogeneous_cell_flagged(self, ray_session, tmp_path):
+        # cell A: 4 rows all in ONE value bucket -> flagged (n_sens=1 < 3)
+        # cell B: 4 rows across 3 buckets (0, 25, 45 -> buckets 0,1,2) -> safe
+        # cell C: 2 rows (under k=3) -> never reported
+        rows = (
+            [("click", 100, 7, 3.0)] * 4
+            + [
+                ("view", 100, 7, 3.0),
+                ("view", 100, 7, 25.0),
+                ("view", 100, 7, 45.0),
+                ("view", 100, 7, 46.0),
+            ]
+            + [("signup", 100, 7, 3.0)] * 2
+        )
+        sf = _write_events(tmp_path, rows)
+        df = events_l_diversity(sf).to_pandas()
+        assert list(
+            zip(df.event_type, df.day, df.cohort, df.n_rows, df.n_sens)
+        ) == [("click", 100, 7, 4, 1)]
+
+    def test_bucket_edge_exact(self, ray_session, tmp_path):
+        # 19.99 and 20.00 straddle the 2000-cent bucket edge exactly:
+        # floor(19.99*100)=1999 -> bucket 0; floor(20.0*100)=2000 -> 1
+        rows = [
+            ("click", 1, 1, 19.99),
+            ("click", 1, 1, 20.00),
+            ("click", 1, 1, 19.98),
+        ]
+        sf = _write_events(tmp_path, rows)
+        df = events_l_diversity(sf).to_pandas()
+        # 2 distinct buckets < 3 -> flagged with n_sens == 2
+        assert df.n_sens.tolist() == [2]
+
+    def test_empty_events(self, ray_session, tmp_path):
+        sf = _write_events(tmp_path, [])
+        assert events_l_diversity(sf).count() == 0
+        assert events_k_anonymity(sf).count() == 0
