@@ -160,9 +160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": q.events_grouping_sets,
         "events_quantile_normalize": q.events_quantile_normalize,
         "similar_doc_degree": q.similar_doc_degree,
-        # --- block 1h: new in round-5 session 19 (privacy-audit family) ---
+        # --- block 1h: new in round-5 session 19 (privacy-audit family
+        # + novelty scoring) ---
         "events_k_anonymity": q.events_k_anonymity,
         "events_l_diversity": q.events_l_diversity,
+        "events_dp_type_counts": q.events_dp_type_counts,
+        "doc_ngram_novelty": q.doc_ngram_novelty,
         # --- block 0: rows driver-green in r04 (29) ---
         "events_since_signup": q.events_since_signup,
         "event_type_octiles": q.event_type_octiles,
@@ -3117,6 +3120,56 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             GROUP BY 1, 2, 3
             HAVING count(*) >= 3 AND count(DISTINCT sens) < 3
+        """,
+    "events_dp_type_counts": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT event_type,
+                       CAST(row_number() OVER (ORDER BY event_type) - 1
+                            AS BIGINT) AS tr
+                FROM (SELECT DISTINCT event_type FROM events)
+            )
+            SELECT c.event_type, day,
+                   CAST(n + ([-8,-6,-5,-4,-4,-3,-3,-3,-3,-2,-2,-2,-2,-2,
+                              -2,-1,-1,-1,-1,-1,-1,-1,-1,-1,0,0,0,0,0,0,
+                              0,0,0,0,0,0,0,0,0,0,1,1,1,1,1,1,1,1,1,2,2,
+                              2,2,2,2,3,3,3,3,4,4,5,6,8])[
+                       (((day * 8 + tr) * 48271) % 2147483647) % 64 + 1]
+                        AS BIGINT) AS noisy_count
+            FROM c JOIN r USING (event_type)
+        """,
+    "doc_ngram_novelty": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                FROM toks
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+                FROM pos
+            ),
+            firsts AS (SELECT g, min(doc_id) AS d0 FROM sh GROUP BY g),
+            nf AS (
+                SELECT d0 AS doc_id, CAST(count(*) AS BIGINT) AS n_first
+                FROM firsts GROUP BY 1
+            ),
+            ng AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM sh GROUP BY 1
+            )
+            SELECT ng.doc_id, n_grams,
+                   CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+                   COALESCE(n_first, 0) * 1.0 / n_grams AS novelty
+            FROM ng LEFT JOIN nf USING (doc_id)
         """,
     "doc_graph_triangles": """
             WITH

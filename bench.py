@@ -341,6 +341,8 @@ def run_bench() -> dict:
     timed("event_trigrams", q.event_trigrams)
     timed("events_k_anonymity", q.events_k_anonymity)
     timed("events_l_diversity", q.events_l_diversity)
+    timed("events_dp_type_counts", q.events_dp_type_counts)
+    timed("doc_ngram_novelty", q.doc_ngram_novelty)
 
     ray.shutdown()
     return {

@@ -17620,3 +17620,297 @@ def events_l_diversity(
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+# 64-entry inverse-CDF table of the discrete Laplace distribution with
+# scale b=2 (P(X=k) proportional to exp(-|k|/2)), sampled at bucket
+# midpoints — table-based sampling makes the "noise" a DETERMINISTIC
+# function of the cell key, so the DP-shaped release is oracle-checkable
+# (the SQL mirrors the same table and the same Lehmer hash).  Mean 0.
+_DLAP_B2_TABLE = np.array(
+    [-8, -6, -5, -4, -4, -3, -3, -3, -3, -2, -2, -2, -2, -2, -2, -1,
+     -1, -1, -1, -1, -1, -1, -1, -1, 0, 0, 0, 0, 0, 0, 0, 0,
+     0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 5, 6, 8],
+    dtype=np.int64,
+)
+
+
+def events_dp_type_counts(sf_dir: str) -> ray.data.Dataset:
+    """Differential-privacy-SHAPED noisy release: per (event_type, day)
+    event counts plus discrete-Laplace noise (b=2, the eps=0.5 geometric
+    mechanism's distribution) drawn DETERMINISTICALLY per cell via a
+    64-entry inverse-CDF table indexed by a Lehmer hash of the cell key
+    — the third member of the privacy family (k-anonymity / l-diversity
+    audit what leaks; this is the noisy-release counterpart).  True
+    counts never appear in the output.
+
+    Deterministic by construction, so the driver's value-hash check
+    applies: the oracle SQL carries the SAME table literal and hash.
+    Physical plan: per-batch (type, day) count partials -> ONE
+    crc32(key)%P exchange -> kernel sums and adds table noise; the
+    type->rank map is the sorted distinct type list (broadcast-free:
+    recomputed per kernel from the partition's own keys would be wrong
+    — rank must be GLOBAL, so it rides a tiny driver-free fold below)."""
+    import zlib as _zlib
+
+    P = 16
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    EMPTY = pa.table(
+        {
+            "event_type": pa.nulls(0, pa.large_string()),
+            "day": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return EMPTY
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts_us // np.int64(86_400_000_000)
+        key = np.char.add(np.char.add(et.astype(str), "\x01"), day.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        pts = [s.split("\x01") for s in uk]
+        part = np.fromiter(
+            (_zlib.crc32(s.encode()) % P for s in uk),
+            dtype=np.int64,
+            count=uk.shape[0],
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [p[0] for p in pts], type=pa.large_string()
+                ),
+                "day": pa.array([int(p[1]) for p in pts], type=pa.int64()),
+                "n": pa.array(cnt),
+                "part": pa.array(part),
+            }
+        )
+
+    # global type ranks: the distinct type set is dimension-sized; fold
+    # it once off the partials' schema via a dedicated tiny aggregation
+    types = sorted(
+        t
+        for t in ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": pa.array(
+                        list(
+                            dict.fromkeys(b["event_type"].to_pylist())
+                        ),
+                        type=pa.large_string(),
+                    )
+                }
+            )
+            if b.num_rows
+            else pa.table({"event_type": pa.nulls(0, pa.large_string())}),
+            batch_format="pyarrow",
+        ).unique("event_type")
+        if t is not None
+    )
+    rank = {t: i for i, t in enumerate(types)}
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.nulls(0, pa.string()),
+                "day": pa.nulls(0, pa.int64()),
+                "noisy_count": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "event_type" not in group.column_names:
+            return empty
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        day = group["day"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(et.astype(str), "\x01"), day.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(tot, inv, n)
+        first = np.zeros(uk.shape[0], dtype=np.int64)
+        first[inv] = np.arange(inv.shape[0])  # any representative row
+        cet = et[first]
+        cday = day[first]
+        tr = np.fromiter(
+            (rank[t] for t in cet), dtype=np.int64, count=cet.shape[0]
+        )
+        cell = cday * 8 + tr
+        u = (cell * np.int64(48271)) % np.int64(2147483647)
+        noise = _DLAP_B2_TABLE[u % 64]
+        return pa.table(
+            {
+                "event_type": pa.array(list(cet), type=pa.string()),
+                "day": pa.array(cday),
+                "noisy_count": pa.array(tot + noise),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def doc_ngram_novelty(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """NOVELTY scoring for curriculum/dedup ordering: for each doc, the
+    fraction of its distinct word-k-grams that appear for the FIRST time
+    in corpus order (first = smallest doc_id containing the gram) —
+    boilerplate-heavy docs score near 0, fresh content near 1 (the
+    "how much of this doc is new" curve dataset curricula sort by).
+    Returns (doc_id, n_grams, n_first, novelty).
+
+    Physical plan: per-batch DISTINCT (gram, doc) postings with per-doc
+    gram totals riding locally (no exchange needed for n_grams — a
+    doc's distinct grams are a row-local fact); ONE crc32(gram)%P
+    exchange; kernel takes min(doc) per gram and emits (doc, n_first)
+    partials; a second doc%P exchange sums them and joins the totals
+    (shipped as their own tagged stream through the same exchange).
+    novelty = n_first/n_grams is ONE float division — bit-exact vs SQL."""
+    import zlib as _zlib
+
+    P = 32
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    EMPTY = pa.table(
+        {
+            "g": pa.nulls(0, pa.large_string()),
+            "doc_id": pa.nulls(0, pa.int64()),
+            "n": pa.nulls(0, pa.int64()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def grams_of(text: str) -> np.ndarray:
+        toks = text.split()
+        if len(toks) < k:
+            return np.empty(0, dtype=object)
+        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return np.unique(np.asarray(joined, dtype=object))
+
+    def postings(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return EMPTY
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gs, ds_, tot_doc, tot_n = [], [], [], []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            u = grams_of(t or "")
+            gs.append(u)
+            ds_.append(np.full(u.shape[0], d, dtype=np.int64))
+            tot_doc.append(d)
+            tot_n.append(u.shape[0])
+        g = np.concatenate(gs) if gs else np.empty(0, dtype=object)
+        dd = np.concatenate(ds_) if ds_ else np.empty(0, dtype=np.int64)
+        part = np.fromiter(
+            (_zlib.crc32(s.encode()) % P for s in g),
+            dtype=np.int64,
+            count=g.shape[0],
+        )
+        # totals stream: g=NULL rows tagged part = P + doc%P
+        td = np.asarray(tot_doc, dtype=np.int64)
+        tn = np.asarray(tot_n, dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(
+                    list(g) + [None] * td.shape[0], type=pa.large_string()
+                ),
+                "doc_id": pa.array(np.concatenate((dd, td))),
+                "n": pa.array(
+                    np.concatenate((np.ones(dd.shape[0], np.int64), tn))
+                ),
+                "part": pa.array(np.concatenate((part, P + td % P))),
+            }
+        )
+
+    def gram_kernel(group: pa.Table) -> pa.Table:
+        """gram partitions: min doc per gram -> (doc, n_first) partials;
+        totals partitions (g NULL): pass through."""
+        empty = pa.table(
+            {
+                "doc_id": pa.nulls(0, pa.int64()),
+                "n_first": pa.nulls(0, pa.int64()),
+                "n_grams": pa.nulls(0, pa.int64()),
+                "part2": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "g" not in group.column_names:
+            return empty
+        gv = group["g"].to_pylist()
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        isnull = np.asarray([x is None for x in gv], dtype=bool)
+        out_doc, out_first, out_tot = [], [], []
+        if (~isnull).any():
+            g = np.asarray(
+                [x for x, m in zip(gv, isnull) if not m], dtype=object
+            )
+            d = doc[~isnull]
+            o = np.lexsort((d, g.astype(str)))
+            gs, dsrt = g[o].astype(str), d[o]
+            firstmask = np.ones(gs.shape[0], dtype=bool)
+            firstmask[1:] = gs[1:] != gs[:-1]
+            fd = dsrt[firstmask]  # min doc per gram (d sorted within gram)
+            ud, cnt = np.unique(fd, return_counts=True)
+            out_doc.append(ud)
+            out_first.append(cnt.astype(np.int64))
+            out_tot.append(np.zeros(ud.shape[0], dtype=np.int64))
+        if isnull.any():
+            out_doc.append(doc[isnull])
+            out_first.append(np.zeros(int(isnull.sum()), dtype=np.int64))
+            out_tot.append(n[isnull])
+        od = np.concatenate(out_doc)
+        return pa.table(
+            {
+                "doc_id": pa.array(od),
+                "n_first": pa.array(np.concatenate(out_first)),
+                "n_grams": pa.array(np.concatenate(out_tot)),
+                "part2": pa.array(od % P),
+            }
+        )
+
+    def doc_kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.nulls(0, pa.int64()),
+                "n_grams": pa.nulls(0, pa.int64()),
+                "n_first": pa.nulls(0, pa.int64()),
+                "novelty": pa.nulls(0, pa.float64()),
+            }
+        )
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return empty
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        nf = group["n_first"].to_numpy(zero_copy_only=False)
+        ng = group["n_grams"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        tf = np.zeros(ud.shape[0], dtype=np.int64)
+        tg = np.zeros(ud.shape[0], dtype=np.int64)
+        np.add.at(tf, inv, nf)
+        np.add.at(tg, inv, ng)
+        keep = tg > 0  # docs shorter than k grams drop (match SQL join)
+        nov = tf[keep].astype(np.float64) / tg[keep].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud[keep]),
+                "n_grams": pa.array(tg[keep]),
+                "n_first": pa.array(tf[keep]),
+                "novelty": pa.array(nov),
+            }
+        )
+
+    return (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gram_kernel, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(doc_kernel, batch_format="pyarrow")
+    )

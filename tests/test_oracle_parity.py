@@ -233,6 +233,8 @@ ORACLE_QUERIES = [
     "events_mannwhitney",
     "events_k_anonymity",
     "events_l_diversity",
+    "events_dp_type_counts",
+    "doc_ngram_novelty",
 ]
 
 

@@ -113,3 +113,91 @@ class TestLDiversity:
         sf = _write_events(tmp_path, [])
         assert events_l_diversity(sf).count() == 0
         assert events_k_anonymity(sf).count() == 0
+
+
+class TestDpTypeCounts:
+    def test_noise_table_mean_zero_and_symmetric(self):
+        from libpostal_ray.pipelines.queries import _DLAP_B2_TABLE
+
+        t = _DLAP_B2_TABLE
+        assert t.sum() == 0
+        assert (t == -t[::-1]).all()  # symmetric inverse CDF
+        assert (np.diff(t) >= 0).all()  # monotone (it IS a quantile table)
+
+    def test_noise_is_deterministic_function_of_cell(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import (
+            _DLAP_B2_TABLE,
+            events_dp_type_counts,
+        )
+
+        # two cells with known true counts; noise must equal the table at
+        # the Lehmer index of (day*8 + rank(type))
+        rows = [("click", 10, 1, 1.0)] * 7 + [("view", 11, 1, 1.0)] * 4
+        sf = _write_events(tmp_path, rows)
+        df = (
+            events_dp_type_counts(sf)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        def expected(day, tr, n):
+            cell = day * 8 + tr
+            return n + int(_DLAP_B2_TABLE[((cell * 48271) % 2147483647) % 64])
+        assert df.noisy_count.tolist() == [
+            expected(10, 0, 7),  # click = rank 0
+            expected(11, 1, 4),  # view = rank 1
+        ]
+
+
+class TestNgramNovelty:
+    def test_first_doc_fully_novel_copy_fully_stale(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from libpostal_ray.pipelines.queries import doc_ngram_novelty
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": pa.array(
+                        [
+                            "a b c d e",        # all grams first here
+                            "a b c d e",        # exact copy: nothing novel
+                            "a b c x y z",      # 'a b c' stale, rest novel
+                        ],
+                        type=pa.string(),
+                    ),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        df = (
+            doc_ngram_novelty(str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert df.n_grams.tolist() == [3, 3, 4]
+        assert df.n_first.tolist() == [3, 0, 3]
+        assert df.novelty.tolist() == [1.0, 0.0, 0.75]
+
+    def test_short_docs_dropped(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from libpostal_ray.pipelines.queries import doc_ngram_novelty
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array(["a b", "a b c"], type=pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        df = doc_ngram_novelty(str(d)).to_pandas()
+        assert df.doc_id.tolist() == [1]
