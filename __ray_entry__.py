@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_l_diversity": q.events_l_diversity,
         "events_dp_type_counts": q.events_dp_type_counts,
         "doc_ngram_novelty": q.doc_ngram_novelty,
+        "user_event_regex": q.user_event_regex,
         # --- block 0: rows driver-green in r04 (29) ---
         "events_since_signup": q.events_since_signup,
         "event_type_octiles": q.event_type_octiles,
@@ -3170,6 +3171,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
                    COALESCE(n_first, 0) * 1.0 / n_grams AS novelty
             FROM ng LEFT JOIN nf USING (doc_id)
+        """,
+    "user_event_regex": """
+            WITH s AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST(CASE WHEN regexp_matches(seq, 'sc+p')
+                        THEN 1 ELSE 0 END AS BIGINT) AS matched
+            FROM s
         """,
     "doc_graph_triangles": """
             WITH

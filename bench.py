@@ -343,6 +343,7 @@ def run_bench() -> dict:
     timed("events_l_diversity", q.events_l_diversity)
     timed("events_dp_type_counts", q.events_dp_type_counts)
     timed("doc_ngram_novelty", q.doc_ngram_novelty)
+    timed("user_event_regex", q.user_event_regex)
 
     ray.shutdown()
     return {

@@ -17914,3 +17914,110 @@ def doc_ngram_novelty(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         .groupby("part2")
         .map_groups(doc_kernel, batch_format="pyarrow")
     )
+
+
+def user_event_regex(
+    sf_dir: str, pattern: str = "sc+p"
+) -> ray.data.Dataset:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink-CEP operator shape): each user's event-type sequence (ordered
+    by ts, event_id) is rendered as a character string (first letter of
+    the type — the five corpus types c/e/p/s/v are distinct) and matched
+    against a compiled regex; default pattern "sc+p" = "signup
+    immediately followed by a click run ending in purchase" (matches
+    ~half the corpus users — a discriminating funnel).  Returns
+    (user_id, seq_len, matched).
+
+    Physical plan: ONE user%P exchange co-locates each user's events;
+    the kernel sorts (user, ts, event_id) once, renders ALL sequences as
+    one contiguous char buffer + per-user offsets (O(rows), no per-event
+    Python), then runs the compiled regex once per USER — the only
+    per-entity Python is dimension-sized, the row-scale work is
+    vectorized.  The regex engine is the same RE2-class partial-match
+    semantics the oracle's regexp_matches uses."""
+    import re as _re
+
+    P = 32
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    EMPTY = pa.table(
+        {
+            "user_id": pa.nulls(0, pa.int64()),
+            "ts": pa.nulls(0, pa.int64()),
+            "event_id": pa.nulls(0, pa.int64()),
+            "c": pa.nulls(0, pa.large_string()),
+            "part": pa.nulls(0, pa.int64()),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return EMPTY
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = pc.utf8_slice_codeunits(
+            batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray)
+            else batch["event_type"],
+            0,
+            1,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": pa.array(ts),
+                "event_id": pa.array(eid),
+                "c": c.cast(pa.large_string()),
+                "part": pa.array(u % P),
+            }
+        )
+
+    rx = _re.compile(pattern)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.nulls(0, pa.int64()),
+                "seq_len": pa.nulls(0, pa.int64()),
+                "matched": pa.nulls(0, pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        ch = np.asarray(group["c"].to_pylist(), dtype=object)
+        o = np.lexsort((eid, ts, u))
+        u, ch = u[o], ch[o]
+        full = "".join(ch.tolist())
+        first = np.ones(u.shape[0], dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        stops = np.append(starts[1:], u.shape[0])
+        uu = u[starts]
+        matched = np.fromiter(
+            (
+                1 if rx.search(full[a:b]) else 0
+                for a, b in zip(starts, stops)
+            ),
+            dtype=np.int64,
+            count=uu.shape[0],
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "seq_len": pa.array((stops - starts).astype(np.int64)),
+                "matched": pa.array(matched),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -235,6 +235,7 @@ ORACLE_QUERIES = [
     "events_l_diversity",
     "events_dp_type_counts",
     "doc_ngram_novelty",
+    "user_event_regex",
 ]
 
 

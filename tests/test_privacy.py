@@ -201,3 +201,40 @@ class TestNgramNovelty:
         )
         df = doc_ngram_novelty(str(d)).to_pandas()
         assert df.doc_id.tolist() == [1]
+
+
+class TestEventRegex:
+    def test_pattern_and_ordering(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_event_regex
+
+        # user 1: s c c p -> matches sc+p; user 2: s v p -> no (v breaks
+        # the click run); user 3: p c s -> no (order matters)
+        rows = [
+            ("signup", 1, 1, 0.0), ("click", 2, 1, 0.0),
+            ("click", 3, 1, 0.0), ("purchase", 4, 1, 0.0),
+            ("signup", 1, 2, 0.0), ("view", 2, 2, 0.0),
+            ("purchase", 3, 2, 0.0),
+            ("purchase", 1, 3, 0.0), ("click", 2, 3, 0.0),
+            ("signup", 3, 3, 0.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        df = (
+            user_event_regex(sf)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert df.user_id.tolist() == [1, 2, 3]
+        assert df.seq_len.tolist() == [4, 3, 3]
+        assert df.matched.tolist() == [1, 0, 0]
+
+    def test_ts_tiebreak_by_event_id(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import user_event_regex
+
+        # same ts for all rows: order falls back to event_id, which is
+        # the row index in _write_events — s, c, p in insert order
+        rows = [("signup", 5, 9, 0.0), ("click", 5, 9, 0.0),
+                ("purchase", 5, 9, 0.0)]
+        sf = _write_events(tmp_path, rows)
+        df = user_event_regex(sf).to_pandas()
+        assert df.matched.tolist() == [1]
