@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_graph_wl_colors": q.doc_graph_wl_colors,
         # iterative graph primitive #10 (HITS hubs/authorities)
         "doc_graph_hits": q.doc_graph_hits,
+        # iterative graph primitive #11 (Brandes betweenness, source-parallel
+        # sweeps over a broadcast CSR)
+        "doc_graph_betweenness": q.doc_graph_betweenness,
         # Poisson bootstrap (one-pass B-replicate resampling, exact int
         # sufficient statistics; the resampling loop is not SQL)
         "events_bootstrap_ci": q.events_bootstrap_ci,

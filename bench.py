@@ -287,6 +287,7 @@ def run_bench() -> dict:
     timed("similar_doc_degree", q.similar_doc_degree)
     timed("doc_graph_wl_colors", q.doc_graph_wl_colors)
     timed("doc_graph_hits", lambda d: q.doc_graph_hits(d, iters=5))
+    timed("doc_graph_betweenness", q.doc_graph_betweenness)
     timed(
         "returnflag_weighted_median",
         lambda d: __import__("ray").data.from_arrow(

@@ -1742,3 +1742,204 @@ def hits(
     return ray.data.from_arrow_refs(
         [_emit_hits.remote(nodes_ref, hub_ref, auth_ref)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality (Brandes) — iterative graph primitive #11
+# ---------------------------------------------------------------------------
+
+
+def _brandes_dependencies(
+    nbrs_s: np.ndarray, starts: np.ndarray, stops: np.ndarray, src: int
+) -> np.ndarray:
+    """One Brandes (2001) source sweep over CSR, fully vectorized per
+    BFS level: forward pass accumulates shortest-path counts sigma,
+    backward pass accumulates dependencies delta (the public algorithm;
+    no per-edge Python).  Returns the dependency vector (delta at the
+    source itself is 0 by construction)."""
+    n = starts.shape[0]
+    dist = np.full(n, -1, dtype=np.int64)
+    sigma = np.zeros(n, dtype=np.float64)
+    dist[src] = 0
+    sigma[src] = 1.0
+    levels = [np.array([src], dtype=np.int64)]
+    frontier = levels[0]
+    while frontier.size:
+        # gather all (v in frontier) -> neighbor pairs
+        lens = stops[frontier] - starts[frontier]
+        total = int(lens.sum())
+        if total == 0:
+            break
+        vrep = np.repeat(frontier, lens)
+        pos = np.repeat(starts[frontier], lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        w = nbrs_s[pos]
+        new = w[dist[w] < 0]
+        if new.size:
+            new = np.unique(new)
+            dist[new] = dist[frontier[0]] + 1
+        # sigma flows along edges that advance one level
+        adv = dist[w] == dist[vrep] + 1
+        np.add.at(sigma, w[adv], sigma[vrep[adv]])
+        frontier = new
+        if frontier.size:
+            levels.append(frontier)
+    delta = np.zeros(n, dtype=np.float64)
+    for lvl in reversed(levels[1:]):
+        lens = stops[lvl] - starts[lvl]
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        vrep = np.repeat(lvl, lens)
+        pos = np.repeat(starts[lvl], lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        w = nbrs_s[pos]
+        # predecessors of v are neighbors one level CLOSER to the source
+        pred = dist[w] == dist[vrep] - 1
+        contrib = (sigma[w[pred]] / sigma[vrep[pred]]) * (
+            1.0 + delta[vrep[pred]]
+        )
+        np.add.at(delta, w[pred], contrib)
+    # Brandes: the source's own dependency is never accumulated
+    delta[src] = 0.0
+    return delta
+
+
+def betweenness(
+    edges: ray.data.Dataset,
+    *,
+    n_sources: int | None = 64,
+    sources_per_batch: int = 8,
+) -> ray.data.Dataset:
+    """Betweenness centrality over an undirected edge list (u, v) —
+    iterative graph primitive #11.  ``n_sources=None`` runs EVERY node
+    as a Brandes source (the exact algorithm); an integer runs the
+    deterministic Lehmer-ordered sample of that many sources (the
+    standard source-sampled estimator — scores are the exact dependency
+    sums over the chosen sources, undirected double-count halved).
+
+    Distributed plan (a NEW shape for this family): the CSR incidence
+    (8 B/edge x 2 + 16 B/node) is built ONCE off-driver and broadcast
+    by ref; the SOURCE LIST becomes a Dataset and map_batches fans the
+    per-source sweeps across the cluster — each batch scatter-adds its
+    sources' dependency vectors locally and emits ONE dense (node,
+    partial) table, so the exchange is (#batches x n) rows regardless
+    of source count; a gather task sums partials off-driver (pagerank
+    posture: the driver never holds per-node state).  Returns (doc_id,
+    betweenness)."""
+    edges = edges.select_columns(["u", "v"]).materialize()
+    edge_refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def _nodes(*blocks: pa.Table) -> np.ndarray:
+        parts = [
+            np.concatenate(
+                (
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                )
+            )
+            for b in blocks
+            if b.num_rows and "u" in b.column_names
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts)).astype(np.int64)
+
+    nodes_ref = _nodes.remote(*edge_refs)
+    n = ray.get(_arr_len.remote(nodes_ref))
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "betweenness": pa.nulls(0, pa.float64()),
+                }
+            )
+        )
+
+    @ray.remote(num_returns=3)
+    def _build_csr(nd: np.ndarray, *blocks: pa.Table):
+        us = [
+            b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in blocks
+            if b.num_rows and "u" in b.column_names
+        ]
+        vs = [
+            b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in blocks
+            if b.num_rows and "u" in b.column_names
+        ]
+        u = np.searchsorted(nd, np.concatenate(us))
+        v = np.searchsorted(nd, np.concatenate(vs))
+        return _csr(np.arange(nd.shape[0], dtype=np.int64), u, v)
+
+    nbrs_ref, starts_ref, stops_ref = _build_csr.remote(nodes_ref, *edge_refs)
+
+    @ray.remote
+    def _pick_sources(nd: np.ndarray, k) -> np.ndarray:
+        idx = np.arange(nd.shape[0], dtype=np.int64)
+        if k is None or k >= nd.shape[0]:
+            return idx
+        # deterministic Lehmer-ordered sample (the repo's sampling hash)
+        order = np.argsort((nd * np.int64(48271)) % np.int64(2147483647),
+                           kind="stable")
+        return np.sort(idx[order[:k]])
+
+    src_ref = _pick_sources.remote(nodes_ref, n_sources)
+    src_idx = ray.get(src_ref)  # source LIST only (<= n_sources ids, tiny)
+    src_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src_idx, type=pa.int64())})
+    ).repartition(max(1, min(32, (src_idx.shape[0] + sources_per_batch - 1)
+                             // sources_per_batch)))
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return pa.table(
+                {
+                    "node": pa.nulls(0, pa.int64()),
+                    "contrib": pa.nulls(0, pa.float64()),
+                }
+            )
+        nbrs_s = ray.get(nbrs_ref)
+        starts = ray.get(starts_ref)
+        stops = ray.get(stops_ref)
+        acc = np.zeros(starts.shape[0], dtype=np.float64)
+        for s in batch["src"].to_numpy(zero_copy_only=False):
+            acc += _brandes_dependencies(nbrs_s, starts, stops, int(s))
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.arange(starts.shape[0], dtype=np.int64)
+                ),
+                "contrib": pa.array(acc),
+            }
+        )
+
+    partial_refs = (
+        src_ds.map_batches(sweep, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def _emit(nd: np.ndarray, *blocks: pa.Table) -> pa.Table:
+        out = np.zeros(nd.shape[0], dtype=np.float64)
+        for b in blocks:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                continue
+            ni = b["node"].to_numpy(zero_copy_only=False)
+            c = b["contrib"].to_numpy(zero_copy_only=False)
+            out[ni] += c
+        return pa.table(
+            {
+                "doc_id": pa.array(nd, type=pa.int64()),
+                # undirected: each pair's dependency is counted from
+                # both endpoints' sweeps when all sources run
+                "betweenness": pa.array(out / 2.0),
+            }
+        )
+
+    return ray.data.from_arrow_refs([_emit.remote(nodes_ref, *partial_refs)])

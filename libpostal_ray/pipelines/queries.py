@@ -18021,3 +18021,20 @@ def user_event_regex(
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def doc_graph_betweenness(
+    sf_dir: str, n_sources: int = 64
+) -> ray.data.Dataset:
+    """Betweenness centrality of the deterministic document graph
+    (graph.betweenness, iterative primitive #11): which docs sit on the
+    most shortest paths — the bridge-document detector (a near-dup
+    family's bridge is the doc to KEEP for maximal connectivity, or to
+    audit when two unrelated families merge).  Rows-only (per-source
+    dependency accumulation is not SQL); pinned exact vs a textbook
+    Brandes reference in tests; the registry row runs the deterministic
+    64-source sample."""
+    from libpostal_ray.pipelines.graph import betweenness
+
+    edges, n = _doc_graph_edges(sf_dir)
+    return betweenness(edges, n_sources=n_sources)

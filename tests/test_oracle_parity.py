@@ -328,6 +328,7 @@ ROWS_ONLY = [
     "doc_graph_communities",
     "doc_graph_wl_colors",
     "doc_graph_hits",
+    "doc_graph_betweenness",
     "events_bootstrap_ci",
     "events_isotonic_daily",
 ]
