@@ -246,6 +246,71 @@ def check_expectations() -> None:
     )
 
 
+def check_betweenness() -> None:
+    """1M-node betweenness (64-source sample): the DISTRIBUTED plan
+    (broadcast CSR + source-fan-out + off-driver gather) must equal a
+    single-process accumulation of the same per-source sweeps over the
+    same CSR — this pins the distributed plumbing; the kernel itself is
+    pinned vs the textbook Brandes reference in tests/test_betweenness.py
+    (the two-step argument the repo's '3 plans identical' checks use)."""
+    import ray
+    import ray.data
+
+    from libpostal_ray.pipelines.graph import (
+        _brandes_dependencies,
+        _csr,
+        betweenness,
+    )
+
+    n = N  # reuse the harness size (default 1M)
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    # the session-16/18 deterministic doc-graph shape: skip shortcuts
+    # + a data-derived extra edge per node (~3 edges/node)
+    u1, v1 = ids[ids * 2 <= n], ids[ids * 2 <= n] * 2
+    u2, v2 = ids[ids * 2 + 1 <= n], ids[ids * 2 + 1 <= n] * 2 + 1
+    extra = ids + 2 + (_mix(ids.astype(np.uint64)) % np.uint64(64)).astype(
+        np.int64
+    )
+    m3 = extra <= n
+    u = np.concatenate((u1, u2, ids[m3]))
+    v = np.concatenate((v1, v2, extra[m3]))
+    edges = ray.data.from_arrow(
+        pa.table({"u": pa.array(u), "v": pa.array(v)})
+    ).repartition(32)
+
+    t0 = time.time()
+    got = betweenness(edges, n_sources=64).to_pandas().sort_values("doc_id")
+    rw = time.time() - t0
+
+    t0 = time.time()
+    nodes = np.unique(np.concatenate((u, v)))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    nbrs_s, starts, stops = _csr(
+        np.arange(nodes.shape[0], dtype=np.int64), ui, vi
+    )
+    order = np.argsort(
+        (nodes * np.int64(48271)) % np.int64(2147483647), kind="stable"
+    )
+    srcs = np.sort(np.arange(nodes.shape[0], dtype=np.int64)[order[:64]])
+    acc = np.zeros(nodes.shape[0], dtype=np.float64)
+    for s in srcs:
+        acc += _brandes_dependencies(nbrs_s, starts, stops, int(s))
+    acc /= 2.0
+    sw = time.time() - t0
+
+    gotv = got.betweenness.to_numpy()
+    assert got.doc_id.to_numpy().tolist() == nodes.tolist()
+    assert np.allclose(gotv, acc, rtol=1e-12, atol=1e-9), (
+        np.abs(gotv - acc).max()
+    )
+    print(
+        f"doc_graph_betweenness@{nodes.shape[0]} nodes / {u.shape[0]} edges: "
+        f"64-source scores match single-process accumulation to 1e-12 "
+        f"(ray {rw:.1f} s, single {sw:.1f} s)"
+    )
+
+
 def main():
     import duckdb
     import ray
@@ -263,6 +328,7 @@ def main():
     con.sql("SET threads TO 32")
     check_simjoin(con)
     check_expectations()
+    check_betweenness()
     ray.shutdown()
 
 
