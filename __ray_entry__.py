@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph primitive #11 (Brandes betweenness, source-parallel
         # sweeps over a broadcast CSR)
         "doc_graph_betweenness": q.doc_graph_betweenness,
+        # greedy max-coverage data selection (coreset pick; sequential
+        # greedy recursion is not SQL — pinned vs reference in tests)
+        "coverage_select_docs": q.coverage_select_docs,
         # Poisson bootstrap (one-pass B-replicate resampling, exact int
         # sufficient statistics; the resampling loop is not SQL)
         "events_bootstrap_ci": q.events_bootstrap_ci,

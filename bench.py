@@ -288,6 +288,7 @@ def run_bench() -> dict:
     timed("doc_graph_wl_colors", q.doc_graph_wl_colors)
     timed("doc_graph_hits", lambda d: q.doc_graph_hits(d, iters=5))
     timed("doc_graph_betweenness", q.doc_graph_betweenness)
+    timed("coverage_select_docs", lambda d: __import__("ray").data.from_arrow(q.coverage_select_docs(d)))
     timed(
         "returnflag_weighted_median",
         lambda d: __import__("ray").data.from_arrow(

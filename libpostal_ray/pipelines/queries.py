@@ -18038,3 +18038,18 @@ def doc_graph_betweenness(
 
     edges, n = _doc_graph_edges(sf_dir)
     return betweenness(edges, n_sources=n_sources)
+
+
+def coverage_select_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """Greedy max-coverage data selection (pipelines/select.py): the k
+    documents that together cover the most distinct word-3-grams — the
+    coreset/data-pruning pick ("which k docs teach the most vocabulary")
+    with the classic greedy (1-1/e) guarantee.  Rows-only (the greedy
+    recursion is not SQL); pinned exact vs an independent sequential
+    reference incl. tie-breaks in tests/test_select.py."""
+    from libpostal_ray.pipelines.select import coverage_select
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return coverage_select(docs, k=k, shingle_k=3)

@@ -329,6 +329,7 @@ ROWS_ONLY = [
     "doc_graph_wl_colors",
     "doc_graph_hits",
     "doc_graph_betweenness",
+    "coverage_select_docs",
     "events_bootstrap_ci",
     "events_isotonic_daily",
 ]
