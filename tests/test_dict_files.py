@@ -162,3 +162,31 @@ class TestShippedContent:
             }
         )
         assert stage(tbl)["canonical"].to_pylist() == ["a quux b"]
+
+
+class TestSecondContentWave:
+    def test_temporal_and_business_files(self):
+        # round-5 second wave: themed temporal/business files route
+        out = _route(
+            [
+                "Meeting Wed Sept 3rd, see Misc Info",
+                "reunion mie 5 sept, ver pag 9",
+                "стр 5 см табл 2",
+            ],
+            ["en", "es", "ru"],
+        )
+        # the in-code ordinal affix rules fire first: 3rd -> 3 (digits are
+        # the engine's canonical direction)
+        assert out[0] == "meeting wednesday september 3, see miscellaneous information"
+        assert "miercoles" in out[1] and "pagina" in out[1]
+        # "стр" is genuinely ambiguous in Russian (страница/строение);
+        # sorted-file order makes general.txt win deterministically
+        assert "строение" in out[2] and "таблица" in out[2] and "смотри" in out[2]
+
+    def test_weekday_override_order_deterministic(self):
+        # ru "ср" appears in two files (business "сравни", temporal
+        # "среда") — sorted-file order makes temporal win, pinned here
+        from libpostal_ray.functions.canonicalize import FILE_DICT_PACKS
+
+        rules = dict(FILE_DICT_PACKS["ru"])
+        assert rules[r"\bср\b"] == "среда"  # temporal.txt is sorted last
