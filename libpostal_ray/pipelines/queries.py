@@ -17696,25 +17696,21 @@ def events_dp_type_counts(sf_dir: str) -> ray.data.Dataset:
 
     # global type ranks: the distinct type set is dimension-sized; fold
     # it once off the partials' schema via a dedicated tiny aggregation
-    types = sorted(
-        t
-        for t in ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "event_type": pa.array(
-                        list(
-                            dict.fromkeys(b["event_type"].to_pylist())
-                        ),
-                        type=pa.large_string(),
-                    )
-                }
-            )
-            if b.num_rows
-            else pa.table({"event_type": pa.nulls(0, pa.large_string())}),
-            batch_format="pyarrow",
-        ).unique("event_type")
-        if t is not None
-    )
+    _types_raw = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": pa.array(
+                    list(dict.fromkeys(b["event_type"].to_pylist())),
+                    type=pa.large_string(),
+                )
+            }
+        )
+        if b.num_rows
+        else pa.table({"event_type": pa.nulls(0, pa.large_string())}),
+        batch_format="pyarrow",
+    ).unique("event_type")
+    # Dataset.unique returns None (not []) on an empty dataset
+    types = sorted(t for t in (_types_raw or []) if t is not None)
     rank = {t: i for i, t in enumerate(types)}
 
     def kernel(group: pa.Table) -> pa.Table:

@@ -238,3 +238,42 @@ class TestEventRegex:
         sf = _write_events(tmp_path, rows)
         df = user_event_regex(sf).to_pandas()
         assert df.matched.tolist() == [1]
+
+
+class TestEmptyCorpusSweep:
+    """Round-5 rows on zero-row inputs (the per-session discipline)."""
+
+    def test_new_event_rows_on_empty(self, ray_session, tmp_path):
+        from libpostal_ray.pipelines.queries import (
+            events_dp_type_counts,
+            user_event_regex,
+        )
+
+        sf = _write_events(tmp_path, [])
+        assert events_dp_type_counts(sf).count() == 0
+        assert user_event_regex(sf).count() == 0
+
+    def test_novelty_and_selection_on_empty(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from libpostal_ray.pipelines.queries import doc_ngram_novelty
+        from libpostal_ray.pipelines.select import coverage_select
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "text": pa.nulls(0, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        assert doc_ngram_novelty(str(d)).count() == 0
+        import ray.data as rd
+
+        out = coverage_select(
+            rd.read_parquet(f"{d}/documents.parquet"), k=3
+        )
+        assert out.num_rows == 0
