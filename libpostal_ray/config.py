@@ -210,17 +210,23 @@ class PipelineConfig:
                                     # "inline": carry b-bit signatures through
                                     # the shuffle and verify inside the bucket
                                     # groupby (fewer stages; denser payload)
-    sig_broadcast_max: int = 12_000_000  # docs; the verification state is
+    sig_broadcast_max: int = 20_000_000  # docs; the verification state is
                                     # broadcast (one shared plasma object,
                                     # ~217 B/doc: ids 8 + sha 32 + b-bit 128
                                     # + simhash 8 + nsh 8 + short 1 + exp4 32)
                                     # for pair
-                                    # verification below this — 12M docs ~
-                                    # 2.2 GB, well inside a worker heap.
+                                    # verification below this — 20M docs ~
+                                    # 3.6 GB, still inside a worker heap on
+                                    # the 128-GiB host class (raised from
+                                    # 12M in round 5: the first 16M-file run
+                                    # crossed the old threshold and paid the
+                                    # join fallback, 280 s vs ~2x expected).
                                     # Above it, two hash joins attach the
                                     # columns instead (measured 30x slower
                                     # locally — the join is the >memory
-                                    # fallback, not the preferred plan)
+                                    # fallback, not the preferred plan; at
+                                    # true cluster scale the fallback IS the
+                                    # path, per-node plasma shares the state)
     shuffle_impl: str = "manual"    # "manual": raw-task hash exchange for the
                                     # pairgen shuffle (split by band_key % P,
                                     # num_returns=P; no global sort);
