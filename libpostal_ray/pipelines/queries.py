@@ -17779,57 +17779,104 @@ def doc_ngram_novelty(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     EMPTY = pa.table(
         {
-            "g": pa.nulls(0, pa.large_string()),
+            "g": pa.nulls(0, pa.int64()),
+            "is_tot": pa.nulls(0, pa.int64()),
             "doc_id": pa.nulls(0, pa.int64()),
             "n": pa.nulls(0, pa.int64()),
             "part": pa.nulls(0, pa.int64()),
         }
     )
 
-    def grams_of(text: str) -> np.ndarray:
-        toks = text.split()
-        if len(toks) < k:
-            return np.empty(0, dtype=object)
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        return np.unique(np.asarray(joined, dtype=object))
-
     def postings(batch: pa.Table) -> pa.Table:
+        """Vectorized distinct-(gram, doc) postings — the simjoin
+        discipline: tokenize with Arrow kernels, hash only the BATCH
+        VOCAB (dictionary-encode), fold token hashes positionally into
+        64-bit gram keys (collision-free in practice — the precedent
+        similar_doc_pairs is driver-green against string-gram SQL with
+        the same representation).  No per-row Python."""
         if batch.num_rows == 0 or "doc_id" not in batch.column_names:
             return EMPTY
+        import hashlib as _hl
+
+        from libpostal_ray.functions.hashing import as_key_i64, mix_fold_u64
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        gs, ds_, tot_doc, tot_n = [], [], [], []
-        for d, t in zip(ids, batch["text"].to_pylist()):
-            u = grams_of(t or "")
-            gs.append(u)
-            ds_.append(np.full(u.shape[0], d, dtype=np.int64))
-            tot_doc.append(d)
-            tot_n.append(u.shape[0])
-        g = np.concatenate(gs) if gs else np.empty(0, dtype=object)
-        dd = np.concatenate(ds_) if ds_ else np.empty(0, dtype=np.int64)
-        part = np.fromiter(
-            (_zlib.crc32(s.encode()) % P for s in g),
-            dtype=np.int64,
-            count=g.shape[0],
-        )
-        # totals stream: g=NULL rows tagged part = P + doc%P
-        td = np.asarray(tot_doc, dtype=np.int64)
-        tn = np.asarray(tot_n, dtype=np.int64)
+        txt = pc.utf8_trim_whitespace(batch["text"].cast(pa.large_string()))
+        lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        total = len(flat)
+        td = ids
+        if total < k:
+            dd = np.empty(0, dtype=np.int64)
+            g = np.empty(0, dtype=np.int64)
+        else:
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vh = np.fromiter(
+                (
+                    int.from_bytes(
+                        _hl.blake2b(
+                            (s or "").encode("utf-8"), digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                    for s in enc.dictionary.to_pylist()
+                ),
+                dtype=np.uint64,
+                count=len(enc.dictionary),
+            )
+            th = vh[codes]
+            m = total - k + 1
+            fold = mix_fold_u64([th[j : j + m] for j in range(k)], salt=k)
+            valid = parent[:m] == parent[k - 1 :]
+            gk = as_key_i64(fold[valid])
+            didx = parent[:m][valid].astype(np.int64)
+            # per-doc DISTINCT grams
+            order = np.lexsort((gk, didx))
+            didx, gk = didx[order], gk[order]
+            keep = np.concatenate(
+                ([True], (didx[1:] != didx[:-1]) | (gk[1:] != gk[:-1]))
+            )
+            dd = ids[didx[keep]]
+            g = gk[keep]
+        # per-doc totals ride a tagged stream (is_tot = 1 rows)
+        if total < k:
+            tn = np.zeros(ids.shape[0], dtype=np.int64)
+        else:
+            tn = np.bincount(
+                didx[keep], minlength=ids.shape[0]
+            ).astype(np.int64)
         return pa.table(
             {
                 "g": pa.array(
-                    list(g) + [None] * td.shape[0], type=pa.large_string()
+                    np.concatenate(
+                        (g, np.zeros(td.shape[0], dtype=np.int64))
+                    )
+                ),
+                "is_tot": pa.array(
+                    np.concatenate(
+                        (
+                            np.zeros(g.shape[0], dtype=np.int64),
+                            np.ones(td.shape[0], dtype=np.int64),
+                        )
+                    )
                 ),
                 "doc_id": pa.array(np.concatenate((dd, td))),
                 "n": pa.array(
                     np.concatenate((np.ones(dd.shape[0], np.int64), tn))
                 ),
-                "part": pa.array(np.concatenate((part, P + td % P))),
+                "part": pa.array(
+                    np.concatenate((g % P, P + td % P))
+                ),
             }
         )
 
     def gram_kernel(group: pa.Table) -> pa.Table:
         """gram partitions: min doc per gram -> (doc, n_first) partials;
-        totals partitions (g NULL): pass through."""
+        totals partitions (is_tot = 1): pass through."""
         empty = pa.table(
             {
                 "doc_id": pa.nulls(0, pa.int64()),
@@ -17840,18 +17887,16 @@ def doc_ngram_novelty(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         )
         if group.num_rows == 0 or "g" not in group.column_names:
             return empty
-        gv = group["g"].to_pylist()
+        gv = group["g"].to_numpy(zero_copy_only=False)
         doc = group["doc_id"].to_numpy(zero_copy_only=False)
         n = group["n"].to_numpy(zero_copy_only=False)
-        isnull = np.asarray([x is None for x in gv], dtype=bool)
+        istot = group["is_tot"].to_numpy(zero_copy_only=False) == 1
         out_doc, out_first, out_tot = [], [], []
-        if (~isnull).any():
-            g = np.asarray(
-                [x for x, m in zip(gv, isnull) if not m], dtype=object
-            )
-            d = doc[~isnull]
-            o = np.lexsort((d, g.astype(str)))
-            gs, dsrt = g[o].astype(str), d[o]
+        if (~istot).any():
+            g = gv[~istot]
+            d = doc[~istot]
+            o = np.lexsort((d, g))
+            gs, dsrt = g[o], d[o]
             firstmask = np.ones(gs.shape[0], dtype=bool)
             firstmask[1:] = gs[1:] != gs[:-1]
             fd = dsrt[firstmask]  # min doc per gram (d sorted within gram)
@@ -17859,10 +17904,10 @@ def doc_ngram_novelty(sf_dir: str, k: int = 3) -> ray.data.Dataset:
             out_doc.append(ud)
             out_first.append(cnt.astype(np.int64))
             out_tot.append(np.zeros(ud.shape[0], dtype=np.int64))
-        if isnull.any():
-            out_doc.append(doc[isnull])
-            out_first.append(np.zeros(int(isnull.sum()), dtype=np.int64))
-            out_tot.append(n[isnull])
+        if istot.any():
+            out_doc.append(doc[istot])
+            out_first.append(np.zeros(int(istot.sum()), dtype=np.int64))
+            out_tot.append(n[istot])
         od = np.concatenate(out_doc)
         return pa.table(
             {
